@@ -1,13 +1,233 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.Point
+import graft.operators.{Aggregations, Mutations, Rle}
+import graft.pattern.VariableMatcher
+import graft.sources.PointSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB-equivalent in [[oracleSql]]
+  * with identical output column names; float aggregates are rounded on
+  * both sides to absorb summation-order noise.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val HourMs = 3600000L
+
+  /** events.parquet → canonical points with series key. */
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    Point.withSeriesKey(PointSource.events(s, dir))
+
+  /** skey "/events/click{user=3}" → (name, usr) output columns. */
+  private def unkey(df: DataFrame): DataFrame =
+    df.withColumn("name", regexp_extract(col("skey"), "^([^{]+)", 1))
+      .withColumn("usr", regexp_extract(col("skey"), "\\{user=([^}]*)\\}", 1))
+
+  private def seriesW = Window.partitionBy("skey").orderBy("ts")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: rate →
+    * 1h mean → cross-stream average by name (reference CLI shape
+    * `get /events/&#42; rate mean=1h aggregate=name`). */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = pts(spark, "/root/testdata/sf0.001")
+    val rated = Mutations.rate(df, perSecond = true)
+    val resampled = unkey(Mutations.meanGrid(rated, HourMs))
+    Aggregations.byName(resampled, Aggregations.Average, HourMs)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ relational basics
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+    }),
+    "q_join_nation" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ------------------------------------- per-stream mutations (§2.1)
+    "m_rate" -> ((s, dir) =>
+      unkey(Mutations.rate(pts(s, dir), perSecond = true))
+        .select("name", "usr", "ts", "dval")),
+    "m_rate_signed" -> ((s, dir) =>
+      unkey(Mutations.rateSigned(pts(s, dir), perSecond = true))
+        .select("name", "usr", "ts", "dval")),
+    "m_delta" -> ((s, dir) =>
+      unkey(Mutations.delta(pts(s, dir)))
+        .select("name", "usr", "ts", "dval")),
+    "m_mean_grid" -> ((s, dir) =>
+      unkey(Mutations.meanGrid(pts(s, dir), HourMs))
+        .select(col("name"), col("usr"), col("ts"), round(col("dval"), 4).as("dval"))),
+    "m_min_grid" -> ((s, dir) =>
+      unkey(Mutations.minGrid(pts(s, dir), HourMs))
+        .select("name", "usr", "ts", "dval")),
+    "m_max_grid" -> ((s, dir) =>
+      unkey(Mutations.maxGrid(pts(s, dir), HourMs))
+        .select("name", "usr", "ts", "dval")),
+    "m_latest_grid" -> ((s, dir) =>
+      unkey(Mutations.latestGrid(pts(s, dir), HourMs))
+        .select("name", "usr", "ts", "dval")),
+    "m_stddev_grid" -> ((s, dir) =>
+      unkey(Mutations.stddevGrid(pts(s, dir), HourMs))
+        .select(col("name"), col("usr"), col("ts"), round(col("dval"), 4).as("dval"))),
+
+    // --------------------------------- cross-stream aggregations (§2.2)
+    "agg_avg_byname" -> ((s, dir) =>
+      Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
+        .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
+    "agg_sum_byname" -> ((s, dir) =>
+      Aggregations.byName(pts(s, dir), Aggregations.Sum, HourMs)
+        .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
+    "agg_max_byname" -> ((s, dir) =>
+      Aggregations.byName(pts(s, dir), Aggregations.Max, HourMs)
+        .select("name", "ts", "dval")),
+    "agg_min_byname" -> ((s, dir) =>
+      Aggregations.byName(pts(s, dir), Aggregations.Min, HourMs)
+        .select("name", "ts", "dval")),
+    "agg_median_byname" -> ((s, dir) =>
+      Aggregations.byName(pts(s, dir), Aggregations.Median, HourMs)
+        .select("name", "ts", "dval")),
+    "agg_sum_bylabel" -> ((s, dir) =>
+      Aggregations.byLabel(pts(s, dir), "user", Aggregations.Sum, HourMs,
+          preserveConstantLabels = false)
+        .select(col("name"), element_at(col("labels"), "user").as("usr"),
+          col("ts"), round(col("dval"), 4).as("dval"))),
+
+    // ------------------------------------------ stream infra ops (§2.3)
+    "rle_encode" -> ((s, dir) => {
+      val df = pts(s, dir).withColumn("dval", floor(col("dval") / 50) * 50)
+      unkey(Rle.encode(df)).select("name", "usr", "ts", "dval", "end_ts")
+    }),
+    "list_vars" -> ((s, dir) =>
+      unkey(pts(s, dir)).select("name", "usr").distinct()),
+    "q_tail_limit" -> ((s, dir) =>
+      unkey(pts(s, dir)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("skey").orderBy(col("ts").desc)))
+          .filter(col("rn") <= 5))
+        .select("name", "usr", "ts", "dval")),
+    "q_pattern_filter" -> ((s, dir) =>
+      unkey(pts(s, dir)
+          .filter(VariableMatcher.compile("/events/click{user=*}"))
+          .filter(col("ts").between(1704500000000L, 1705500000000L)))
+        .select("name", "usr", "ts", "dval")))
+
+  /** DuckDB-equivalent SQL per query (same output column names). */
+  def oracleSql: Map[String, String] = {
+    // shared CTE: events adapted onto the canonical point shape
+    val P = "WITH pts AS (SELECT '/events/' || event_type AS name, " +
+      "CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval FROM events) "
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          | round(sum(l_extendedprice),2) AS sum_base,
+          | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+          | round(avg(l_quantity),4) AS avg_qty, count(*) AS n
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "q_join_nation" ->
+        """SELECT n_name,
+          | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin,
+      "m_rate" -> (P +
+        """SELECT name, usr, ts, dval FROM (
+          | SELECT name, usr, ts,
+          |  (dval - lag(dval) OVER w) / ((ts - lag(ts) OVER w)/1000.0) AS dval
+          | FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+          |WHERE dval IS NOT NULL AND dval >= 0""".stripMargin),
+      "m_rate_signed" -> (P +
+        """SELECT name, usr, ts, dval FROM (
+          | SELECT name, usr, ts,
+          |  (dval - lag(dval) OVER w) / ((ts - lag(ts) OVER w)/1000.0) AS dval
+          | FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+          |WHERE dval IS NOT NULL""".stripMargin),
+      "m_delta" -> (P +
+        """SELECT name, usr, ts, dval FROM (
+          | SELECT name, usr, ts, dval - lag(dval) OVER w AS dval
+          | FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+          |WHERE dval IS NOT NULL AND dval >= 0""".stripMargin),
+      "m_mean_grid" -> (P +
+        """SELECT name, usr, max(ts) AS ts, round(avg(dval),4) AS dval
+          |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_min_grid" -> (P +
+        """SELECT name, usr, max(ts) AS ts, min(dval) AS dval
+          |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_max_grid" -> (P +
+        """SELECT name, usr, max(ts) AS ts, max(dval) AS dval
+          |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_latest_grid" -> (P +
+        """SELECT name, usr, max(ts) AS ts, arg_max(dval, ts) AS dval
+          |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_stddev_grid" -> (P +
+        """SELECT name, usr, max(ts) AS ts,
+          | round(coalesce(stddev_pop(dval), 0), 4) AS dval
+          |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "agg_avg_byname" -> (P +
+        """SELECT name, ts - ts % 3600000 AS ts, round(avg(dval),4) AS dval
+          |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
+      "agg_sum_byname" -> (P +
+        """SELECT name, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
+          |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
+      "agg_max_byname" -> (P +
+        """SELECT name, ts - ts % 3600000 AS ts, max(dval) AS dval
+          |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
+      "agg_min_byname" -> (P +
+        """SELECT name, ts - ts % 3600000 AS ts, min(dval) AS dval
+          |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
+      "agg_median_byname" -> (P +
+        """SELECT name, ts - ts % 3600000 AS ts,
+          | list_sort(list(dval))[CAST(floor(count(*)/2) AS INT) + 1] AS dval
+          |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
+      "agg_sum_bylabel" -> (P +
+        """SELECT name, usr, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
+          |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "rle_encode" -> (
+        """WITH pts AS (SELECT '/events/' || event_type AS name,
+          |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts,
+          |  floor(value/50)*50 AS dval FROM events),
+          |chg AS (SELECT *, CASE WHEN lag(dval) OVER w IS NULL
+          |   OR lag(dval) OVER w <> dval THEN 1 ELSE 0 END AS c
+          |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
+          |runs AS (SELECT *, sum(c) OVER (PARTITION BY name, usr ORDER BY ts
+          |  ROWS UNBOUNDED PRECEDING) AS run FROM chg)
+          |SELECT name, usr, min(ts) AS ts, min(dval) AS dval,
+          | CASE WHEN count(*) > 1 THEN max(ts) END AS end_ts
+          |FROM runs GROUP BY name, usr, run""".stripMargin),
+      "list_vars" ->
+        """SELECT DISTINCT '/events/' || event_type AS name,
+          | CAST(user_id AS VARCHAR) AS usr FROM events""".stripMargin,
+      "q_tail_limit" -> (P +
+        """SELECT name, usr, ts, dval FROM (
+          | SELECT *, row_number() OVER (PARTITION BY name, usr ORDER BY ts DESC) AS rn
+          | FROM pts) WHERE rn <= 5""".stripMargin),
+      "q_pattern_filter" -> (P +
+        """SELECT name, usr, ts, dval FROM pts
+          |WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> ''
+          | AND ts BETWEEN 1704500000000 AND 1705500000000""".stripMargin))
+  }
 }

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-stream mutations (reference: StreamMutation,
+ * lib/openinstrument.proto:24-52).
+ *
+ * Two tiers:
+ *
+ *  - '''Grid fast path''' (`meanGrid`, `minGrid`, ...): floor-aligned
+ *    tumbling buckets expressed with built-in functions only — whole-stage
+ *    codegen, map-side partial aggregation, one shuffle on
+ *    `(skey, bucket)`. This is the 100 TB path and the oracle-checked one.
+ *
+ *  - '''Exact path''' (`meanExact`, `interpolate`, `resampleUniform`, ...):
+ *    bit-exact ports of the reference's nonstandard bucket anchoring
+ *    (buckets anchored at the first input timestamp, emission at input
+ *    timestamps — go/.../mutations/mutations.go; lib/counter.cc:18-64),
+ *    implemented as single-pass streaming state machines over
+ *    `repartition(skey) + sortWithinPartitions(skey, ts) + mapPartitions`.
+ *    O(1) memory per series regardless of series length, so it scales to
+ *    arbitrarily long series (no per-group materialization).
+ *
+ * All operate on the canonical point schema plus a precomputed `skey`
+ * series-key column (see [[graft.model.Point.withSeriesKey]]).
+ */
+object Mutations {
+
+  // ---------------------------------------------------------------- windows
+
+  private def seriesWindow = Window.partitionBy("skey").orderBy("ts")
+
+  /**
+   * First derivative between consecutive points of a series; negative
+   * results dropped (counter-reset protection). Reference:
+   * go/.../mutations/mutations.go:76-85, server/store.cc:301-318.
+   *
+   * @param perSecond C++/display convention divides by seconds
+   *                  (server/store.cc:308, go/src/get.go:226-228); the Go
+   *                  server divides by ms (mutations.go:65).
+   */
+  def rate(df: DataFrame, perSecond: Boolean = true): DataFrame =
+    rateSigned(df, perSecond).filter(col("dval") >= 0)
+
+  /** Same as [[rate]] but negatives kept (mutations.go:51-74). */
+  def rateSigned(df: DataFrame, perSecond: Boolean = true): DataFrame = {
+    val dt0 = col("ts") - lag("ts", 1).over(seriesWindow)
+    val dt = if (perSecond) dt0 / 1000.0 else dt0.cast("double")
+    df.withColumn("dval",
+        (col("dval") - lag("dval", 1).over(seriesWindow)) / dt)
+      .filter(col("dval").isNotNull)
+  }
+
+  /**
+   * Difference between consecutive points, negatives dropped
+   * (C++-only; server/store.cc:319-333).
+   */
+  def delta(df: DataFrame): DataFrame =
+    df.withColumn("dval", col("dval") - lag("dval", 1).over(seriesWindow))
+      .filter(col("dval").isNotNull && col("dval") >= 0)
+
+  // ------------------------------------------------------- grid fast path
+
+  /** Floor-aligned bucket id; emission timestamp = last input ts in bucket. */
+  private def bucketed(df: DataFrame, durationMs: Long, aggs: Column*): DataFrame =
+    df.groupBy(col("skey"), (col("ts") - pmod(col("ts"), lit(durationMs))).as("bucket_ts"))
+      .agg(max("ts").as("out_ts"), aggs: _*)
+      .select(col("skey"), col("out_ts").as("ts"), col("dval"), col("bucket_ts"))
+
+  def meanGrid(df: DataFrame, durationMs: Long): DataFrame =
+    bucketed(df, durationMs, avg("dval").as("dval"))
+
+  def minGrid(df: DataFrame, durationMs: Long): DataFrame =
+    bucketed(df, durationMs, min("dval").as("dval"))
+
+  def maxGrid(df: DataFrame, durationMs: Long): DataFrame =
+    bucketed(df, durationMs, max("dval").as("dval"))
+
+  /** LATEST downsample (lib/openinstrument.proto:40-41): last value per bucket. */
+  def latestGrid(df: DataFrame, durationMs: Long): DataFrame =
+    bucketed(df, durationMs, max_by(col("dval"), col("ts")).as("dval"))
+
+  /** Population stddev per bucket (vestigial reference op, mutations.go:193-216). */
+  def stddevGrid(df: DataFrame, durationMs: Long): DataFrame =
+    bucketed(df, durationMs, coalesce(stddev_pop("dval"), lit(0.0)).as("dval"))
+
+  // ------------------------------------------------- exact streaming path
+
+  /**
+   * A single-pass per-series state machine: `feed` consumes points in
+   * timestamp order, `flush` is called at end of series. Implementations
+   * must be cheap to allocate (one instance per series per task).
+   */
+  trait StreamOp extends Serializable {
+    def feed(ts: Long, v: Double): Seq[(Long, Double)]
+    def flush(): Seq[(Long, Double)]
+  }
+
+  /**
+   * Runs a [[StreamOp]] over every series of `df` (columns `skey`, `ts`,
+   * `dval`). Secondary-sort pattern: one shuffle on `skey`, sort within
+   * partitions, then a streaming pass that resets the state machine on
+   * series change — never materializes a series in memory.
+   */
+  def perSeries(df: DataFrame)(mk: () => StreamOp): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col("skey"), col("ts"), col("dval"))
+      .as[(String, Long, Double)]
+      .repartition(parts, col("skey"))
+      .sortWithinPartitions(col("skey"), col("ts"))
+      .mapPartitions { it =>
+        new Iterator[(String, Long, Double)] {
+          private var curKey: String = null
+          private var op: StreamOp = null
+          private var pending: Iterator[(String, Long, Double)] = Iterator.empty
+          private def advance(): Unit = {
+            while (!pending.hasNext && (it.hasNext || op != null)) {
+              if (it.hasNext) {
+                val (k, ts, v) = it.next()
+                if (k != curKey) {
+                  val flushed =
+                    if (op != null) op.flush().map(p => (curKey, p._1, p._2)) else Nil
+                  op = mk()
+                  val fed = op.feed(ts, v).map(p => (k, p._1, p._2))
+                  curKey = k
+                  pending = flushed.iterator ++ fed.iterator
+                } else {
+                  pending = op.feed(ts, v).map(p => (curKey, p._1, p._2)).iterator
+                }
+              } else { // input exhausted: flush the last series once
+                pending = op.flush().map(p => (curKey, p._1, p._2)).iterator
+                op = null
+              }
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): (String, Long, Double) = { advance(); pending.next() }
+        }
+      }
+      .toDF("skey", "ts", "dval")
+  }
+
+  // --------------------------------------------------------- exact ops
+
+  /**
+   * Go `Mean` (mutations.go:10-49): bucket anchored at its first input
+   * timestamp, closed when a point arrives more than `duration` past the
+   * anchor; mean emitted at the bucket's last input timestamp.
+   */
+  final class MeanOp(duration: Long) extends StreamOp {
+    private var sum = 0.0; private var count = 0L
+    private var firstTs = 0L; private var lastTs = 0L; private var first = true
+    def feed(ts: Long, v: Double): Seq[(Long, Double)] = {
+      var out: List[(Long, Double)] = Nil
+      if (first) { firstTs = ts; first = false }
+      if (ts - firstTs > duration && count > 0) {
+        out = List((lastTs, sum / count))
+        firstTs = ts; sum = 0.0; count = 0
+      }
+      sum += v; count += 1; lastTs = ts
+      out
+    }
+    def flush(): Seq[(Long, Double)] =
+      if (count > 0) List((lastTs, sum / count)) else Nil
+  }
+
+  /**
+   * Go `Min`/`Max` (mutations.go:139-191): emits the previous window's
+   * extremum at the timestamp of the point that opens the next window;
+   * the trailing partial window is discarded (reference behavior).
+   */
+  final class ExtremumOp(duration: Long, isMin: Boolean) extends StreamOp {
+    private var ext = 0.0; private var anchor = 0L; private var first = true
+    def feed(ts: Long, v: Double): Seq[(Long, Double)] = {
+      if (first) { anchor = ts; ext = v; first = false; return Nil }
+      var out: List[(Long, Double)] = Nil
+      if (ts >= anchor + duration) {
+        out = List((ts, ext)); anchor = ts; ext = v
+      } else if (if (isMin) v < ext else v > ext) ext = v
+      out
+    }
+    def flush(): Seq[(Long, Double)] = Nil
+  }
+
+  /**
+   * Go `Interpolate` (mutations.go:87-137): snaps a series onto a uniform
+   * `duration`-ms grid. The first point is floor-aligned; interpolation
+   * brackets are (anchor point, first point at-or-past the next grid
+   * timestamp) — intermediate points are skipped, exactly as the
+   * reference does. Divergence from the reference (documented): a later
+   * point landing exactly on the grid is emitted once, not twice, and
+   * does not skip the following grid slot (mutations.go:124-129 quirk).
+   *
+   * @param maxGapMs optional `max_gap_interpolate` bound
+   *                 (lib/openinstrument.proto:45-51): when > 0, gaps wider
+   *                 than this are not filled; the series re-anchors.
+   */
+  final class InterpolateOp(duration: Long, maxGapMs: Long = 0L) extends StreamOp {
+    private var prevTs = 0L; private var prevVal = 0.0
+    private var nextGrid = 0L; private var havePrev = false
+    private def anchor(ts: Long, v: Double): Seq[(Long, Double)] = {
+      havePrev = true
+      if (ts % duration == 0) {
+        prevTs = ts; prevVal = v; nextGrid = ts + duration
+        List((ts, v))
+      } else {
+        prevTs = ts / duration * duration; prevVal = v; nextGrid = prevTs + duration
+        Nil
+      }
+    }
+    def feed(ts: Long, v: Double): Seq[(Long, Double)] = {
+      if (!havePrev) return anchor(ts, v)
+      if (ts < nextGrid) return Nil // reference skips points below the grid
+      if (maxGapMs > 0 && ts - prevTs > maxGapMs) return anchor(ts, v)
+      val rise = v - prevVal
+      val out = List.newBuilder[(Long, Double)]
+      while (nextGrid <= ts) {
+        val pct = (nextGrid - prevTs).toDouble / (ts - prevTs).toDouble
+        out += ((nextGrid, prevVal + rise * pct))
+        nextGrid += duration
+      }
+      if (prevTs < ts) { prevTs = ts; prevVal = v }
+      out.result()
+    }
+    def flush(): Seq[(Long, Double)] = Nil
+  }
+
+  /**
+   * C++ `UniformTimeSeries` (lib/counter.cc:18-64): incremental linear
+   * resampler onto a floor-aligned grid; between-sample values projected
+   * by the local rate. Golden-tested against lib/counter_test.cc:28-58.
+   */
+  final class UniformOp(interval: Long) extends StreamOp {
+    private var base = 0L; private var pointsOut = 1L
+    private var lastTs = 0L; private var lastVal = 0.0; private var n = 0L
+    def feed(ts: Long, v: Double): Seq[(Long, Double)] = {
+      n += 1
+      if (n == 1) {
+        base = ts - ts % interval; lastTs = ts; lastVal = v
+        return Nil
+      }
+      val out = List.newBuilder[(Long, Double)]
+      var done = false
+      while (!done) {
+        var next = base + interval * pointsOut
+        if (ts == next) {
+          pointsOut += 1; out += ((ts, v)); done = true
+        } else if (ts < next) {
+          done = true
+        } else {
+          while (ts > next) {
+            val nv = (v - lastVal) / (ts - lastTs) * (next - lastTs) + lastVal
+            out += ((next, nv))
+            pointsOut += 1
+            next = base + interval * pointsOut
+          }
+        }
+      }
+      lastTs = ts; lastVal = v
+      out.result()
+    }
+    def flush(): Seq[(Long, Double)] = Nil
+  }
+
+  def meanExact(df: DataFrame, durationMs: Long): DataFrame =
+    perSeries(df)(() => new MeanOp(durationMs))
+
+  def minExact(df: DataFrame, durationMs: Long): DataFrame =
+    perSeries(df)(() => new ExtremumOp(durationMs, isMin = true))
+
+  def maxExact(df: DataFrame, durationMs: Long): DataFrame =
+    perSeries(df)(() => new ExtremumOp(durationMs, isMin = false))
+
+  def interpolate(df: DataFrame, durationMs: Long, maxGapMs: Long = 0L): DataFrame =
+    perSeries(df)(() => new InterpolateOp(durationMs, maxGapMs))
+
+  def resampleUniform(df: DataFrame, intervalMs: Long): DataFrame =
+    perSeries(df)(() => new UniformOp(intervalMs))
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Run-length encoding of equal consecutive values within a series
+ * (reference: go/.../openinstrument.go:83-105 `ValueStreamWriter`,
+ * server/disk_datastore.cc:91-110).
+ *
+ * Encoded form: one row per run with `ts` = run start and `end_ts` =
+ * last timestamp observed with that value (null for single-point runs,
+ * matching the reference's unset `end_timestamp`).
+ *
+ * Both directions are pure window/built-in transformations — no UDFs,
+ * fully codegen'd, one shuffle on the series key.
+ */
+object Rle {
+
+  /** Collapse equal consecutive `dval` runs per series (`skey`). */
+  def encode(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("skey").orderBy("ts")
+    val runW = Window.partitionBy("skey", "run")
+    df.withColumn("chg",
+        when(lag("dval", 1).over(w).isNull ||
+             lag("dval", 1).over(w) =!= col("dval"), 1).otherwise(0))
+      .withColumn("run", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("run_start", min("ts").over(runW))
+      .withColumn("run_end", max("ts").over(runW))
+      .filter(col("ts") === col("run_start"))
+      .withColumn("end_ts",
+        when(col("run_end") > col("run_start"), col("run_end")))
+      .drop("chg", "run", "run_start", "run_end")
+  }
+
+  /**
+   * Expand RLE rows back to per-sample rows on a `stepMs` grid:
+   * `explode(sequence(ts, end_ts, step))`. Rows without `end_ts` pass
+   * through unchanged.
+   */
+  def expand(df: DataFrame, stepMs: Long): DataFrame =
+    df.withColumn("ts",
+        explode(sequence(col("ts"), coalesce(col("end_ts"), col("ts")),
+          lit(stepMs))))
+      .withColumn("end_ts", lit(null).cast("long"))
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.model.Point
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Readers producing the canonical point schema ([[graft.model.Point]]).
+ *
+ * The at-rest format is Parquet partitioned by date with a bloom filter
+ * on `name` — the Spark-native replacement for the reference's indexed
+ * store files (header index → Parquet footer stats; bloom filter →
+ * parquet.bloom.filter.*; per-file time pruning → row-group min/max;
+ * see reference go/.../store_manager/indexed_store_file.go:110-146).
+ */
+object PointSource {
+
+  /**
+   * Adapts the driver's `events` table onto the canonical schema:
+   * one series per (event_type, user) pair, GAUGE-typed, ms timestamps.
+   */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark only
+    // reads via spark.sql.legacy.parquet.nanosAsLong=true (→ LongType ns).
+    // `div` (integer division) is mandatory: ns magnitudes (~1.7e18)
+    // exceed double's 2^53 exact-integer range, so a float divide would
+    // corrupt low-order milliseconds. DuckDB's epoch_ms truncates the
+    // same way, keeping the oracle bit-identical.
+    val tsMs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts"))
+    }
+    raw.select(
+        concat(lit("/events/"), col("event_type")).as("name"),
+        map(lit("user"), col("user_id").cast("string")).as("labels"),
+        lit("GAUGE").as("value_type"),
+        tsMs.as("ts"),
+        col("value").as("dval"),
+        lit(null).cast("string").as("sval"),
+        lit(null).cast("long").as("end_ts"))
+  }
+
+  /** Reads a point store written by [[write]]. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(Point.columns.map(col): _*)
+
+  /**
+   * Writes a point DataFrame as the at-rest layout: partitioned by UTC
+   * date (partition pruning for time-range queries), bloom filter on
+   * `name` (exact-series lookup skips files, like the reference's
+   * per-file bloom filter), sorted by (name, ts) within partitions so
+   * row-group stats prune tightly.
+   */
+  def write(df: DataFrame, path: String): Unit = {
+    df.withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .repartition(col("date"), col("name"))
+      .sortWithinPartitions("name", "ts")
+      .write
+      .option("parquet.bloom.filter.enabled#name", "true")
+      .partitionBy("date")
+      .mode("overwrite")
+      .parquet(path)
+  }
+}

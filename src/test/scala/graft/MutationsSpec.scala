@@ -1,0 +1,89 @@
+package graft
+
+import graft.model.Point
+import graft.operators.Mutations
+
+/**
+ * Golden vectors ported from the reference test suite:
+ *  - go/.../mutations/mutations_test.go:20-74 (Mean, Interpolate)
+ *  - lib/counter_test.cc:28-58 (UniformTimeSeries)
+ */
+class MutationsSpec extends SparkSpec {
+
+  // mutations_test.go:20-34 — uniform series
+  val uniform: Seq[(Long, Double)] = Seq(
+    0L -> 20.0, 60L -> 40.0, 120L -> 60.0, 180L -> 80.0, 240L -> 100.0,
+    300L -> 120.0, 330L -> 130.0, 360L -> 140.0, 420L -> 160.0,
+    480L -> 180.0, 540L -> 200.0)
+
+  // mutations_test.go:36-48 — irregular series
+  val offset: Seq[(Long, Double)] = Seq(
+    0L -> 20.0, 61L -> 40.0, 122L -> 60.0, 185L -> 80.0, 241L -> 100.0,
+    299L -> 122.0, 330L -> 132.0, 359L -> 140.0, 421L -> 160.0,
+    488L -> 180.0, 540L -> 200.0, 975L -> 275.0)
+
+  def keyed(pts: Seq[(Long, Double)]) = Point.withSeriesKey(series(pts))
+
+  test("Mean(300) golden: buckets anchored at first input ts, emitted at last ts") {
+    val got = collectTsVal(Mutations.meanExact(keyed(uniform), 300L))
+    assert(got === Seq(300L -> 70.0, 540L -> 162.0))
+  }
+
+  test("Interpolate(300) golden: grid-aligned with bracket skipping") {
+    val got = collectTsVal(Mutations.interpolate(keyed(offset), 300L))
+    assert(got.map(_._1) === Seq(0L, 300L, 600L, 900L))
+    val expected = Seq(20.0, 121.81818181818181, 191.86046511627907, 258.37209302325584)
+    got.map(_._2).zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("UniformTimeSeries(60) golden: 12 irregular points -> 15 exact grid points") {
+    val input = Seq(0L -> 10.0, 1L -> 10.0, 30L -> 60.0, 41L -> 70.0,
+      70L -> 130.0, 130L -> 280.0, 190L -> 460.0, 240L -> 460.0,
+      250L -> 710.0, 305L -> 840.0, 470L -> 1034.0, 900L -> 1630.0)
+    val got = collectTsVal(Mutations.resampleUniform(keyed(input), 60L))
+    val expected = Seq(
+      60L -> 109.31034482758622, 120L -> 255.0, 180L -> 430.0, 240L -> 460.0,
+      300L -> 828.1818181818181, 360L -> 904.6666666666666,
+      420L -> 975.2121212121212, 480L -> 1047.860465116279,
+      540L -> 1131.0232558139535, 600L -> 1214.186046511628,
+      660L -> 1297.3488372093022, 720L -> 1380.5116279069767,
+      780L -> 1463.6744186046512, 840L -> 1546.8372093023254, 900L -> 1630.0)
+    assert(got.map(_._1) === expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) => assert(math.abs(g - e) < 1e-4) }
+  }
+
+  test("Rate drops negatives (counter reset), SignedRate keeps them") {
+    val pts = Seq(0L -> 0.0, 1000L -> 10.0, 2000L -> 5.0, 3000L -> 20.0)
+    val r = collectTsVal(Mutations.rate(keyed(pts), perSecond = true))
+    assert(r === Seq(1000L -> 10.0, 3000L -> 15.0))
+    val s = collectTsVal(Mutations.rateSigned(keyed(pts), perSecond = true))
+    assert(s === Seq(1000L -> 10.0, 2000L -> -5.0, 3000L -> 15.0))
+  }
+
+  test("Delta is consecutive difference with negatives dropped (C++ semantics)") {
+    val pts = Seq(0L -> 5.0, 10L -> 8.0, 20L -> 2.0, 30L -> 12.0)
+    val d = collectTsVal(Mutations.delta(keyed(pts)))
+    assert(d === Seq(10L -> 3.0, 30L -> 10.0))
+  }
+
+  test("Min/Max exact: emit previous window extremum at next window's first ts") {
+    // window [0..299] from anchor 0: values 1,5,3 -> min 1 max 5, emitted at 300
+    val pts = Seq(0L -> 1.0, 100L -> 5.0, 200L -> 3.0, 300L -> 2.0, 400L -> 9.0)
+    assert(collectTsVal(Mutations.minExact(keyed(pts), 300L)) === Seq(300L -> 1.0))
+    assert(collectTsVal(Mutations.maxExact(keyed(pts), 300L)) === Seq(300L -> 5.0))
+  }
+
+  test("grid fast path: mean over floor-aligned buckets, emitted at last input ts") {
+    val got = collectTsVal(Mutations.meanGrid(keyed(uniform), 300L))
+    // buckets [0,300): 20..100 mean 60 @240; [300,600): 120..200 mean 155 @540
+    assert(got === Seq(240L -> 60.0, 540L -> 155.0))
+  }
+
+  test("multiple series are mutated independently") {
+    val a = series(uniform, "/a")
+    val b = series(uniform.map { case (t, v) => (t, v * 2) }, "/b")
+    val both = Point.withSeriesKey(a.union(b))
+    val got = Mutations.meanExact(both, 300L).collect()
+    assert(got.length === 4)
+  }
+}

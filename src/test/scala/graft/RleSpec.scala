@@ -1,0 +1,29 @@
+package graft
+
+import graft.model.Point
+import graft.operators.Rle
+
+/** RLE golden (FIXTURES §H) + encode∘expand identity property. */
+class RleSpec extends SparkSpec {
+
+  test("RLE golden: runs collapse with end_ts, singletons keep null end_ts") {
+    val pts = Seq(0L -> 5.0, 10L -> 5.0, 20L -> 5.0, 30L -> 7.0, 40L -> 7.0, 50L -> 5.0)
+    val enc = Rle.encode(Point.withSeriesKey(series(pts)))
+      .select("ts", "dval", "end_ts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+    assert(enc === Seq(
+      (0L, 5.0, Some(20L)), (30L, 7.0, Some(40L)), (50L, 5.0, None)))
+  }
+
+  test("expand(encode(x)) == x on the sampling grid (seeded property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val pts = (0 until 40).map(i => (i * 10L, rnd.nextInt(4).toDouble))
+      val df = Point.withSeriesKey(series(pts))
+      val roundTrip = collectTsVal(Rle.expand(Rle.encode(df), 10L))
+      assert(roundTrip === pts.sortBy(_._1))
+    }
+  }
+}
