@@ -1,0 +1,190 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline queries (SURVEY.md §7.5): text analysis,
+ * deduplication, and similarity search over the `documents` and
+ * `embeddings` tables, each with a bit-identical DuckDB oracle
+ * (hashes are md5-derived on both sides; dot products run in double
+ * precision in element order on both sides).
+ */
+object PipelineEntry {
+
+  /** Shared oracle CTE: whitespace tokens per document. */
+  private val T =
+    """WITH toks AS (SELECT doc_id, text,
+      | list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+      | FROM documents) """.stripMargin
+
+  /** Shared oracle CTE: distinct 60-bit hashes of word 3-gram shingles. */
+  private val ShingleHashCte =
+    """, sh AS (SELECT doc_id,
+      |  list_distinct([CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT)
+      |                 for i in range(1, len(t)-1)]) AS s
+      | FROM toks WHERE len(t) >= 3),
+      |""".stripMargin
+
+  private def langScoreSql(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> list_contains($lst, x)))*1.0/len(t) END"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------ text analysis
+    "t_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        size(TextOps.bpeTokens(col("text"))).as("n_bpe"),
+        TextOps.punctCount(col("text")).as("n_punct"))),
+    "t_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextOps.qualityScore(col("text")), 4).as("quality"))),
+    "t_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+    "t_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.docFingerprint(col("text")).as("fp"))),
+    // Each array stage materialized as a column: nested array exprs
+    // re-evaluate their argument subtree per element (O(n²) otherwise).
+    "t_winnow" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("sh", TextOps.shingles(col("toks"), 3))
+        .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
+        .select(col("doc_id"),
+          explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))),
+
+    // ------------------------------------------------------ deduplication
+    "d_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir))),
+    "d_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)),
+    "d_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir),
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+    "d_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), Dedup.simhash("text").as("sig"))),
+
+    // -------------------------------------------------- similarity search
+    "e_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "e_cos_pairs" -> ((s, dir) =>
+      Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4)),
+    // LSH is approximate by construction → no SQL oracle (rows-only check).
+    "e_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "t_tokens" -> (T +
+      """SELECT doc_id, len(t) AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+        | len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+        |FROM toks""".stripMargin),
+    "t_quality" -> (T +
+      s"""SELECT doc_id, round(greatest(0.0,
+         |  least(len(t)/100.0, 1.0)*0.5
+         |  + (${langScoreSql(TextOps.EnStopwords)})*0.5
+         |  - (CASE WHEN len(text)=0 THEN 0.0
+         |     ELSE len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text) END)
+         |  ), 4) AS quality
+         |FROM toks""".stripMargin),
+    "t_langid" -> (T +
+      s""", sc AS (SELECT doc_id,
+         | ${TextOps.LangStopwords.map { case (l, ws) =>
+             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
+         | FROM toks)
+         |SELECT doc_id, CASE
+         | ${TextOps.LangStopwords.map { case (l, _) =>
+             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
+           }.mkString(" ")}
+         | ELSE 'unk' END AS lang_pred
+         |FROM sc""".stripMargin),
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "t_winnow" -> (T +
+      """, sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+        |   ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END AS s
+        | FROM toks),
+        |hs AS (SELECT doc_id,
+        |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in s] AS h
+        | FROM sh),
+        |w AS (SELECT doc_id, CASE
+        |  WHEN len(h) = 0 THEN []::BIGINT[]
+        |  WHEN len(h) <= 4 THEN [list_min(h)]
+        |  ELSE [list_min(h[i:i+3]) for i in range(1, len(h)-2)] END AS f
+        | FROM hs)
+        |SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w""".stripMargin),
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d_ngram_jaccard" -> (T + ShingleHashCte +
+      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |  inter*1.0/(len(sa.s)+len(sb.s)-inter) AS jac
+        | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "d_minhash_lsh" -> (T + ShingleHashCte +
+      s"""sig AS (SELECT doc_id, s,
+         |  [${Dedup.hashParams(16).map { case (a, b) =>
+              s"list_min([($a*(h%${Dedup.P})+$b)%${Dedup.P} for h in s])"
+            }.mkString(",\n   ")}] AS g
+         | FROM sh),
+        |banded AS (SELECT doc_id, s,
+        |  unnest([md5(b || ':' || array_to_string(g[b*4+1:b*4+4], '_')) for b in range(0, 4)]) AS band
+        | FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b,
+        |  len(list_intersect(sa.s, sb.s))*1.0
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+        | FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "d_simhash" -> (T +
+      """, hs AS (SELECT doc_id,
+        |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in t] AS h
+        | FROM toks)
+        |SELECT doc_id, CAST(list_sum(
+        | [CASE WHEN list_sum([2*((x // (CAST(1 AS BIGINT) << b)) % 2) - 1 for x in h]) > 0
+        |   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+        |  for b in range(0, 60)]) AS BIGINT) AS sig
+        |FROM hs""".stripMargin),
+    "e_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |  list_inner_product(qv, e.v)
+        |   / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(e.v, e.v))) AS sim
+        | FROM q, e WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "e_cos_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_inner_product(a.v, b.v)
+        |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin)
+}

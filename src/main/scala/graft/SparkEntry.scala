@@ -39,7 +39,10 @@ object SparkEntry {
     Aggregations.byName(resampled, Aggregations.Average, HourMs)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ PipelineEntry.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational basics
     "q1_agg" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -228,6 +231,7 @@ object SparkEntry {
       "q_pattern_filter" -> (P +
         """SELECT name, usr, ts, dval FROM pts
           |WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> ''
-          | AND ts BETWEEN 1704500000000 AND 1705500000000""".stripMargin))
+          | AND ts BETWEEN 1704500000000 AND 1705500000000""".stripMargin)) ++
+      PipelineEntry.oracleSql
   }
 }

@@ -1,0 +1,177 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines (SURVEY.md §7.5):
+ * exact, MinHash+LSH, SimHash, and n-gram Jaccard. All are built-in
+ * column expressions + relational ops — codegen'd hashing, shuffles
+ * only on the blocking keys (hash / shingle / LSH band), which is the
+ * shape that scales: at 100 TB every variant is
+ * "explode a bounded sketch → shuffle on sketch key → verify within
+ * tiny buckets", never an all-pairs comparison.
+ *
+ * Hashes are md5-derived 60-bit ints ([[TextOps.h60]]) so the DuckDB
+ * oracle can reproduce them bit-identically.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup keyed on content hash: one row per distinct text with
+   * the surviving (minimum) id and the duplicate count. Single shuffle
+   * on the 128-bit hash; at scale this is the cheapest possible dedup.
+   */
+  def exact(df: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /**
+   * Distinct word n-gram shingle set per document. Tokens are
+   * materialized as their own projection first: `shingles` references
+   * its token array once per window, and Catalyst re-evaluates nested
+   * argument subtrees per element — tokenizing inline would be O(n²).
+   */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    df.withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__sh", TextOps.shingles(col("__toks"), n))
+      .select(col(idCol).as("id"),
+        array_distinct(transform(col("__sh"), s => TextOps.h60(s))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /**
+   * n-gram Jaccard near-dup pairs: block on shared shingles, then
+   * exact Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from the per-pair shared
+   * count. Emits (id_a < id_b, jaccard ≥ threshold).
+   *
+   * @param maxDf shingles occurring in more than `maxDf` documents are
+   *              dropped from blocking (stopword-shingle skew guard —
+   *              at scale a hot shingle would otherwise shuffle-join
+   *              quadratically). Pairs sharing ONLY ultra-common
+   *              shingles are missed, the standard trade-off.
+   */
+  def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxDf: Long = Long.MaxValue): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
+    var ex = sets.select(col("id"), explode(col("sh")).as("s"))
+    if (maxDf != Long.MaxValue) {
+      val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("s")
+      ex = ex.join(hot, Seq("s"), "left_anti")
+    }
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Universal-hash family modulus (2³¹ − 1, Mersenne prime). */
+  val P: Long = 2147483647L
+
+  /**
+   * Deterministic (a, b) parameters for `numHashes` universal hash
+   * functions h_j(x) = (a_j·(x mod P) + b_j) mod P. Fixed seed so the
+   * DuckDB oracle can interpolate identical constants.
+   */
+  def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(12345L)
+    Seq.fill(numHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /**
+   * MinHash signature over an array of 60-bit shingle hashes: one md5
+   * per shingle (already done by [[shingleSets]]) + `numHashes` cheap
+   * arithmetic rehashes — not `numHashes` md5 passes, which would cost
+   * 16× the hashing work for identical sketch quality.
+   */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array(hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(sh, h => (lit(a) * (h % P) + lit(b)) % P))
+    }: _*)
+
+  /**
+   * MinHash + LSH near-dup pairs (shingle → minhash → band → bucket
+   * join → exact-Jaccard verify). Candidate generation is linear in
+   * corpus size (explode `bands` keys per doc, shuffle on band key);
+   * only bucket-mates are verified. With r rows/band, the usual
+   * s-curve: P(candidate) = 1-(1-j^r)^bands.
+   *
+   * Output matches [[ngramJaccardPairs]] (id_a, id_b, jaccard) but only
+   * for pairs LSH surfaces — the scalable approximation.
+   */
+  def minhashLshPairs(df: DataFrame, n: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sig.select(col("id"), col("sh"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat(b.cast("string"), lit(":"),
+            concat_ws("_", transform(slice(col("sig"), b * r + 1, lit(r)),
+              x => x.cast("string"))))))).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * 60-bit SimHash over the document's (multiset of) tokens: bit b of
+   * the signature is the sign of Σ_tokens (2·bit_b(h60(token)) − 1).
+   * Pure SQL-expression form so the oracle can mirror it.
+   */
+  def simhash(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 59), b ->
+       |    CASE WHEN aggregate(
+       |      transform(filter(split($textCol, '\\\\s+'), t -> length(t) > 0),
+       |                t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+       |      0L, (acc, h) -> acc + 2 * ((h div shiftleft(1L, b)) % 2) - 1) > 0
+       |    THEN shiftleft(1L, b) ELSE 0L END),
+       |  0L, (acc, x) -> acc + x)""".stripMargin)
+
+  /**
+   * SimHash near-dup pairs: block on 4 × 15-bit bands of the signature
+   * (any pair within Hamming distance `maxDist` ≤ 3 of each other
+   * shares at least one exact band by pigeonhole when maxDist < 4),
+   * verify with popcount of XOR.
+   */
+  def simhashPairs(df: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "concat(b, ':', (sig div shiftleft(1L, b * 15)) % 32768))")).as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", expr("bit_count(siga ^ sigb)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`) —
+ * SURVEY.md §7.5. Two paths:
+ *
+ *  - [[bruteTopK]]: exact cosine top-k via a **broadcast** of the
+ *    (small) query set against the corpus — one corpus scan, no
+ *    shuffle of the corpus, codegen'd `zip_with`/`aggregate` dot
+ *    product. This is also how the 100 TB path works when the query
+ *    set is small: broadcast queries, scan corpus once, per-partition
+ *    top-k (partial aggregation) before the final k-merge.
+ *
+ *  - [[lshTopK]]: sign-random-projection LSH — bucket corpus and
+ *    queries by the sign-bit signature of `planes` fixed hyperplanes
+ *    (deterministic seed), search only bucket-mates across `tables`
+ *    independent tables. Candidate volume is corpus/2^planes per
+ *    table: the scale path when the query set is itself large.
+ *
+ * Dot products run in double precision in element order, matching
+ * DuckDB's `list_inner_product(CAST(… AS DOUBLE[]))` bit-for-bit.
+ */
+object Ann {
+
+  /** Σ aᵢbᵢ in element order, double precision — native codegen'd
+    * expression ([[graft.functions.DotProduct]]); the HOF equivalent
+    * `aggregate(zip_with(...))` is interpreted and ~10× slower in the
+    * all-pairs inner loop. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dotProduct(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact cosine top-k: for every row of `queries`, the `k` nearest
+   * corpus rows (self-match excluded). Output: (qid, nid, sim, rank).
+   * Ties break by ascending neighbor id for determinism.
+   */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Norms precomputed per row (not per pair); sim = dot/(n_a·n_b) is
+    // arithmetically identical to dot/(√dot(a,a)·√dot(b,b)).
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm(col(vecCol)).as("nn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplanes: `tables × planes × dim`
+   * coefficients from a fixed-seed generator, shipped as a literal
+   * (tiny: tables*planes*dim doubles).
+   */
+  private def hyperplanes(tables: Int, planes: Int, dim: Int,
+                          seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit signature of `vec` against one table's planes. */
+  private def signature(vec: Column, tplanes: Array[Array[Double]]): Column =
+    tplanes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Approximate cosine top-k via sign-random-projection LSH. Recall
+   * grows with `tables`; candidate cost shrinks with `planes`. Output
+   * shape matches [[bruteTopK]]; queries with no bucket-mates in any
+   * table produce fewer than `k` rows (or none) — approximate by design.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              tables: Int = 8, planes: Int = 6, dim: Int = 64,
+              seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim, seed)
+    def bucketed(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
+      df.select((0 until tables).map(t =>
+          concat(lit(t + ":"), signature(col(vecCol), hp(t)).cast("string"))
+            .as(s"b$t")) :+ col(idCol).as(id) :+ col(vecCol).as(vec) :+
+          norm(col(vecCol)).as(nrm): _*)
+        .withColumn("bucket", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
+        .select(id, vec, nrm, "bucket")
+    val c = bucketed(corpus, "nid", "nvec", "nn")
+    val q = bucketed(queries, "qid", "qvec", "qn")
+    c.join(q, "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /**
+   * All-pairs near-duplicate detection by embedding cosine ≥
+   * `threshold`. Exact variant blocks nothing (quadratic — only for
+   * modest corpora / verification); the scale path is [[lshTopK]] with
+   * a threshold filter.
+   */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into Spark's `private[sql]` Column ↔ Expression converters,
+ * needed to expose custom Catalyst expressions (e.g.
+ * [[graft.functions.DotProduct]]) through the public Column API.
+ */
+object GraftBridge {
+  def toColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+}

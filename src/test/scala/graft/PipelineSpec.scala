@@ -1,0 +1,113 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the training-data pipeline operators (SURVEY.md §7.5). */
+class PipelineSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokens / shingles / winnow shapes") {
+    val df = docs((1L, "a b c d e"))
+      .select(
+        size(TextOps.tokens(col("text"))).as("nt"),
+        size(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("ns"),
+        size(TextOps.winnow(col("text"), 3, 4)).as("nw"))
+    val r = df.head()
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 3) // 5 tokens -> 3 trigram shingles
+    assert(r.getInt(2) == 1) // 3 hashes <= w=4 -> single min fingerprint
+  }
+
+  test("h60 matches the known md5 of 'abc'") {
+    // md5('abc') = 900150983cd24fb0...; first 15 hex = 0x900150983cd24fb
+    val r = docs((1L, "x")).select(TextOps.h60(lit("abc"))).head()
+    assert(r.getLong(0) == 648541476951500027L)
+  }
+
+  test("exact dedup collapses identical texts, keeps min id") {
+    val df = docs((3L, "same text"), (1L, "same text"), (2L, "other"))
+    val out = Dedup.exact(df).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("ngram jaccard finds the planted near-dup pair only") {
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy dog tonight"
+    val df = docs((1L, a), (2L, b), (3L, "completely different words here entirely"))
+    val pairs = Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("minhash LSH surfaces high-jaccard pairs with exact verify") {
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy dog tonight"
+    val df = docs((1L, a), (2L, b), (3L, "completely different words here entirely"))
+    // 16 single-row bands: P(candidate) = 1-(1-j)^16 ≈ 1-3e-11 at j=0.78,
+    // so the assertion is deterministic in practice (4-row bands would
+    // miss this moderate-jaccard pair ~16% of the time by design).
+    val pairs = Dedup.minhashLshPairs(df, n = 3, numHashes = 16, bands = 16,
+      threshold = 0.5).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 1L)
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val df = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val sigs = df.select(col("doc_id"), Dedup.simhash("text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 20)
+    val pairs = Dedup.simhashPairs(df, maxDist = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("brute-force knn: cosine ranks the aligned vector first") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Ann.bruteTopK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(out.head.getDouble(2) > 0.99)
+  }
+
+  test("lsh knn returns a subset consistent with brute force scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.lshTopK(emb, emb.filter($"vec_id" < 3), k = 3,
+      tables = 4, planes = 3, dim = 8).collect()
+    assert(out.nonEmpty)
+    // every reported sim must equal the directly computed cosine
+    val brute = Ann.bruteTopK(emb, emb.filter($"vec_id" < 3), k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      assert(math.abs(brute((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9)
+    }
+  }
+
+  test("langid picks the dominant stopword language, unk below threshold") {
+    val df = docs(
+      (1L, "the cat and the dog is in a house of wonders"),
+      (2L, "der hund und die katze ist von hier"),
+      (3L, "zzz yyy xxx www vvv"))
+    val out = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "unk"))
+  }
+}
