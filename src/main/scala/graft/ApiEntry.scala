@@ -1,0 +1,136 @@
+package graft
+
+import graft.api.{Engine, Requests}
+import graft.model.Point
+import graft.multimodal.Multimodal
+import graft.operators.{Aggregations, Mutations}
+import graft.sources.{PointSource, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver queries for the request API (Engine.get/list), the exact
+ * resamplers, and the multimodal plumbing — with DuckDB oracles
+ * mirroring each pipeline stage-for-stage.
+ */
+object ApiEntry {
+
+  private val H = 3600000L
+  /** Fixed "now" for list(): 2024-01-31T00:00Z, just past the data. */
+  private val NowMs = 1706659200000L
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    PointSource.events(s, dir)
+
+  private def unkey(df: DataFrame): DataFrame =
+    df.withColumn("name", regexp_extract(col("skey"), "^([^{]+)", 1))
+      .withColumn("usr", regexp_extract(col("skey"), "\\{user=([^}]*)\\}", 1))
+
+  /** Shared oracle CTE (same as SparkEntry's P). */
+  private val P = "WITH pts AS (SELECT '/events/' || event_type AS name, " +
+    "CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval FROM events) "
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full /get pipeline: pattern -> RATE -> MEAN(1h) -> AVERAGE by name.
+    "api_get" -> ((s, dir) =>
+      Engine.get(pts(s, dir), Requests.GetRequest(
+          variable = "/events/*",
+          mutations = Seq(Requests.Rate(), Requests.Mean(H)),
+          aggregation = Some(Requests.AggregationSpec(
+            Aggregations.Average, Nil, H))))
+        .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
+    // Limits: series cap (max_variables) + per-series tail (max_values).
+    "api_get_limits" -> ((s, dir) =>
+      unkey(Engine.get(pts(s, dir), Requests.GetRequest(
+          variable = "/events/click{user=*}",
+          maxVariables = Some(10), maxValues = Some(3))))
+        .select("name", "usr", "ts", "dval")),
+    // /list with the 24h default lookback.
+    "api_list" -> ((s, dir) =>
+      Engine.list(pts(s, dir), Requests.ListRequest("/events/*"), NowMs)
+        .select(col("name"), element_at(col("labels"), "user").as("usr"))),
+    // C++ UniformTimeSeries resample (lib/counter.cc:18-64).
+    "m_uniform" -> ((s, dir) =>
+      unkey(Mutations.resampleUniform(Point.withSeriesKey(pts(s, dir)), H))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
+    // Go Interpolate (mutations.go:87-137): bracket-skipping state is
+    // inherently sequential -> no SQL oracle (rows-only check).
+    "m_interpolate" -> ((s, dir) =>
+      unkey(Mutations.interpolate(Point.withSeriesKey(pts(s, dir)), H))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
+    // Multimodal: binary plumbing + stub decode (feature vector is
+    // checked in unit tests; metadata columns are oracle-checked).
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .select(col("item_id"), col("modality"), col("size_bytes"),
+          col("content_sha"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))),
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.extractFeatures(
+            Multimodal.fromDocuments(Tables.documents(s, dir))),
+          stride = 30)
+        .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "api_get" -> (P +
+      """, r AS (SELECT name, usr, ts, dval FROM (
+        |   SELECT name, usr, ts,
+        |    (dval - lag(dval) OVER w) / ((ts - lag(ts) OVER w)/1000.0) AS dval
+        |   FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+        |  WHERE dval IS NOT NULL AND dval >= 0),
+        |m AS (SELECT name, usr, max(ts) AS ts, avg(dval) AS dval
+        |  FROM r GROUP BY name, usr, ts - ts % 3600000)
+        |SELECT name, ts - ts % 3600000 AS ts, round(avg(dval), 4) AS dval
+        |FROM m GROUP BY name, ts - ts % 3600000""".stripMargin),
+    "api_get_limits" -> (P +
+      """, sel AS (SELECT name, usr FROM (SELECT DISTINCT name, usr FROM pts
+        |   WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> '')
+        |  ORDER BY name || '{user=' || usr || '}' LIMIT 10),
+        |f AS (SELECT pts.* FROM pts JOIN sel USING (name, usr))
+        |SELECT name, usr, ts, dval FROM (
+        | SELECT *, row_number() OVER (PARTITION BY name, usr ORDER BY ts DESC) AS rn
+        | FROM f) WHERE rn <= 3""".stripMargin),
+    "api_list" -> (P +
+      s"""SELECT DISTINCT name, usr FROM pts
+         |WHERE ts >= ${NowMs - 86400000L}""".stripMargin),
+    "m_uniform" -> (P +
+      """, b AS (SELECT name, usr, min(ts) - (min(ts) % 3600000) AS base
+        |  FROM pts GROUP BY name, usr),
+        |pr AS (SELECT name, usr, ts, dval,
+        |  lag(ts) OVER w AS lts, lag(dval) OVER w AS lv
+        |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
+        |g AS (SELECT pr.name, pr.usr, ts AS ts0, dval, lts, lv,
+        |  base + 3600000 * unnest(range((lts - base)//3600000 + 1,
+        |                                (ts - base)//3600000 + 1)) AS gts
+        |  FROM pr JOIN b USING (name, usr) WHERE lts IS NOT NULL)
+        |SELECT name, usr, gts AS ts,
+        | round(CASE WHEN gts = ts0 THEN dval
+        |   ELSE (dval - lv) / (ts0 - lts) * (gts - lts) + lv END, 4) AS dval
+        |FROM g""".stripMargin),
+    "mm_features" ->
+      """WITH m AS (SELECT doc_id AS item_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  text, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        | FROM documents)
+        |SELECT item_id, modality,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        | md5(text) AS content_sha,
+        | CASE WHEN modality IN ('image','video') THEN 16 + h % 1024 END AS width,
+        | CASE WHEN modality IN ('image','video') THEN 16 + (h // 1024) % 1024 END AS height,
+        | CASE modality WHEN 'video' THEN 1 + h % 300
+        |  WHEN 'audio' THEN 1 + h % 16000 ELSE 1 END AS n_frames
+        |FROM m""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (SELECT doc_id AS item_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        | FROM documents)
+        |SELECT item_id, unnest(range(0, 1 + h % 300, 30)) AS frame_idx
+        |FROM m WHERE modality = 'video'""".stripMargin)
+}

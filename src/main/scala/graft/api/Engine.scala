@@ -1,0 +1,168 @@
+package graft.api
+
+import graft.model.Point
+import graft.operators.{Aggregations, Mutations, Rle}
+import graft.pattern.VariableMatcher
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The engine's request API — the Spark-native equivalent of the
+ * reference's protobuf RPC surface (`GetRequest`/`ListRequest`/
+ * `AddRequest`, lib/openinstrument.proto:91-157). Scatter-gather,
+ * hash-ring routing and the WAL vanish into the platform (SURVEY.md
+ * §3.4): a request compiles to Column predicates (pushed down by
+ * Catalyst) + the §2.1/§2.2 operator pipeline.
+ */
+object Requests {
+
+  /** One per-stream mutation step (StreamMutation,
+    * lib/openinstrument.proto:24-52). `freq` in ms. */
+  sealed trait MutationSpec { def apply(df: DataFrame): DataFrame }
+  case class Rate(perSecond: Boolean = true) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.rate(df, perSecond)
+  }
+  case class RateSigned(perSecond: Boolean = true) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.rateSigned(df, perSecond)
+  }
+  case object Delta extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.delta(df)
+  }
+  case class Mean(freq: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.meanGrid(df, freq)
+  }
+  case class MinM(freq: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.minGrid(df, freq)
+  }
+  case class MaxM(freq: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.maxGrid(df, freq)
+  }
+  case class Latest(freq: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.latestGrid(df, freq)
+  }
+  case class StdDev(freq: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.stddevGrid(df, freq)
+  }
+  case class Interpolate(freq: Long, maxGapMs: Long = 0L) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.interpolate(df, freq, maxGapMs)
+  }
+  case class Uniform(freq: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.resampleUniform(df, freq)
+  }
+
+  /** Cross-stream aggregation (StreamAggregation,
+    * lib/openinstrument.proto:54-70): one output series per variable
+    * name, or per distinct value of each label in `labels`. */
+  case class AggregationSpec(agg: Aggregations.AggType,
+                             labels: Seq[String] = Nil,
+                             sampleIntervalMs: Long = Aggregations.DefaultIntervalMs)
+
+  /** lib/openinstrument.proto:91-111. */
+  case class GetRequest(
+      variable: String,
+      minTimestamp: Option[Long] = None,
+      maxTimestamp: Option[Long] = None,
+      mutations: Seq[MutationSpec] = Nil,
+      aggregation: Option[AggregationSpec] = None,
+      maxVariables: Option[Int] = None,
+      maxValues: Option[Int] = None)
+
+  /** lib/openinstrument.proto:137-157; max_age default 24 h
+    * (lib/openinstrument.proto:143-145). */
+  case class ListRequest(
+      prefix: String,
+      maxVariables: Option[Int] = None,
+      maxAgeMs: Long = 86400000L)
+}
+
+object Engine {
+  import Requests._
+
+  /**
+   * `/get` (§3.1): pattern + time-range filter (plain Column predicates
+   * → Parquet pushdown), optional series cap, mutation chain folded in
+   * order (go/src/store.go:101-131), then the optional aggregation.
+   * Output: per-series points (skey,…) or aggregated series.
+   */
+  def get(points: DataFrame, req: GetRequest): DataFrame = {
+    var df = Point.withSeriesKey(points)
+      .filter(VariableMatcher.compile(req.variable))
+    req.minTimestamp.foreach(lo => df = df.filter(col("ts") >= lo))
+    req.maxTimestamp.foreach(hi => df = df.filter(col("ts") <= hi))
+    // max_variables truncates the series set (server/store.cc:133-135)
+    req.maxVariables.foreach { cap =>
+      val keep = df.select("skey").distinct()
+        .orderBy("skey").limit(cap)
+      df = df.join(broadcast(keep), "skey")
+    }
+    df = req.mutations.foldLeft(df)((d, m) => m(d))
+    req.aggregation.foreach { spec =>
+      // Grid/exact mutations reduce to (skey, ts, dval); re-derive the
+      // grouping columns from the canonical series key when needed.
+      if (!df.columns.contains("name"))
+        df = df.withColumn("name", regexp_extract(col("skey"), "^([^{]+)", 1))
+      if (spec.labels.nonEmpty && !df.columns.contains("labels"))
+        df = df.withColumn("labels",
+          when(col("skey").contains("{"),
+            expr("str_to_map(regexp_extract(skey, '\\\\{(.*)\\\\}', 1), ',', '=')"))
+          .otherwise(map().cast("map<string,string>")))
+      df = spec.labels match {
+        case Nil => Aggregations.byName(df, spec.agg, spec.sampleIntervalMs)
+        case ls => ls.map(l =>
+            Aggregations.byLabel(df, l, spec.agg, spec.sampleIntervalMs))
+          .reduce(_ unionByName _)
+      }
+    }
+    // max_values keeps the LAST n per output series (go/src/store.go:151-153)
+    req.maxValues.foreach { n =>
+      val key = if (req.aggregation.isEmpty) Seq(col("skey"))
+        else df.columns.filter(c => c != "ts" && c != "dval").map(col).toSeq
+      df = df.withColumn("__rn", row_number().over(
+          Window.partitionBy(key: _*).orderBy(col("ts").desc)))
+        .filter(col("__rn") <= n).drop("__rn")
+    }
+    df
+  }
+
+  /**
+   * `/list` (§3.3): distinct series matching a prefix within the
+   * lookback window — a name/labels-only scan (column pruning = the
+   * reference's fetch_values=false index-only path,
+   * go/.../datastore/datastore.go:298-307).
+   */
+  def list(points: DataFrame, req: ListRequest, nowMs: Long): DataFrame = {
+    var out = Point.withSeriesKey(points)
+      .filter(VariableMatcher.compile(req.prefix))
+      .filter(col("ts") >= nowMs - req.maxAgeMs)
+      .select(col("name"), col("labels"), col("skey"))
+      .dropDuplicates("skey") // distinct() rejects MAP columns; skey is injective
+    req.maxVariables.foreach(cap => out = out.orderBy("skey").limit(cap))
+    out.drop("skey")
+  }
+
+  /**
+   * `/add` ingest validation + enrichment (server/store.cc:402-444):
+   * forces a `hostname` label when absent, rejects invalid names and
+   * future timestamps (> 1 s drift). Returns (accepted, rejected);
+   * rejected rows carry a `reject_reason`.
+   */
+  def add(points: DataFrame, hostname: String, nowMs: Long): (DataFrame, DataFrame) = {
+    val enriched = points.withColumn("labels",
+      when(map_contains_key(col("labels"), lit("hostname")), col("labels"))
+        .otherwise(map_concat(coalesce(col("labels"), map()),
+          map(lit("hostname"), lit(hostname)))))
+    val reason =
+      when(col("name").isNull || length(col("name")) < 2 ||
+           !col("name").startsWith("/") || col("name").rlike("\\s"),
+        "invalid variable name")
+      .when(col("ts") > nowMs + 1000L, "future timestamp")
+    val tagged = enriched.withColumn("reject_reason", reason)
+    (tagged.filter(col("reject_reason").isNull).drop("reject_reason"),
+      tagged.filter(col("reject_reason").isNotNull))
+  }
+
+  /** RLE-encode a get() result for the wire, as the reference does on
+    * response materialization (go/src/store.go:133-156). */
+  def encodeResponse(df: DataFrame): DataFrame = Rle.encode(df)
+}

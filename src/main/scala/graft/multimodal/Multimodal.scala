@@ -1,0 +1,122 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal columns for training-data pipelines (SURVEY.md §7.5):
+ * image/audio/video as opaque `binary` columns with typed metadata.
+ *
+ * The Spark-side plumbing — schema, batch iteration, partition-local
+ * decode, feature schema — is real and tested; the actual media decode
+ * is STUBBED (no image/audio libraries in this container) behind
+ * [[StubDecoder]], a deterministic fake keyed on the content hash.
+ * Swapping in a real decoder means replacing exactly that object.
+ *
+ * Scale posture: decode runs per-partition via `mapPartitions` (one
+ * decoder instance per task, streaming batches — the Scala analog of
+ * `mapInPandas`), never on the driver; blobs stay distributed; feature
+ * extraction emits fixed-width columns so downstream ops are columnar.
+ */
+object Multimodal {
+
+  /** Canonical multimodal record schema: blob + typed metadata. */
+  val schema: StructType = StructType(Seq(
+    StructField("item_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Extracted-feature schema (fixed-width, columnar-friendly). */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("content_sha", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /**
+   * STUB media decoder — a real implementation would wrap an image /
+   * audio / video library here (one instance per task; batch-friendly).
+   * This fake derives every "decoded" property deterministically from
+   * the content bytes so tests and oracles are stable.
+   */
+  object StubDecoder extends Serializable {
+    val FeatureDim = 8
+    /** Fake properties derive from the 60-bit md5 prefix `h` of the
+      * content so the DuckDB oracle can mirror them exactly. */
+    def decode(modality: String, h: Long): (Int, Int, Int, Array[Float]) = {
+      // ??? <- real decode goes here; deterministic fake below.
+      val w = (16 + h % 1024).toInt
+      val ht = (16 + (h / 1024) % 1024).toInt
+      val frames = modality match {
+        case "video" => (1 + h % 300).toInt
+        case "audio" => (1 + h % 16000).toInt
+        case _ => 1
+      }
+      val feat = Array.tabulate(FeatureDim)(i =>
+        (((h >>> (i * 4)) & 0xFF) / 255.0f) * 2f - 1f)
+      (w, ht, frames, feat)
+    }
+  }
+
+  /**
+   * Partition-local decode + feature extraction: `binary` in,
+   * fixed-width features out. One decoder per partition, rows streamed
+   * (never materialized per-partition) — the shape a Pandas-UDF /
+   * `mapInPandas` pipeline has, expressed Scala-natively.
+   */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    df.select("item_id", "modality", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mod = r.getString(1)
+          val bytes = if (r.isNullAt(2)) Array.empty[Byte] else
+            r.getAs[Array[Byte]](2)
+          val sha = java.security.MessageDigest.getInstance("MD5")
+            .digest(bytes).map("%02x".format(_)).mkString
+          val h60 = java.lang.Long.parseLong(sha.substring(0, 15), 16)
+          val (w, h, f, feat) = StubDecoder.decode(mod, h60)
+          Row(id, mod, bytes.length.toLong, sha,
+            if (mod == "image" || mod == "video") w else null,
+            if (mod == "image" || mod == "video") h else null,
+            f, feat)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /**
+   * Deterministic sample "media" table fabricated from the documents
+   * table (text bytes stand in for blobs): exercises the full binary
+   * plumbing without real media.
+   */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("item_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      lit("application/octet-stream").as("mime"),
+      map(lit("origin"), col("source")).as("meta"))
+
+  /**
+   * Frame sampling for video-modality rows: explode `n_frames` into
+   * every `strideMs`-th frame index — pure relational (`sequence` +
+   * `explode`), no decode needed until the frame is actually fetched.
+   */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features.filter(col("modality") === "video")
+      .select(col("item_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import graft.api.{Engine, Requests}
+import graft.multimodal.Multimodal
+import graft.operators.Aggregations
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends SparkSpec {
+
+  private def twoSeries() = {
+    import spark.implicits._
+    Seq(
+      ("/sys/cpu", "a", 1000L, 1.0), ("/sys/cpu", "a", 2000L, 3.0),
+      ("/sys/cpu", "a", 3000L, 6.0),
+      ("/sys/cpu", "b", 1000L, 2.0), ("/sys/cpu", "b", 2000L, 2.0),
+      ("/sys/mem", "a", 1000L, 9.0))
+      .toDF("name", "host", "ts", "dval")
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+  }
+
+  test("get: pattern + range filter + rate mutation pipeline") {
+    val out = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/cpu{host=a}",
+      mutations = Seq(Requests.RateSigned(perSecond = true))))
+    val vals = out.select("ts", "dval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(vals == Seq((2000L, 2.0), (3000L, 3.0)))
+  }
+
+  test("get: aggregation after grid mutation re-derives grouping columns") {
+    val out = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/*",
+      mutations = Seq(Requests.Mean(10000L)),
+      aggregation = Some(Requests.AggregationSpec(Aggregations.Sum, Nil, 10000L))))
+    val byName = out.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // cpu: mean(a)= (1+3+6)/3 = 10/3; mean(b)=2 -> sum = 16/3; mem: 9
+    assert(math.abs(byName("/sys/cpu") - (10.0 / 3 + 2.0)) < 1e-9)
+    assert(byName("/sys/mem") == 9.0)
+  }
+
+  test("get: max_variables caps series, max_values keeps tail") {
+    val out = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/cpu", maxVariables = Some(1), maxValues = Some(2)))
+    // series keys sort "/sys/cpu{host=a}" < "{host=b}" -> host=a kept
+    val vals = out.select("ts", "dval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(vals == Seq((2000L, 3.0), (3000L, 6.0)))
+  }
+
+  test("list: distinct series within lookback") {
+    val out = Engine.list(twoSeries(), Requests.ListRequest("/sys/*"),
+      nowMs = 3000L)
+    assert(out.count() == 3)
+    val narrow = Engine.list(twoSeries(),
+      Requests.ListRequest("/sys/*", maxAgeMs = 1500L), nowMs = 3000L)
+    // only points with ts >= 1500 -> cpu{a} (2000,3000), cpu{b} (2000)
+    assert(narrow.count() == 2)
+  }
+
+  test("add: enriches hostname, rejects bad names and future timestamps") {
+    import spark.implicits._
+    val raw = Seq(
+      ("/ok/var", 1000L), ("bad name", 1000L), ("x", 1000L),
+      ("/future", 99999999999999L))
+      .toDF("name", "ts")
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"),
+        lit(1.0).as("dval"), lit(null).cast("string").as("sval"),
+        lit(null).cast("long").as("end_ts"))
+    val (ok, bad) = Engine.add(raw, hostname = "h1", nowMs = 5000L)
+    assert(ok.count() == 1)
+    val labels = ok.select(element_at(col("labels"), "hostname")).head().getString(0)
+    assert(labels == "h1")
+    val reasons = bad.select("reject_reason").collect().map(_.getString(0)).sorted
+    assert(reasons.count(_ == "invalid variable name") == 2)
+    assert(reasons.count(_ == "future timestamp") == 1)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("extractFeatures: stable metadata + fixed-width feature vector") {
+    import spark.implicits._
+    val docs = Seq((0L, "hello world", "s0"), (1L, "foo", "s1"), (2L, "bar baz", "s2"))
+      .toDF("doc_id", "text", "source")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+    val rows = feats.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getString(3).length == 32) // md5 hex
+      assert(r.getSeq[Float](7).length == Multimodal.StubDecoder.FeatureDim)
+    }
+    // doc 0 -> modality image (0 % 3 = 0 -> index 1)
+    val img = rows.find(_.getLong(0) == 0L).get
+    assert(img.getString(1) == "image")
+    assert(img.getLong(2) == "hello world".getBytes("UTF-8").length.toLong)
+    assert(!img.isNullAt(4) && img.getInt(4) >= 16)
+  }
+
+  test("sampleFrames strides over video frames only") {
+    import spark.implicits._
+    val docs = Seq((2L, "some video content", "s")).toDF("doc_id", "text", "source")
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+    val nFrames = feats.head().getInt(6)
+    val frames = Multimodal.sampleFrames(feats, stride = 10).collect()
+    assert(frames.length == (nFrames + 9) / 10)
+    assert(frames.map(_.getInt(1)).forall(_ % 10 == 0))
+  }
+}
