@@ -75,7 +75,23 @@ object ApiEntry {
           Multimodal.extractFeatures(
             Multimodal.fromDocuments(Tables.documents(s, dir))),
           stride = 30)
-        .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))))
+        .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))),
+    // Retention engine: first-match policy with downsampling rewrite
+    // (lib/retention_policy_manager.cc:20-63, config.txt:22-77 shape).
+    "ret_policy" -> ((s, dir) =>
+      unkey(graft.retention.Retention.apply(pts(s, dir),
+          graft.retention.Retention.Policy(Seq(
+            graft.retention.Retention.PolicyItem(Seq("/events/click{user=*}"),
+              graft.retention.Retention.Keep, maxAgeMs = 15L * 86400000L),
+            graft.retention.Retention.PolicyItem(Seq("/events/click{user=*}"),
+              graft.retention.Retention.Keep, minAgeMs = 15L * 86400000L,
+              mutations = Seq(Requests.Latest(H))),
+            graft.retention.Retention.PolicyItem(Seq("/events/view{user=*}"),
+              graft.retention.Retention.Keep, maxAgeMs = 10L * 86400000L),
+            graft.retention.Retention.PolicyItem(Nil,
+              graft.retention.Retention.Drop))), NowMs))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))))
 
   def oracleSql: Map[String, String] = Map(
     "api_get" -> (P +
@@ -132,5 +148,21 @@ object ApiEntry {
         |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
         | FROM documents)
         |SELECT item_id, unnest(range(0, 1 + h % 300, 30)) AS frame_idx
-        |FROM m WHERE modality = 'video'""".stripMargin)
+        |FROM m WHERE modality = 'video'""".stripMargin,
+    "ret_policy" -> (P +
+      s""", tagged AS (SELECT *,
+         |  CASE WHEN name = '/events/click' AND usr <> ''
+         |        AND ($NowMs - ts) < ${15L * 86400000L} THEN 0
+         |   WHEN name = '/events/click' AND usr <> ''
+         |        AND ($NowMs - ts) >= ${15L * 86400000L} THEN 1
+         |   WHEN name = '/events/view' AND usr <> ''
+         |        AND ($NowMs - ts) < ${10L * 86400000L} THEN 2
+         |   ELSE -1 END AS pol
+         | FROM pts)
+         |SELECT name, usr, ts, round(dval, 4) AS dval FROM tagged WHERE pol = 0
+         |UNION ALL
+         |SELECT name, usr, max(ts) AS ts, round(arg_max(dval, ts), 4) AS dval
+         | FROM tagged WHERE pol = 1 GROUP BY name, usr, ts - ts % 3600000
+         |UNION ALL
+         |SELECT name, usr, ts, round(dval, 4) AS dval FROM tagged WHERE pol = 2""".stripMargin))
 }

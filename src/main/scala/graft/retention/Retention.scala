@@ -1,0 +1,90 @@
+package graft.retention
+
+import graft.api.Requests.MutationSpec
+import graft.model.Point
+import graft.pattern.VariableMatcher
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Retention policy engine (reference: `RetentionPolicy`,
+ * lib/openinstrument.proto:195-212; first-match evaluation
+ * lib/retention_policy_manager.cc:20-63; background apply loop
+ * server/store_file_manager.cc:87-191; example policy config.txt:22-77).
+ *
+ * A policy is an ordered list of items; the first item whose variable
+ * patterns AND age window match a point decides its fate:
+ *  - DROP → point removed;
+ *  - KEEP (no mutations) → point kept as-is;
+ *  - KEEP + mutations → point downsampled through the §2.1 mutation
+ *    chain (e.g. "daily LATEST after a week", config.txt:48-51).
+ * No item matching → DROP (the reference's default,
+ * retention_policy_manager.cc:59-62).
+ *
+ * Spark shape: policy selection is a single codegen'd when-chain (one
+ * scan, no shuffle); only policies that downsample induce their
+ * mutation's own aggregation. This is the scheduled Parquet-partition
+ * rewrite job of SURVEY.md §2.3 — at scale it runs per date partition
+ * and rewrites files in place.
+ */
+object Retention {
+
+  sealed trait PolicyType
+  case object Keep extends PolicyType
+  case object Drop extends PolicyType
+
+  /**
+   * @param patterns variable match patterns (any-of); empty = match all
+   * @param minAgeMs / maxAgeMs age window in ms (age = now − ts);
+   *                 0 maxAge = unbounded ("forever")
+   */
+  final case class PolicyItem(
+      patterns: Seq[String],
+      policy: PolicyType,
+      minAgeMs: Long = 0L,
+      maxAgeMs: Long = 0L,
+      mutations: Seq[MutationSpec] = Nil,
+      comment: String = "")
+
+  final case class Policy(items: Seq[PolicyItem])
+
+  private def itemMatches(item: PolicyItem, nowMs: Long): Column = {
+    val age = lit(nowMs) - col("ts")
+    val pat =
+      if (item.patterns.isEmpty) lit(true)
+      else item.patterns.map(VariableMatcher.compile).reduce(_ || _)
+    val ageLo = age >= item.minAgeMs
+    val ageHi = if (item.maxAgeMs <= 0L) lit(true) else age < item.maxAgeMs
+    pat && ageLo && ageHi
+  }
+
+  /** First-match policy index per row; −1 = no match (default DROP). */
+  def policyIndex(policy: Policy, nowMs: Long): Column =
+    policy.items.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((item, i), el) => when(itemMatches(item, nowMs), i).otherwise(el)
+    }
+
+  /**
+   * Applies the policy: returns the surviving (possibly downsampled)
+   * points. Input must be the canonical point schema; the series key is
+   * added if missing (mutations need it).
+   */
+  def apply(points: DataFrame, policy: Policy, nowMs: Long): DataFrame = {
+    val withKey =
+      if (points.columns.contains("skey")) points
+      else Point.withSeriesKey(points)
+    val tagged = withKey.withColumn("__policy", policyIndex(policy, nowMs))
+    val parts = policy.items.zipWithIndex.collect {
+      case (item, i) if item.policy == Keep =>
+        val subset = tagged.filter(col("__policy") === i).drop("__policy")
+        item.mutations.foldLeft(subset)((d, m) => m(d))
+    }
+    if (parts.isEmpty) tagged.filter(lit(false)).drop("__policy")
+    else parts.map(normalize).reduce(_ unionByName _)
+  }
+
+  /** Mutated subsets reduce to (skey, ts, dval); align all branches on
+    * the minimal common shape for the union. */
+  private def normalize(df: DataFrame): DataFrame =
+    df.select(col("skey"), col("ts"), col("dval"))
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.model.Point
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/**
+ * Structured Streaming ingest + streaming operators — the Spark-native
+ * replacement for the reference's record-log WAL, replay, and
+ * background reindex (server/record_log.cc:98-271,
+ * go/.../store_manager/store_manager.go:400-469): checkpointed
+ * micro-batches subsume WAL+replay; the Parquet sink with date
+ * partitioning subsumes indexed-file rewrite.
+ */
+object StreamIngest {
+
+  /**
+   * File-source ingest stream: watches `sourceDir` for new point
+   * parquet drops, validates/enriches like Engine.add, sinks to the
+   * at-rest layout with exactly-once checkpointing.
+   */
+  def ingest(spark: SparkSession, sourceDir: String, storeDir: String,
+             checkpointDir: String, hostname: String = "ingest"): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(Point.schema)
+      .parquet(sourceDir)
+      // validation mirrors Engine.add; rejects are dropped here (the
+      // batch path keeps them on a side channel)
+      .filter(col("name").isNotNull && length(col("name")) >= 2 &&
+        col("name").startsWith("/") && !col("name").rlike("\\s"))
+      .withColumn("labels",
+        when(map_contains_key(col("labels"), lit("hostname")), col("labels"))
+          .otherwise(map_concat(coalesce(col("labels"), map()),
+            map(lit("hostname"), lit(hostname)))))
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+    stream.writeStream
+      .format("parquet")
+      .option("path", storeDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /**
+   * Watermarked tumbling-window aggregation over a point stream —
+   * the streaming analog of Aggregations.byName. Late data beyond
+   * `watermark` is dropped from the stream and belongs to the batch
+   * compaction path (SURVEY.md §7.4.6).
+   */
+  def windowedMeanByName(points: DataFrame, intervalMs: Long,
+                         watermark: String = "10 minutes"): DataFrame =
+    points
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("name"), window(col("event_time"), s"$intervalMs milliseconds"))
+      .agg(avg("dval").as("dval"))
+      .select(col("name"), unix_millis(col("window.start")).as("ts"), col("dval"))
+
+  // ------------------------------------------------- stateful resample
+
+  /** Per-series incremental state of the uniform resampler — the same
+    * state the reference's UniformTimeSeries keeps between samples
+    * (lib/counter.cc:18-64 is already written as streaming state). */
+  final case class UniformState(
+      base: Long, pointsOut: Long, lastTs: Long, lastVal: Double, n: Long)
+
+  final case class InPoint(skey: String, ts: Long, dval: Double)
+  final case class OutPoint(skey: String, ts: Long, dval: Double)
+
+  /**
+   * One flatMapGroupsWithState step: feed sorted in-batch points of one
+   * series through the resampler state machine; emit grid points.
+   * Identical math to Mutations.UniformOp (golden-tested) — kept in
+   * sync by StreamingSpec comparing both paths.
+   */
+  def uniformStep(intervalMs: Long)(
+      key: String, rows: Iterator[InPoint],
+      state: GroupState[UniformState]): Iterator[OutPoint] = {
+    var s = state.getOption.getOrElse(UniformState(0L, 1L, 0L, 0.0, 0L))
+    val out = List.newBuilder[OutPoint]
+    rows.toSeq.sortBy(_.ts).foreach { p =>
+      s =
+        if (s.n == 0) UniformState(p.ts - p.ts % intervalMs, 1L, p.ts, p.dval, 1L)
+        else {
+          var pointsOut = s.pointsOut
+          var next = s.base + intervalMs * pointsOut
+          if (p.ts == next) {
+            pointsOut += 1
+            out += OutPoint(key, p.ts, p.dval)
+          } else if (p.ts > next) {
+            while (p.ts > next) {
+              val nv = (p.dval - s.lastVal) / (p.ts - s.lastTs) * (next - s.lastTs) + s.lastVal
+              out += OutPoint(key, next, nv)
+              pointsOut += 1
+              next = s.base + intervalMs * pointsOut
+            }
+          }
+          UniformState(s.base, pointsOut, p.ts, p.dval, s.n + 1)
+        }
+    }
+    state.update(s)
+    out.result().iterator
+  }
+
+  /**
+   * Streaming uniform resample: groupByKey(series) +
+   * flatMapGroupsWithState. Append-mode compatible; state is one fixed
+   * record per live series (bounded memory at any fan-in).
+   */
+  def uniformResampleStream(points: DataFrame, intervalMs: Long): Dataset[OutPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    Point.withSeriesKey(points)
+      .select(col("skey"), col("ts"), col("dval"))
+      .as[InPoint]
+      .groupByKey(_.skey)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        uniformStep(intervalMs))
+  }
+}

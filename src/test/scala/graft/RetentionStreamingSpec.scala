@@ -1,0 +1,128 @@
+package graft
+
+import graft.api.Requests
+import graft.operators.Mutations
+import graft.retention.Retention
+import graft.retention.Retention.{Drop, Keep, Policy, PolicyItem}
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class RetentionSpec extends SparkSpec {
+
+  // Mirrors config.txt:22-77 shape: keep /system/* a month at full res,
+  // then daily LATEST; everything else dropped after an hour.
+  private val policy = Policy(Seq(
+    PolicyItem(Seq("/system/*"), Keep, maxAgeMs = 30L * 86400000L),
+    PolicyItem(Seq("/system/*"), Keep, minAgeMs = 30L * 86400000L,
+      mutations = Seq(Requests.Latest(86400000L))),
+    PolicyItem(Nil, Keep, maxAgeMs = 3600000L),
+    PolicyItem(Nil, Drop)))
+
+  private val now = 100L * 86400000L
+
+  test("first-match selection: age buckets pick the right policy") {
+    import spark.implicits._
+    val df = Seq(
+      ("/system/cpu", now - 1000L),             // item 0 (fresh system)
+      ("/system/cpu", now - 40L * 86400000L),   // item 1 (old system)
+      ("/other/x", now - 1000L),                // item 2 (fresh other)
+      ("/other/x", now - 2L * 86400000L))       // item 3 (old other -> DROP)
+      .toDF("name", "ts")
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), lit(1.0).as("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val idx = df.select(col("name"), col("ts"),
+        Retention.policyIndex(policy, now).as("i"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(idx(("/system/cpu", now - 1000L)) == 0)
+    assert(idx(("/system/cpu", now - 40L * 86400000L)) == 1)
+    assert(idx(("/other/x", now - 1000L)) == 2)
+    assert(idx(("/other/x", now - 2L * 86400000L)) == 3)
+  }
+
+  test("apply: drops, keeps, and downsamples per policy") {
+    import spark.implicits._
+    val old = now - 40L * 86400000L
+    val df = Seq(
+      ("/system/cpu", now - 1000L, 1.0),
+      ("/system/cpu", old, 5.0), ("/system/cpu", old + 1000L, 7.0),
+      ("/other/x", now - 2L * 86400000L, 9.0))
+      .toDF("name", "ts", "dval")
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val out = Retention.apply(df, policy, now)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // fresh point kept verbatim; two old points LATEST-downsampled to one
+    // (value 7.0 at the bucket's last input ts); /other dropped
+    assert(out == Set((now - 1000L, 1.0), (old + 1000L, 7.0)))
+  }
+
+  test("no-match default is DROP") {
+    import spark.implicits._
+    val p = Policy(Seq(PolicyItem(Seq("/only/this"), Keep)))
+    val df = Seq(("/something/else", 1000L)).toDF("name", "ts")
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), lit(1.0).as("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    assert(Retention.apply(df, p, now).count() == 0)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming uniform resample matches the batch resampler") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the golden series from counter_test.cc (via MutationsSpec)
+    val pts = Seq(
+      (0L, 100.0), (30L, 110.0), (60L, 115.0), (120L, 130.0),
+      (180L, 140.0), (300L, 160.0), (310L, 161.0), (330L, 163.0))
+      .map { case (t, v) => StreamIngest.InPoint("/s{h=1}", t * 1000, v) }
+    val batch = Mutations.resampleUniform(
+        graft.model.Point.withSeriesKey(series(
+          pts.map(p => (p.ts, p.dval)), name = "/s", labels = Map("h" -> "1"))),
+        60000L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+
+    val mem = MemoryStream[StreamIngest.InPoint]
+    // split across two micro-batches to exercise state carry-over
+    val q = mem.toDF().as[StreamIngest.InPoint]
+      .groupByKey(_.skey)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+        StreamIngest.uniformStep(60000L))
+      .writeStream.format("memory").queryName("uni_out")
+      .outputMode("append").start()
+    mem.addData(pts.take(4))
+    q.processAllAvailable()
+    mem.addData(pts.drop(4))
+    q.processAllAvailable()
+    val streamed = spark.table("uni_out")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    q.stop()
+    assert(streamed == batch)
+  }
+
+  test("file-source ingest sinks validated points with checkpointing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val src = s"$tmp/src"; val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
+    val df = Seq(
+      ("/ok/a", 1000L, 1.0), ("bad name", 2000L, 2.0))
+      .toDF("name", "ts", "dval")
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    df.write.parquet(src)
+    val q = StreamIngest.ingest(spark, src, store, ckpt, hostname = "h9")
+    q.awaitTermination(60000)
+    val out = spark.read.parquet(store)
+    assert(out.count() == 1)
+    val r = out.select("name", "labels").head()
+    assert(r.getString(0) == "/ok/a")
+    assert(r.getMap[String, String](1).get("hostname").contains("h9"))
+  }
+}
