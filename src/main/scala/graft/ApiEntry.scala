@@ -76,6 +76,19 @@ object ApiEntry {
             Multimodal.fromDocuments(Tables.documents(s, dir))),
           stride = 30)
         .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))),
+    // String-valued series (lib/openinstrument.proto:75-76): mutations
+    // are dval-only by design; sval flows through scan/list/latest.
+    "q_sval_latest" -> ((s, dir) =>
+      unkey(Point.withSeriesKey(pts(s, dir))
+          .groupBy(col("skey"))
+          .agg(max_by(col("sval"), col("ts")).as("sval"), max("ts").as("ts")))
+        .select("name", "usr", "ts", "sval")),
+    // Exact greedy ±interval bucketing (lib/protobuf.cc:49-85): stateful
+    // anchor re-selection is sequential -> rows-only check.
+    "agg_greedy_avg" -> ((s, dir) =>
+      Aggregations.greedyExact(Point.withSeriesKey(pts(s, dir)),
+          Aggregations.DefaultIntervalMs, "avg")
+        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
     // Retention engine: first-match policy with downsampling rewrite
     // (lib/retention_policy_manager.cc:20-63, config.txt:22-77 shape).
     "ret_policy" -> ((s, dir) =>
@@ -129,6 +142,11 @@ object ApiEntry {
         | round(CASE WHEN gts = ts0 THEN dval
         |   ELSE (dval - lv) / (ts0 - lts) * (gts - lts) + lv END, 4) AS dval
         |FROM g""".stripMargin),
+    "q_sval_latest" ->
+      ("WITH pts AS (SELECT '/events/' || event_type AS name, " +
+        "CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, props AS sval FROM events) " +
+        """SELECT name, usr, max(ts) AS ts, arg_max(sval, ts) AS sval
+          |FROM pts GROUP BY name, usr""".stripMargin),
     "mm_features" ->
       """WITH m AS (SELECT doc_id AS item_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,

@@ -1,0 +1,157 @@
+package graft.cli
+
+import graft.api.{Engine, Requests}
+import graft.operators.Aggregations
+import graft.sources.PointSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Thin CLI with the reference clients' argument language
+ * (go/src/get.go:61-145, go/src/list.go:72-96, client/cpp/add.cc:28-60):
+ *
+ *   get <variable> [rate|rate_signed|delta] [interpolate=<dur>]
+ *       [mean=<dur>] [min=<dur>] [max=<dur>] [latest=<dur>]
+ *       [aggregate=<label>|name] [agg=avg|sum|min|max|median]
+ *       [interval=<dur>] [max_variables=N] [max_values=N]
+ *   list <prefix> [max_age=<dur>] [max_variables=N]
+ *   add <var:value@ts_ms> ...
+ *
+ * Store location: --store=<path> or GRAFT_STORE env (Parquet point
+ * layout written by PointSource.write / the streaming sink).
+ */
+object Cli {
+
+  /** "5m" / "12h" / "300s" / "1d" / "1w" / "1y" → ms
+    * (duration grammar of lib/timer.h:178-194). */
+  def parseDuration(s: String): Long = {
+    val m = "^(\\d+)(ms|s|m|h|d|w|y)?$".r
+    s match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case "ms" => 1L
+          case "s" => 1000L
+          case null | "m" => 60000L
+          case "h" => 3600000L
+          case "d" => 86400000L
+          case "w" => 7L * 86400000L
+          case "y" => 365L * 86400000L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(s"bad duration: $s")
+    }
+  }
+
+  private def kv(arg: String): Option[(String, String)] =
+    arg.split("=", 2) match {
+      case Array(k, v) => Some((k, v))
+      case _ => None
+    }
+
+  /** get-args → GetRequest (mutation order follows argument order, as
+    * the reference chains them). */
+  def parseGet(variable: String, args: Seq[String]): Requests.GetRequest = {
+    var muts = Vector.empty[Requests.MutationSpec]
+    var agg: Option[Requests.AggregationSpec] = None
+    var aggType: Aggregations.AggType = Aggregations.Average
+    var interval = Aggregations.DefaultIntervalMs
+    var maxVars: Option[Int] = None
+    var maxVals: Option[Int] = None
+    args.foreach { a =>
+      (a, kv(a)) match {
+        case ("rate", _) => muts :+= Requests.Rate()
+        case ("rate_signed", _) => muts :+= Requests.RateSigned()
+        case ("delta", _) => muts :+= Requests.Delta
+        case (_, Some(("interpolate", d))) => muts :+= Requests.Interpolate(parseDuration(d))
+        case (_, Some(("uniform", d))) => muts :+= Requests.Uniform(parseDuration(d))
+        case (_, Some(("mean", d))) => muts :+= Requests.Mean(parseDuration(d))
+        case (_, Some(("min", d))) => muts :+= Requests.MinM(parseDuration(d))
+        case (_, Some(("max", d))) => muts :+= Requests.MaxM(parseDuration(d))
+        case (_, Some(("latest", d))) => muts :+= Requests.Latest(parseDuration(d))
+        case (_, Some(("stddev", d))) => muts :+= Requests.StdDev(parseDuration(d))
+        case (_, Some(("agg", t))) =>
+          aggType = t match {
+            case "avg" => Aggregations.Average
+            case "sum" => Aggregations.Sum
+            case "min" => Aggregations.Min
+            case "max" => Aggregations.Max
+            case "median" => Aggregations.Median
+          }
+        case (_, Some(("interval", d))) => interval = parseDuration(d)
+        case (_, Some(("aggregate", "name"))) =>
+          agg = Some(Requests.AggregationSpec(aggType, Nil, interval))
+        case (_, Some(("aggregate", label))) =>
+          agg = Some(Requests.AggregationSpec(aggType, Seq(label), interval))
+        case (_, Some(("max_variables", n))) => maxVars = Some(n.toInt)
+        case (_, Some(("max_values", n))) => maxVals = Some(n.toInt)
+        case _ => throw new IllegalArgumentException(s"unknown get arg: $a")
+      }
+    }
+    // re-apply agg settings captured after the aggregate= flag
+    agg = agg.map(_.copy(agg = aggType, sampleIntervalMs = interval))
+    Requests.GetRequest(variable, mutations = muts, aggregation = agg,
+      maxVariables = maxVars, maxValues = maxVals)
+  }
+
+  def run(spark: SparkSession, store: String, argv: Seq[String],
+          nowMs: Long = System.currentTimeMillis()): DataFrame =
+    argv match {
+      case Seq("get", variable, rest @ _*) =>
+        Engine.get(PointSource.read(spark, store), parseGet(variable, rest))
+      case Seq("list", prefix, rest @ _*) =>
+        val opts = rest.flatMap(kv).toMap
+        Engine.list(PointSource.read(spark, store),
+          Requests.ListRequest(prefix,
+            maxVariables = opts.get("max_variables").map(_.toInt),
+            maxAgeMs = opts.get("max_age").map(parseDuration)
+              .getOrElse(86400000L)),
+          nowMs = nowMs)
+      case other =>
+        throw new IllegalArgumentException(s"usage: get|list|add …, got: $other")
+    }
+
+  /** `add <var:value@ts>`… appends to the store (client/cpp/add.cc:37-60). */
+  def runAdd(spark: SparkSession, store: String, specs: Seq[String],
+             nowMs: Long = System.currentTimeMillis()): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pat = "^(.*):([-0-9.eE]+)@(\\d+)$".r
+    val rows = specs.map {
+      case pat(v, value, ts) =>
+        val parsed = graft.model.Variable.parse(v)
+        (parsed.name, parsed.labels, ts.toLong, value.toDouble)
+      case bad => throw new IllegalArgumentException(s"bad add spec: $bad")
+    }
+    val df = rows.toDF("name", "labels", "ts", "dval")
+      .select(col("name"), col("labels"), lit("GAUGE").as("value_type"),
+        col("ts"), col("dval"), lit(null).cast("string").as("sval"),
+        lit(null).cast("long").as("end_ts"))
+    val (ok, _) = Engine.add(df, java.net.InetAddress.getLocalHost.getHostName, nowMs)
+    ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .write.partitionBy("date").mode("append").parquet(store)
+    ok.count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, rest) = args.partition(_.startsWith("--"))
+    val store = flags.collectFirst { case s if s.startsWith("--store=") =>
+      s.stripPrefix("--store=") }
+      .orElse(sys.env.get("GRAFT_STORE"))
+      .getOrElse(throw new IllegalArgumentException("--store=<path> or GRAFT_STORE required"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    rest.toSeq match {
+      case Seq("add", specs @ _*) =>
+        println(s"added ${runAdd(spark, store, specs)} points")
+      case argv =>
+        run(spark, store, argv).show(100, truncate = false)
+    }
+    spark.stop()
+  }
+}

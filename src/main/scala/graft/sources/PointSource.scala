@@ -37,7 +37,7 @@ object PointSource {
         lit("GAUGE").as("value_type"),
         tsMs.as("ts"),
         col("value").as("dval"),
-        lit(null).cast("string").as("sval"),
+        col("props").as("sval"), // string payload column (proto:75-76)
         lit(null).cast("long").as("end_ts"))
   }
 
@@ -61,5 +61,37 @@ object PointSource {
       .partitionBy("date")
       .mode("overwrite")
       .parquet(path)
+  }
+
+  /**
+   * Compaction job — the Spark-native replacement for the reference's
+   * background compact/split/join cycle (go/.../datastore/datastore.go:
+   * 519-557 compactBlock, 354-479 split/join, triggers at 687-705):
+   * rewrites the store re-sorted and re-clustered so many small ingest
+   * files (e.g. streaming micro-batch output) become few large ones,
+   * restoring tight row-group stats and bloom filters. Runs per date
+   * partition at scale; `targetFilesPerDate` bounds output file count
+   * (the reference's split threshold analog).
+   */
+  def compact(spark: SparkSession, path: String,
+              targetFilesPerDate: Int = 1): Unit = {
+    val staged = path.stripSuffix("/") + ".compact"
+    val df = spark.read.parquet(path)
+    df.repartition(targetFilesPerDate, col("date"), col("name"))
+      .sortWithinPartitions("name", "ts")
+      .write
+      .option("parquet.bloom.filter.enabled#name", "true")
+      .partitionBy("date")
+      .mode("overwrite")
+      .parquet(staged)
+    // atomic-ish swap (single filesystem rename pair)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val s = new org.apache.hadoop.fs.Path(staged)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.rename(p, old)
+    fs.rename(s, p)
+    fs.delete(old, true)
   }
 }
