@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up session/JIT/codegen + parquet footers so the first timed
+    // query isn't charged for one-time init
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("list_vars")
+        .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row (a plain .count()

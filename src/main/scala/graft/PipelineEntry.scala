@@ -74,8 +74,8 @@ object PipelineEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
     "d_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"), Dedup.simhash("text").as("sig"))),
+      Dedup.simhashSignatures(Tables.documents(s, dir))
+        .withColumnRenamed("id", "doc_id")),
 
     // -------------------------------------------------- similarity search
     "e_knn_brute" -> ((s, dir) => {

@@ -56,7 +56,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxDf: Long = Long.MaxValue): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // cache: the shingle sets feed a self-join + two size joins — without
+    // it the tokenize+hash subtree is re-evaluated once per reference
+    val sets = shingleSets(df, idCol, textCol, n).cache()
     val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
     var ex = sets.select(col("id"), explode(col("sh")).as("s"))
     if (maxDf != Long.MaxValue) {
@@ -69,8 +71,8 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb"), "id_b")
+      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb")), "id_b")
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -118,13 +120,16 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sets = shingleSets(df, idCol, textCol, n)
+    // cache: banded sketch feeds a self-join (candidate generation) and
+    // the shingle sets are re-joined for the exact verify
+    val sets = shingleSets(df, idCol, textCol, n).cache()
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
     val banded = sig.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat(b.cast("string"), lit(":"),
             concat_ws("_", transform(slice(col("sig"), b * r + 1, lit(r)),
               x => x.cast("string"))))))).as("band"))
+      .cache()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -138,20 +143,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Token-hash array for [[simhashFromHashes]] — materialize this as
+    * its own column before folding bits (nested-HOF re-evaluation would
+    * otherwise recompute the md5 pass once per bit, 60×). */
+  def tokenHashes(textCol: String): Column = expr(
+    s"""transform(filter(split($textCol, '\\\\s+'), t -> length(t) > 0),
+       |          t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))""".stripMargin)
+
   /**
-   * 60-bit SimHash over the document's (multiset of) tokens: bit b of
-   * the signature is the sign of Σ_tokens (2·bit_b(h60(token)) − 1).
-   * Pure SQL-expression form so the oracle can mirror it.
+   * 60-bit SimHash over the document's (multiset of) token hashes: bit
+   * b of the signature is the sign of Σ_tokens (2·bit_b(h) − 1).
+   * Native codegen'd expression ([[graft.functions.SimHash60]]); the
+   * equivalent HOF fold costs 60·n interpreted lambda calls per row.
    */
-  def simhash(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 59), b ->
-       |    CASE WHEN aggregate(
-       |      transform(filter(split($textCol, '\\\\s+'), t -> length(t) > 0),
-       |                t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-       |      0L, (acc, h) -> acc + 2 * ((h div shiftleft(1L, b)) % 2) - 1) > 0
-       |    THEN shiftleft(1L, b) ELSE 0L END),
-       |  0L, (acc, x) -> acc + x)""".stripMargin)
+  def simhashFromHashes(hashCol: String): Column =
+    graft.functions.VectorOps.simHash60(col(hashCol))
+
+  /** (doc_id, sig) simhash signatures with the hash pass materialized. */
+  def simhashSignatures(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    df.withColumn("__hs", tokenHashes(textCol))
+      .select(col(idCol).as("id"), simhashFromHashes("__hs").as("sig"))
 
   /**
    * SimHash near-dup pairs: block on 4 × 15-bit bands of the signature
@@ -161,7 +173,7 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
+    val sigs = simhashSignatures(df, idCol, textCol).cache()
     val banded = sigs.select(col("id"), col("sig"),
       explode(expr("transform(sequence(0, 3), b -> " +
         "concat(b, ':', (sig div shiftleft(1L, b * 15)) % 32768))")).as("band"))

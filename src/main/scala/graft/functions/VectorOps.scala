@@ -80,9 +80,77 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+
+/**
+ * Native 60-bit SimHash fold over an `array<long>` of token hashes:
+ * bit b of the result is set iff Σ_tokens (2·bit_b(h) − 1) > 0, i.e.
+ * iff more than half the hashes have bit b set.
+ *
+ * The composable form (`aggregate(transform(sequence(0,59), …))`) runs
+ * 60 × n interpreted lambda calls per row — ~20 s over 5 k docs at
+ * sf0.1; this expression is a tight two-level primitive loop (~50 ms).
+ */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ones = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 60) { ones(b) += ((h >>> b) & 1L).toInt; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (2 * ones(b) > n) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val ones = ctx.freshName("ones")
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $ones = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    $ones[$b] += (int) (($h >>> $b) & 1L);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if (2 * $ones[$b] > $n) $sig |= 1L << $b;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Σ aᵢbᵢ in element order, double precision, codegen'd. */
   def dotProduct(a: Column, b: Column): Column =
     GraftBridge.toColumn(
       DotProduct(GraftBridge.toExpression(a), GraftBridge.toExpression(b)))
+
+  /** 60-bit simhash of an array<long> of token hashes, codegen'd. */
+  def simHash60(hashes: Column): Column =
+    GraftBridge.toColumn(SimHash60(GraftBridge.toExpression(hashes)))
 }

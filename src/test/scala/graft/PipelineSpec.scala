@@ -64,7 +64,7 @@ class PipelineSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta"),
       (3L, "alpha beta gamma delta epsilon zeta eta iota"))
-    val sigs = df.select(col("doc_id"), Dedup.simhash("text").as("sig"))
+    val sigs = Dedup.simhashSignatures(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L))
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 20)
