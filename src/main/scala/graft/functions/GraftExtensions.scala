@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Registers the engine's native expressions as SQL functions, so
+ * `spark.sql("SELECT dot_product(a, b)")` works alongside the Column
+ * API.
+ *
+ * Two entry points:
+ *  - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+ *    (the standard SparkSessionExtensions injection path);
+ *  - programmatic: `GraftFunctions.register(spark)` on a live session.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product(a, b) takes 2 arguments")
+        DotProduct(children(0), children(1))
+      }),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash60(hashes) takes 1 argument")
+        SimHash60(children.head)
+      }))
+
+  /** Registers the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.{Aggregations, Mutations, Rle}
+import org.apache.spark.sql.functions._
+
+/**
+ * Property tests (SURVEY.md §5 strategy): invariants the reference
+ * guarantees structurally that our distributed implementation must
+ * preserve under partitioning and input order.
+ */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(4242)
+
+  private def randomPoints(nSeries: Int, nPoints: Int) = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until nSeries
+      t <- 0 until nPoints
+    } yield (s"/prop/v$s", Map("host" -> s"h${s % 3}"),
+      1000L + t * 250L + rnd.nextInt(100), rnd.nextDouble() * 100)
+    rows.toDF("name", "labels", "ts", "dval")
+      .select(col("name"), col("labels").cast("map<string,string>"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+  }
+
+  test("mutations are invariant to input partitioning (same series split across 'blocks')") {
+    val pts = graft.model.Point.withSeriesKey(randomPoints(5, 40))
+    // simulate the reference's multi-block layout: same logical series
+    // arriving as several partitions, shuffled order
+    val shuffled = pts.repartition(13).sortWithinPartitions("dval")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mutations.meanGrid(Mutations.rate(df), 1000L)
+        .select("skey", "ts", "dval").collect()
+        .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+        .toSet
+    assert(run(pts) == run(shuffled))
+  }
+
+  test("exact per-series ops tolerate arbitrary partitioning") {
+    val pts = graft.model.Point.withSeriesKey(randomPoints(4, 30))
+    val shuffled = pts.repartition(17)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mutations.resampleUniform(df, 1000L)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    assert(run(pts) == run(shuffled))
+  }
+
+  test("aggregation is invariant to stream partitioning") {
+    val pts = graft.model.Point.withSeriesKey(randomPoints(6, 25))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Aggregations.byName(df, Aggregations.Median, 2000L)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    assert(run(pts) == run(pts.repartition(11)))
+  }
+
+  test("rle: expand(encode(x)) recovers x exactly on step-free series") {
+    import spark.implicits._
+    // runs of equal values at a fixed 1s cadence
+    val vals = Seq.fill(60)(rnd.nextInt(3).toDouble)
+    val pts = graft.model.Point.withSeriesKey(
+      series(vals.zipWithIndex.map { case (v, i) => (1000L + i * 1000L, v) }))
+    val encoded = Rle.encode(pts)
+    val expanded = Rle.expand(encoded, 1000L)
+      .select("ts", "dval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val original = pts.select("ts", "dval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(expanded == original)
+    // and the encoding actually compresses runs
+    assert(encoded.count() < 60)
+  }
+
+  test("SQL function registration: dot_product and simhash60 usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val dp = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D))")
+      .head().getDouble(0)
+    assert(dp == 32.0)
+    val sig = spark.sql("SELECT simhash60(array(7L, 7L, 8L))").head().getLong(0)
+    assert(sig == 7L) // majority of {0b111,0b111,0b1000} per bit = 0b111
+  }
+}
