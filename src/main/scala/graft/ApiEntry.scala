@@ -76,6 +76,19 @@ object ApiEntry {
             Multimodal.fromDocuments(Tables.documents(s, dir))),
           stride = 30)
         .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))),
+    // Constant-label preservation (server/store.cc:204-226): aggregate
+    // by `user`; the `site` label is single-valued within each group
+    // (derived from the name) and must survive; `user` becomes the key.
+    "agg_preserve" -> ((s, dir) => {
+      val withSite = pts(s, dir).withColumn("labels",
+        map_concat(col("labels"),
+          map(lit("site"), regexp_extract(col("name"), "^/events/(.*)$", 1))))
+      Aggregations.byLabel(graft.model.Point.withSeriesKey(withSite),
+          "user", Aggregations.Sum, H, preserveConstantLabels = true)
+        .select(col("name"), element_at(col("labels"), "user").as("usr"),
+          element_at(col("labels"), "site").as("site"),
+          col("ts"), round(col("dval"), 4).as("dval"))
+    }),
     // String-valued series (lib/openinstrument.proto:75-76): mutations
     // are dval-only by design; sval flows through scan/list/latest.
     "q_sval_latest" -> ((s, dir) =>
@@ -142,6 +155,10 @@ object ApiEntry {
         | round(CASE WHEN gts = ts0 THEN dval
         |   ELSE (dval - lv) / (ts0 - lts) * (gts - lts) + lv END, 4) AS dval
         |FROM g""".stripMargin),
+    "agg_preserve" -> (P +
+      """SELECT name, usr, substr(name, 9) AS site,
+        | ts - ts % 3600000 AS ts, round(sum(dval), 4) AS dval
+        |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
     "q_sval_latest" ->
       ("WITH pts AS (SELECT '/events/' || event_type AS name, " +
         "CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, props AS sval FROM events) " +

@@ -98,12 +98,12 @@ object Dedup {
    * MinHash signature over an array of 60-bit shingle hashes: one md5
    * per shingle (already done by [[shingleSets]]) + `numHashes` cheap
    * arithmetic rehashes — not `numHashes` md5 passes, which would cost
-   * 16× the hashing work for identical sketch quality.
+   * 16× the hashing work for identical sketch quality. Native fused
+   * expression ([[graft.functions.MinHashSignature]]); the HOF form
+   * costs k·n interpreted lambda calls per row.
    */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    array(hashParams(numHashes).map { case (a, b) =>
-      array_min(transform(sh, h => (lit(a) * (h % P) + lit(b)) % P))
-    }: _*)
+    graft.functions.VectorOps.minHashSignature(sh, hashParams(numHashes))
 
   /**
    * MinHash + LSH near-dup pairs (shingle → minhash → band → bucket

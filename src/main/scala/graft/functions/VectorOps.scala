@@ -144,6 +144,76 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Native MinHash signature: for each universal-hash family j,
+ * min over the input hashes of (aⱼ·(h mod P) + bⱼ) mod P, P = 2³¹−1.
+ *
+ * The HOF form (`array(k × array_min(transform(...)))`) costs k·n
+ * interpreted lambda calls per row; this is one fused primitive loop
+ * (n outer, k inner, k min-registers).
+ */
+case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+
+  private val P = 2147483647L
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if a.length == b.length && a.nonEmpty =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<bigint> and equal-length params, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = arr.getLong(i) % P
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * hm + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val k = ctx.freshName("k")
+      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val hm = ctx.freshName("hm")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |int $k = $aRef.length;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $hm = $c.getLong($i) % ${P}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = ($aRef[$j] * $hm + $bRef[$j]) % ${P}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Σ aᵢbᵢ in element order, double precision, codegen'd. */
   def dotProduct(a: Column, b: Column): Column =
@@ -153,4 +223,9 @@ object VectorOps {
   /** 60-bit simhash of an array<long> of token hashes, codegen'd. */
   def simHash60(hashes: Column): Column =
     GraftBridge.toColumn(SimHash60(GraftBridge.toExpression(hashes)))
+
+  /** MinHash signature over an array<long> of shingle hashes. */
+  def minHashSignature(hashes: Column, params: Seq[(Long, Long)]): Column =
+    GraftBridge.toColumn(MinHashSignature(GraftBridge.toExpression(hashes),
+      params.map(_._1).toArray, params.map(_._2).toArray))
 }
