@@ -41,10 +41,15 @@ object Point {
    * Injective, codegen-friendly series key built from built-in functions
    * only — `name{k=v,...}` with keys sorted. Used as the shuffle /
    * window-partition key everywhere (Spark can't group on a MapType
-   * column directly). Quoting is NOT applied: the key only needs to be
-   * injective, and `concat_ws` over sorted entries is.
+   * column directly). Separator characters inside keys/values are
+   * backslash-escaped so distinct label maps can never collide (e.g.
+   * {"a" -> "1,b=2"} vs {"a" -> "1", "b" -> "2"}); values without
+   * specials — the overwhelming case — pass through unchanged, so
+   * `unkey`-style regex extraction of clean values still works.
    */
-  def seriesKey(name: Column, labels: Column): Column =
+  def seriesKey(name: Column, labels: Column): Column = {
+    def esc(c: Column): Column =
+      regexp_replace(c, "([\\\\,={}])", "\\\\$1")
     concat(
       name,
       when(size(labels) > 0,
@@ -53,8 +58,9 @@ object Point {
           concat_ws(",",
             transform(
               array_sort(map_entries(labels)),
-              e => concat(e.getField("key"), lit("="), e.getField("value")))),
+              e => concat(esc(e.getField("key")), lit("="), esc(e.getField("value"))))),
           lit("}"))).otherwise(lit("")))
+  }
 
   /** Adds the `skey` series-key column to a canonical point DataFrame. */
   def withSeriesKey(df: DataFrame): DataFrame =

@@ -68,4 +68,14 @@ class VariableSpec extends SparkSpec {
     val k = Point.withSeriesKey(df).select("skey").head().getString(0)
     assert(k === "/x{a=1,b=2}")
   }
+
+  test("seriesKey escapes separators — adversarial label maps don't collide") {
+    val crafted = series(Seq(1L -> 1.0), "/x", Map("a" -> "1,b=2"))
+    val plain = series(Seq(1L -> 1.0), "/x", Map("a" -> "1", "b" -> "2"))
+    val kc = Point.withSeriesKey(crafted).select("skey").head().getString(0)
+    val kp = Point.withSeriesKey(plain).select("skey").head().getString(0)
+    assert(kc != kp)
+    assert(kc === "/x{a=1\\,b\\=2}")
+    assert(kp === "/x{a=1,b=2}")
+  }
 }
