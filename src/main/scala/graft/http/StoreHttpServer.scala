@@ -1,0 +1,146 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.api.Engine
+import graft.model.Variable
+import graft.sources.PointSource
+import graft.wire.Rpc
+import java.net.InetSocketAddress
+import java.util.Base64
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * HTTP + base64-protobuf RPC façade — wire-compatible with the
+ * reference servers' surface (routes server/store.cc:72-77,
+ * go/src/store.go:267-272; codec = base64 over serialized protos,
+ * go/src/store.go:33-65): POST /add, /get, /list, GET /health.
+ *
+ * A reference client can point at this server and run its existing
+ * get/list/add calls against the Spark store. Request execution is
+ * Engine.*; responses materialize on this node exactly where the
+ * reference materializes its RPC responses (bounded by max_variables /
+ * max_values).
+ */
+class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
+                      nowMs: () => Long = () => System.currentTimeMillis()) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def points(): DataFrame = PointSource.read(spark, storeDir)
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    val b64 = Base64.getEncoder.encode(body)
+    ex.getResponseHeaders.set("Content-Type", "application/base64")
+    ex.sendResponseHeaders(code, b64.length.toLong)
+    ex.getResponseBody.write(b64)
+    ex.close()
+  }
+
+  private def requestBytes(ex: HttpExchange): Array[Byte] =
+    Base64.getMimeDecoder.decode(ex.getRequestBody.readAllBytes())
+
+  private def handler(f: Array[Byte] => Array[Byte]): HttpHandler =
+    (ex: HttpExchange) =>
+      try respond(ex, 200, f(requestBytes(ex)))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[http] ${ex.getRequestURI} failed: $e")
+          respond(ex, 500, Rpc.encodeGetResponse(Nil, Some(e.toString)))
+      }
+
+  server.createContext("/get", handler { bytes =>
+    val req = Rpc.decodeGetRequest(bytes)
+    val df = Engine.get(points(), req)
+    // materialize grouped by series, values time-ordered (the response
+    // shape of go/src/store.go:133-156)
+    val rows = df.orderBy("ts").collect()
+    val hasSkey = df.columns.contains("skey")
+    val streams = rows.groupBy { r =>
+        if (hasSkey) r.getAs[String]("skey") else r.getAs[String]("name")
+      }.toSeq.sortBy(_._1)
+      .map { case (key, rs) =>
+        val head = rs.head
+        val variable =
+          if (hasSkey) Variable.parse(key)
+          else Variable(head.getAs[String]("name"),
+            if (head.schema.fieldNames.contains("labels") &&
+                !head.isNullAt(head.fieldIndex("labels")))
+              head.getAs[Map[String, String]]("labels")
+            else Map.empty)
+        Rpc.Stream(variable, rs.toSeq.map { r =>
+          val dv = if (r.isNullAt(r.fieldIndex("dval"))) None
+            else Some(r.getAs[Double]("dval"))
+          val sv = if (r.schema.fieldNames.contains("sval") &&
+              !r.isNullAt(r.fieldIndex("sval"))) Some(r.getAs[String]("sval"))
+            else None
+          (r.getAs[Long]("ts"), dv, sv, None)
+        })
+      }
+    Rpc.encodeGetResponse(streams)
+  })
+
+  server.createContext("/list", handler { bytes =>
+    val req = Rpc.decodeListRequest(bytes)
+    val vars = Engine.list(points(), req, nowMs()).collect().map { r =>
+      Variable(r.getAs[String]("name"),
+        Option(r.getAs[Map[String, String]]("labels")).getOrElse(Map.empty))
+    }
+    Rpc.encodeListResponse(vars.toSeq)
+  })
+
+  server.createContext("/add", handler { bytes =>
+    import spark.implicits._
+    val streams = Rpc.decodeAddRequest(bytes)
+    val rows = streams.flatMap { s =>
+      s.values.map { case (ts, dv, sv, ets) =>
+        (s.variable.name, s.variable.labels, s.variable.valueType,
+          ts, dv, sv, ets)
+      }
+    }
+    val df = rows.toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
+    val (ok, bad) = Engine.add(df, hostname = "http", nowMs = nowMs())
+    ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .write.partitionBy("date").mode("append").parquet(storeDir)
+    val nBad = bad.count()
+    Rpc.encodeAddResponse(nBad == 0,
+      if (nBad == 0) None else Some(s"$nBad streams rejected"))
+  })
+
+  server.createContext("/health", (ex: HttpExchange) => {
+    val body = "OK".getBytes("UTF-8")
+    ex.sendResponseHeaders(200, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.close()
+  })
+
+  def start(): StoreHttpServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}
+
+/** `runMain graft.http.StoreHttpServer --store=<dir> [--port=N]`. */
+object StoreHttpServer {
+  def main(args: Array[String]): Unit = {
+    val opts = args.filter(_.startsWith("--"))
+      .map(_.stripPrefix("--").split("=", 2)).collect {
+        case Array(k, v) => k -> v }.toMap
+    val store = opts.getOrElse("store",
+      sys.env.getOrElse("GRAFT_STORE",
+        throw new IllegalArgumentException("--store=<path> required")))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = new StoreHttpServer(spark, store,
+      opts.get("port").map(_.toInt).getOrElse(8020)).start()
+    println(s"LISTENING=${s.boundPort}")
+    Thread.currentThread().join()
+  }
+}

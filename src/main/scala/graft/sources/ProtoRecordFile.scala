@@ -51,112 +51,14 @@ object ProtoRecordFile {
     crc & 0xFFFF
   }
 
-  private final class WireReader(buf: Array[Byte], var pos: Int, end: Int) {
-    def hasMore: Boolean = pos < end
-    def varint(): Long = {
-      var shift = 0; var v = 0L
-      var done = false
-      while (!done && pos < end) {
-        val b = buf(pos); pos += 1
-        v |= (b & 0x7FL) << shift
-        if ((b & 0x80) == 0) done = true else shift += 7
-      }
-      v
-    }
-    def fixed64(): Long = {
-      var v = 0L
-      var i = 0
-      while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
-      pos += 8
-      v
-    }
-    def bytes(n: Int): (Int, Int) = { val r = (pos, n); pos += n; r }
-    def skip(wireType: Int): Unit = wireType match {
-      case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
-      case 5 => pos += 4
-      case _ => pos = end // unknown group types: abandon record
-    }
-  }
-
   final case class DecodedStream(
       name: String, labels: Map[String, String], valueType: String,
       values: Seq[(Long, Option[Double], Option[String], Option[Long])])
 
-  /** Decodes one ValueStream message. */
+  /** Decodes one ValueStream message (delegates to the shared wire codec). */
   def decodeValueStream(buf: Array[Byte], off: Int, len: Int): DecodedStream = {
-    var name = ""
-    var labels = Map.empty[String, String]
-    var vtype = "UNKNOWN"
-    val values = ArrayBuffer.empty[(Long, Option[Double], Option[String], Option[Long])]
-    val r = new WireReader(buf, off, off + len)
-    while (r.hasMore) {
-      val tag = r.varint()
-      val field = (tag >> 3).toInt
-      val wt = (tag & 7).toInt
-      (field, wt) match {
-        case (2, 2) => // StreamVariable
-          val n = r.varint().toInt
-          val (vo, vl) = r.bytes(n)
-          val vr = new WireReader(buf, vo, vo + vl)
-          while (vr.hasMore) {
-            val vtag = vr.varint()
-            ((vtag >> 3).toInt, (vtag & 7).toInt) match {
-              case (1, 2) =>
-                val sn = vr.varint().toInt
-                name = new String(buf, vr.pos, sn, "UTF-8"); vr.pos += sn
-              case (2, 2) => // Label{1: label, 2: value}
-                val ln = vr.varint().toInt
-                val lr = new WireReader(buf, vr.pos, vr.pos + ln)
-                vr.pos += ln
-                var k = ""; var v = ""
-                while (lr.hasMore) {
-                  val lt = lr.varint()
-                  ((lt >> 3).toInt, (lt & 7).toInt) match {
-                    case (1, 2) =>
-                      val n2 = lr.varint().toInt
-                      k = new String(buf, lr.pos, n2, "UTF-8"); lr.pos += n2
-                    case (2, 2) =>
-                      val n2 = lr.varint().toInt
-                      v = new String(buf, lr.pos, n2, "UTF-8"); lr.pos += n2
-                    case (_, w) => lr.skip(w)
-                  }
-                }
-                if (k.nonEmpty) labels += k -> v
-              case (3, 0) =>
-                vtype = vr.varint() match {
-                  case 1 => "GAUGE"; case 2 => "RATE"; case _ => "UNKNOWN"
-                }
-              case (_, w) => vr.skip(w)
-            }
-          }
-        case (4, 2) => // Value
-          val n = r.varint().toInt
-          val end = r.pos + n
-          var ts = 0L
-          var dv: Option[Double] = None
-          var sv: Option[String] = None
-          var ets: Option[Long] = None
-          val vv = new WireReader(buf, r.pos, end)
-          r.pos = end
-          while (vv.hasMore) {
-            val vt = vv.varint()
-            ((vt >> 3).toInt, (vt & 7).toInt) match {
-              case (1, 0) => ts = vv.varint()
-              case (2, 1) => dv = Some(java.lang.Double.longBitsToDouble(vv.fixed64()))
-              case (3, 2) =>
-                val sn = vv.varint().toInt
-                sv = Some(new String(buf, vv.pos, sn, "UTF-8")); vv.pos += sn
-              case (4, 0) => ets = Some(vv.varint())
-              case (_, w) => vv.skip(w)
-            }
-          }
-          values += ((ts, dv, sv, ets))
-        case (_, w) => r.skip(w)
-      }
-    }
-    DecodedStream(name, labels, vtype, values.toSeq)
+    val s = graft.wire.Rpc.decodeStream(buf, off, len)
+    DecodedStream(s.variable.name, s.variable.labels, s.variable.valueType, s.values)
   }
 
   /** Iterates framed records in a file image, re-syncing past
@@ -204,39 +106,18 @@ object ProtoRecordFile {
   def encodeValueStream(name: String, labels: Map[String, String],
                         valueType: String,
                         values: Seq[(Long, Option[Double], Option[String], Option[Long])]): Array[Byte] = {
-    def varint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
-    }
-    def lenDelim(out: java.io.ByteArrayOutputStream, field: Int, b: Array[Byte]): Unit = {
-      varint(out, (field << 3) | 2); varint(out, b.length); out.write(b)
-    }
-    val sv = new java.io.ByteArrayOutputStream()
-    lenDelim(sv, 1, name.getBytes("UTF-8"))
-    labels.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      val lb = new java.io.ByteArrayOutputStream()
-      lenDelim(lb, 1, k.getBytes("UTF-8"))
-      lenDelim(lb, 2, v.getBytes("UTF-8"))
-      lenDelim(sv, 2, lb.toByteArray)
-    }
-    val t = valueType match { case "GAUGE" => 1L; case "RATE" => 2L; case _ => 0L }
-    varint(sv, (3 << 3) | 0); varint(sv, t)
-    val out = new java.io.ByteArrayOutputStream()
-    lenDelim(out, 2, sv.toByteArray)
-    values.foreach { case (ts, dv, s, ets) =>
-      val vb = new java.io.ByteArrayOutputStream()
-      varint(vb, (1 << 3) | 0); varint(vb, ts)
-      dv.foreach { d =>
-        varint(vb, (2 << 3) | 1)
-        val bits = java.lang.Double.doubleToLongBits(d)
-        (0 until 8).foreach(i => vb.write(((bits >>> (8 * i)) & 0xFF).toInt))
+    val w = new graft.wire.WireWriter
+    w.msgField(2)(vw => graft.wire.Rpc.encodeStreamVariable(vw,
+      graft.model.Variable(name, labels, valueType)))
+    values.foreach { case (ts, dv, sv, ets) =>
+      w.msgField(4) { pw =>
+        pw.intField(1, ts)
+        dv.foreach(pw.doubleField(2, _))
+        sv.foreach(pw.stringField(3, _))
+        ets.foreach(pw.intField(4, _))
       }
-      s.foreach(str => lenDelim(vb, 3, str.getBytes("UTF-8")))
-      ets.foreach(e => { varint(vb, (4 << 3) | 0); varint(vb, e) })
-      lenDelim(out, 4, vb.toByteArray)
     }
-    out.toByteArray
+    w.result()
   }
 
   // ------------------------------------------------------------- Spark path

@@ -1,0 +1,308 @@
+package graft.wire
+
+import graft.api.Requests
+import graft.model.Variable
+import graft.operators.Aggregations
+
+/**
+ * Codec for the reference's RPC protos (lib/openinstrument.proto):
+ * GetRequest(91-111) / GetResponse(113-121) / AddRequest(123-129) /
+ * AddResponse(131-135) / ListRequest(137-146) / ListResponse(147-157),
+ * with payloads carried as base64(serialized proto) exactly like the
+ * reference servers (codec go/src/store.go:33-65, lib/protobuf.cc:35-47).
+ */
+object Rpc {
+
+  // ------------------------------------------------------ StreamVariable
+
+  def decodeStreamVariable(buf: Array[Byte], off: Int, len: Int): Variable = {
+    var name = ""
+    var labels = Map.empty[String, String]
+    var vtype = Variable.Unknown
+    val r = new WireReader(buf, off, off + len)
+    r.fields {
+      case (1, 2) => name = r.string()
+      case (2, 2) =>
+        val (lo, ln) = r.lenDelim()
+        val lr = new WireReader(buf, lo, lo + ln)
+        var k = ""; var v = ""
+        lr.fields {
+          case (1, 2) => k = lr.string()
+          case (2, 2) => v = lr.string()
+          case (_, w) => lr.skip(w)
+        }
+        if (k.nonEmpty) labels += k -> v
+      case (3, 0) => vtype = r.varint() match {
+        case 1 => Variable.Gauge; case 2 => Variable.Rate; case _ => Variable.Unknown
+      }
+      case (_, w) => r.skip(w)
+    }
+    Variable(name, labels, vtype)
+  }
+
+  def encodeStreamVariable(w: WireWriter, v: Variable): Unit = {
+    w.stringField(1, v.name)
+    v.labels.toSeq.sortBy(_._1).foreach { case (k, value) =>
+      w.msgField(2) { lw => lw.stringField(1, k); lw.stringField(2, value) }
+    }
+    w.intField(3, v.valueType match {
+      case Variable.Gauge => 1L; case Variable.Rate => 2L; case _ => 0L })
+  }
+
+  // --------------------------------------------------------- GetRequest
+
+  /** StreamMutation.sample_type → MutationSpec
+    * (enum at lib/openinstrument.proto:26-42). */
+  private def mutationSpec(sampleType: Long, freq: Long): Option[Requests.MutationSpec] =
+    sampleType match {
+      case 0 => if (freq > 0) Some(Requests.Interpolate(freq)) else None
+      case 1 => Some(Requests.Mean(freq))
+      case 2 => Some(Requests.MaxM(freq))
+      case 3 => Some(Requests.MinM(freq))
+      case 4 => Some(Requests.Rate())
+      case 5 => Some(Requests.RateSigned())
+      case 6 => Some(Requests.Delta)
+      case 7 => Some(Requests.Latest(freq))
+      case _ => None
+    }
+
+  private def aggType(t: Long): Aggregations.AggType = t match {
+    case 1 => Aggregations.Max; case 2 => Aggregations.Min
+    case 3 => Aggregations.Median; case 4 => Aggregations.Sum
+    case _ => Aggregations.Average
+  }
+
+  def decodeGetRequest(bytes: Array[Byte]): Requests.GetRequest = {
+    var variable: Option[Variable] = None
+    var minTs: Option[Long] = None
+    var maxTs: Option[Long] = None
+    var muts = Vector.empty[Requests.MutationSpec]
+    var agg: Option[Requests.AggregationSpec] = None
+    var maxVars: Option[Int] = None
+    var maxVals: Option[Int] = None
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (9, 2) =>
+        val (o, n) = r.lenDelim()
+        variable = Some(decodeStreamVariable(bytes, o, n))
+      case (2, 0) => minTs = Some(r.varint())
+      case (3, 0) => maxTs = Some(r.varint())
+      case (6, 2) =>
+        val (o, n) = r.lenDelim()
+        val mr = new WireReader(bytes, o, o + n)
+        var st = 0L; var freq = 0L
+        mr.fields {
+          case (1, 0) => st = mr.varint()
+          case (2, 0) => freq = mr.varint()
+          case (_, w) => mr.skip(w)
+        }
+        muts ++= mutationSpec(st, freq)
+      case (7, 2) =>
+        val (o, n) = r.lenDelim()
+        val ar = new WireReader(bytes, o, o + n)
+        var t = 0L; var labels = Vector.empty[String]
+        var interval = Aggregations.DefaultIntervalMs
+        ar.fields {
+          case (1, 0) => t = ar.varint()
+          case (2, 2) => labels :+= ar.string()
+          case (3, 0) => interval = ar.varint()
+          case (_, w) => ar.skip(w)
+        }
+        agg = Some(Requests.AggregationSpec(aggType(t), labels, interval))
+      case (8, 0) => maxVars = Some(r.varint().toInt)
+      case (11, 0) => maxVals = Some(r.varint().toInt)
+      case (_, w) => r.skip(w)
+    }
+    val v = variable.getOrElse(Variable(""))
+    Requests.GetRequest(patternString(v), minTs, maxTs, muts, agg, maxVars, maxVals)
+  }
+
+  /** Pattern string for VariableMatcher.compile — keeps empty-valued
+    * labels (k= means must-not-exist), unlike Variable.canonical. */
+  def patternString(v: Variable): String =
+    if (v.labels.isEmpty) v.name
+    else v.labels.toSeq.sortBy(_._1)
+      .map { case (k, value) => s"$k=$value" }
+      .mkString(v.name + "{", ",", "}")
+
+  def encodeGetRequest(req: Requests.GetRequest): Array[Byte] = {
+    val w = new WireWriter
+    w.msgField(9)(vw => encodeStreamVariable(vw, Variable.parse(req.variable)))
+    req.minTimestamp.foreach(w.intField(2, _))
+    req.maxTimestamp.foreach(w.intField(3, _))
+    req.mutations.foreach { m =>
+      val (st, freq) = m match {
+        case Requests.Interpolate(f, _) => (0L, f)
+        case Requests.Mean(f) => (1L, f)
+        case Requests.MaxM(f) => (2L, f)
+        case Requests.MinM(f) => (3L, f)
+        case Requests.Rate(_) => (4L, 0L)
+        case Requests.RateSigned(_) => (5L, 0L)
+        case Requests.Delta => (6L, 0L)
+        case Requests.Latest(f) => (7L, f)
+        case Requests.StdDev(f) => (1L, f) // no reference enum; closest
+        case Requests.Uniform(f) => (0L, f)
+      }
+      w.msgField(6) { mw =>
+        mw.intField(1, st)
+        if (freq > 0) mw.intField(2, freq)
+      }
+    }
+    req.aggregation.foreach { a =>
+      w.msgField(7) { aw =>
+        aw.intField(1, a.agg match {
+          case Aggregations.Max => 1L; case Aggregations.Min => 2L
+          case Aggregations.Median => 3L; case Aggregations.Sum => 4L
+          case _ => 0L })
+        a.labels.foreach(aw.stringField(2, _))
+        aw.intField(3, a.sampleIntervalMs)
+      }
+    }
+    req.maxVariables.foreach(n => w.intField(8, n))
+    req.maxValues.foreach(n => w.intField(11, n))
+    w.result()
+  }
+
+  // ------------------------------------------------ responses / streams
+
+  final case class Stream(
+      variable: Variable,
+      values: Seq[(Long, Option[Double], Option[String], Option[Long])])
+
+  private def encodeStream(w: WireWriter, s: Stream): Unit = {
+    w.msgField(2)(vw => encodeStreamVariable(vw, s.variable))
+    s.values.foreach { case (ts, dv, sv, ets) =>
+      w.msgField(4) { pw =>
+        pw.intField(1, ts)
+        dv.foreach(pw.doubleField(2, _))
+        sv.foreach(pw.stringField(3, _))
+        ets.foreach(pw.intField(4, _))
+      }
+    }
+  }
+
+  /** GetResponse{1: success, 2: errormessage, 3: repeated stream}. */
+  def encodeGetResponse(streams: Seq[Stream], error: Option[String] = None): Array[Byte] = {
+    val w = new WireWriter
+    w.boolField(1, error.isEmpty)
+    error.foreach(w.stringField(2, _))
+    streams.foreach(s => w.msgField(3)(sw => encodeStream(sw, s)))
+    w.result()
+  }
+
+  def decodeGetResponse(bytes: Array[Byte]): (Boolean, Option[String], Seq[Stream]) = {
+    var success = false
+    var err: Option[String] = None
+    var streams = Vector.empty[Stream]
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (1, 0) => success = r.varint() == 1
+      case (2, 2) => err = Some(r.string())
+      case (3, 2) =>
+        val (o, n) = r.lenDelim()
+        streams :+= decodeStream(bytes, o, n)
+      case (_, w) => r.skip(w)
+    }
+    (success, err, streams)
+  }
+
+  def decodeStream(buf: Array[Byte], off: Int, len: Int): Stream = {
+    var variable = Variable("")
+    var values = Vector.empty[(Long, Option[Double], Option[String], Option[Long])]
+    val r = new WireReader(buf, off, off + len)
+    r.fields {
+      case (2, 2) =>
+        val (o, n) = r.lenDelim()
+        variable = decodeStreamVariable(buf, o, n)
+      case (4, 2) =>
+        val (o, n) = r.lenDelim()
+        val vr = new WireReader(buf, o, o + n)
+        var ts = 0L; var dv: Option[Double] = None
+        var sv: Option[String] = None; var ets: Option[Long] = None
+        vr.fields {
+          case (1, 0) => ts = vr.varint()
+          case (2, 1) => dv = Some(java.lang.Double.longBitsToDouble(vr.fixed64()))
+          case (3, 2) => sv = Some(vr.string())
+          case (4, 0) => ets = Some(vr.varint())
+          case (_, w) => vr.skip(w)
+        }
+        values :+= ((ts, dv, sv, ets))
+      case (_, w) => r.skip(w)
+    }
+    Stream(variable, values)
+  }
+
+  /** AddRequest{1: repeated stream}. */
+  def decodeAddRequest(bytes: Array[Byte]): Seq[Stream] = {
+    var streams = Vector.empty[Stream]
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (1, 2) =>
+        val (o, n) = r.lenDelim()
+        streams :+= decodeStream(bytes, o, n)
+      case (_, w) => r.skip(w)
+    }
+    streams
+  }
+
+  def encodeAddRequest(streams: Seq[Stream]): Array[Byte] = {
+    val w = new WireWriter
+    streams.foreach(s => w.msgField(1)(sw => encodeStream(sw, s)))
+    w.result()
+  }
+
+  def encodeAddResponse(success: Boolean, error: Option[String] = None): Array[Byte] = {
+    val w = new WireWriter
+    w.boolField(1, success)
+    error.foreach(w.stringField(2, _))
+    w.result()
+  }
+
+  /** ListRequest{3: prefix StreamVariable, 2: max_variables, 4: max_age}. */
+  def decodeListRequest(bytes: Array[Byte]): Requests.ListRequest = {
+    var prefix = Variable("")
+    var maxVars: Option[Int] = None
+    var maxAge = 86400000L
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (3, 2) =>
+        val (o, n) = r.lenDelim()
+        prefix = decodeStreamVariable(bytes, o, n)
+      case (2, 0) => maxVars = Some(r.varint().toInt)
+      case (4, 0) => maxAge = r.varint()
+      case (_, w) => r.skip(w)
+    }
+    Requests.ListRequest(patternString(prefix), maxVars, maxAge)
+  }
+
+  def encodeListRequest(req: Requests.ListRequest): Array[Byte] = {
+    val w = new WireWriter
+    w.msgField(3)(vw => encodeStreamVariable(vw, Variable.parse(req.prefix)))
+    req.maxVariables.foreach(n => w.intField(2, n))
+    w.intField(4, req.maxAgeMs)
+    w.result()
+  }
+
+  /** ListResponse{1: success, 4: repeated variable}. */
+  def encodeListResponse(vars: Seq[Variable], error: Option[String] = None): Array[Byte] = {
+    val w = new WireWriter
+    w.boolField(1, error.isEmpty)
+    error.foreach(w.stringField(2, _))
+    vars.foreach(v => w.msgField(4)(vw => encodeStreamVariable(vw, v)))
+    w.result()
+  }
+
+  def decodeListResponse(bytes: Array[Byte]): (Boolean, Seq[Variable]) = {
+    var success = false
+    var vars = Vector.empty[Variable]
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (1, 0) => success = r.varint() == 1
+      case (4, 2) =>
+        val (o, n) = r.lenDelim()
+        vars :+= decodeStreamVariable(bytes, o, n)
+      case (_, w) => r.skip(w)
+    }
+    (success, vars)
+  }
+}
