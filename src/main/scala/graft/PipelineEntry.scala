@@ -84,10 +84,16 @@ object PipelineEntry {
     }),
     "e_cos_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4)),
-    // LSH is approximate by construction → no SQL oracle (rows-only check).
+    // LSH/IVF are approximate by construction → no SQL oracle
+    // (rows-only checks).
     "e_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "e_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 16, nprobe = 4, dim = 64)
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -108,6 +108,99 @@ object Ann {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- IVF
+
+  /**
+   * IVF (inverted-file) coarse quantizer: `nlist` centroids trained
+   * with a few Lloyd iterations over a deterministic sample, then the
+   * corpus is bucketed by nearest centroid and queries probe only the
+   * `nprobe` nearest lists. The standard ANN scale path when the
+   * corpus is too large for brute force and recall matters more than
+   * LSH's independence guarantees.
+   *
+   * Training is driver-side over a bounded sample (classic IVF: the
+   * coarse quantizer is tiny — nlist × dim doubles); assignment and
+   * search are distributed, shuffling only on the centroid id.
+   */
+  def trainCentroids(corpus: DataFrame, nlist: Int, dim: Int,
+                     sampleSize: Int = 4096, iters: Int = 5,
+                     vecCol: String = "embedding", seed: Long = 42L): Array[Array[Double]] = {
+    val sample = corpus.select(col(vecCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.tabulate(nlist)(i => sample(
+      if (i < sample.length) i else rnd.nextInt(sample.length)).clone())
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist, dim)(0.0)
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearest(v); counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    centroids
+  }
+
+  /** Column: index of the nearest (L2) centroid for `vec`. */
+  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
+    // argmin over squared L2 == argmax over (2·v·c − |c|²); dot is codegen'd
+    val scores = centroids.map { c =>
+      val cCol = array(c.map(lit): _*)
+      dot(vec, cCol) * 2.0 - lit(c.map(x => x * x).sum)
+    }
+    val best = greatest(scores: _*)
+    scores.zipWithIndex.foldRight(lit(-1): Column) { case ((s, i), el) =>
+      when(s === best, i).otherwise(el)
+    }
+  }
+
+  /**
+   * IVF cosine top-k: corpus bucketed by nearest centroid; each query
+   * probes its `nprobe` nearest lists. Output shape matches
+   * [[bruteTopK]]; recall < 1 by design (probed lists only).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, dim, vecCol = vecCol)
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm(col(vecCol)).as("nn"),
+      assignExpr(col(vecCol), centroids).as("list_id"))
+    // per-query probe set: nprobe nearest centroids (same score expr)
+    val probeScores = centroids.zipWithIndex.map { case (cent, i) =>
+      val cCol = array(cent.map(lit): _*)
+      struct((dot(col(vecCol), cCol) * 2.0 - lit(cent.map(x => x * x).sum)).as("s"),
+        lit(i).as("i"))
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qn"),
+        explode(slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe)
+          .getField("i")).as("list_id"))
+    c.join(q, "list_id")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /**
    * All-pairs near-duplicate detection by embedding cosine ≥
    * `threshold`. Exact variant blocks nothing (quadratic — only for

@@ -101,6 +101,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivf knn: high recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // three well-separated clusters in 8-d
+    val centers = Seq.fill(3)(Array.fill(8)(rnd.nextGaussian() * 5))
+    val emb = (0L until 120L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Ann.bruteTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, k = 5, nlist = 6, nprobe = 3, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("langid picks the dominant stopword language, unk below threshold") {
     val df = docs(
       (1L, "the cat and the dog is in a house of wonders"),
