@@ -119,7 +119,11 @@ object SparkEntry {
 
     // ------------------------------------------ stream infra ops (§2.3)
     "rle_encode" -> ((s, dir) => {
-      val df = pts(s, dir).withColumn("dval", floor(col("dval") / 50) * 50)
+      // double-payload RLE (the oracle's shape); sval runs are covered
+      // by RleSpec — events carry distinct props per row as sval, which
+      // would (correctly) break every run if left in
+      val df = pts(s, dir).drop("sval")
+        .withColumn("dval", floor(col("dval") / 50) * 50)
       unkey(Rle.encode(df)).select("name", "usr", "ts", "dval", "end_ts")
     }),
     "list_vars" -> ((s, dir) =>

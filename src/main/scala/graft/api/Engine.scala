@@ -116,8 +116,15 @@ object Engine {
     }
     // max_values keeps the LAST n per output series (go/src/store.go:151-153)
     req.maxValues.foreach { n =>
-      val key = if (req.aggregation.isEmpty) Seq(col("skey"))
-        else df.columns.filter(c => c != "ts" && c != "dval").map(col).toSeq
+      // MAP columns can't be window-partition keys; serialize them
+      val key =
+        if (req.aggregation.isEmpty) Seq(col("skey"))
+        else df.columns.filter(c => c != "ts" && c != "dval").map { c =>
+          df.schema(c).dataType match {
+            case _: org.apache.spark.sql.types.MapType => to_json(col(c))
+            case _ => col(c)
+          }
+        }.toSeq
       df = df.withColumn("__rn", row_number().over(
           Window.partitionBy(key: _*).orderBy(col("ts").desc)))
         .filter(col("__rn") <= n).drop("__rn")

@@ -18,13 +18,22 @@ import org.apache.spark.sql.functions._
  */
 object Rle {
 
-  /** Collapse equal consecutive `dval` runs per series (`skey`). */
+  /** Collapse equal consecutive value runs per series (`skey`).
+    * Run equality covers both payloads (double and string), null-safe —
+    * the reference RLEs string values the same way
+    * (go/.../openinstrument.go:88-96 compares the full value). */
   def encode(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("skey").orderBy("ts")
     val runW = Window.partitionBy("skey", "run")
+    val hasSval = df.columns.contains("sval")
+    val sameAsPrev =
+      if (hasSval)
+        lag("dval", 1).over(w) <=> col("dval") &&
+          lag("sval", 1).over(w) <=> col("sval") &&
+          (col("dval").isNotNull || col("sval").isNotNull)
+      else lag("dval", 1).over(w) <=> col("dval") && col("dval").isNotNull
     df.withColumn("chg",
-        when(lag("dval", 1).over(w).isNull ||
-             lag("dval", 1).over(w) =!= col("dval"), 1).otherwise(0))
+        when(row_number().over(w) === 1 || !sameAsPrev, 1).otherwise(0))
       .withColumn("run", sum("chg").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("run_start", min("ts").over(runW))
