@@ -96,17 +96,18 @@ object Engine {
         .orderBy("skey").limit(cap)
       df = df.join(broadcast(keep), "skey")
     }
+    // One row per series: the exact (name, labels) for each skey —
+    // re-attached after mutations that reduce to (skey, ts, dval).
+    // A join (broadcast; bounded by series count) rather than parsing
+    // skey back: the key's escaping makes string re-parsing lossy.
+    val seriesDim = df.select(col("skey"), col("name"), col("labels"))
+      .dropDuplicates("skey")
     df = req.mutations.foldLeft(df)((d, m) => m(d))
     req.aggregation.foreach { spec =>
-      // Grid/exact mutations reduce to (skey, ts, dval); re-derive the
-      // grouping columns from the canonical series key when needed.
-      if (!df.columns.contains("name"))
-        df = df.withColumn("name", regexp_extract(col("skey"), "^([^{]+)", 1))
-      if (spec.labels.nonEmpty && !df.columns.contains("labels"))
-        df = df.withColumn("labels",
-          when(col("skey").contains("{"),
-            expr("str_to_map(regexp_extract(skey, '\\\\{(.*)\\\\}', 1), ',', '=')"))
-          .otherwise(map().cast("map<string,string>")))
+      if (!df.columns.contains("name") ||
+          (spec.labels.nonEmpty && !df.columns.contains("labels")))
+        df = df.drop("name", "labels")
+          .join(broadcast(seriesDim), "skey")
       df = spec.labels match {
         case Nil => Aggregations.byName(df, spec.agg, spec.sampleIntervalMs)
         case ls => ls.map(l =>

@@ -54,29 +54,31 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
   server.createContext("/get", handler { bytes =>
     val req = Rpc.decodeGetRequest(bytes)
     val df = Engine.get(points(), req)
-    // materialize grouped by series, values time-ordered (the response
-    // shape of go/src/store.go:133-156)
+    // materialize grouped by output series, values time-ordered (the
+    // response shape of go/src/store.go:133-156). One stream per
+    // series: skey when present, else (name, labels) — a label
+    // aggregation yields one stream per distinct label value
+    // (server/store.cc:190-248), so labels MUST participate in the key.
     val rows = df.orderBy("ts").collect()
-    val hasSkey = df.columns.contains("skey")
+    val cols = df.columns.toSet
+    def opt[T](r: org.apache.spark.sql.Row, name: String): Option[T] =
+      if (cols.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.getAs[T](name))
+      else None
+    def variableOf(r: org.apache.spark.sql.Row): Variable =
+      Variable(
+        opt[String](r, "name").getOrElse(
+          Variable.parse(opt[String](r, "skey").getOrElse("")).name),
+        opt[Map[String, String]](r, "labels").getOrElse(
+          opt[String](r, "skey").map(Variable.parse(_).labels)
+            .getOrElse(Map.empty)))
     val streams = rows.groupBy { r =>
-        if (hasSkey) r.getAs[String]("skey") else r.getAs[String]("name")
+        opt[String](r, "skey").getOrElse(variableOf(r).canonical)
       }.toSeq.sortBy(_._1)
-      .map { case (key, rs) =>
-        val head = rs.head
-        val variable =
-          if (hasSkey) Variable.parse(key)
-          else Variable(head.getAs[String]("name"),
-            if (head.schema.fieldNames.contains("labels") &&
-                !head.isNullAt(head.fieldIndex("labels")))
-              head.getAs[Map[String, String]]("labels")
-            else Map.empty)
-        Rpc.Stream(variable, rs.toSeq.map { r =>
-          val dv = if (r.isNullAt(r.fieldIndex("dval"))) None
-            else Some(r.getAs[Double]("dval"))
-          val sv = if (r.schema.fieldNames.contains("sval") &&
-              !r.isNullAt(r.fieldIndex("sval"))) Some(r.getAs[String]("sval"))
-            else None
-          (r.getAs[Long]("ts"), dv, sv, None)
+      .map { case (_, rs) =>
+        Rpc.Stream(variableOf(rs.head), rs.toSeq.map { r =>
+          (r.getAs[Long]("ts"), opt[Double](r, "dval"),
+            opt[String](r, "sval"), opt[Long](r, "end_ts"))
         })
       }
     Rpc.encodeGetResponse(streams)

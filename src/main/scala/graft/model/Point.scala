@@ -51,7 +51,7 @@ object Point {
     def esc(c: Column): Column =
       regexp_replace(c, "([\\\\,={}])", "\\\\$1")
     concat(
-      name,
+      esc(name), // a name containing '{' must not fake a label block
       when(size(labels) > 0,
         concat(
           lit("{"),

@@ -63,8 +63,11 @@ object Variable {
 
   private[model] def quote(v: String): String =
     v.flatMap {
-      case c @ (',' | '"') => s"\\$c"
-      case c               => c.toString
+      // backslash must be escaped first-class: a value ending in '\'
+      // would otherwise escape the closing quote and corrupt the
+      // canonical form on re-parse
+      case c @ (',' | '"' | '\\') => s"\\$c"
+      case c                      => c.toString
     }
 
   /**

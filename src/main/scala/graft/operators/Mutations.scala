@@ -110,6 +110,10 @@ object Mutations {
     import spark.implicits._
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     df.select(col("skey"), col("ts"), col("dval"))
+      // string-valued points (null dval) are skipped by mutations, as
+      // in the reference (mutations.go:56-57); without this the
+      // primitive decode below throws on nulls
+      .filter(col("dval").isNotNull)
       .as[(String, Long, Double)]
       .repartition(parts, col("skey"))
       .sortWithinPartitions(col("skey"), col("ts"))

@@ -73,18 +73,30 @@ object Retention {
     val withKey =
       if (points.columns.contains("skey")) points
       else Point.withSeriesKey(points)
+    val outCols = Seq("name", "labels", "value_type", "ts", "dval",
+      "sval", "end_ts", "skey").map(col)
+    // series identity dim for re-attaching after downsample mutations
+    // (which reduce to skey/ts/dval); AQE picks the join strategy
+    val seriesDim = withKey
+      .select(col("skey"), col("name"), col("labels"), col("value_type"))
+      .dropDuplicates("skey")
     val tagged = withKey.withColumn("__policy", policyIndex(policy, nowMs))
     val parts = policy.items.zipWithIndex.collect {
       case (item, i) if item.policy == Keep =>
         val subset = tagged.filter(col("__policy") === i).drop("__policy")
-        item.mutations.foldLeft(subset)((d, m) => m(d))
+        if (item.mutations.isEmpty)
+          subset.select(outCols: _*) // kept verbatim, full schema
+        else
+          // downsampled points are synthetic doubles: sval/end_ts null
+          item.mutations.foldLeft(subset)((d, m) => m(d))
+            .select(col("skey"), col("ts"), col("dval"))
+            .join(seriesDim, "skey")
+            .withColumn("sval", lit(null).cast("string"))
+            .withColumn("end_ts", lit(null).cast("long"))
+            .select(outCols: _*)
     }
-    if (parts.isEmpty) tagged.filter(lit(false)).drop("__policy")
-    else parts.map(normalize).reduce(_ unionByName _)
+    if (parts.isEmpty)
+      withKey.select(outCols: _*).filter(lit(false))
+    else parts.reduce(_ unionByName _)
   }
-
-  /** Mutated subsets reduce to (skey, ts, dval); align all branches on
-    * the minimal common shape for the union. */
-  private def normalize(df: DataFrame): DataFrame =
-    df.select(col("skey"), col("ts"), col("dval"))
 }

@@ -74,7 +74,9 @@ object ProtoRecordFile {
         else {
           val size = (buf(pos + 2) & 0xFF) | ((buf(pos + 3) & 0xFF) << 8) |
             ((buf(pos + 4) & 0xFF) << 16) | ((buf(pos + 5) & 0xFF) << 24)
-          if (size < 0 || pos + 6 + size + 2 > buf.length) { pos += 1 }
+          // long arithmetic: a corrupt size near Int.MaxValue would
+          // overflow the bound check and crash instead of re-syncing
+          if (size < 0 || pos.toLong + 6L + size + 2L > buf.length) { pos += 1 }
           else {
             nextRec = (pos + 6, size)
             pos += 6 + size + 2

@@ -29,6 +29,9 @@ object StreamIngest {
       // batch path keeps them on a side channel)
       .filter(col("name").isNotNull && length(col("name")) >= 2 &&
         col("name").startsWith("/") && !col("name").rlike("\\s"))
+      // future-timestamp rejection (>1s drift), evaluated at batch
+      // time — the streaming analog of server/store.cc:414-444
+      .filter(col("ts") <= unix_millis(current_timestamp()) + 1000L)
       .withColumn("labels",
         when(map_contains_key(col("labels"), lit("hostname")), col("labels"))
           .otherwise(map_concat(coalesce(col("labels"), map()),
@@ -84,17 +87,27 @@ object StreamIngest {
       s =
         if (s.n == 0) UniformState(p.ts - p.ts % intervalMs, 1L, p.ts, p.dval, 1L)
         else {
+          // mirror UniformOp's outer loop exactly: after gap catch-up
+          // the on-grid equality case must be re-checked, or a point
+          // landing exactly on the grid after a gap is never emitted
+          // when the stream ends there
           var pointsOut = s.pointsOut
-          var next = s.base + intervalMs * pointsOut
-          if (p.ts == next) {
-            pointsOut += 1
-            out += OutPoint(key, p.ts, p.dval)
-          } else if (p.ts > next) {
-            while (p.ts > next) {
-              val nv = (p.dval - s.lastVal) / (p.ts - s.lastTs) * (next - s.lastTs) + s.lastVal
-              out += OutPoint(key, next, nv)
+          var done = false
+          while (!done) {
+            var next = s.base + intervalMs * pointsOut
+            if (p.ts == next) {
               pointsOut += 1
-              next = s.base + intervalMs * pointsOut
+              out += OutPoint(key, p.ts, p.dval)
+              done = true
+            } else if (p.ts < next) {
+              done = true
+            } else {
+              while (p.ts > next) {
+                val nv = (p.dval - s.lastVal) / (p.ts - s.lastTs) * (next - s.lastTs) + s.lastVal
+                out += OutPoint(key, next, nv)
+                pointsOut += 1
+                next = s.base + intervalMs * pointsOut
+              }
             }
           }
           UniformState(s.base, pointsOut, p.ts, p.dval, s.n + 1)

@@ -62,6 +62,23 @@ class HttpSpec extends SparkSpec {
       assert(aok && aggStreams.nonEmpty)
       assert(aggStreams.head.values.head._2.contains(100.0))
 
+      // /get aggregated BY LABEL: one stream per distinct label value
+      // (server/store.cc:190-248), each carrying its own label set
+      val addB = Rpc.encodeAddRequest(Seq(Rpc.Stream(
+        Variable("/http/counter", Map("host" -> "b"), Variable.Gauge),
+        Seq((1000L, Some(1.0), None, None), (2000L, Some(2.0), None, None)))))
+      post(srv.boundPort, "/add", addB)
+      val byLabel = Rpc.encodeGetRequest(Requests.GetRequest(
+        "/http/counter",
+        aggregation = Some(Requests.AggregationSpec(
+          Aggregations.Sum, Seq("host"), 10000L))))
+      val (bok, _, ls) = Rpc.decodeGetResponse(post(srv.boundPort, "/get", byLabel))
+      assert(bok)
+      val hosts = ls.map(_.variable.labels.get("host"))
+      assert(hosts.toSet == Set(Some("a"), Some("b")), ls.map(_.variable).toString)
+      val sumA = ls.find(_.variable.labels.get("host").contains("a")).get
+      assert(sumA.values.head._2.contains(100.0))
+
       // /list
       val listBody = Rpc.encodeListRequest(Requests.ListRequest("/http/*"))
       val (lok, vars) = Rpc.decodeListResponse(post(srv.boundPort, "/list", listBody))

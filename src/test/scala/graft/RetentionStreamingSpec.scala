@@ -54,7 +54,8 @@ class RetentionSpec extends SparkSpec {
         lit("GAUGE").as("value_type"), col("ts"), col("dval"),
         lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
     val out = Retention.apply(df, policy, now)
-      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+      .select("ts", "dval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
     // fresh point kept verbatim; two old points LATEST-downsampled to one
     // (value 7.0 at the bucket's last input ts); /other dropped
     assert(out == Set((now - 1000L, 1.0), (old + 1000L, 7.0)))
