@@ -37,9 +37,8 @@ object Dedup {
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame =
     df.withColumn("__toks", TextOps.tokens(col(textCol)))
-      .withColumn("__sh", TextOps.shingles(col("__toks"), n))
       .select(col(idCol).as("id"),
-        array_distinct(transform(col("__sh"), s => TextOps.h60(s))).as("sh"))
+        graft.functions.VectorOps.shingleHash60(col("__toks"), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /**
@@ -120,9 +119,10 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // cache: banded sketch feeds a self-join (candidate generation) and
-    // the shingle sets are re-joined for the exact verify
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    // banded (below) carries sh + band and feeds the self-join, so it
+    // is cached; sets itself has a single consumer chain — caching it
+    // would only add a serialization pass
+    val sets = shingleSets(df, idCol, textCol, n)
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
     val banded = sig.select(col("id"), col("sh"),
         explode(transform(sequence(lit(0), lit(bands - 1)),

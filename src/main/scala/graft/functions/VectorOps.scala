@@ -214,6 +214,69 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long])
     copy(child = newChild)
 }
 
+/**
+ * Fused shingle hasher: array<string> tokens → distinct array<long> of
+ * 60-bit md5-prefix hashes of word n-gram shingles, one native loop.
+ *
+ * Replaces `array_distinct(transform(shingles(toks, n), h60))`, whose
+ * per-shingle cost is ~10 µs (md5→hex-string alloc + NumberConverter
+ * `conv` + two HOF lambda dispatches); this runs the digest directly
+ * and reads the first 60 bits off the raw digest bytes (identical to
+ * parsing the first 15 hex chars). First-occurrence order preserved —
+ * the same order array_distinct and DuckDB's list_distinct keep, so
+ * oracles stay bit-identical.
+ */
+case class ShingleHash60(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hash60 requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val nToks = toks.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nToks >= n) {
+      val words = Array.tabulate(nToks)(i => toks.getUTF8String(i).toString)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= nToks - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes("UTF-8"))
+        // first 15 hex chars == first 60 bits of the digest
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+        out.add(v >>> 4)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Σ aᵢbᵢ in element order, double precision, codegen'd. */
   def dotProduct(a: Column, b: Column): Column =
@@ -228,4 +291,8 @@ object VectorOps {
   def minHashSignature(hashes: Column, params: Seq[(Long, Long)]): Column =
     GraftBridge.toColumn(MinHashSignature(GraftBridge.toExpression(hashes),
       params.map(_._1).toArray, params.map(_._2).toArray))
+
+  /** Distinct 60-bit hashes of word n-gram shingles, fused native pass. */
+  def shingleHash60(tokens: Column, n: Int): Column =
+    GraftBridge.toColumn(ShingleHash60(GraftBridge.toExpression(tokens), n))
 }
