@@ -52,10 +52,16 @@ object Rpc {
   // --------------------------------------------------------- GetRequest
 
   /** StreamMutation.sample_type → MutationSpec
-    * (enum at lib/openinstrument.proto:26-42). */
-  private def mutationSpec(sampleType: Long, freq: Long): Option[Requests.MutationSpec] =
+    * (enum at lib/openinstrument.proto:26-42). `maxGap` is
+    * max_gap_interpolate in SAMPLES (proto:45-51): gaps wider than
+    * maxGap·freq ms are left open. */
+  private def mutationSpec(sampleType: Long, freq: Long,
+                           maxGap: Long): Option[Requests.MutationSpec] =
     sampleType match {
-      case 0 => if (freq > 0) Some(Requests.Interpolate(freq)) else None
+      case 0 =>
+        if (freq > 0) Some(Requests.Interpolate(freq,
+          if (maxGap > 0) maxGap * freq else 0L))
+        else None
       case 1 => Some(Requests.Mean(freq))
       case 2 => Some(Requests.MaxM(freq))
       case 3 => Some(Requests.MinM(freq))
@@ -90,13 +96,14 @@ object Rpc {
       case (6, 2) =>
         val (o, n) = r.lenDelim()
         val mr = new WireReader(bytes, o, o + n)
-        var st = 0L; var freq = 0L
+        var st = 0L; var freq = 0L; var maxGap = 0L
         mr.fields {
           case (1, 0) => st = mr.varint()
           case (2, 0) => freq = mr.varint()
+          case (3, 0) => maxGap = mr.varint()
           case (_, w) => mr.skip(w)
         }
-        muts ++= mutationSpec(st, freq)
+        muts ++= mutationSpec(st, freq, maxGap)
       case (7, 2) =>
         val (o, n) = r.lenDelim()
         val ar = new WireReader(bytes, o, o + n)
