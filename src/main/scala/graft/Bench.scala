@@ -19,7 +19,9 @@ object Bench {
       SparkEntry.queries.get("list_vars")
         .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic order: stable attribution of warm-cache effects
+    // across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() materializes every output row (a plain .count()
       // lets the optimizer prune all projection work for select-only
@@ -30,7 +32,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

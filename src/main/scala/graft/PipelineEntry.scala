@@ -76,6 +76,11 @@ object PipelineEntry {
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(Tables.documents(s, dir))
         .withColumnRenamed("id", "doc_id")),
+    // Near-dup cluster collapse: connected components over the verified
+    // jaccard pairs; every member labeled with its component's min id.
+    "d_dup_groups" -> ((s, dir) =>
+      Dedup.duplicateGroups(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))),
 
     // -------------------------------------------------- similarity search
     "e_knn_brute" -> ((s, dir) => {
@@ -167,6 +172,18 @@ object PipelineEntry {
         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
         | FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "d_dup_groups" -> (T.replaceFirst("WITH ", "WITH RECURSIVE ") + ShingleHashCte +
+      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |  inter*1.0/(len(sa.s)+len(sb.s)-inter) AS jac
+        | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+        |e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
+        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.5),
+        |reach AS (SELECT DISTINCT a AS n, a AS m FROM e
+        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+        |SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n""".stripMargin),
     "d_simhash" -> (T +
       """, hs AS (SELECT doc_id,
         |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in t] AS h

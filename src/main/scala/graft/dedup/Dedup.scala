@@ -166,6 +166,43 @@ object Dedup {
       .select(col(idCol).as("id"), simhashFromHashes("__hs").as("sig"))
 
   /**
+   * Collapse near-duplicate clusters: connected components over a
+   * pair list, labeling every member with the minimum doc id of its
+   * component (the canonical representative a dedup pipeline keeps).
+   * Iterative min-label propagation — each round is one shuffle join
+   * on the edge list; rounds needed = graph diameter (tiny for dup
+   * clusters), with a convergence check so dense components don't
+   * over-iterate. Only documents that appear in `pairs` are returned.
+   */
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("grp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "b")
+          .withColumnRenamed("grp", "ngrp"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min("ngrp").as("ngrp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("grp"), coalesce(col("ngrp"), col("grp"))).as("grp"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.grp") =!= col("o.grp")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
+  }
+
+  /**
    * SimHash near-dup pairs: block on 4 × 15-bit bands of the signature
    * (any pair within Hamming distance `maxDist` ≤ 3 of each other
    * shares at least one exact band by pigeonhole when maxDist < 4),

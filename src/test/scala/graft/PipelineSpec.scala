@@ -101,6 +101,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("duplicateGroups: components collapse to min-id representative") {
+    import spark.implicits._
+    // two components: {1,2,3} (chain) and {7,9}; 5 is isolated (absent)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (7L, 9L, 0.95))
+      .toDF("id_a", "id_b", "jaccard")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("ivf knn: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
