@@ -65,6 +65,17 @@ object PipelineEntry {
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))),
 
+    // Corpus vocabulary stats: token -> document frequency + total
+    // count, top 50 (count desc, token asc) — the "what's in my
+    // training set" scan.
+    "t_vocab" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("tok", explode(TextOps.tokens(col("text"))))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50)),
+
     // ------------------------------------------------------ deduplication
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
@@ -144,6 +155,10 @@ object PipelineEntry {
         |  ELSE [list_min(h[i:i+3]) for i in range(1, len(h)-2)] END AS f
         | FROM hs)
         |SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w""".stripMargin),
+    "t_vocab" -> (T +
+      """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM x GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
     "d_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_dups
