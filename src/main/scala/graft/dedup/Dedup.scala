@@ -174,15 +174,21 @@ object Dedup {
    * clusters), with a convergence check so dense components don't
    * over-iterate. Only documents that appear in `pairs` are returned.
    */
-  def duplicateGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 1000): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("grp", col("id"))
+      .withColumn("grp", col("id")).cache()
+    // min-label propagation decreases labels monotonically, so it
+    // always converges within the component diameter; maxIters is a
+    // safety valve only — a silent cap would SPLIT components, so we
+    // fail loudly if it's ever hit
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
+    while (!converged) {
+      if (i >= maxIters) throw new IllegalStateException(
+        s"duplicateGroups did not converge in $maxIters iterations")
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "b")
           .withColumnRenamed("grp", "ngrp"), "b")
@@ -194,11 +200,13 @@ object Dedup {
         .cache()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.grp") =!= col("o.grp")).count()
+        .filter(col("n.grp") =!= col("o.grp")).count() // materializes next
+      labels.unpersist(false) // previous round no longer referenced
       labels = next
       converged = changed == 0
       i += 1
     }
+    edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
   }
 

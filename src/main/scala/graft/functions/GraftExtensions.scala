@@ -37,7 +37,33 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash60(hashes) takes 1 argument")
         SimHash60(children.head)
+      }),
+    (FunctionIdentifier("shingle_hash60"),
+      new ExpressionInfo(classOf[ShingleHash60].getName, "shingle_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "shingle_hash60(tokens, n) takes 2 arguments (n a literal int)")
+        ShingleHash60(children.head, foldableInt(children(1), "n"))
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "minhash_signature(hashes, k) takes 2 arguments (k a literal int)")
+        val params = graft.dedup.Dedup.hashParams(foldableInt(children(1), "k"))
+        MinHashSignature(children.head,
+          params.map(_._1).toArray, params.map(_._2).toArray)
       }))
+
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    }
+  }
 
   /** Registers the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -229,11 +229,14 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long])
 case class ShingleHash60(child: Expression, n: Int)
     extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"shingle_hash60 requires array<string>, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"shingle width n must be >= 1, got $n")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash60 requires array<string>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -54,7 +54,10 @@ object Rpc {
   /** StreamMutation.sample_type → MutationSpec
     * (enum at lib/openinstrument.proto:26-42). `maxGap` is
     * max_gap_interpolate in SAMPLES (proto:45-51): gaps wider than
-    * maxGap·freq ms are left open. */
+    * maxGap·freq ms are left open. DELIBERATE DIVERGENCE from the
+    * proto's `[default = 1]`: an absent field means unlimited fill
+    * here, matching the authoritative Go server, which ignores the
+    * field entirely (mutations.go:87-137 fills every gap). */
   private def mutationSpec(sampleType: Long, freq: Long,
                            maxGap: Long): Option[Requests.MutationSpec] =
     sampleType match {
@@ -138,21 +141,23 @@ object Rpc {
     req.minTimestamp.foreach(w.intField(2, _))
     req.maxTimestamp.foreach(w.intField(3, _))
     req.mutations.foreach { m =>
-      val (st, freq) = m match {
-        case Requests.Interpolate(f, _) => (0L, f)
-        case Requests.Mean(f) => (1L, f)
-        case Requests.MaxM(f) => (2L, f)
-        case Requests.MinM(f) => (3L, f)
-        case Requests.Rate(_) => (4L, 0L)
-        case Requests.RateSigned(_) => (5L, 0L)
-        case Requests.Delta => (6L, 0L)
-        case Requests.Latest(f) => (7L, f)
-        case Requests.StdDev(f) => (1L, f) // no reference enum; closest
-        case Requests.Uniform(f) => (0L, f)
+      val (st, freq, maxGapSamples) = m match {
+        case Requests.Interpolate(f, g) =>
+          (0L, f, if (g > 0 && f > 0) g / f else 0L)
+        case Requests.Mean(f) => (1L, f, 0L)
+        case Requests.MaxM(f) => (2L, f, 0L)
+        case Requests.MinM(f) => (3L, f, 0L)
+        case Requests.Rate(_) => (4L, 0L, 0L)
+        case Requests.RateSigned(_) => (5L, 0L, 0L)
+        case Requests.Delta => (6L, 0L, 0L)
+        case Requests.Latest(f) => (7L, f, 0L)
+        case Requests.StdDev(f) => (1L, f, 0L) // no reference enum; closest
+        case Requests.Uniform(f) => (0L, f, 0L)
       }
       w.msgField(6) { mw =>
         mw.intField(1, st)
         if (freq > 0) mw.intField(2, freq)
+        if (maxGapSamples > 0) mw.intField(3, maxGapSamples)
       }
     }
     req.aggregation.foreach { a =>

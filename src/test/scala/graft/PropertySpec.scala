@@ -83,5 +83,11 @@ class PropertySpec extends SparkSpec {
     assert(dp == 32.0)
     val sig = spark.sql("SELECT simhash60(array(7L, 7L, 8L))").head().getLong(0)
     assert(sig == 7L) // majority of {0b111,0b111,0b1000} per bit = 0b111
+    val sh = spark.sql("SELECT shingle_hash60(array('a','b','c','b','c'), 2)")
+      .head().getSeq[Long](0)
+    assert(sh.length == 3) // 'a b','b c','c b' distinct ('b c' repeats)
+    val mh = spark.sql("SELECT minhash_signature(array(1L, 2L, 3L), 4)")
+      .head().getSeq[Long](0)
+    assert(mh.length == 4 && mh.forall(_ >= 0))
   }
 }
