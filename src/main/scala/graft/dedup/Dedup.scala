@@ -174,10 +174,41 @@ object Dedup {
    * clusters), with a convergence check so dense components don't
    * over-iterate. Only documents that appear in `pairs` are returned.
    */
-  def duplicateGroups(pairs: DataFrame, maxIters: Int = 1000): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIters: Int = 1000,
+                      driverLimit: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().cache()
+    // Hybrid: dup-pair graphs are usually tiny relative to the corpus
+    // (bounded by near-dup density); below the limit a driver-side
+    // union-find is exact and avoids per-iteration job overhead. The
+    // distributed loop below is the path for genuinely huge graphs.
+    val nEdges = edges.count()
+    if (nEdges <= driverLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist(false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = es.iterator.map(_._1).toSet
+      return nodes.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("doc_id", "group_id")
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("grp", col("id")).cache()
     // min-label propagation decreases labels monotonically, so it

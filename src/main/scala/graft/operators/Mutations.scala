@@ -106,47 +106,73 @@ object Mutations {
    * series change — never materializes a series in memory.
    */
   def perSeries(df: DataFrame)(mk: () => StreamOp): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val spark = df.sparkSession
-    import spark.implicits._
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.select(col("skey"), col("ts"), col("dval"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.select(col("skey"), col("ts"), col("dval"))
       // string-valued points (null dval) are skipped by mutations, as
-      // in the reference (mutations.go:56-57); without this the
-      // primitive decode below throws on nulls
+      // in the reference (mutations.go:56-57)
       .filter(col("dval").isNotNull)
-      .as[(String, Long, Double)]
       .repartition(parts, col("skey"))
       .sortWithinPartitions(col("skey"), col("ts"))
-      .mapPartitions { it =>
-        new Iterator[(String, Long, Double)] {
-          private var curKey: String = null
-          private var op: StreamOp = null
-          private var pending: Iterator[(String, Long, Double)] = Iterator.empty
-          private def advance(): Unit = {
-            while (!pending.hasNext && (it.hasNext || op != null)) {
-              if (it.hasNext) {
-                val (k, ts, v) = it.next()
-                if (k != curKey) {
-                  val flushed =
-                    if (op != null) op.flush().map(p => (curKey, p._1, p._2)) else Nil
-                  op = mk()
-                  val fed = op.feed(ts, v).map(p => (k, p._1, p._2))
-                  curKey = k
-                  pending = flushed.iterator ++ fed.iterator
-                } else {
-                  pending = op.feed(ts, v).map(p => (curKey, p._1, p._2)).iterator
-                }
-              } else { // input exhausted: flush the last series once
-                pending = op.flush().map(p => (curKey, p._1, p._2)).iterator
-                op = null
+    val outSchema = StructType(Seq(
+      StructField("skey", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("dval", DoubleType, nullable = false)))
+    // InternalRow level: the skey UTF8String is compared/emitted
+    // without a JVM-String round-trip — at millions of output rows
+    // the encoder conversions dominated this operator
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private var curKey: org.apache.spark.unsafe.types.UTF8String = null
+        private var op: StreamOp = null
+        private var pending: Iterator[(Long, Double)] = Iterator.empty
+        private def row(ts: Long, v: Double): InternalRow =
+          new GenericInternalRow(Array[Any](curKey, ts, v))
+        private var flushedKey: org.apache.spark.unsafe.types.UTF8String = null
+        private var flushed: Iterator[(Long, Double)] = Iterator.empty
+        private def advance(): Unit = {
+          while (!pending.hasNext && !flushed.hasNext &&
+              (it.hasNext || op != null)) {
+            if (it.hasNext) {
+              val r = it.next() // unsafe row buffer is reused: copy key
+              val k = r.getUTF8String(0)
+              val ts = r.getLong(1)
+              val v = r.getDouble(2)
+              if (curKey == null || !k.equals(curKey)) {
+                if (op != null) { flushedKey = curKey; flushed = op.flush().iterator }
+                op = mk()
+                curKey = k.clone()
+                pending = op.feed(ts, v).iterator
+              } else {
+                pending = op.feed(ts, v).iterator
               }
+            } else { // input exhausted: flush the last series once
+              flushedKey = curKey
+              flushed = op.flush().iterator
+              op = null
             }
           }
-          override def hasNext: Boolean = { advance(); pending.hasNext }
-          override def next(): (String, Long, Double) = { advance(); pending.next() }
+        }
+        override def hasNext: Boolean = {
+          advance(); pending.hasNext || flushed.hasNext
+        }
+        override def next(): InternalRow = {
+          advance()
+          if (flushed.hasNext) {
+            val (ts, v) = flushed.next()
+            new GenericInternalRow(Array[Any](flushedKey, ts, v))
+          } else {
+            val (ts, v) = pending.next()
+            row(ts, v)
+          }
         }
       }
-      .toDF("skey", "ts", "dval")
+    }
+    GraftBridge.internalCreateDataFrame(spark, rdd, outSchema)
   }
 
   // --------------------------------------------------------- exact ops

@@ -106,9 +106,14 @@ class PipelineSpec extends SparkSpec {
     // two components: {1,2,3} (chain) and {7,9}; 5 is isolated (absent)
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (7L, 9L, 0.95))
       .toDF("id_a", "id_b", "jaccard")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
     val groups = Dedup.duplicateGroups(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(groups == expected)
+    // distributed label-propagation path (driverLimit=0 forces it)
+    val dist = Dedup.duplicateGroups(pairs, driverLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
   }
 
   test("ivf knn: high recall vs brute force on clustered data") {
