@@ -54,8 +54,9 @@ object ApiEntry {
       unkey(Mutations.resampleUniform(Point.withSeriesKey(pts(s, dir)), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
-    // Go Interpolate (mutations.go:87-137): bracket-skipping state is
-    // inherently sequential -> no SQL oracle (rows-only check).
+    // Go Interpolate (mutations.go:87-137). The sequential skip rule
+    // reduces to "consume the first point of each H-bucket", so the
+    // whole op is SQL-expressible (see oracle below).
     "m_interpolate" -> ((s, dir) =>
       unkey(Mutations.interpolate(Point.withSeriesKey(pts(s, dir)), H))
         .select(col("name"), col("usr"), col("ts"),
@@ -141,6 +142,34 @@ object ApiEntry {
     "api_list" -> (P +
       s"""SELECT DISTINCT name, usr FROM pts
          |WHERE ts >= ${NowMs - 86400000L}""".stripMargin),
+    // InterpolateOp consumes a point iff its floor(ts/H) bucket is later
+    // than the last consumed point's bucket (skipped points never update
+    // state), i.e. consumed = first point per (series, bucket). Brackets
+    // run between consecutive consumed points; the FIRST bracket's left
+    // endpoint uses the floor-aligned anchor timestamp (mutations.go:97-104)
+    // while grid emission always starts at floor(prev_ts/H)*H + H.
+    "m_interpolate" -> (P +
+      """, cons AS (SELECT name, usr, ts, dval,
+        |  row_number() OVER (PARTITION BY name, usr, ts // 3600000
+        |                     ORDER BY ts) AS rn
+        |  FROM pts),
+        |pr AS (SELECT name, usr, ts, dval,
+        |  lag(ts) OVER w AS lts0, lag(dval) OVER w AS lv,
+        |  row_number() OVER w AS rn2
+        |  FROM cons WHERE rn = 1
+        |  WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
+        |br AS (SELECT name, usr, ts AS ts0, dval, lv, lts0,
+        |  CASE WHEN rn2 = 2 THEN lts0 - lts0 % 3600000 ELSE lts0 END AS lts
+        |  FROM pr WHERE lts0 IS NOT NULL),
+        |g AS (SELECT name, usr, ts0, dval, lv, lts,
+        |  3600000 * unnest(range(lts0 // 3600000 + 1, ts0 // 3600000 + 1)) AS gts
+        |  FROM br)
+        |SELECT name, usr, gts AS ts,
+        | round(lv + (dval - lv) * ((gts - lts) / (ts0 - lts)), 4) AS dval
+        |FROM g
+        |UNION ALL
+        |SELECT name, usr, ts, round(dval, 4) AS dval
+        |FROM pr WHERE rn2 = 1 AND ts % 3600000 = 0""".stripMargin),
     "m_uniform" -> (P +
       """, b AS (SELECT name, usr, min(ts) - (min(ts) % 3600000) AS base
         |  FROM pts GROUP BY name, usr),

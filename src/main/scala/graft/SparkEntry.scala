@@ -122,8 +122,10 @@ object SparkEntry {
       // double-payload RLE (the oracle's shape); sval runs are covered
       // by RleSpec — events carry distinct props per row as sval, which
       // would (correctly) break every run if left in
+      // cast: Spark floor() yields LONG but DuckDB's yields DOUBLE, and
+      // the driver's compare hashes the string forms ("0" vs "0.0")
       val df = pts(s, dir).drop("sval")
-        .withColumn("dval", floor(col("dval") / 50) * 50)
+        .withColumn("dval", (floor(col("dval") / 50) * 50).cast("double"))
       unkey(Rle.encode(df)).select("name", "usr", "ts", "dval", "end_ts")
     }),
     "list_vars" -> ((s, dir) =>
