@@ -98,10 +98,16 @@ object PipelineEntry {
       val emb = Tables.embeddings(s, dir)
       Ann.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // Exact all-pairs: the recall oracle for e_lsh_pairs (quadratic —
+    // verification-scale only; the 100 TB dedup path is e_lsh_pairs).
     "e_cos_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4)),
-    // LSH/IVF are approximate by construction → no SQL oracle
-    // (rows-only checks).
+    // LSH-blocked near-dup pairs: the planes are seed-deterministic, so
+    // the oracle embeds the same coefficients → fully hash-checkable.
+    "e_lsh_pairs" -> ((s, dir) =>
+      Ann.lshPairs(Tables.embeddings(s, dir), threshold = 0.4)),
+    // IVF/LSH top-k are approximate by construction (training sample
+    // order-dependent) → rows-only checks.
     "e_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -224,5 +230,31 @@ object PipelineEntry {
         |  list_inner_product(a.v, b.v)
         |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin,
+    "e_lsh_pairs" -> lshPairsOracle)
+
+  /** DuckDB mirror of Ann.lshPairs: the fixed-seed plane coefficients
+    * are interpolated into the SQL, one per-table signature column, so
+    * the candidate predicate (signature match in ≥1 table) and the
+    * exact verification both replicate bit-for-bit. */
+  private def lshPairsOracle: String = {
+    val hp = Ann.hyperplanes(tables = 8, planes = 6, dim = 64, seed = 42L)
+    val sigCols = hp.zipWithIndex.map { case (tp, t) =>
+      val terms = tp.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$terms AS s_$t"
+    }.mkString(",\n ")
+    val anyMatch = hp.indices.map(t => s"a.s_$t = b.s_$t").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       | $sigCols
+       | FROM e),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_inner_product(a.v, b.v)
+       |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+       | FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($anyMatch))
+       |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin
+  }
 }

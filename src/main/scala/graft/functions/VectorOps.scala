@@ -280,6 +280,200 @@ case class ShingleHash60(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/**
+ * Top-`nprobe` nearest centroids (squared L2, via argmax of
+ * 2·v·c − |c|²) for an embedding against a centroid matrix.
+ *
+ * The matrix rides in the expression as a flat `double[]` reference
+ * object (`ctx.addReferenceObj`), NOT as literal trees: the generated
+ * code is two fixed loops whatever `nlist` is, each score is computed
+ * exactly once, and the matrix ships with the (torrent-broadcast) task
+ * binary — the round-2 verdict's fix for plan/codegen size growing
+ * with nlist×dim and every score being evaluated twice.
+ *
+ * Ties break to the lower centroid index (first argmax wins).
+ */
+case class TopCentroids(child: Expression, centroids: Array[Double],
+                        dim: Int, nprobe: Int) extends UnaryExpression {
+
+  private def nlist: Int = centroids.length / dim
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (dim < 1 || nprobe < 1 || centroids.isEmpty || centroids.length % dim != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_centroids: need dim>=1, nprobe>=1, |centroids| a multiple of dim")
+    else child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"top_centroids requires array<float|double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  /** |c|² per centroid, precomputed once per executor. */
+  @transient private lazy val normSq: Array[Double] = {
+    val out = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = centroids(c * dim + i); s += x * x; i += 1 }
+      out(c) = s; c += 1
+    }
+    out
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    val f = isFloat
+    while (i < n) { v(i) = if (f) vec.getFloat(i).toDouble else vec.getDouble(i); i += 1 }
+    val scores = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0; var j = 0
+      while (j < n) { d += v(j) * centroids(c * dim + j); j += 1 }
+      scores(c) = d * 2.0 - normSq(c)
+      c += 1
+    }
+    val k = math.min(nprobe, nlist)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nlist)
+    var r = 0
+    while (r < k) {
+      var best = -1; var bestS = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nlist) {
+        if (!used(c2) && scores(c2) > bestS) { bestS = scores(c2); best = c2 }
+        c2 += 1
+      }
+      used(best) = true; out(r) = best; r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[]")
+    val nRef = ctx.addReferenceObj("ivfNormSq", normSq, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val v = ctx.freshName("v")
+      val scores = ctx.freshName("scores"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val r = ctx.freshName("r")
+      val best = ctx.freshName("best"); val bestS = ctx.freshName("bestS")
+      val k = ctx.freshName("k")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $v = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) $v[$i] = (double) $a.$get($i);
+         |int ${k}NList = $nRef.length;
+         |double[] $scores = new double[${k}NList];
+         |for (int $c = 0; $c < ${k}NList; $c++) {
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) $d += $v[$j] * $cRef[$c * $dim + $j];
+         |  $scores[$c] = $d * 2.0 - $nRef[$c];
+         |}
+         |int $k = java.lang.Math.min($nprobe, ${k}NList);
+         |int[] $out = new int[$k];
+         |boolean[] $used = new boolean[${k}NList];
+         |for (int $r = 0; $r < $k; $r++) {
+         |  int $best = -1; double $bestS = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < ${k}NList; $c++) {
+         |    if (!$used[$c] && $scores[$c] > $bestS) { $bestS = $scores[$c]; $best = $c; }
+         |  }
+         |  $used[$best] = true; $out[$r] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Sign-random-projection signature: bit i of the result is set iff
+ * vec · planes[i] ≥ 0. The plane matrix (nPlanes × dim, flat) is a
+ * reference object, so codegen is one fixed nested loop instead of
+ * nPlanes separate dot-product trees each evaluated per row.
+ */
+case class LshSignature(child: Expression, planes: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  private def nPlanes: Int = planes.length / dim
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (dim < 1 || planes.isEmpty || planes.length % dim != 0 || nPlanes > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"lsh_signature: need dim>=1, |planes| a multiple of dim, <=63 planes")
+    else child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lsh_signature requires array<float|double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    val f = isFloat
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0.0; var i = 0
+      while (i < n) {
+        val vi = if (f) vec.getFloat(i).toDouble else vec.getDouble(i)
+        d += vi * planes(p * dim + i)
+        i += 1
+      }
+      if (d >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val np = ctx.freshName("np")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $np = $pRef.length / $dim;
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $np; $p++) {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $d += ((double) $a.$get($i)) * $pRef[$p * $dim + $i];
+         |  }
+         |  if ($d >= 0) $sig |= 1L << $p;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorOps {
   /** Σ aᵢbᵢ in element order, double precision, codegen'd. */
   def dotProduct(a: Column, b: Column): Column =
@@ -298,4 +492,18 @@ object VectorOps {
   /** Distinct 60-bit hashes of word n-gram shingles, fused native pass. */
   def shingleHash60(tokens: Column, n: Int): Column =
     GraftBridge.toColumn(ShingleHash60(GraftBridge.toExpression(tokens), n))
+
+  /** Indices of the `nprobe` nearest (L2) centroids, best first. */
+  def topCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val dim = centroids.head.length
+    GraftBridge.toColumn(TopCentroids(GraftBridge.toExpression(vec),
+      centroids.flatten, dim, nprobe))
+  }
+
+  /** Sign-random-projection bit signature against a plane matrix. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val dim = planes.head.length
+    GraftBridge.toColumn(LshSignature(GraftBridge.toExpression(vec),
+      planes.flatten, dim))
+  }
 }

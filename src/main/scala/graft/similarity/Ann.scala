@@ -62,21 +62,22 @@ object Ann {
 
   /**
    * Deterministic pseudo-random hyperplanes: `tables × planes × dim`
-   * coefficients from a fixed-seed generator, shipped as a literal
-   * (tiny: tables*planes*dim doubles).
+   * coefficients from a fixed-seed generator. Shipped inside the
+   * [[graft.functions.LshSignature]] expression as a reference object
+   * (broadcast with the task binary), not as plan literals — codegen
+   * size stays O(1) in tables×planes×dim. `private[graft]` so the
+   * DuckDB oracle can embed the same coefficients.
    */
-  private def hyperplanes(tables: Int, planes: Int, dim: Int,
-                          seed: Long): Array[Array[Array[Double]]] = {
+  private[graft] def hyperplanes(tables: Int, planes: Int, dim: Int,
+                                 seed: Long): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, planes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit signature of `vec` against one table's planes. */
+  /** Sign-bit signature of `vec` against one table's planes (fused
+    * native pass; bit i = sign of vec·planes(i)). */
   private def signature(vec: Column, tplanes: Array[Array[Double]]): Column =
-    tplanes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
-      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.VectorOps.lshSignature(vec, tplanes)
 
   /**
    * Approximate cosine top-k via sign-random-projection LSH. Recall
@@ -84,20 +85,26 @@ object Ann {
    * shape matches [[bruteTopK]]; queries with no bucket-mates in any
    * table produce fewer than `k` rows (or none) — approximate by design.
    */
+  /** One row per (input row, table): table-tagged signature bucket. */
+  private def lshBuckets(df: DataFrame, hp: Array[Array[Array[Double]]],
+                         idCol: String, vecCol: String,
+                         id: String, vec: String, nrm: String): DataFrame = {
+    val tables = hp.length
+    df.select((0 until tables).map(t =>
+        concat(lit(t + ":"), signature(col(vecCol), hp(t)).cast("string"))
+          .as(s"b$t")) :+ col(idCol).as(id) :+ col(vecCol).as(vec) :+
+        norm(col(vecCol)).as(nrm): _*)
+      .withColumn("bucket", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
+      .select(id, vec, nrm, "bucket")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, planes: Int = 6, dim: Int = 64,
               seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val hp = hyperplanes(tables, planes, dim, seed)
-    def bucketed(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
-      df.select((0 until tables).map(t =>
-          concat(lit(t + ":"), signature(col(vecCol), hp(t)).cast("string"))
-            .as(s"b$t")) :+ col(idCol).as(id) :+ col(vecCol).as(vec) :+
-          norm(col(vecCol)).as(nrm): _*)
-        .withColumn("bucket", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
-        .select(id, vec, nrm, "bucket")
-    val c = bucketed(corpus, "nid", "nvec", "nn")
-    val q = bucketed(queries, "qid", "qvec", "qn")
+    val c = lshBuckets(corpus, hp, idCol, vecCol, "nid", "nvec", "nn")
+    val q = lshBuckets(queries, hp, idCol, vecCol, "qid", "qvec", "qn")
     c.join(q, "bucket")
       .filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid")
@@ -157,41 +164,29 @@ object Ann {
     centroids
   }
 
-  /** Column: index of the nearest (L2) centroid for `vec`. */
-  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    // argmin over squared L2 == argmax over (2·v·c − |c|²); dot is codegen'd
-    val scores = centroids.map { c =>
-      val cCol = array(c.map(lit): _*)
-      dot(vec, cCol) * 2.0 - lit(c.map(x => x * x).sum)
-    }
-    val best = greatest(scores: _*)
-    scores.zipWithIndex.foldRight(lit(-1): Column) { case ((s, i), el) =>
-      when(s === best, i).otherwise(el)
-    }
-  }
-
   /**
    * IVF cosine top-k: corpus bucketed by nearest centroid; each query
    * probes its `nprobe` nearest lists. Output shape matches
    * [[bruteTopK]]; recall < 1 by design (probed lists only).
+   *
+   * Centroid scoring runs inside one native
+   * [[graft.functions.TopCentroids]] expression: the matrix is data
+   * carried by the expression (broadcast with the task binary), each
+   * score is computed once, and generated-code size is independent of
+   * `nlist` — at a real nlist (thousands) the previous literal-tree
+   * form would blow past JIT method limits.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = trainCentroids(corpus, nlist, dim, vecCol = vecCol)
+    import graft.functions.VectorOps.topCentroids
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       norm(col(vecCol)).as("nn"),
-      assignExpr(col(vecCol), centroids).as("list_id"))
-    // per-query probe set: nprobe nearest centroids (same score expr)
-    val probeScores = centroids.zipWithIndex.map { case (cent, i) =>
-      val cCol = array(cent.map(lit): _*)
-      struct((dot(col(vecCol), cCol) * 2.0 - lit(cent.map(x => x * x).sum)).as("s"),
-        lit(i).as("i"))
-    }
+      topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qn"),
-        explode(slice(reverse(array_sort(array(probeScores: _*))), 1, nprobe)
-          .getField("i")).as("list_id"))
+        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
     c.join(q, "list_id")
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
@@ -214,6 +209,30 @@ object Ann {
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       norm(col(vecCol)).as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /**
+   * LSH-blocked near-duplicate pairs — the 100 TB path for
+   * embedding-cosine dedup. Candidates are pairs sharing a signature
+   * bucket in ≥1 of `tables` independent tables (candidate volume
+   * ~n·bucket_size per table, never all-pairs); candidates are then
+   * verified with the exact cosine and thresholded. Output is a
+   * deterministic subset of [[cosinePairs]] (same seed → same planes);
+   * recall grows with `tables`, bucket size shrinks with `planes`.
+   */
+  def lshPairs(corpus: DataFrame, threshold: Double,
+               tables: Int = 8, planes: Int = 6, dim: Int = 64,
+               seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim, seed)
+    val a = lshBuckets(corpus, hp, idCol, vecCol, "id_a", "va", "na")
+    val b = lshBuckets(corpus, hp, idCol, vecCol, "id_b", "vb", "nb")
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

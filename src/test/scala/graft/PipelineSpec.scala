@@ -101,6 +101,48 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lshPairs: deterministic subset of exact cosinePairs, decent recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // pairs of near-identical vectors so high-sim pairs exist
+    val emb = (0L until 40L).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextGaussian())
+      Seq((2 * i, base.map(_.toFloat)),
+        (2 * i + 1, base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.cosinePairs(emb, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Ann.lshPairs(emb, threshold = 0.8, tables = 6, planes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // subset with identical sims
+    lsh.foreach { case (k, v) => assert(exact.contains(k) && exact(k) == v) }
+    // the 80 planted near-identical pairs are nearly all recovered
+    val planted = (0L until 40L).map(i => (2 * i, 2 * i + 1)).filter(exact.contains)
+    val hit = planted.count(lsh.contains)
+    assert(hit.toDouble / planted.size >= 0.9, s"recall $hit/${planted.size}")
+    // run twice: seed-deterministic
+    val again = Ann.lshPairs(emb, threshold = 0.8, tables = 6, planes = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == lsh.keySet)
+  }
+
+  test("topCentroids: argmin matches a reference scan, best-first order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val centroids = Array.fill(5)(Array.fill(4)(rnd.nextGaussian()))
+    val vecs = (0L until 30L).map(i => (i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select($"vec_id",
+        graft.functions.VectorOps.topCentroids($"embedding", centroids, 3).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val d2 = centroids.map(c =>
+        c.zip(v.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val expect = d2.zipWithIndex.sortBy(_._1).map(_._2).take(3).toSeq
+      assert(got(id) == expect, s"vec $id: ${got(id)} vs $expect")
+    }
+  }
+
   test("duplicateGroups: components collapse to min-id representative") {
     import spark.implicits._
     // two components: {1,2,3} (chain) and {7,9}; 5 is isolated (absent)
