@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.Aggregations
+
+/**
+ * The greedy ±interval bucketing (lib/protobuf.cc:49-85) is implemented
+ * as a single-pass anchor cascade (Aggregations.GreedyMerge); this spec
+ * checks it against a direct transcription of the reference's pass-based
+ * loop on randomized multi-stream inputs.
+ */
+class AggregationsSpec extends SparkSpec {
+
+  /** Direct transcription of ValueStreamCalculation's pass loop
+    * (lib/protobuf.cc:49-85): k buffered iterators, anchor from the
+    * first alive stream, head-only consumption, trailing bucket dropped. */
+  private def passBased(streams: Seq[Seq[(Long, Double)]], intervalMs: Long,
+                        calc: Seq[Double] => Double): Seq[(Long, Double)] = {
+    val iters = streams.map(_.iterator.buffered)
+    val out = List.newBuilder[(Long, Double)]
+    val bucket = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val NoAnchor = Long.MinValue
+    var ts = NoAnchor
+    var go = true
+    while (go) {
+      var found = false
+      var foundBracket = false
+      iters.foreach { i =>
+        if (i.hasNext) {
+          found = true
+          if (ts == NoAnchor) ts = i.head._1
+          if (i.head._1 >= ts - intervalMs && i.head._1 <= ts + intervalMs) {
+            foundBracket = true
+            bucket += i.next()._2
+          }
+        }
+      }
+      if (!found) go = false
+      else if (!foundBracket && bucket.nonEmpty) {
+        out += ((ts, calc(bucket.toSeq)))
+        bucket.clear(); ts = NoAnchor
+      }
+    }
+    out.result()
+  }
+
+  private val calcs: Map[String, Seq[Double] => Double] = Map(
+    "avg" -> (b => b.sum / b.size),
+    "sum" -> (_.sum),
+    "min" -> (_.min),
+    "max" -> (_.max),
+    "median" -> (b => b.sorted.apply(b.size / 2)))
+
+  test("greedyExact cascade matches the pass-based reference loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6; agg <- calcs.keys) {
+      val nStreams = 1 + rnd.nextInt(5)
+      val streams = (0 until nStreams).map { _ =>
+        val n = 1 + rnd.nextInt(40)
+        var t = rnd.nextInt(500).toLong
+        (0 until n).map { _ =>
+          t += rnd.nextInt(200)
+          (t, rnd.nextGaussian() * 10)
+        }
+      }
+      val expect = passBased(streams, 100L, calcs(agg))
+      val rows = streams.zipWithIndex.flatMap { case (vs, s) =>
+        vs.map { case (t, v) => ("/g", f"s$s%03d", t, v) }
+      }
+      val got = Aggregations
+        .greedyExact(rows.toDF("name", "skey", "ts", "dval"), 100L, agg)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val g = got.sortBy(p => (p._1, p._2))
+      val e = expect.sortBy(p => (p._1, p._2))
+      assert(g.size == e.size, s"trial $trial agg $agg: ${g.size} vs ${e.size}")
+      g.zip(e).foreach { case ((gt, gv), (et, ev)) =>
+        assert(gt == et && math.abs(gv - ev) < 1e-9,
+          s"trial $trial agg $agg: ($gt,$gv) vs ($et,$ev)")
+      }
+    }
+  }
+
+  test("greedyExact: stuck values surface only after earlier streams exhaust") {
+    import spark.implicits._
+    // s1=[100,200], s2=[10,210], I=30: 10 is stuck behind both s1 anchors,
+    // surfaces as its own anchor, and blocks 210 from joining bucket(200).
+    val rows = Seq(
+      ("/g", "s1", 100L, 1.0), ("/g", "s1", 200L, 2.0),
+      ("/g", "s2", 10L, 3.0), ("/g", "s2", 210L, 4.0))
+    val got = Aggregations
+      .greedyExact(rows.toDF("name", "skey", "ts", "dval"), 30L, "avg")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    // trailing bucket (210) dropped, as the reference does
+    assert(got == Seq((10L, 3.0), (100L, 1.0), (200L, 2.0)))
+  }
+
+  test("greedyExact by label keys on the label value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("/g", "s1", 0L, 1.0, Map("host" -> "a")),
+      ("/g", "s2", 10L, 3.0, Map("host" -> "a")),
+      ("/g", "s3", 0L, 10.0, Map("host" -> "b")),
+      ("/g", "s4", 5000L, 0.0, Map("host" -> "a")),
+      ("/g", "s5", 5000L, 0.0, Map("host" -> "b")))
+    val got = Aggregations
+      .greedyExact(rows.toDF("name", "skey", "ts", "dval", "labels"),
+        100L, "avg", label = Some("host"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("/g a", 0L, 2.0), ("/g b", 0L, 10.0)))
+  }
+}
