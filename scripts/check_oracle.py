@@ -20,6 +20,8 @@ def h(df):
 
 fails = []
 for name, sql in sorted(oracle.items()):
+    if name.endswith('.parquet'):
+        continue  # doubled driver-lookup key; same SQL as the bare name
     try:
         odf = con.execute(sql).fetchdf()
         sdf = pd.concat([pd.read_parquet(p) for p in glob.glob(f'{out}/{name}.parquet/*.parquet')], ignore_index=True)

@@ -36,9 +36,22 @@ object ApiEntry {
       Engine.get(pts(s, dir), Requests.GetRequest(
           variable = "/events/*",
           mutations = Seq(Requests.Rate(), Requests.Mean(H)),
-          aggregation = Some(Requests.AggregationSpec(
+          aggregations = Seq(Requests.AggregationSpec(
             Aggregations.Average, Nil, H))))
         .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
+    // Repeated aggregations (repeated StreamAggregation,
+    // lib/openinstrument.proto:105): each one appends its own output
+    // streams in request order (server/store.cc:164-252 loops over
+    // req.aggregation()) — here SUM by name plus AVERAGE by `user`.
+    "api_get_multi" -> ((s, dir) =>
+      Engine.get(pts(s, dir), Requests.GetRequest(
+          variable = "/events/*",
+          aggregations = Seq(
+            Requests.AggregationSpec(Aggregations.Sum, Nil, H),
+            Requests.AggregationSpec(Aggregations.Average, Seq("user"), H))))
+        .select(col("name"),
+          element_at(col("labels"), "user").as("usr"),
+          col("ts"), round(col("dval"), 4).as("dval"))),
     // Limits: series cap (max_variables) + per-series tail (max_values).
     "api_get_limits" -> ((s, dir) =>
       unkey(Engine.get(pts(s, dir), Requests.GetRequest(
@@ -131,6 +144,13 @@ object ApiEntry {
         |  FROM r GROUP BY name, usr, ts - ts % 3600000)
         |SELECT name, ts - ts % 3600000 AS ts, round(avg(dval), 4) AS dval
         |FROM m GROUP BY name, ts - ts % 3600000""".stripMargin),
+    "api_get_multi" -> (P +
+      """SELECT name, CAST(NULL AS VARCHAR) AS usr,
+        | ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
+        |FROM pts GROUP BY name, ts - ts % 3600000
+        |UNION ALL
+        |SELECT name, usr, ts - ts % 3600000 AS ts, round(avg(dval),4) AS dval
+        |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
     "api_get_limits" -> (P +
       """, sel AS (SELECT name, usr FROM (SELECT DISTINCT name, usr FROM pts
         |   WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> '')

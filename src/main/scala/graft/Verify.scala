@@ -39,21 +39,33 @@ object Verify {
     // filename (`<name>.parquet`) and found no oracle for any query — our
     // map was keyed by bare `name` only. Emit BOTH key forms, and write the
     // file to every plausible lookup location (out dir, CWD = repo root).
-    val json = SparkEntry.oracleSql
+    val pairs = SparkEntry.oracleSql.toSeq
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
+    require(pairs.map(_._1).distinct.size == 2 * SparkEntry.oracleSql.size,
+      "oracle_sql key collision: a query name ends in .parquet or duplicates another")
+    val json = pairs
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     val targets = Seq(
-      Paths.get(s"$outDir/oracle_sql.json"),
-      Paths.get("oracle_sql.json").toAbsolutePath,
+      Paths.get(s"$outDir/oracle_sql.json").toAbsolutePath.normalize,
+      Paths.get("oracle_sql.json").toAbsolutePath.normalize,
     ).distinct
     targets.foreach(p => Files.writeString(p, json))
-    // Self-check: a malformed artifact silently zeroes the round, so fail
-    // loudly here instead. python3 is present on the driver host.
+    // Self-check: a malformed artifact would silently zero the round's
+    // correctness, so surface it on stderr here (the parquet dumps above
+    // are already on disk, so this never aborts the run). python3 is
+    // present on the driver host; if it isn't, skip with a warning.
     targets.foreach { p =>
-      val rc = new ProcessBuilder("python3", "-c",
-        s"import json; json.load(open('$p'))").inheritIO().start().waitFor()
-      if (rc != 0) System.err.println(s"[verify] SELF-CHECK FAILED: $p is not valid JSON (rc=$rc)")
-      else println(s"[verify] oracle_sql.json OK at $p")
+      scala.util.Try {
+        new ProcessBuilder("python3", "-c",
+          "import json,sys; json.load(open(sys.argv[1]))", p.toString)
+          .inheritIO().start().waitFor()
+      } match {
+        case scala.util.Success(0) => println(s"[verify] oracle_sql.json OK at $p")
+        case scala.util.Success(rc) =>
+          System.err.println(s"[verify] SELF-CHECK FAILED: $p is not valid JSON (rc=$rc)")
+        case scala.util.Failure(e) =>
+          System.err.println(s"[verify] self-check skipped (python3 unavailable): ${e.getMessage}")
+      }
     }
     spark.stop()
   }

@@ -64,7 +64,7 @@ object Requests {
       minTimestamp: Option[Long] = None,
       maxTimestamp: Option[Long] = None,
       mutations: Seq[MutationSpec] = Nil,
-      aggregation: Option[AggregationSpec] = None,
+      aggregations: Seq[AggregationSpec] = Nil,
       maxVariables: Option[Int] = None,
       maxValues: Option[Int] = None)
 
@@ -103,23 +103,30 @@ object Engine {
     val seriesDim = df.select(col("skey"), col("name"), col("labels"))
       .dropDuplicates("skey")
     df = req.mutations.foldLeft(df)((d, m) => m(d))
-    req.aggregation.foreach { spec =>
+    // Repeated aggregations append their output streams in request order,
+    // each computed over the same post-mutation input — the C++ server's
+    // `for (auto &agg : req.aggregation())` loop (server/store.cc:164-252).
+    if (req.aggregations.nonEmpty) {
       if (!df.columns.contains("name") ||
-          (spec.labels.nonEmpty && !df.columns.contains("labels")))
+          (req.aggregations.exists(_.labels.nonEmpty) &&
+            !df.columns.contains("labels")))
         df = df.drop("name", "labels")
           .join(broadcast(seriesDim), "skey")
-      df = spec.labels match {
-        case Nil => Aggregations.byName(df, spec.agg, spec.sampleIntervalMs)
-        case ls => ls.map(l =>
-            Aggregations.byLabel(df, l, spec.agg, spec.sampleIntervalMs))
-          .reduce(_ unionByName _)
-      }
+      val base = df
+      df = req.aggregations.map { spec =>
+        spec.labels match {
+          case Nil => Aggregations.byName(base, spec.agg, spec.sampleIntervalMs)
+          case ls => ls.map(l =>
+              Aggregations.byLabel(base, l, spec.agg, spec.sampleIntervalMs))
+            .reduce(_ unionByName _)
+        }
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     }
     // max_values keeps the LAST n per output series (go/src/store.go:151-153)
     req.maxValues.foreach { n =>
       // MAP columns can't be window-partition keys; serialize them
       val key =
-        if (req.aggregation.isEmpty) Seq(col("skey"))
+        if (req.aggregations.isEmpty) Seq(col("skey"))
         else df.columns.filter(c => c != "ts" && c != "dval").map { c =>
           df.schema(c).dataType match {
             case _: org.apache.spark.sql.types.MapType => to_json(col(c))

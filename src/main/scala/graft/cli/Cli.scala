@@ -88,7 +88,7 @@ object Cli {
     }
     // re-apply agg settings captured after the aggregate= flag
     agg = agg.map(_.copy(agg = aggType, sampleIntervalMs = interval))
-    Requests.GetRequest(variable, mutations = muts, aggregation = agg,
+    Requests.GetRequest(variable, mutations = muts, aggregations = agg.toSeq,
       maxVariables = maxVars, maxValues = maxVals)
   }
 

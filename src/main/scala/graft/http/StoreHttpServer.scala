@@ -26,6 +26,10 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
                       nowMs: () => Long = () => System.currentTimeMillis()) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // Off the accept/dispatch thread: a slow Spark query must not block
+  // accepting other connections (/health during a long /get).
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -42,14 +46,25 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
   private def requestBytes(ex: HttpExchange): Array[Byte] =
     Base64.getMimeDecoder.decode(ex.getRequestBody.readAllBytes())
 
+  // Compute the body BEFORE sending headers: a handler failure can then
+  // safely produce a 500, and a failure during the response write (peer
+  // gone) only closes the exchange — never a second sendResponseHeaders.
   private def handler(f: Array[Byte] => Array[Byte]): HttpHandler =
-    (ex: HttpExchange) =>
-      try respond(ex, 200, f(requestBytes(ex)))
-      catch {
-        case e: Throwable =>
+    (ex: HttpExchange) => {
+      val result =
+        try Right(f(requestBytes(ex)))
+        catch { case e: Throwable => Left(e) }
+      try result match {
+        case Right(body) => respond(ex, 200, body)
+        case Left(e) =>
           System.err.println(s"[http] ${ex.getRequestURI} failed: $e")
           respond(ex, 500, Rpc.encodeGetResponse(Nil, Some(e.toString)))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[http] ${ex.getRequestURI} response write failed: $e")
+          ex.close()
       }
+    }
 
   server.createContext("/get", handler { bytes =>
     val req = Rpc.decodeGetRequest(bytes)
@@ -119,7 +134,7 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
   })
 
   def start(): StoreHttpServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 /** `runMain graft.http.StoreHttpServer --store=<dir> [--port=N]`. */

@@ -77,10 +77,21 @@ object StreamIngest {
    * series through the resampler state machine; emit grid points.
    * Identical math to Mutations.UniformOp (golden-tested) — kept in
    * sync by StreamingSpec comparing both paths.
+   *
+   * With `idleTimeoutMs > 0` the step arms a processing-time timeout on
+   * every batch that touches the series; a series idle past the timeout
+   * has its state REMOVED (bounded state under series churn — without
+   * this, one state record per ever-seen series lives forever). A
+   * revived series re-anchors from its first new point, exactly like a
+   * brand-new series.
    */
-  def uniformStep(intervalMs: Long)(
+  def uniformStep(intervalMs: Long, idleTimeoutMs: Long = 0L)(
       key: String, rows: Iterator[InPoint],
       state: GroupState[UniformState]): Iterator[OutPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var s = state.getOption.getOrElse(UniformState(0L, 1L, 0L, 0.0, 0L))
     val out = List.newBuilder[OutPoint]
     rows.toSeq.sortBy(_.ts).foreach { p =>
@@ -114,22 +125,30 @@ object StreamIngest {
         }
     }
     state.update(s)
+    if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
     out.result().iterator
   }
 
   /**
    * Streaming uniform resample: groupByKey(series) +
    * flatMapGroupsWithState. Append-mode compatible; state is one fixed
-   * record per live series (bounded memory at any fan-in).
+   * record per LIVE series: `idleTimeoutMs` (default 1 h) evicts state
+   * for series that stop reporting, so total state tracks current
+   * fan-in, not the historical series universe. Pass `idleTimeoutMs = 0`
+   * to keep state forever (the pre-eviction behavior).
    */
-  def uniformResampleStream(points: DataFrame, intervalMs: Long): Dataset[OutPoint] = {
+  def uniformResampleStream(points: DataFrame, intervalMs: Long,
+                            idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {
     val spark = points.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     Point.withSeriesKey(points)
       .select(col("skey"), col("ts"), col("dval"))
       .as[InPoint]
       .groupByKey(_.skey)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        uniformStep(intervalMs))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        uniformStep(intervalMs, idleTimeoutMs))
   }
 }

@@ -86,7 +86,7 @@ object Rpc {
     var minTs: Option[Long] = None
     var maxTs: Option[Long] = None
     var muts = Vector.empty[Requests.MutationSpec]
-    var agg: Option[Requests.AggregationSpec] = None
+    var aggs = Vector.empty[Requests.AggregationSpec]
     var maxVars: Option[Int] = None
     var maxVals: Option[Int] = None
     val r = new WireReader(bytes, 0, bytes.length)
@@ -118,13 +118,13 @@ object Rpc {
           case (3, 0) => interval = ar.varint()
           case (_, w) => ar.skip(w)
         }
-        agg = Some(Requests.AggregationSpec(aggType(t), labels, interval))
+        aggs :+= Requests.AggregationSpec(aggType(t), labels, interval)
       case (8, 0) => maxVars = Some(r.varint().toInt)
       case (11, 0) => maxVals = Some(r.varint().toInt)
       case (_, w) => r.skip(w)
     }
     val v = variable.getOrElse(Variable(""))
-    Requests.GetRequest(patternString(v), minTs, maxTs, muts, agg, maxVars, maxVals)
+    Requests.GetRequest(patternString(v), minTs, maxTs, muts, aggs, maxVars, maxVals)
   }
 
   /** Pattern string for VariableMatcher.compile — keeps empty-valued
@@ -160,7 +160,7 @@ object Rpc {
         if (maxGapSamples > 0) mw.intField(3, maxGapSamples)
       }
     }
-    req.aggregation.foreach { a =>
+    req.aggregations.foreach { a =>
       w.msgField(7) { aw =>
         aw.intField(1, a.agg match {
           case Aggregations.Max => 1L; case Aggregations.Min => 2L

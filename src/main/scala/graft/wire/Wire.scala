@@ -20,6 +20,7 @@ final class WireReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     v
   }
   def fixed64(): Long = {
+    if (pos + 8 > end) { pos = end; return 0L } // truncated input: don't read past end
     var v = 0L
     var i = 0
     while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
@@ -27,7 +28,9 @@ final class WireReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     v
   }
   def lenDelim(): (Int, Int) = {
-    val n = varint().toInt
+    // Clamp a declared length to the remaining buffer — a corrupt or
+    // malicious length must not index past `end` (or backwards).
+    val n = math.min(math.max(varint(), 0L), (end - pos).toLong).toInt
     val r = (pos, n); pos += n; r
   }
   def string(): String = {
@@ -36,9 +39,9 @@ final class WireReader(val buf: Array[Byte], var pos: Int, val end: Int) {
   }
   def skip(wireType: Int): Unit = wireType match {
     case 0 => varint()
-    case 1 => pos += 8
-    case 2 => val n = varint().toInt; pos += n
-    case 5 => pos += 4
+    case 1 => pos = math.min(pos + 8, end)
+    case 2 => lenDelim()
+    case 5 => pos = math.min(pos + 4, end)
     case _ => pos = end
   }
   /** Iterate (field, wireType) pairs, calling f; f reads the payload. */

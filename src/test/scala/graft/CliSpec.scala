@@ -21,7 +21,7 @@ class CliSpec extends SparkSpec {
       Seq("rate", "mean=5m", "agg=sum", "interval=30s", "aggregate=host",
         "max_values=10"))
     assert(req.mutations.length == 2)
-    assert(req.aggregation.exists(a =>
+    assert(req.aggregations.exists(a =>
       a.labels == Seq("host") && a.sampleIntervalMs == 30000L))
     assert(req.maxValues.contains(10))
   }

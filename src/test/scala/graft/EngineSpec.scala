@@ -34,11 +34,30 @@ class EngineSpec extends SparkSpec {
     val out = Engine.get(twoSeries(), Requests.GetRequest(
       variable = "/sys/*",
       mutations = Seq(Requests.Mean(10000L)),
-      aggregation = Some(Requests.AggregationSpec(Aggregations.Sum, Nil, 10000L))))
+      aggregations = Seq(Requests.AggregationSpec(Aggregations.Sum, Nil, 10000L))))
     val byName = out.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     // cpu: mean(a)= (1+3+6)/3 = 10/3; mean(b)=2 -> sum = 16/3; mem: 9
     assert(math.abs(byName("/sys/cpu") - (10.0 / 3 + 2.0)) < 1e-9)
     assert(byName("/sys/mem") == 9.0)
+  }
+
+  test("get: repeated aggregations append both output stream sets") {
+    // C++ semantics (server/store.cc:164-252): each StreamAggregation in
+    // the request produces its own output streams over the same input.
+    val out = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/*",
+      aggregations = Seq(
+        Requests.AggregationSpec(Aggregations.Sum, Nil, 10000L),
+        Requests.AggregationSpec(Aggregations.Max, Seq("host"), 10000L))))
+    val rows = out.collect().map { r =>
+      val usr = Option(r.getAs[Map[String, String]]("labels"))
+        .flatMap(_.get("host")).orNull
+      (r.getAs[String]("name"), usr, r.getAs[Double]("dval"))
+    }.toSet
+    assert(rows == Set(
+      ("/sys/cpu", null, 14.0), ("/sys/mem", null, 9.0),   // SUM by name
+      ("/sys/cpu", "a", 6.0), ("/sys/cpu", "b", 2.0),      // MAX by host
+      ("/sys/mem", "a", 9.0)))
   }
 
   test("get: max_variables caps series, max_values keeps tail") {

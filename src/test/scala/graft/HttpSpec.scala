@@ -57,7 +57,7 @@ class HttpSpec extends SparkSpec {
       // /get with aggregation by name
       val aggBody = Rpc.encodeGetRequest(Requests.GetRequest(
         "/http/counter",
-        aggregation = Some(Requests.AggregationSpec(Aggregations.Sum, Nil, 10000L))))
+        aggregations = Seq(Requests.AggregationSpec(Aggregations.Sum, Nil, 10000L))))
       val (aok, _, aggStreams) = Rpc.decodeGetResponse(post(srv.boundPort, "/get", aggBody))
       assert(aok && aggStreams.nonEmpty)
       assert(aggStreams.head.values.head._2.contains(100.0))
@@ -70,7 +70,7 @@ class HttpSpec extends SparkSpec {
       post(srv.boundPort, "/add", addB)
       val byLabel = Rpc.encodeGetRequest(Requests.GetRequest(
         "/http/counter",
-        aggregation = Some(Requests.AggregationSpec(
+        aggregations = Seq(Requests.AggregationSpec(
           Aggregations.Sum, Seq("host"), 10000L))))
       val (bok, _, ls) = Rpc.decodeGetResponse(post(srv.boundPort, "/get", byLabel))
       assert(bok)

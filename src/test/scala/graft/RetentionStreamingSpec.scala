@@ -107,6 +107,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("idle series state is evicted on timeout; a revived series re-anchors") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val step = StreamIngest.uniformStep(60000L, idleTimeoutMs = 3600000L) _
+    // batch 1: two points arm the state and a processing-time timeout
+    val live = TestGroupState.create[StreamIngest.UniformState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, Optional.empty(), hasTimedOut = false)
+    step("/s{h=1}", Iterator(
+      StreamIngest.InPoint("/s{h=1}", 0L, 100.0),
+      StreamIngest.InPoint("/s{h=1}", 60000L, 160.0)).toSeq.iterator, live).toList
+    assert(live.exists, "state must persist for a live series")
+    assert(live.getTimeoutTimestampMs.isPresent &&
+      live.getTimeoutTimestampMs.get == 1000L + 3600000L)
+    // timeout fires with no new data: state must be REMOVED
+    val timedOut = TestGroupState.create[StreamIngest.UniformState](
+      Optional.of(live.get), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L + 3600001L, Optional.empty(), hasTimedOut = true)
+    assert(step("/s{h=1}", Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved, "idle state must be evicted")
+    // revival: fresh state, resampler re-anchors at the new first point
+    val revived = TestGroupState.create[StreamIngest.UniformState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L + 7200000L, Optional.empty(), hasTimedOut = false)
+    step("/s{h=1}", Iterator(
+      StreamIngest.InPoint("/s{h=1}", 7200000L, 500.0)).toSeq.iterator, revived).toList
+    assert(revived.exists && revived.get.base == 7200000L,
+      "revived series must re-anchor from its first new point")
+  }
+
   test("file-source ingest sinks validated points with checkpointing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
