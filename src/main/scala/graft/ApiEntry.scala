@@ -52,6 +52,16 @@ object ApiEntry {
         .select(col("name"),
           element_at(col("labels"), "user").as("usr"),
           col("ts"), round(col("dval"), 4).as("dval"))),
+    // value_type-aware auto-rate (GetRequest.autoRate): the producer
+    // tagged /events/click as a RATE counter (lib/variable.h:110-124),
+    // so the engine rates exactly that partition; GAUGE series pass raw.
+    "api_get_autorate" -> ((s, dir) =>
+      unkey(Engine.get(
+          pts(s, dir).withColumn("value_type",
+            when(col("name") === "/events/click", "RATE").otherwise("GAUGE")),
+          Requests.GetRequest(variable = "/events/*", autoRate = true)))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
     // Limits: series cap (max_variables) + per-series tail (max_values).
     "api_get_limits" -> ((s, dir) =>
       unkey(Engine.get(pts(s, dir), Requests.GetRequest(
@@ -151,6 +161,17 @@ object ApiEntry {
         |UNION ALL
         |SELECT name, usr, ts - ts % 3600000 AS ts, round(avg(dval),4) AS dval
         |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+    "api_get_autorate" -> (P +
+      """, r AS (SELECT name, usr, ts, dval FROM (
+        |   SELECT name, usr, ts,
+        |    (dval - lag(dval) OVER w) / ((ts - lag(ts) OVER w)/1000.0) AS dval
+        |   FROM pts WHERE name = '/events/click'
+        |   WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+        |  WHERE dval IS NOT NULL AND dval >= 0)
+        |SELECT name, usr, ts, round(dval, 4) AS dval FROM r
+        |UNION ALL
+        |SELECT name, usr, ts, round(dval, 4) AS dval FROM pts
+        |WHERE name <> '/events/click'""".stripMargin),
     "api_get_limits" -> (P +
       """, sel AS (SELECT name, usr FROM (SELECT DISTINCT name, usr FROM pts
         |   WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> '')

@@ -58,7 +58,14 @@ object Requests {
                              labels: Seq[String] = Nil,
                              sampleIntervalMs: Long = Aggregations.DefaultIntervalMs)
 
-  /** lib/openinstrument.proto:91-111. */
+  /** lib/openinstrument.proto:91-111.
+    *
+    * `autoRate` is an engine extension (no reference wire field): the
+    * reference tags counter variables RATE so CLIENTS know to rate them
+    * (lib/variable.h:110-124) but its servers never consult the tag.
+    * Opting in applies the RATE mutation server-side to exactly the
+    * series tagged RATE, before any requested mutations; GAUGE/UNKNOWN
+    * series pass through raw. */
   case class GetRequest(
       variable: String,
       minTimestamp: Option[Long] = None,
@@ -66,7 +73,8 @@ object Requests {
       mutations: Seq[MutationSpec] = Nil,
       aggregations: Seq[AggregationSpec] = Nil,
       maxVariables: Option[Int] = None,
-      maxValues: Option[Int] = None)
+      maxValues: Option[Int] = None,
+      autoRate: Boolean = false)
 
   /** lib/openinstrument.proto:137-157; max_age default 24 h
     * (lib/openinstrument.proto:143-145). */
@@ -102,6 +110,12 @@ object Engine {
     // skey back: the key's escaping makes string re-parsing lossy.
     val seriesDim = df.select(col("skey"), col("name"), col("labels"))
       .dropDuplicates("skey")
+    // value_type-aware auto-rating (opt-in; see GetRequest.autoRate):
+    // only the RATE-tagged partition pays the window shuffle.
+    if (req.autoRate)
+      df = Mutations.rate(df.filter(col("value_type") === "RATE"))
+        .unionByName(df.filter(
+          col("value_type").isNull || col("value_type") =!= "RATE"))
     df = req.mutations.foldLeft(df)((d, m) => m(d))
     // Repeated aggregations append their output streams in request order,
     // each computed over the same post-mutation input — the C++ server's

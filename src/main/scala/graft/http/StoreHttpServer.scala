@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
  * max_values).
  */
 class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
-                      nowMs: () => Long = () => System.currentTimeMillis()) {
+                      nowMs: () => Long = () => System.currentTimeMillis(),
+                      retention: graft.retention.Retention.Policy =
+                        graft.retention.Retention.Policy(Nil)) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // Off the accept/dispatch thread: a slow Spark query must not block
@@ -66,6 +68,14 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
       }
     }
 
+  /** Run `f`, returning (result, elapsed ms) — the Go server's
+    * Timer.Stop() bookkeeping (openinstrument.go:28-45). */
+  private def timed[T](f: => T): (T, Long) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1000000L)
+  }
+
   server.createContext("/get", handler { bytes =>
     val req = Rpc.decodeGetRequest(bytes)
     val df = Engine.get(points(), req)
@@ -74,7 +84,7 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     // series: skey when present, else (name, labels) — a label
     // aggregation yields one stream per distinct label value
     // (server/store.cc:190-248), so labels MUST participate in the key.
-    val rows = df.orderBy("ts").collect()
+    val (rows, retrieveMs) = timed(df.orderBy("ts").collect())
     val cols = df.columns.toSet
     def opt[T](r: org.apache.spark.sql.Row, name: String): Option[T] =
       if (cols.contains(name) && !r.isNullAt(r.fieldIndex(name)))
@@ -87,25 +97,33 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
         opt[Map[String, String]](r, "labels").getOrElse(
           opt[String](r, "skey").map(Variable.parse(_).labels)
             .getOrElse(Map.empty)))
-    val streams = rows.groupBy { r =>
-        opt[String](r, "skey").getOrElse(variableOf(r).canonical)
-      }.toSeq.sortBy(_._1)
-      .map { case (_, rs) =>
-        Rpc.Stream(variableOf(rs.head), rs.toSeq.map { r =>
-          (r.getAs[Long]("ts"), opt[Double](r, "dval"),
-            opt[String](r, "sval"), opt[Long](r, "end_ts"))
-        })
-      }
-    Rpc.encodeGetResponse(streams)
+    val (streams, constructMs) = timed {
+      rows.groupBy { r =>
+          opt[String](r, "skey").getOrElse(variableOf(r).canonical)
+        }.toSeq.sortBy(_._1)
+        .map { case (_, rs) =>
+          Rpc.Stream(variableOf(rs.head), rs.toSeq.map { r =>
+            (r.getAs[Long]("ts"), opt[Double](r, "dval"),
+              opt[String](r, "sval"), opt[Long](r, "end_ts"))
+          })
+        }
+    }
+    // per-phase timers, the Go server's names (go/src/store.go:202-222)
+    Rpc.encodeGetResponse(streams, timers = Seq(
+      "retrieve streams" -> retrieveMs, "construct response" -> constructMs))
   })
 
   server.createContext("/list", handler { bytes =>
     val req = Rpc.decodeListRequest(bytes)
-    val vars = Engine.list(points(), req, nowMs()).collect().map { r =>
-      Variable(r.getAs[String]("name"),
-        Option(r.getAs[Map[String, String]]("labels")).getOrElse(Map.empty))
+    val (rows, retrieveMs) = timed(Engine.list(points(), req, nowMs()).collect())
+    val (vars, constructMs) = timed {
+      rows.map { r =>
+        Variable(r.getAs[String]("name"),
+          Option(r.getAs[Map[String, String]]("labels")).getOrElse(Map.empty))
+      }.toSeq
     }
-    Rpc.encodeListResponse(vars.toSeq)
+    Rpc.encodeListResponse(vars, timers = Seq(
+      "retrieve variables" -> retrieveMs, "construct response" -> constructMs))
   })
 
   server.createContext("/add", handler { bytes =>
@@ -119,11 +137,53 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     }
     val df = rows.toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
     val (ok, bad) = Engine.add(df, hostname = "http", nowMs = nowMs())
-    ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
-      .write.partitionBy("date").mode("append").parquet(storeDir)
-    val nBad = bad.count()
+    val (nBad, writeMs) = timed {
+      ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
+        .write.partitionBy("date").mode("append").parquet(storeDir)
+      bad.count()
+    }
     Rpc.encodeAddResponse(nBad == 0,
-      if (nBad == 0) None else Some(s"$nBad streams rejected"))
+      if (nBad == 0) None else Some(s"$nBad streams rejected"),
+      timers = Seq("write streams" -> writeMs))
+  })
+
+  // Config discovery: base64(StoreConfig) — the C++ façade's /get_config
+  // (server/store.cc:75,86-95) and the Go server's /config
+  // (go/src/store.go:232-234,271) are the same payload at two paths.
+  private val configHandler = handler { _ =>
+    Rpc.encodeStoreConfig(
+      Seq(Rpc.StoreServerInfo(
+        address = s"localhost:$boundPort", state = 2 /* RUN */,
+        lastUpdated = nowMs())),
+      retention)
+  }
+  server.createContext("/get_config", configHandler)
+  server.createContext("/config", configHandler)
+
+  // Human-readable store status page (the reference's template-rendered
+  // /status, go/src/store.go:241-255, server/store.cc:97-120): date
+  // partitions with file counts and bytes, filesystem-only (no Spark job).
+  server.createContext("/status", (ex: HttpExchange) => {
+    val parts =
+      try {
+        val root = new java.io.File(storeDir)
+        root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
+          .sortBy(_.getName)
+          .map { d =>
+            val fs = d.listFiles().filter(_.isFile)
+            s"<tr><td>${d.getName}</td><td>${fs.length}</td>" +
+              s"<td>${fs.map(_.length()).sum}</td></tr>"
+          }.mkString
+      } catch { case _: Throwable => "" }
+    val body = ("<html><head><title>Store Status</title></head><body>" +
+      s"<h1>Store Status</h1><p>store: $storeDir</p>" +
+      "<table><tr><th>partition</th><th>files</th><th>bytes</th></tr>" +
+      parts + "</table></body></html>").getBytes("UTF-8")
+    try {
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+    } finally ex.close()
   })
 
   server.createContext("/health", (ex: HttpExchange) => {

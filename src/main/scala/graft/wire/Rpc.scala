@@ -75,6 +75,44 @@ object Rpc {
       case _ => None
     }
 
+  /** StreamMutation{1: sample_type, 2: sample_frequency,
+    * 3: max_gap_interpolate} at `field`. */
+  private def encodeMutation(w: WireWriter, field: Int,
+                             m: Requests.MutationSpec): Unit = {
+    val (st, freq, maxGapSamples) = m match {
+      case Requests.Interpolate(f, g) =>
+        (0L, f, if (g > 0 && f > 0) g / f else 0L)
+      case Requests.Mean(f) => (1L, f, 0L)
+      case Requests.MaxM(f) => (2L, f, 0L)
+      case Requests.MinM(f) => (3L, f, 0L)
+      case Requests.Rate(_) => (4L, 0L, 0L)
+      case Requests.RateSigned(_) => (5L, 0L, 0L)
+      case Requests.Delta => (6L, 0L, 0L)
+      case Requests.Latest(f) => (7L, f, 0L)
+      case Requests.StdDev(f) => (1L, f, 0L) // no reference enum; closest
+      case Requests.Uniform(f) => (0L, f, 0L)
+    }
+    w.msgField(field) { mw =>
+      mw.intField(1, st)
+      if (freq > 0) mw.intField(2, freq)
+      if (maxGapSamples > 0) mw.intField(3, maxGapSamples)
+    }
+  }
+
+  /** Parse one StreamMutation submessage at (off, len) → MutationSpec. */
+  private def decodeMutation(buf: Array[Byte], off: Int,
+                             len: Int): Option[Requests.MutationSpec] = {
+    val mr = new WireReader(buf, off, off + len)
+    var st = 0L; var freq = 0L; var maxGap = 0L
+    mr.fields {
+      case (1, 0) => st = mr.varint()
+      case (2, 0) => freq = mr.varint()
+      case (3, 0) => maxGap = mr.varint()
+      case (_, w) => mr.skip(w)
+    }
+    mutationSpec(st, freq, maxGap)
+  }
+
   private def aggType(t: Long): Aggregations.AggType = t match {
     case 1 => Aggregations.Max; case 2 => Aggregations.Min
     case 3 => Aggregations.Median; case 4 => Aggregations.Sum
@@ -98,15 +136,7 @@ object Rpc {
       case (3, 0) => maxTs = Some(r.varint())
       case (6, 2) =>
         val (o, n) = r.lenDelim()
-        val mr = new WireReader(bytes, o, o + n)
-        var st = 0L; var freq = 0L; var maxGap = 0L
-        mr.fields {
-          case (1, 0) => st = mr.varint()
-          case (2, 0) => freq = mr.varint()
-          case (3, 0) => maxGap = mr.varint()
-          case (_, w) => mr.skip(w)
-        }
-        muts ++= mutationSpec(st, freq, maxGap)
+        muts ++= decodeMutation(bytes, o, n)
       case (7, 2) =>
         val (o, n) = r.lenDelim()
         val ar = new WireReader(bytes, o, o + n)
@@ -140,26 +170,7 @@ object Rpc {
     w.msgField(9)(vw => encodeStreamVariable(vw, Variable.parse(req.variable)))
     req.minTimestamp.foreach(w.intField(2, _))
     req.maxTimestamp.foreach(w.intField(3, _))
-    req.mutations.foreach { m =>
-      val (st, freq, maxGapSamples) = m match {
-        case Requests.Interpolate(f, g) =>
-          (0L, f, if (g > 0 && f > 0) g / f else 0L)
-        case Requests.Mean(f) => (1L, f, 0L)
-        case Requests.MaxM(f) => (2L, f, 0L)
-        case Requests.MinM(f) => (3L, f, 0L)
-        case Requests.Rate(_) => (4L, 0L, 0L)
-        case Requests.RateSigned(_) => (5L, 0L, 0L)
-        case Requests.Delta => (6L, 0L, 0L)
-        case Requests.Latest(f) => (7L, f, 0L)
-        case Requests.StdDev(f) => (1L, f, 0L) // no reference enum; closest
-        case Requests.Uniform(f) => (0L, f, 0L)
-      }
-      w.msgField(6) { mw =>
-        mw.intField(1, st)
-        if (freq > 0) mw.intField(2, freq)
-        if (maxGapSamples > 0) mw.intField(3, maxGapSamples)
-      }
-    }
+    req.mutations.foreach(m => encodeMutation(w, 6, m))
     req.aggregations.foreach { a =>
       w.msgField(7) { aw =>
         aw.intField(1, a.agg match {
@@ -181,6 +192,36 @@ object Rpc {
       variable: Variable,
       values: Seq[(Long, Option[Double], Option[String], Option[Long])])
 
+  /** A per-phase timer: (phase name, duration ms). Encoded as
+    * LogMessage{1: timestamp=duration ms, 2: message=phase}, the shape
+    * the Go server's Timer.Stop() writes (openinstrument.go:28-45). */
+  type Timer = (String, Long)
+
+  private def encodeTimers(w: WireWriter, field: Int, timers: Seq[Timer]): Unit =
+    timers.foreach { case (phase, ms) =>
+      w.msgField(field) { tw => tw.intField(1, ms); tw.stringField(2, phase) }
+    }
+
+  /** Decode `repeated LogMessage timer = <field>` from any response. */
+  def decodeTimers(bytes: Array[Byte], field: Int): Seq[Timer] = {
+    var out = Vector.empty[Timer]
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (`field`, 2) =>
+        val (o, n) = r.lenDelim()
+        val tr = new WireReader(bytes, o, o + n)
+        var ms = 0L; var phase = ""
+        tr.fields {
+          case (1, 0) => ms = tr.varint()
+          case (2, 2) => phase = tr.string()
+          case (_, wt) => tr.skip(wt)
+        }
+        out :+= ((phase, ms))
+      case (_, wt) => r.skip(wt)
+    }
+    out
+  }
+
   private def encodeStream(w: WireWriter, s: Stream): Unit = {
     w.msgField(2)(vw => encodeStreamVariable(vw, s.variable))
     s.values.foreach { case (ts, dv, sv, ets) =>
@@ -193,12 +234,15 @@ object Rpc {
     }
   }
 
-  /** GetResponse{1: success, 2: errormessage, 3: repeated stream}. */
-  def encodeGetResponse(streams: Seq[Stream], error: Option[String] = None): Array[Byte] = {
+  /** GetResponse{1: success, 2: errormessage, 3: repeated stream,
+    * 4: repeated timer}. */
+  def encodeGetResponse(streams: Seq[Stream], error: Option[String] = None,
+                        timers: Seq[Timer] = Nil): Array[Byte] = {
     val w = new WireWriter
     w.boolField(1, error.isEmpty)
     error.foreach(w.stringField(2, _))
     streams.foreach(s => w.msgField(3)(sw => encodeStream(sw, s)))
+    encodeTimers(w, 4, timers)
     w.result()
   }
 
@@ -263,10 +307,13 @@ object Rpc {
     w.result()
   }
 
-  def encodeAddResponse(success: Boolean, error: Option[String] = None): Array[Byte] = {
+  /** AddResponse{1: success, 2: errormessage, 3: repeated timer}. */
+  def encodeAddResponse(success: Boolean, error: Option[String] = None,
+                        timers: Seq[Timer] = Nil): Array[Byte] = {
     val w = new WireWriter
     w.boolField(1, success)
     error.foreach(w.stringField(2, _))
+    encodeTimers(w, 3, timers)
     w.result()
   }
 
@@ -295,13 +342,119 @@ object Rpc {
     w.result()
   }
 
-  /** ListResponse{1: success, 4: repeated variable}. */
-  def encodeListResponse(vars: Seq[Variable], error: Option[String] = None): Array[Byte] = {
+  /** ListResponse{1: success, 4: repeated variable, 5: repeated timer}. */
+  def encodeListResponse(vars: Seq[Variable], error: Option[String] = None,
+                         timers: Seq[Timer] = Nil): Array[Byte] = {
     val w = new WireWriter
     w.boolField(1, error.isEmpty)
     error.foreach(w.stringField(2, _))
     vars.foreach(v => w.msgField(4)(vw => encodeStreamVariable(vw, v)))
+    encodeTimers(w, 5, timers)
     w.result()
+  }
+
+  // -------------------------------------------------------- StoreConfig
+
+  /** StoreServer{1: address, 2: state, 3: last_updated, 5: name}
+    * (lib/openinstrument.proto:216-236); state enum: UNKNOWN=0 LOAD=1
+    * RUN=2 DRAIN=3 READONLY=4 SHUTDOWN=5. */
+  final case class StoreServerInfo(address: String, state: Int = 2,
+                                   lastUpdated: Long = 0L, name: String = "")
+
+  /**
+   * StoreConfig{1: repeated server, 2: retention_policy}
+   * (lib/openinstrument.proto:238-241), with
+   * RetentionPolicy{1: repeated policy item, 2: interval} and
+   * RetentionPolicyItem{1: repeated variable, 2: repeated comment,
+   * 3: policy (KEEP=1/DROP=2), 4: repeated mutation, 5: min_age,
+   * 6: max_age} (proto:195-212) — the full config a reference client
+   * round-trips through /get_config.
+   */
+  def encodeStoreConfig(servers: Seq[StoreServerInfo],
+                        retention: graft.retention.Retention.Policy,
+                        intervalSec: Long = 600L): Array[Byte] = {
+    import graft.retention.Retention
+    val w = new WireWriter
+    servers.foreach { s =>
+      w.msgField(1) { sw =>
+        sw.stringField(1, s.address)
+        sw.intField(2, s.state.toLong)
+        if (s.lastUpdated > 0) sw.intField(3, s.lastUpdated)
+        if (s.name.nonEmpty) sw.stringField(5, s.name)
+      }
+    }
+    w.msgField(2) { rw =>
+      retention.items.foreach { item =>
+        rw.msgField(1) { iw =>
+          item.patterns.foreach(p =>
+            iw.msgField(1)(vw => encodeStreamVariable(vw, Variable.parse(p))))
+          if (item.comment.nonEmpty) iw.stringField(2, item.comment)
+          iw.intField(3, item.policy match {
+            case Retention.Keep => 1L; case Retention.Drop => 2L })
+          item.mutations.foreach(m => encodeMutation(iw, 4, m))
+          if (item.minAgeMs > 0) iw.intField(5, item.minAgeMs)
+          if (item.maxAgeMs > 0) iw.intField(6, item.maxAgeMs)
+        }
+      }
+      rw.intField(2, intervalSec)
+    }
+    w.result()
+  }
+
+  def decodeStoreConfig(bytes: Array[Byte])
+      : (Seq[StoreServerInfo], graft.retention.Retention.Policy, Long) = {
+    import graft.retention.Retention
+    var servers = Vector.empty[StoreServerInfo]
+    var items = Vector.empty[Retention.PolicyItem]
+    var intervalSec = 600L
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (1, 2) =>
+        val (o, n) = r.lenDelim()
+        val sr = new WireReader(bytes, o, o + n)
+        var addr = ""; var state = 0; var lu = 0L; var name = ""
+        sr.fields {
+          case (1, 2) => addr = sr.string()
+          case (2, 0) => state = sr.varint().toInt
+          case (3, 0) => lu = sr.varint()
+          case (5, 2) => name = sr.string()
+          case (_, wt) => sr.skip(wt)
+        }
+        servers :+= StoreServerInfo(addr, state, lu, name)
+      case (2, 2) =>
+        val (ro, rn) = r.lenDelim()
+        val rr = new WireReader(bytes, ro, ro + rn)
+        rr.fields {
+          case (1, 2) =>
+            val (io, in) = rr.lenDelim()
+            val ir = new WireReader(bytes, io, io + in)
+            var pats = Vector.empty[String]
+            var comment = ""
+            var policy: Retention.PolicyType = Retention.Drop
+            var muts = Vector.empty[Requests.MutationSpec]
+            var minAge = 0L; var maxAge = 0L
+            ir.fields {
+              case (1, 2) =>
+                val (vo, vn) = ir.lenDelim()
+                pats :+= patternString(decodeStreamVariable(bytes, vo, vn))
+              case (2, 2) => comment = ir.string()
+              case (3, 0) =>
+                policy = if (ir.varint() == 1L) Retention.Keep else Retention.Drop
+              case (4, 2) =>
+                val (mo, mn) = ir.lenDelim()
+                muts ++= decodeMutation(bytes, mo, mn)
+              case (5, 0) => minAge = ir.varint()
+              case (6, 0) => maxAge = ir.varint()
+              case (_, wt) => ir.skip(wt)
+            }
+            items :+= Retention.PolicyItem(pats, policy, minAge, maxAge,
+              muts, comment)
+          case (2, 0) => intervalSec = rr.varint()
+          case (_, wt) => rr.skip(wt)
+        }
+      case (_, wt) => r.skip(wt)
+    }
+    (servers, Retention.Policy(items), intervalSec)
   }
 
   def decodeListResponse(bytes: Array[Byte]): (Boolean, Seq[Variable]) = {

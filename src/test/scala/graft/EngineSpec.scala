@@ -41,6 +41,25 @@ class EngineSpec extends SparkSpec {
     assert(byName("/sys/mem") == 9.0)
   }
 
+  test("get: autoRate rates only RATE-tagged series") {
+    import spark.implicits._
+    val mixed = Seq(
+      ("/sys/reqs", "RATE", 1000L, 10.0), ("/sys/reqs", "RATE", 2000L, 30.0),
+      ("/sys/reqs", "RATE", 3000L, 60.0),
+      ("/sys/temp", "GAUGE", 1000L, 21.5), ("/sys/temp", "GAUGE", 2000L, 22.0))
+      .toDF("name", "value_type", "ts", "dval")
+      .select(col("name"), map(lit("h"), lit("x")).as("labels"),
+        col("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val out = Engine.get(mixed, Requests.GetRequest(
+      variable = "/sys/*", autoRate = true))
+    val got = out.select("name", "ts", "dval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("/sys/reqs", 2000L, 20.0), ("/sys/reqs", 3000L, 30.0), // rated
+      ("/sys/temp", 1000L, 21.5), ("/sys/temp", 2000L, 22.0))) // raw
+  }
+
   test("get: repeated aggregations append both output stream sets") {
     // C++ semantics (server/store.cc:164-252): each StreamAggregation in
     // the request produces its own output streams over the same input.

@@ -81,10 +81,57 @@ class HttpSpec extends SparkSpec {
 
       // /list
       val listBody = Rpc.encodeListRequest(Requests.ListRequest("/http/*"))
-      val (lok, vars) = Rpc.decodeListResponse(post(srv.boundPort, "/list", listBody))
+      val listResp = post(srv.boundPort, "/list", listBody)
+      val (lok, vars) = Rpc.decodeListResponse(listResp)
       assert(lok)
       assert(vars.exists(v => v.name == "/http/counter" &&
         v.labels.get("host").contains("a")))
+
+      // per-phase timers ride the responses (GetResponse.timer=4,
+      // ListResponse.timer=5), with the Go server's phase names
+      val getTimers = Rpc.decodeTimers(post(srv.boundPort, "/get", getBody), 4)
+      assert(getTimers.map(_._1) ==
+        Seq("retrieve streams", "construct response"))
+      assert(getTimers.forall(_._2 >= 0))
+      assert(Rpc.decodeTimers(listResp, 5).map(_._1) ==
+        Seq("retrieve variables", "construct response"))
+    } finally srv.stop()
+  }
+
+  test("/get_config round-trips StoreConfig; /status serves HTML") {
+    import graft.retention.Retention
+    val store = java.nio.file.Files.createTempDirectory("graft_http3").toString + "/s"
+    val policy = Retention.Policy(Seq(
+      Retention.PolicyItem(Seq("/http/*"), Retention.Keep,
+        maxAgeMs = 86400000L, comment = "keep a day raw"),
+      Retention.PolicyItem(Seq("/http/*"), Retention.Keep,
+        minAgeMs = 86400000L, mutations = Seq(Requests.Latest(3600000L))),
+      Retention.PolicyItem(Nil, Retention.Drop)))
+    val srv = new StoreHttpServer(spark, store, nowMs = () => 5000L,
+      retention = policy).start()
+    try {
+      for (path <- Seq("/get_config", "/config")) {
+        val bytes = post(srv.boundPort, path, Array.empty)
+        val (servers, decoded, intervalSec) = Rpc.decodeStoreConfig(bytes)
+        assert(servers.map(_.address) == Seq(s"localhost:${srv.boundPort}"))
+        assert(servers.head.state == 2 && servers.head.lastUpdated == 5000L)
+        assert(intervalSec == 600L)
+        assert(decoded.items.length == 3)
+        assert(decoded.items(0).comment == "keep a day raw" &&
+          decoded.items(0).maxAgeMs == 86400000L &&
+          decoded.items(0).policy == Retention.Keep)
+        assert(decoded.items(1).mutations == Seq(Requests.Latest(3600000L)))
+        assert(decoded.items(2).policy == Retention.Drop &&
+          decoded.items(2).patterns.isEmpty)
+      }
+      // /status is a plain HTML page, not base64
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${srv.boundPort}/status")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(resp.body().contains("Store Status"))
     } finally srv.stop()
   }
 
