@@ -126,6 +126,17 @@ object ApiEntry {
       Aggregations.greedyExact(Point.withSeriesKey(pts(s, dir)),
           Aggregations.DefaultIntervalMs, "avg")
         .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
+    // Greedy bucketing grouped per (name, user): ONE stream per group,
+    // which reduces the anchor cascade to a greedy interval cover —
+    // still sequential, but expressible as a DuckDB recursive CTE, so
+    // this configuration of the same greedyExact operator is fully
+    // oracle-checked (the multi-stream one above stays rows-only).
+    "agg_greedy_user" -> ((s, dir) =>
+      Aggregations.greedyExact(
+          Point.withSeriesKey(pts(s, dir))
+            .filter(element_at(col("labels"), "user").isNotNull),
+          86400000L, "avg", Some("user"))
+        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
     // Retention engine: first-match policy with downsampling rewrite
     // (lib/retention_policy_manager.cc:20-63, config.txt:22-77 shape).
     "ret_policy" -> ((s, dir) =>
@@ -183,6 +194,29 @@ object ApiEntry {
     "api_list" -> (P +
       s"""SELECT DISTINCT name, usr FROM pts
          |WHERE ts >= ${NowMs - 86400000L}""".stripMargin),
+    // Single-stream greedy cover: anchor_1 = first ts; anchor_{k+1} =
+    // first ts > anchor_k + I; bucket k = values in [anchor_k,
+    // anchor_{k+1}); the chronologically-last bucket is dropped
+    // (the reference's !found exit, lib/protobuf.cc:78-84).
+    "agg_greedy_user" ->
+      """WITH RECURSIVE pts0 AS (
+        | SELECT '/events/' || event_type || ' ' || CAST(user_id AS VARCHAR) AS gkey,
+        |  epoch_ms(ts) AS ts, value AS dval
+        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |anch AS (
+        | SELECT gkey, min(ts) AS ats FROM pts0 GROUP BY gkey
+        | UNION ALL
+        | SELECT a.gkey, min(p.ts) AS ats
+        | FROM anch a JOIN pts0 p
+        |   ON p.gkey = a.gkey AND p.ts > a.ats + 86400000
+        | GROUP BY a.gkey),
+        |b AS (SELECT gkey, ats,
+        |  lead(ats) OVER (PARTITION BY gkey ORDER BY ats) AS nxt FROM anch)
+        |SELECT b.gkey, b.ats AS ts, round(avg(p.dval), 4) AS dval
+        |FROM b JOIN pts0 p
+        |  ON p.gkey = b.gkey AND p.ts >= b.ats AND p.ts < b.nxt
+        |WHERE b.nxt IS NOT NULL
+        |GROUP BY b.gkey, b.ats""".stripMargin,
     // InterpolateOp consumes a point iff its floor(ts/H) bucket is later
     // than the last consumed point's bucket (skipped points never update
     // state), i.e. consumed = first point per (series, bucket). Brackets

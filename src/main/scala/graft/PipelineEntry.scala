@@ -106,16 +106,19 @@ object PipelineEntry {
     // the oracle embeds the same coefficients → fully hash-checkable.
     "e_lsh_pairs" -> ((s, dir) =>
       Ann.lshPairs(Tables.embeddings(s, dir), threshold = 0.4)),
-    // IVF/LSH top-k are approximate by construction (training sample
-    // order-dependent) → rows-only checks.
+    // LSH top-k: same seed-deterministic planes as e_lsh_pairs → the
+    // oracle rebuilds the identical buckets; fully hash-checkable.
     "e_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // IVF top-k over a PINNED deterministic quantizer (the 16 smallest
+    // vec_ids, no Lloyd) so the oracle can rebuild the identical index;
+    // the trained-quantizer path (Ann.ivfTopK) stays spec-covered.
     "e_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nlist = 16, nprobe = 4, dim = 64)
+      Ann.ivfTopKWith(Ann.pinnedCentroids(emb, nlist = 16),
+        emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -231,13 +234,13 @@ object PipelineEntry {
         |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin,
-    "e_lsh_pairs" -> lshPairsOracle)
+    "e_lsh_pairs" -> lshPairsOracle,
+    "e_knn_lsh" -> lshKnnOracle,
+    "e_knn_ivf" -> ivfKnnOracle)
 
-  /** DuckDB mirror of Ann.lshPairs: the fixed-seed plane coefficients
-    * are interpolated into the SQL, one per-table signature column, so
-    * the candidate predicate (signature match in ≥1 table) and the
-    * exact verification both replicate bit-for-bit. */
-  private def lshPairsOracle: String = {
+  /** Shared CTE prefix: vectors + per-table LSH signatures with the same
+    * fixed-seed plane coefficients interpolated into the SQL. */
+  private def lshSigCte: String = {
     val hp = Ann.hyperplanes(tables = 8, planes = 6, dim = 64, seed = 42L)
     val sigCols = hp.zipWithIndex.map { case (tp, t) =>
       val terms = tp.zipWithIndex.map { case (p, i) =>
@@ -246,15 +249,63 @@ object PipelineEntry {
       }.mkString(" + ")
       s"$terms AS s_$t"
     }.mkString(",\n ")
-    val anyMatch = hp.indices.map(t => s"a.s_$t = b.s_$t").mkString(" OR ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sig AS (SELECT vec_id, v,
        | $sigCols
-       | FROM e),
+       | FROM e)""".stripMargin
+  }
+
+  private def lshAnyMatch(a: String, b: String): String =
+    (0 until 8).map(t => s"$a.s_$t = $b.s_$t").mkString(" OR ")
+
+  /** DuckDB mirror of Ann.lshPairs: the candidate predicate (signature
+    * match in ≥1 of 8 tables) and the exact verification both replicate
+    * bit-for-bit. */
+  private def lshPairsOracle: String =
+    s"""$lshSigCte,
        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  list_inner_product(a.v, b.v)
        |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
-       | FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($anyMatch))
+       | FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (${lshAnyMatch("a", "b")}))
        |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin
-  }
+
+  /** DuckDB mirror of Ann.lshTopK(queries = vec_id < 10, k = 5). */
+  private def lshKnnOracle: String =
+    s"""$lshSigCte,
+       |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |  list_inner_product(q.v, c.v)
+       |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS sim
+       | FROM sig q JOIN sig c
+       |   ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND (${lshAnyMatch("q", "c")})),
+       |r AS (SELECT qid, nid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+       |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /**
+   * DuckDB mirror of the pinned-quantizer IVF gate query. Centroid
+   * score = 2·v·c − |c|² (TopCentroids' −L2² equivalent, same element
+   * order); ties rank the LOWEST centroid index first, replicating the
+   * expression's strict-argmax scan. Corpus rows live in their top-1
+   * list; queries probe their top-4 lists.
+   */
+  private def ivfKnnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      | FROM e ORDER BY vec_id LIMIT 16),
+      |scored AS (SELECT e.vec_id, e.v, cent.cid,
+      |  2.0 * list_inner_product(e.v, cent.cv) - list_inner_product(cent.cv, cent.cv) AS score
+      | FROM e CROSS JOIN cent),
+      |ranked AS (SELECT vec_id, v, cid,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS cr
+      | FROM scored),
+      |corpus AS (SELECT vec_id AS nid, v AS nv, cid AS list_id FROM ranked WHERE cr = 1),
+      |probes AS (SELECT vec_id AS qid, v AS qv, cid AS list_id
+      | FROM ranked WHERE vec_id < 10 AND cr <= 4),
+      |s AS (SELECT DISTINCT qid, nid,
+      |  list_inner_product(qv, nv)
+      |   / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+      | FROM probes JOIN corpus USING (list_id) WHERE qid <> nid),
+      |r AS (SELECT qid, nid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+      |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
 }

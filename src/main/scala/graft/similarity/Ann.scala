@@ -178,8 +178,31 @@ object Ann {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, dim, vecCol = vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(trainCentroids(corpus, nlist, dim, vecCol = vecCol),
+      corpus, queries, k, nprobe, idCol, vecCol)
+
+  /**
+   * Deterministic coarse quantizer: the corpus vectors with the `nlist`
+   * smallest ids, no Lloyd refinement (random-sample init is a standard
+   * IVF baseline). Unlike [[trainCentroids]] (whose sample order is
+   * partition-dependent), this is a pure function of the data — an
+   * external oracle can rebuild the identical index.
+   */
+  def pinnedCentroids(corpus: DataFrame, nlist: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** IVF search against caller-provided centroids — assignment and
+    * probing identical to [[ivfTopK]]. */
+  def ivfTopKWith(centroids: Array[Array[Double]],
+                  corpus: DataFrame, queries: DataFrame, k: Int,
+                  nprobe: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorOps.topCentroids
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       norm(col(vecCol)).as("nn"),
