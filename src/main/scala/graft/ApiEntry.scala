@@ -62,6 +62,16 @@ object ApiEntry {
           Requests.GetRequest(variable = "/events/*", autoRate = true)))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // C++ independent-mutation semantics (store.cc:140-147): each of
+    // the two mutations is applied to the RAW stream and appends its
+    // own output stream, vs the Go chain api_get exercises.
+    "api_get_indep" -> ((s, dir) =>
+      unkey(Engine.get(pts(s, dir), Requests.GetRequest(
+          variable = "/events/*",
+          mutations = Seq(Requests.Mean(H), Requests.MaxM(H)),
+          chainMutations = false)))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
     // Limits: series cap (max_variables) + per-series tail (max_values).
     "api_get_limits" -> ((s, dir) =>
       unkey(Engine.get(pts(s, dir), Requests.GetRequest(
@@ -183,6 +193,12 @@ object ApiEntry {
         |UNION ALL
         |SELECT name, usr, ts, round(dval, 4) AS dval FROM pts
         |WHERE name <> '/events/click'""".stripMargin),
+    "api_get_indep" -> (P +
+      """SELECT name, usr, max(ts) AS ts, round(avg(dval),4) AS dval
+        |FROM pts GROUP BY name, usr, ts - ts % 3600000
+        |UNION ALL
+        |SELECT name, usr, max(ts) AS ts, round(max(dval),4) AS dval
+        |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
     "api_get_limits" -> (P +
       """, sel AS (SELECT name, usr FROM (SELECT DISTINCT name, usr FROM pts
         |   WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> '')

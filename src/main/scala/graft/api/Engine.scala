@@ -74,7 +74,8 @@ object Requests {
       aggregations: Seq[AggregationSpec] = Nil,
       maxVariables: Option[Int] = None,
       maxValues: Option[Int] = None,
-      autoRate: Boolean = false)
+      autoRate: Boolean = false,
+      chainMutations: Boolean = true)
 
   /** lib/openinstrument.proto:137-157; max_age default 24 h
     * (lib/openinstrument.proto:143-145). */
@@ -116,7 +117,18 @@ object Engine {
       df = Mutations.rate(df.filter(col("value_type") === "RATE"))
         .unionByName(df.filter(
           col("value_type").isNull || col("value_type") =!= "RATE"))
-    df = req.mutations.foldLeft(df)((d, m) => m(d))
+    // The two reference servers disagree on repeated mutations: Go
+    // CHAINS them (each consumes the previous output, store.go:101-131);
+    // C++ applies each independently to the raw stream and appends one
+    // output stream per mutation (store.cc:140-147, matching the proto
+    // comment "a separate stream for each change requested"). Default is
+    // the Go pipeline; `chainMutations = false` selects C++ semantics.
+    df =
+      if (req.chainMutations || req.mutations.size <= 1)
+        req.mutations.foldLeft(df)((d, m) => m(d))
+      else
+        req.mutations.map(m => m(df))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
     // Repeated aggregations append their output streams in request order,
     // each computed over the same post-mutation input — the C++ server's
     // `for (auto &agg : req.aggregation())` loop (server/store.cc:164-252).

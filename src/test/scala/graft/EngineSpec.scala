@@ -60,6 +60,18 @@ class EngineSpec extends SparkSpec {
       ("/sys/temp", 1000L, 21.5), ("/sys/temp", 2000L, 22.0))) // raw
   }
 
+  test("get: chainMutations=false applies each mutation to the raw stream") {
+    // C++ semantics (server/store.cc:140-147): one output stream per
+    // mutation, each computed from the raw data — not a pipeline.
+    val out = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/cpu{host=a}",
+      mutations = Seq(Requests.Mean(10000L), Requests.MaxM(10000L)),
+      chainMutations = false))
+    val vals = out.select("dval").collect().map(_.getDouble(0)).sorted.toSeq
+    // mean(1,3,6) = 10/3 and max(1,3,6) = 6 — max over RAW, not over mean
+    assert(vals == Seq(10.0 / 3, 6.0))
+  }
+
   test("get: repeated aggregations append both output stream sets") {
     // C++ semantics (server/store.cc:164-252): each StreamAggregation in
     // the request produces its own output streams over the same input.
