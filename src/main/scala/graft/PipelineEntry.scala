@@ -238,10 +238,14 @@ object PipelineEntry {
     "e_knn_lsh" -> lshKnnOracle,
     "e_knn_ivf" -> ivfKnnOracle)
 
+  /** LSH config shared by the Spark queries (Ann defaults) and the SQL
+    * oracles — one source of truth for the table count. */
+  private val LshTables = 8
+
   /** Shared CTE prefix: vectors + per-table LSH signatures with the same
     * fixed-seed plane coefficients interpolated into the SQL. */
   private def lshSigCte: String = {
-    val hp = Ann.hyperplanes(tables = 8, planes = 6, dim = 64, seed = 42L)
+    val hp = Ann.hyperplanes(tables = LshTables, planes = 6, dim = 64, seed = 42L)
     val sigCols = hp.zipWithIndex.map { case (tp, t) =>
       val terms = tp.zipWithIndex.map { case (p, i) =>
         val arr = p.mkString("[", ",", "]")
@@ -256,7 +260,7 @@ object PipelineEntry {
   }
 
   private def lshAnyMatch(a: String, b: String): String =
-    (0 until 8).map(t => s"$a.s_$t = $b.s_$t").mkString(" OR ")
+    (0 until LshTables).map(t => s"$a.s_$t = $b.s_$t").mkString(" OR ")
 
   /** DuckDB mirror of Ann.lshPairs: the candidate predicate (signature
     * match in ≥1 of 8 tables) and the exact verification both replicate

@@ -123,17 +123,26 @@ object Engine {
     // output stream per mutation (store.cc:140-147, matching the proto
     // comment "a separate stream for each change requested"). Default is
     // the Go pipeline; `chainMutations = false` selects C++ semantics.
+    // Independent outputs are tagged `mut_idx` so downstream consumers
+    // (response grouping, max_values) keep one stream PER MUTATION per
+    // series, as the C++ response shape does.
+    val independent = !req.chainMutations && req.mutations.size > 1
     df =
-      if (req.chainMutations || req.mutations.size <= 1)
+      if (!independent)
         req.mutations.foldLeft(df)((d, m) => m(d))
       else
-        req.mutations.map(m => m(df))
+        req.mutations.zipWithIndex.map { case (m, i) =>
+            m(df).withColumn("mut_idx", lit(i)) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
     // Repeated aggregations append their output streams in request order,
     // each computed over the same post-mutation input — the C++ server's
     // `for (auto &agg : req.aggregation())` loop (server/store.cc:164-252).
     if (req.aggregations.nonEmpty) {
-      if (!df.columns.contains("name") ||
+      // Re-attach series identity when a mutation dropped it — or when
+      // the independent union half-filled it with nulls (a grid
+      // mutation's output lacks name/labels, so the unioned column
+      // exists but is null for those rows).
+      if (!df.columns.contains("name") || independent ||
           (req.aggregations.exists(_.labels.nonEmpty) &&
             !df.columns.contains("labels")))
         df = df.drop("name", "labels")
@@ -152,7 +161,10 @@ object Engine {
     req.maxValues.foreach { n =>
       // MAP columns can't be window-partition keys; serialize them
       val key =
-        if (req.aggregations.isEmpty) Seq(col("skey"))
+        if (req.aggregations.isEmpty)
+          // per OUTPUT stream: (series, mutation) under independent mode
+          if (df.columns.contains("mut_idx")) Seq(col("skey"), col("mut_idx"))
+          else Seq(col("skey"))
         else df.columns.filter(c => c != "ts" && c != "dval").map { c =>
           df.schema(c).dataType match {
             case _: org.apache.spark.sql.types.MapType => to_json(col(c))

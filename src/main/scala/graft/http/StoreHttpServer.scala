@@ -32,6 +32,7 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
   // accepting other connections (/health during a long /get).
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
   server.setExecutor(pool)
+  private val writeLock = new Object
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -98,8 +99,12 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
           opt[String](r, "skey").map(Variable.parse(_).labels)
             .getOrElse(Map.empty)))
     val (streams, constructMs) = timed {
+      // one wire stream per series — and per mutation, when independent
+      // mutations tagged the rows (C++'s stream-per-mutation response
+      // shape, server/store.cc:140-147)
       rows.groupBy { r =>
-          opt[String](r, "skey").getOrElse(variableOf(r).canonical)
+          opt[String](r, "skey").getOrElse(variableOf(r).canonical) +
+            opt[Int](r, "mut_idx").fold("")(i => s"#$i")
         }.toSeq.sortBy(_._1)
         .map { case (_, rs) =>
           Rpc.Stream(variableOf(rs.head), rs.toSeq.map { r =>
@@ -138,8 +143,13 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     val df = rows.toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
     val (ok, bad) = Engine.add(df, hostname = "http", nowMs = nowMs())
     val (nBad, writeMs) = timed {
-      ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
-        .write.partitionBy("date").mode("append").parquet(storeDir)
+      // One append at a time: with the handler pool, two concurrent
+      // Spark appends to the same path race on the shared _temporary
+      // staging dir (the first commitJob deletes the second's files).
+      writeLock.synchronized {
+        ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
+          .write.partitionBy("date").mode("append").parquet(storeDir)
+      }
       bad.count()
     }
     Rpc.encodeAddResponse(nBad == 0,

@@ -137,11 +137,16 @@ object ProtoRecordFile {
         files.flatMap { row =>
           val buf = row.getAs[Array[Byte]](0)
           records(buf).flatMap { case (off, len) =>
-            val s = decodeValueStream(buf, off, len)
-            s.values.iterator.map { case (ts, dv, sv, ets) =>
-              Row(s.name, s.labels, s.valueType, ts,
-                dv.orNull, sv.orNull, ets.orNull)
-            }
+            // A well-framed record can still carry a corrupt payload
+            // (CRC mismatches are tolerated); skip it and re-sync like
+            // the reference reader rather than failing the whole file.
+            scala.util.Try(decodeValueStream(buf, off, len)).toOption
+              .iterator.flatMap { s =>
+                s.values.iterator.map { case (ts, dv, sv, ets) =>
+                  Row(s.name, s.labels, s.valueType, ts,
+                    dv.orNull, sv.orNull, ets.orNull)
+                }
+              }
           }
         }
       }(enc)

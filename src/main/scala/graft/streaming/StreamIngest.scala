@@ -134,8 +134,20 @@ object StreamIngest {
    * flatMapGroupsWithState. Append-mode compatible; state is one fixed
    * record per LIVE series: `idleTimeoutMs` (default 1 h) evicts state
    * for series that stop reporting, so total state tracks current
-   * fan-in, not the historical series universe. Pass `idleTimeoutMs = 0`
-   * to keep state forever (the pre-eviction behavior).
+   * fan-in, not the historical series universe.
+   *
+   * DOCUMENTED DIVERGENCE from the batch resampler under eviction: a
+   * series idle past the timeout that later revives re-anchors at its
+   * first new point, whereas batch `Mutations.resampleUniform` over the
+   * same data would bridge the gap from the original anchor. Bounded
+   * state is the right default at stream scale; pass `idleTimeoutMs =
+   * 0` for strict batch bit-equality on arbitrarily idle series.
+   *
+   * DEPLOYMENT NOTE: with ProcessingTimeTimeout, Spark runs a
+   * timer-check batch on every trigger even without new data — set a
+   * real trigger interval (e.g. `Trigger.ProcessingTime("30 seconds")`)
+   * on the query; the default 0 ms trigger would busy-loop empty
+   * batches. With eviction disabled there is no such constraint.
    */
   def uniformResampleStream(points: DataFrame, intervalMs: Long,
                             idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {

@@ -76,7 +76,14 @@ object Rpc {
     }
 
   /** StreamMutation{1: sample_type, 2: sample_frequency,
-    * 3: max_gap_interpolate} at `field`. */
+    * 3: max_gap_interpolate} at `field`.
+    *
+    * KNOWN-LOSSY within the reference enum (proto:26-42 has no codes
+    * for the engine extensions): Uniform encodes as NONE+freq (both are
+    * interpolating resamplers), StdDev as AVERAGE, and Rate's
+    * `perSecond` display convention has no wire field — a decode of
+    * this encode yields the closest reference-expressible operator, by
+    * design (wire compatibility over extension fidelity). */
   private def encodeMutation(w: WireWriter, field: Int,
                              m: Requests.MutationSpec): Unit = {
     val (st, freq, maxGapSamples) = m match {
@@ -315,6 +322,21 @@ object Rpc {
     error.foreach(w.stringField(2, _))
     encodeTimers(w, 3, timers)
     w.result()
+  }
+
+  /** AddResponse{1: success, 2: errormessage} — field 3 is timers
+    * (see [[decodeTimers]]); it must NOT be decoded as GetResponse,
+    * whose field 3 is a stream. */
+  def decodeAddResponse(bytes: Array[Byte]): (Boolean, Option[String]) = {
+    var success = false
+    var err: Option[String] = None
+    val r = new WireReader(bytes, 0, bytes.length)
+    r.fields {
+      case (1, 0) => success = r.varint() == 1
+      case (2, 2) => err = Some(r.string())
+      case (_, wt) => r.skip(wt)
+    }
+    (success, err)
   }
 
   /** ListRequest{3: prefix StreamVariable, 2: max_variables, 4: max_age}. */

@@ -20,7 +20,9 @@ final class WireReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     v
   }
   def fixed64(): Long = {
-    if (pos + 8 > end) { pos = end; return 0L } // truncated input: don't read past end
+    if (pos + 8 > end)
+      throw new IllegalArgumentException(
+        s"truncated protobuf: fixed64 at $pos overruns buffer end $end")
     var v = 0L
     var i = 0
     while (i < 8) { v |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
@@ -28,10 +30,14 @@ final class WireReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     v
   }
   def lenDelim(): (Int, Int) = {
-    // Clamp a declared length to the remaining buffer — a corrupt or
-    // malicious length must not index past `end` (or backwards).
-    val n = math.min(math.max(varint(), 0L), (end - pos).toLong).toInt
-    val r = (pos, n); pos += n; r
+    // A declared length past the buffer is corrupt/truncated input:
+    // fail loudly rather than silently decoding a partial value (a
+    // truncated /add body must NOT persist partial points as success).
+    val n = varint()
+    if (n < 0 || n > end - pos)
+      throw new IllegalArgumentException(
+        s"truncated protobuf: declared length $n at $pos overruns buffer end $end")
+    val r = (pos, n.toInt); pos += n.toInt; r
   }
   def string(): String = {
     val (o, n) = lenDelim()
@@ -39,10 +45,15 @@ final class WireReader(val buf: Array[Byte], var pos: Int, val end: Int) {
   }
   def skip(wireType: Int): Unit = wireType match {
     case 0 => varint()
-    case 1 => pos = math.min(pos + 8, end)
+    case 1 => fixed64()
     case 2 => lenDelim()
-    case 5 => pos = math.min(pos + 4, end)
-    case _ => pos = end
+    case 5 =>
+      if (pos + 4 > end)
+        throw new IllegalArgumentException(
+          s"truncated protobuf: fixed32 at $pos overruns buffer end $end")
+      pos += 4
+    case _ =>
+      throw new IllegalArgumentException(s"unknown protobuf wire type $wireType")
   }
   /** Iterate (field, wireType) pairs, calling f; f reads the payload. */
   def fields(f: (Int, Int) => Unit): Unit =

@@ -40,8 +40,8 @@ class HttpSpec extends SparkSpec {
         Seq((1000L, Some(10.0), None, None),
           (2000L, Some(30.0), None, None),
           (3000L, Some(60.0), None, None)))))
-      val (ok, _, _) = Rpc.decodeGetResponse(post(srv.boundPort, "/add", addBody))
-      assert(ok) // AddResponse success bit shares field 1
+      val (ok, _) = Rpc.decodeAddResponse(post(srv.boundPort, "/add", addBody))
+      assert(ok)
 
       // /get with a RATE mutation
       val getBody = Rpc.encodeGetRequest(Requests.GetRequest(

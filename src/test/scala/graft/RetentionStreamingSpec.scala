@@ -89,12 +89,18 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
 
     val mem = MemoryStream[StreamIngest.InPoint]
-    // split across two micro-batches to exercise state carry-over
-    val q = mem.toDF().as[StreamIngest.InPoint]
-      .groupByKey(_.skey)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
-        StreamIngest.uniformStep(60000L))
+    // split across two micro-batches to exercise state carry-over;
+    // drives uniformResampleStream end to end. Eviction disabled here:
+    // ProcessingTimeTimeout makes Spark run a timer-check batch on
+    // EVERY trigger, which with the default 0 ms test trigger is a busy
+    // loop processAllAvailable never escapes — the eviction state
+    // machine itself is covered by the TestGroupState spec below.
+    val src = mem.toDF()
+      .select(col("skey").as("name"),
+        map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val q = StreamIngest.uniformResampleStream(src, 60000L, idleTimeoutMs = 0L)
       .writeStream.format("memory").queryName("uni_out")
       .outputMode("append").start()
     mem.addData(pts.take(4))

@@ -19,31 +19,33 @@ class RpcSpec extends AnyFunSuite {
     assert(back.aggregations == req.aggregations)
   }
 
-  test("WireReader clamps corrupt declared lengths to the buffer") {
+  test("WireReader rejects corrupt declared lengths loudly") {
     // field 1, wire type 2 (len-delimited), declared length 200 but only
-    // 3 payload bytes present — decode must not throw or read past end.
+    // 3 payload bytes present — decoding must fail, never read past end
+    // or silently accept a partial value (a truncated /add body must not
+    // persist partial points as success).
     val w = new graft.wire.WireWriter
     w.tag(1, 2).varint(200L)
     val corrupt = w.result() ++ Array[Byte]('a', 'b', 'c')
     val r = new WireReader(corrupt, 0, corrupt.length)
-    var got: String = null
-    r.fields {
-      case (1, 2) => got = r.string()
-      case (_, wt) => r.skip(wt)
+    intercept[IllegalArgumentException] {
+      r.fields {
+        case (1, 2) => r.string()
+        case (_, wt) => r.skip(wt)
+      }
     }
-    assert(got == "abc")
-    assert(!r.hasMore)
   }
 
-  test("WireReader survives truncated fixed64 and skip past end") {
+  test("WireReader rejects truncated fixed64") {
     val w = new graft.wire.WireWriter
     w.tag(2, 1) // fixed64 tag with no payload
     val b = w.result()
     val r = new WireReader(b, 0, b.length)
-    r.fields {
-      case (2, 1) => assert(r.fixed64() == 0L)
-      case (_, wt) => r.skip(wt)
+    intercept[IllegalArgumentException] {
+      r.fields {
+        case (2, 1) => r.fixed64()
+        case (_, wt) => r.skip(wt)
+      }
     }
-    assert(!r.hasMore)
   }
 }
