@@ -110,6 +110,18 @@ object ApiEntry {
             Multimodal.fromDocuments(Tables.documents(s, dir))),
           stride = 30)
         .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))),
+    // Resize-to-fit 64x64 (aspect preserved, no upscale): box-fit math
+    // + resized-blob plumbing; oracle verifies dims and the stub blob's
+    // hash end-to-end.
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeToFit(
+          Multimodal.extractFeatures(
+            Multimodal.fromDocuments(Tables.documents(s, dir))),
+          64, 64)
+        .select(col("item_id"), col("modality"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"),
+          md5(col("content")).as("resized_sha"))),
     // Constant-label preservation (server/store.cc:204-226): aggregate
     // by `user`; the `site` label is single-valued within each group
     // (derived from the name) and must survive; `user` becomes the key.
@@ -304,6 +316,24 @@ object ApiEntry {
         | FROM documents)
         |SELECT item_id, unnest(range(0, 1 + h % 300, 30)) AS frame_idx
         |FROM m WHERE modality = 'video'""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id AS item_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  md5(text) AS sha,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        | FROM documents),
+        |d AS (SELECT item_id, modality, sha,
+        |  16 + h % 1024 AS w, 16 + (h // 1024) % 1024 AS ht
+        | FROM m WHERE modality IN ('image','video')),
+        |r AS (SELECT item_id, modality, sha, w, ht,
+        |  least(64.0/w, 64.0/ht, 1.0) AS s
+        | FROM d)
+        |SELECT item_id, modality,
+        | greatest(1, CAST(floor(w*s) AS BIGINT)) AS out_w,
+        | greatest(1, CAST(floor(ht*s) AS BIGINT)) AS out_h,
+        | md5(sha || ':' || greatest(1, CAST(floor(w*s) AS BIGINT))
+        |     || 'x' || greatest(1, CAST(floor(ht*s) AS BIGINT))) AS resized_sha
+        |FROM r""".stripMargin,
     "ret_policy" -> (P +
       s""", tagged AS (SELECT *,
          |  CASE WHEN name = '/events/click' AND usr <> ''

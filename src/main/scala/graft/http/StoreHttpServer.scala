@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
 class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
                       nowMs: () => Long = () => System.currentTimeMillis(),
                       retention: graft.retention.Retention.Policy =
-                        graft.retention.Retention.Policy(Nil)) {
+                        graft.retention.Retention.Policy(Nil),
+                      argv: Seq[String] = Nil) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // Off the accept/dispatch thread: a slow Spark query must not block
@@ -203,6 +204,15 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     ex.close()
   })
 
+  // plain-text launch args, the Go server's debug endpoint
+  // (go/src/store.go:228-230,270)
+  server.createContext("/args", (ex: HttpExchange) => {
+    val body = (argv.mkString("[", " ", "]") + "\n").getBytes("UTF-8")
+    ex.sendResponseHeaders(200, body.length.toLong)
+    ex.getResponseBody.write(body)
+    ex.close()
+  })
+
   def start(): StoreHttpServer = { server.start(); this }
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
@@ -226,7 +236,8 @@ object StoreHttpServer {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = new StoreHttpServer(spark, store,
-      opts.get("port").map(_.toInt).getOrElse(8020)).start()
+      opts.get("port").map(_.toInt).getOrElse(8020),
+      argv = args.toSeq).start()
     println(s"LISTENING=${s.boundPort}")
     Thread.currentThread().join()
   }

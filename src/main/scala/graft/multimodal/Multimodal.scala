@@ -110,6 +110,34 @@ object Multimodal {
       map(lit("origin"), col("source")).as("meta"))
 
   /**
+   * Resize-to-fit for image/video rows: scales (width, height) to fit
+   * a `maxW`×`maxH` box preserving aspect ratio (never upscales), and
+   * emits a new `content` blob for the resized media. The box-fit math
+   * and column plumbing are real; the pixel work is STUBBED — the
+   * output bytes derive deterministically from (source sha, target
+   * dims), so oracles can verify the full pipeline shape. A real
+   * implementation replaces only the `content` expression with a
+   * partition-local decoder call.
+   *
+   * Pure relational (codegen'd expressions, no shuffle): at 100 TB this
+   * is a map-only pass over the blob partition layout.
+   */
+  def resizeToFit(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    features.filter(col("modality").isin("image", "video"))
+      .withColumn("out_w",
+        greatest(lit(1), floor(col("width") * scale).cast("int")))
+      .withColumn("out_h",
+        greatest(lit(1), floor(col("height") * scale).cast("int")))
+      .select(col("item_id"), col("modality"), col("out_w"), col("out_h"),
+        // ??? <- real pixel resample goes here; deterministic stub below
+        encode(concat(col("content_sha"), lit(":"),
+          col("out_w").cast("string"), lit("x"),
+          col("out_h").cast("string")), "UTF-8").as("content"))
+  }
+
+  /**
    * Frame sampling for video-modality rows: explode `n_frames` into
    * every `strideMs`-th frame index — pure relational (`sequence` +
    * `explode`), no decode needed until the frame is actually fetched.

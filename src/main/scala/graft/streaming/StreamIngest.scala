@@ -61,6 +61,21 @@ object StreamIngest {
       .agg(avg("dval").as("dval"))
       .select(col("name"), unix_millis(col("window.start")).as("ts"), col("dval"))
 
+  /**
+   * Streaming exact dedup for a document/point stream: drops rows whose
+   * `keyCols` were already seen within the watermark window. State is
+   * bounded by the watermark (keys expire once the event-time watermark
+   * passes them) — the streaming half of `Dedup.exact`; cross-window /
+   * historical dedup stays a batch job over the at-rest store.
+   */
+  def dedupStream(df: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermark: String = "1 hour"): DataFrame =
+    df.withColumn("event_time", timestamp_millis(col(tsCol)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .drop("event_time")
+
   // ------------------------------------------------- stateful resample
 
   /** Per-series incremental state of the uniform resampler — the same

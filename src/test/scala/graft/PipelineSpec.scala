@@ -126,6 +126,23 @@ class PipelineSpec extends SparkSpec {
     assert(again == lsh.keySet)
   }
 
+  test("resizeToFit: aspect-preserving box fit, no upscale, audio dropped") {
+    import spark.implicits._
+    val features = Seq(
+      (1L, "video", 2000, 100, "sha_a"),
+      (2L, "image", 32, 32, "sha_b"),
+      (3L, "audio", 0, 0, "sha_c"))
+      .toDF("item_id", "modality", "width", "height", "content_sha")
+    val out = graft.multimodal.Multimodal.resizeToFit(features, 64, 64)
+      .select("item_id", "out_w", "out_h", "content").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSeq.sortBy(_._1)
+    // 2000x100 -> scale 0.032 -> 64x3; 32x32 fits already (no upscale)
+    assert(out == Seq(
+      (1L, 64, 3, "sha_a:64x3"),
+      (2L, 32, 32, "sha_b:32x32")))
+  }
+
   test("topCentroids: argmin matches a reference scan, best-first order") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

@@ -113,6 +113,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops re-seen keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamIngest.dedupStream(
+        mem.toDF().toDF("content_hash", "ts"), Seq("content_hash"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(("h1", 1000L), ("h2", 2000L))
+    q.processAllAvailable()
+    mem.addData(("h1", 3000L), ("h3", 4000L)) // h1 re-seen -> dropped
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("content_hash")
+      .collect().map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(out == Seq("h1", "h2", "h3"))
+  }
+
   test("idle series state is evicted on timeout; a revived series re-anchors") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
