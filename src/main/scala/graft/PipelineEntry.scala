@@ -30,6 +30,21 @@ object PipelineEntry {
       | FROM toks WHERE len(t) >= 3),
       |""".stripMargin
 
+  /** Shared oracle CTE: per-token 60-bit hashes (simhash input). */
+  private val SimhashHsCte =
+    """, hs AS (SELECT doc_id,
+      |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in t] AS h
+      | FROM toks)
+      |""".stripMargin
+
+  /** 60-bit majority-fold simhash signature (mirrors SimHash60). */
+  private val SimhashSigSelect =
+    """SELECT doc_id, CAST(list_sum(
+      | [CASE WHEN list_sum([2*((x // (CAST(1 AS BIGINT) << b)) % 2) - 1 for x in h]) > 0
+      |   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+      |  for b in range(0, 60)]) AS BIGINT) AS sig
+      |FROM hs""".stripMargin
+
   private def langScoreSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> list_contains($lst, x)))*1.0/len(t) END"
@@ -87,6 +102,11 @@ object PipelineEntry {
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(Tables.documents(s, dir))
         .withColumnRenamed("id", "doc_id")),
+    // SimHash near-dup pairs: 4x15-bit band pigeonhole (any dist<=3 pair
+    // shares a band) -> exact hamming verify on candidates only.
+    "d_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
     // Near-dup cluster collapse: connected components over the verified
     // jaccard pairs; every member labeled with its component's min id.
     "d_dup_groups" -> ((s, dir) =>
@@ -208,15 +228,19 @@ object PipelineEntry {
         |reach AS (SELECT DISTINCT a AS n, a AS m FROM e
         |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
         |SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n""".stripMargin),
-    "d_simhash" -> (T +
-      """, hs AS (SELECT doc_id,
-        |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in t] AS h
-        | FROM toks)
-        |SELECT doc_id, CAST(list_sum(
-        | [CASE WHEN list_sum([2*((x // (CAST(1 AS BIGINT) << b)) % 2) - 1 for x in h]) > 0
-        |   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
-        |  for b in range(0, 60)]) AS BIGINT) AS sig
-        |FROM hs""".stripMargin),
+    "d_simhash" -> (T + SimhashHsCte + SimhashSigSelect),
+    "d_simhash_pairs" -> (T + SimhashHsCte +
+      s""", sigs AS ($SimhashSigSelect),
+         |bands AS (SELECT doc_id, sig,
+         |  unnest([CAST(b AS VARCHAR) || ':' ||
+         |          CAST((sig // (CAST(1 AS BIGINT) << (b*15))) % 32768 AS VARCHAR)
+         |          for b in range(0, 4)]) AS band
+         | FROM sigs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.sig AS siga, b.sig AS sigb
+         | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS dist
+         |FROM cand WHERE bit_count(xor(siga, sigb)) <= 3""".stripMargin),
     "e_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
