@@ -135,6 +135,29 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("concurrent /add requests all persist (append write race)") {
+    val store = java.nio.file.Files.createTempDirectory("graft_http4").toString + "/s"
+    val srv = new StoreHttpServer(spark, store, nowMs = () => 100000L).start()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val adds = (0 until 4).map { i =>
+        Future {
+          val body = Rpc.encodeAddRequest(Seq(Rpc.Stream(
+            Variable(s"/http/conc", Map("host" -> s"h$i"), Variable.Gauge),
+            Seq((1000L + i, Some(i.toDouble), None, None)))))
+          Rpc.decodeAddResponse(post(srv.boundPort, "/add", body))._1
+        }
+      }
+      assert(Await.result(Future.sequence(adds), 120.seconds).forall(identity))
+      val listBody = Rpc.encodeListRequest(
+        Requests.ListRequest("/http/conc", maxAgeMs = 86400000L))
+      val (_, vars) = Rpc.decodeListResponse(post(srv.boundPort, "/list", listBody))
+      assert(vars.map(_.labels("host")).toSet == Set("h0", "h1", "h2", "h3"))
+    } finally srv.stop()
+  }
+
   test("malformed request returns a decodable error response, not a hang") {
     val store = java.nio.file.Files.createTempDirectory("graft_http2").toString + "/s"
     val srv = new StoreHttpServer(spark, store).start()

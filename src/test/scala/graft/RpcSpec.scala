@@ -36,6 +36,31 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("decoders never hang or read out of bounds on arbitrary bytes") {
+    // Deterministic fuzz: every decode either succeeds or throws — no
+    // infinite loop, no ArrayIndexOutOfBounds (the reader must fail on
+    // its own clamp checks, proving declared lengths never escape the
+    // buffer).
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { i =>
+      val bytes = Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+      def check(f: => Any): Unit =
+        try { f; () } catch {
+          case _: IllegalArgumentException => ()
+          case e: ArrayIndexOutOfBoundsException =>
+            fail(s"OOB read on fuzz input $i: $e")
+        }
+      check(Rpc.decodeGetRequest(bytes))
+      check(Rpc.decodeGetResponse(bytes))
+      check(Rpc.decodeAddRequest(bytes))
+      check(Rpc.decodeAddResponse(bytes))
+      check(Rpc.decodeListRequest(bytes))
+      check(Rpc.decodeListResponse(bytes))
+      check(Rpc.decodeStoreConfig(bytes))
+      check(Rpc.decodeTimers(bytes, 4))
+    }
+  }
+
   test("WireReader rejects truncated fixed64") {
     val w = new graft.wire.WireWriter
     w.tag(2, 1) // fixed64 tag with no payload
