@@ -87,6 +87,15 @@ object ApiEntry {
       unkey(Mutations.resampleUniform(Point.withSeriesKey(pts(s, dir)), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // RLE expand gated end-to-end: a uniform resample is a COMPLETE
+    // per-series grid, on which expand(encode(x)) is exactly x — so the
+    // oracle is the m_uniform oracle verbatim. (Encode alone is gated
+    // by rle_encode; this closes the loop on the expand direction.)
+    "rle_roundtrip" -> ((s, dir) =>
+      unkey(graft.operators.Rle.expand(graft.operators.Rle.encode(
+          Mutations.resampleUniform(Point.withSeriesKey(pts(s, dir)), H)), H))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
     // Go Interpolate (mutations.go:87-137). The sequential skip rule
     // reduces to "consume the first point of each H-bucket", so the
     // whole op is SQL-expressible (see oracle below).
@@ -175,6 +184,24 @@ object ApiEntry {
               graft.retention.Retention.Drop))), NowMs))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))))
+
+  /** DuckDB mirror of the C++ UniformTimeSeries resample — also the
+    * oracle for `rle_roundtrip` (expand∘encode is the identity on the
+    * complete uniform grid). */
+  private val UniformOracleSql = P +
+    """, b AS (SELECT name, usr, min(ts) - (min(ts) % 3600000) AS base
+      |  FROM pts GROUP BY name, usr),
+      |pr AS (SELECT name, usr, ts, dval,
+      |  lag(ts) OVER w AS lts, lag(dval) OVER w AS lv
+      |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
+      |g AS (SELECT pr.name, pr.usr, ts AS ts0, dval, lts, lv,
+      |  base + 3600000 * unnest(range((lts - base)//3600000 + 1,
+      |                                (ts - base)//3600000 + 1)) AS gts
+      |  FROM pr JOIN b USING (name, usr) WHERE lts IS NOT NULL)
+      |SELECT name, usr, gts AS ts,
+      | round(CASE WHEN gts = ts0 THEN dval
+      |   ELSE (dval - lv) / (ts0 - lts) * (gts - lts) + lv END, 4) AS dval
+      |FROM g""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "api_get" -> (P +
@@ -273,20 +300,9 @@ object ApiEntry {
         |UNION ALL
         |SELECT name, usr, ts, round(dval, 4) AS dval
         |FROM pr WHERE rn2 = 1 AND ts % 3600000 = 0""".stripMargin),
-    "m_uniform" -> (P +
-      """, b AS (SELECT name, usr, min(ts) - (min(ts) % 3600000) AS base
-        |  FROM pts GROUP BY name, usr),
-        |pr AS (SELECT name, usr, ts, dval,
-        |  lag(ts) OVER w AS lts, lag(dval) OVER w AS lv
-        |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
-        |g AS (SELECT pr.name, pr.usr, ts AS ts0, dval, lts, lv,
-        |  base + 3600000 * unnest(range((lts - base)//3600000 + 1,
-        |                                (ts - base)//3600000 + 1)) AS gts
-        |  FROM pr JOIN b USING (name, usr) WHERE lts IS NOT NULL)
-        |SELECT name, usr, gts AS ts,
-        | round(CASE WHEN gts = ts0 THEN dval
-        |   ELSE (dval - lv) / (ts0 - lts) * (gts - lts) + lv END, 4) AS dval
-        |FROM g""".stripMargin),
+    "m_uniform" -> UniformOracleSql,
+    // identity on the complete uniform grid -> same oracle
+    "rle_roundtrip" -> UniformOracleSql,
     "agg_preserve" -> (P +
       """SELECT name, usr, substr(name, 9) AS site,
         | ts - ts % 3600000 AS ts, round(sum(dval), 4) AS dval

@@ -27,7 +27,11 @@ object Aggregations {
   case object Sum extends AggType { def fn = sum }
   case object Min extends AggType { def fn = min }
   case object Max extends AggType { def fn = max }
-  /** Upper median `bucket[n/2]` (lib/protobuf.cc:135-142), exact. */
+  /** Upper median `bucket[n/2]` (lib/protobuf.cc:135-142), exact.
+    * Scale note: buffers each (name[,label], bucket) group's values
+    * (as the reference does) — bucket cardinality is bounded by
+    * series-per-name × interval, not data volume; for a pathological
+    * fan-in, swap in `percentile_approx` (approximate, O(1) state). */
   case object Median extends AggType {
     def fn = c => element_at(array_sort(collect_list(c)),
       (floor(size(collect_list(c)) / 2) + 1).cast("int"))
