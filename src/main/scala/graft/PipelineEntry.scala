@@ -30,6 +30,24 @@ object PipelineEntry {
       | FROM toks WHERE len(t) >= 3),
       |""".stripMargin
 
+  /** Shared oracle CTE chain: winnowing fingerprint lists per doc
+    * (window 4 over 3-token shingle hashes — mirrors
+    * TextOps.winnowFromHashes). */
+  private val WinnowCte =
+    """, sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+      |   ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END AS s
+      | FROM toks),
+      |hs AS (SELECT doc_id,
+      |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in s] AS h
+      | FROM sh),
+      |w AS (SELECT doc_id, CASE
+      |  WHEN len(h) = 0 THEN []::BIGINT[]
+      |  WHEN len(h) <= 4 THEN [list_min(h)]
+      |  ELSE [list_min(h[i:i+3]) for i in range(1, len(h)-2)] END AS f
+      | FROM hs)
+      |""".stripMargin
+
   /** Shared oracle CTE: per-token 60-bit hashes (simhash input). */
   private val SimhashHsCte =
     """, hs AS (SELECT doc_id,
@@ -139,6 +157,29 @@ object PipelineEntry {
       val emb = Tables.embeddings(s, dir)
       Ann.ivfTopKWith(Ann.pinnedCentroids(emb, nlist = 16),
         emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+    }),
+    // IVF index-build balance check: corpus rows per inverted list
+    // under the pinned quantizer.
+    "e_ivf_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfListStats(Ann.pinnedCentroids(emb, nlist = 16), emb)
+        .select(col("list_id").cast("long").as("list_id"), col("n_vectors"))
+    }),
+    // Winnowing-fingerprint candidate pairs: docs sharing >= 3 selected
+    // fingerprints (Schleimer winnowing guarantees shared substrings of
+    // the window length surface here) — the plagiarism-style dedup pass.
+    "t_winnow_pairs" -> ((s, dir) => {
+      val fps = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .withColumn("sh", TextOps.shingles(col("toks"), 3))
+        .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
+        .select(col("doc_id"),
+          explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))
+      fps.as("a").join(fps.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 3)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -170,20 +211,13 @@ object PipelineEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
-    "t_winnow" -> (T +
-      """, sh AS (SELECT doc_id,
-        |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
-        |   ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END AS s
-        | FROM toks),
-        |hs AS (SELECT doc_id,
-        |  [CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) for x in s] AS h
-        | FROM sh),
-        |w AS (SELECT doc_id, CASE
-        |  WHEN len(h) = 0 THEN []::BIGINT[]
-        |  WHEN len(h) <= 4 THEN [list_min(h)]
-        |  ELSE [list_min(h[i:i+3]) for i in range(1, len(h)-2)] END AS f
-        | FROM hs)
-        |SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w""".stripMargin),
+    "t_winnow" -> (T + WinnowCte +
+      "SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w"),
+    "t_winnow_pairs" -> (T + WinnowCte +
+      """, fp AS (SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     "t_vocab" -> (T +
       """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
@@ -260,7 +294,8 @@ object PipelineEntry {
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin,
     "e_lsh_pairs" -> lshPairsOracle,
     "e_knn_lsh" -> lshKnnOracle,
-    "e_knn_ivf" -> ivfKnnOracle)
+    "e_knn_ivf" -> ivfKnnOracle,
+    "e_ivf_stats" -> ivfStatsOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
@@ -316,7 +351,9 @@ object PipelineEntry {
    * expression's strict-argmax scan. Corpus rows live in their top-1
    * list; queries probe their top-4 lists.
    */
-  private def ivfKnnOracle: String =
+  /** Shared CTE chain: pinned-quantizer centroid ranking per vector
+    * (see [[ivfKnnOracle]] for the tie-break contract). */
+  private val IvfRankedCte =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
       | FROM e ORDER BY vec_id LIMIT 16),
@@ -325,7 +362,10 @@ object PipelineEntry {
       | FROM e CROSS JOIN cent),
       |ranked AS (SELECT vec_id, v, cid,
       |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS cr
-      | FROM scored),
+      | FROM scored)""".stripMargin
+
+  private def ivfKnnOracle: String = IvfRankedCte +
+    """,
       |corpus AS (SELECT vec_id AS nid, v AS nv, cid AS list_id FROM ranked WHERE cr = 1),
       |probes AS (SELECT vec_id AS qid, v AS qv, cid AS list_id
       | FROM ranked WHERE vec_id < 10 AND cr <= 4),
@@ -336,4 +376,9 @@ object PipelineEntry {
       |r AS (SELECT qid, nid, sim,
       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
       |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+  private def ivfStatsOracle: String = IvfRankedCte +
+    """
+      |SELECT cid AS list_id, count(*) AS n_vectors
+      |FROM ranked WHERE cr = 1 GROUP BY cid""".stripMargin
 }

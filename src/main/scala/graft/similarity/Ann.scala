@@ -197,6 +197,23 @@ object Ann {
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
+  /**
+   * IVF index-build statistics: corpus rows per inverted list. At scale
+   * this is the materialization step — the corpus gets written
+   * partitioned/bucketed by `list_id` so probes read only their lists —
+   * and the per-list counts are the balance check (skewed lists →
+   * retrain or split). One scan + one tiny shuffle on list_id.
+   */
+  def ivfListStats(centroids: Array[Array[Double]],
+                   corpus: DataFrame,
+                   vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    corpus
+      .select(topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** IVF search against caller-provided centroids — assignment and
     * probing identical to [[ivfTopK]]. */
   def ivfTopKWith(centroids: Array[Array[Double]],
