@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -28,13 +29,37 @@ object Aggregations {
   case object Min extends AggType { def fn = min }
   case object Max extends AggType { def fn = max }
   /** Upper median `bucket[n/2]` (lib/protobuf.cc:135-142), exact.
-    * Scale note: buffers each (name[,label], bucket) group's values
-    * (as the reference does) — bucket cardinality is bounded by
-    * series-per-name × interval, not data volume; for a pathological
-    * fan-in, swap in `percentile_approx` (approximate, O(1) state). */
+    * `fn` (array-buffering) is only used on small-bucket paths;
+    * [[byName]]/[[byLabel]] route Median through the distributed
+    * [[medianSeries]] instead — no per-bucket arrays at any fan-in. */
   case object Median extends AggType {
     def fn = c => element_at(array_sort(collect_list(c)),
       (floor(size(collect_list(c)) / 2) + 1).cast("int"))
+  }
+
+  /**
+   * Exact distributed upper median per (keyNames..., bucket_ts):
+   * value-frequency counts + running count locate the element at
+   * 1-indexed position ⌊n/2⌋+1 without materializing any group as an
+   * array. State per group is O(#distinct values) spread across the
+   * sort, not O(#points) in one reducer — the giant-bucket-safe shape.
+   * Output columns: keyNames..., `bucket_ts`, `dval`.
+   */
+  private def medianSeries(df: DataFrame, keyNames: Seq[String],
+                           intervalMs: Long): DataFrame = {
+    val keys = keyNames :+ "bucket_ts"
+    val byVal = df.filter(col("dval").isNotNull)
+      .withColumn("bucket_ts", col("ts") - pmod(col("ts"), lit(intervalMs)))
+      .groupBy((keys :+ "dval").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val ordered = Window.partitionBy(keys.map(col): _*).orderBy(col("dval"))
+    val whole = Window.partitionBy(keys.map(col): _*)
+    byVal
+      .withColumn("cum", sum("cnt").over(ordered))
+      .withColumn("pos", (floor(sum("cnt").over(whole) / 2) + 1))
+      .filter(col("cum") >= col("pos") &&
+        col("cum") - col("cnt") < col("pos"))
+      .select(keys.map(col) :+ col("dval"): _*)
   }
 
   /**
@@ -43,11 +68,16 @@ object Aggregations {
    * `name, ts, dval`.
    */
   def byName(df: DataFrame, agg: AggType,
-             intervalMs: Long = DefaultIntervalMs): DataFrame =
-    df.groupBy(col("name"),
-        (col("ts") - pmod(col("ts"), lit(intervalMs))).as("bucket_ts"))
-      .agg(agg.fn(col("dval")).as("dval"))
-      .select(col("name"), col("bucket_ts").as("ts"), col("dval"))
+             intervalMs: Long = DefaultIntervalMs): DataFrame = {
+    val series = agg match {
+      case Median => medianSeries(df, Seq("name"), intervalMs)
+      case _ =>
+        df.groupBy(col("name"),
+            (col("ts") - pmod(col("ts"), lit(intervalMs))).as("bucket_ts"))
+          .agg(agg.fn(col("dval")).as("dval"))
+    }
+    series.select(col("name"), col("bucket_ts").as("ts"), col("dval"))
+  }
 
   /**
    * Aggregate grouped by one label's distinct values
@@ -65,10 +95,13 @@ object Aggregations {
     val grouped = df
       .filter(map_contains_key(col("labels"), lit(label)))
       .withColumn("gval", element_at(col("labels"), label))
-    val series = grouped
-      .groupBy(col("name"), col("gval"),
-        (col("ts") - pmod(col("ts"), lit(intervalMs))).as("bucket_ts"))
-      .agg(agg.fn(col("dval")).as("dval"))
+    val series = agg match {
+      case Median => medianSeries(grouped, Seq("name", "gval"), intervalMs)
+      case _ => grouped
+        .groupBy(col("name"), col("gval"),
+          (col("ts") - pmod(col("ts"), lit(intervalMs))).as("bucket_ts"))
+        .agg(agg.fn(col("dval")).as("dval"))
+    }
 
     if (!preserveConstantLabels) {
       series.select(col("name"),
