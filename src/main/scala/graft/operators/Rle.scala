@@ -24,7 +24,6 @@ object Rle {
     * (go/.../openinstrument.go:88-96 compares the full value). */
   def encode(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("skey").orderBy("ts")
-    val runW = Window.partitionBy("skey", "run")
     val hasSval = df.columns.contains("sval")
     val sameAsPrev =
       if (hasSval)
@@ -32,16 +31,20 @@ object Rle {
           lag("sval", 1).over(w) <=> col("sval") &&
           (col("dval").isNotNull || col("sval").isNotNull)
       else lag("dval", 1).over(w) <=> col("dval") && col("dval").isNotNull
-    df.withColumn("chg",
+    // One shuffle: run starts are the change rows; a run's end is the
+    // row just BEFORE the next run start (its lag(ts), carried through
+    // the filter), or the series' last ts for the final run. The second
+    // window runs on already-hash(skey)-partitioned rows — sort only,
+    // no second exchange (vs the previous (skey, run) window).
+    df.withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("series_end", max("ts").over(Window.partitionBy("skey")))
+      .withColumn("chg",
         when(row_number().over(w) === 1 || !sameAsPrev, 1).otherwise(0))
-      .withColumn("run", sum("chg").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("run_start", min("ts").over(runW))
-      .withColumn("run_end", max("ts").over(runW))
-      .filter(col("ts") === col("run_start"))
-      .withColumn("end_ts",
-        when(col("run_end") > col("run_start"), col("run_end")))
-      .drop("chg", "run", "run_start", "run_end")
+      .filter(col("chg") === 1)
+      .withColumn("run_end",
+        coalesce(lead("prev_ts", 1).over(w), col("series_end")))
+      .withColumn("end_ts", when(col("run_end") > col("ts"), col("run_end")))
+      .drop("prev_ts", "series_end", "chg", "run_end")
   }
 
   /**
