@@ -48,14 +48,20 @@ object Cli {
     }
 
   /** get-args → GetRequest (mutation order follows argument order, as
-    * the reference chains them). */
+    * the reference chains them). Extensions beyond the reference
+    * argument language: repeated `aggregate=` args (each captures the
+    * `agg=`/`interval=` settings seen so far), `auto_rate` (rate
+    * RATE-tagged series server-side), `independent` (C++
+    * stream-per-mutation semantics instead of the Go chain). */
   def parseGet(variable: String, args: Seq[String]): Requests.GetRequest = {
     var muts = Vector.empty[Requests.MutationSpec]
-    var agg: Option[Requests.AggregationSpec] = None
+    var aggs = Vector.empty[Requests.AggregationSpec]
     var aggType: Aggregations.AggType = Aggregations.Average
     var interval = Aggregations.DefaultIntervalMs
     var maxVars: Option[Int] = None
     var maxVals: Option[Int] = None
+    var autoRate = false
+    var chain = true
     args.foreach { a =>
       (a, kv(a)) match {
         case ("rate", _) => muts :+= Requests.Rate()
@@ -78,18 +84,22 @@ object Cli {
           }
         case (_, Some(("interval", d))) => interval = parseDuration(d)
         case (_, Some(("aggregate", "name"))) =>
-          agg = Some(Requests.AggregationSpec(aggType, Nil, interval))
+          aggs :+= Requests.AggregationSpec(aggType, Nil, interval)
         case (_, Some(("aggregate", label))) =>
-          agg = Some(Requests.AggregationSpec(aggType, Seq(label), interval))
+          aggs :+= Requests.AggregationSpec(aggType, Seq(label), interval)
+        case ("auto_rate", _) => autoRate = true
+        case ("independent", _) => chain = false
         case (_, Some(("max_variables", n))) => maxVars = Some(n.toInt)
         case (_, Some(("max_values", n))) => maxVals = Some(n.toInt)
         case _ => throw new IllegalArgumentException(s"unknown get arg: $a")
       }
     }
-    // re-apply agg settings captured after the aggregate= flag
-    agg = agg.map(_.copy(agg = aggType, sampleIntervalMs = interval))
-    Requests.GetRequest(variable, mutations = muts, aggregations = agg.toSeq,
-      maxVariables = maxVars, maxValues = maxVals)
+    // agg settings given after the last aggregate= flag apply to it
+    if (aggs.nonEmpty)
+      aggs = aggs.init :+ aggs.last.copy(agg = aggType, sampleIntervalMs = interval)
+    Requests.GetRequest(variable, mutations = muts, aggregations = aggs,
+      maxVariables = maxVars, maxValues = maxVals,
+      autoRate = autoRate, chainMutations = chain)
   }
 
   def run(spark: SparkSession, store: String, argv: Seq[String],

@@ -26,6 +26,17 @@ class CliSpec extends SparkSpec {
     assert(req.maxValues.contains(10))
   }
 
+  test("get args: repeated aggregates, auto_rate, independent") {
+    val req = Cli.parseGet("/sys/cpu", Seq(
+      "mean=5m", "max=5m", "independent", "auto_rate",
+      "agg=sum", "aggregate=name", "agg=avg", "interval=1m", "aggregate=host"))
+    assert(!req.chainMutations && req.autoRate)
+    assert(req.aggregations.map(a => (a.agg, a.labels)) == Seq(
+      (graft.operators.Aggregations.Sum, Nil),
+      (graft.operators.Aggregations.Average, Seq("host"))))
+    assert(req.aggregations(1).sampleIntervalMs == 60000L)
+  }
+
   test("end-to-end: add, get with mutation, list against a store") {
     val store = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/s"
     val added = Cli.runAdd(spark, store, Seq(
