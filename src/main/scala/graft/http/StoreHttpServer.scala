@@ -26,7 +26,8 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
                       nowMs: () => Long = () => System.currentTimeMillis(),
                       retention: graft.retention.Retention.Policy =
                         graft.retention.Retention.Policy(Nil),
-                      argv: Seq[String] = Nil) {
+                      argv: Seq[String] = Nil,
+                      cppMutationSemantics: Boolean = false) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // Off the accept/dispatch thread: a slow Spark query must not block
@@ -79,7 +80,12 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
   }
 
   server.createContext("/get", handler { bytes =>
+    // The wire proto has no chaining field — the reference servers just
+    // disagree: Go pipes repeated mutations, C++ emits one stream per
+    // mutation. `cppMutationSemantics` picks which server this façade
+    // impersonates (default: Go, matching the authoritative store).
     val req = Rpc.decodeGetRequest(bytes)
+      .copy(chainMutations = !cppMutationSemantics)
     val df = Engine.get(points(), req)
     // materialize grouped by output series, values time-ordered (the
     // response shape of go/src/store.go:133-156). One stream per

@@ -72,6 +72,18 @@ class EngineSpec extends SparkSpec {
     assert(vals == Seq(10.0 / 3, 6.0))
   }
 
+  test("get: max_values caps per (series, mutation) under independent mode") {
+    val out = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/cpu{host=a}",
+      mutations = Seq(Requests.Mean(1000L), Requests.MaxM(1000L)),
+      chainMutations = false, maxValues = Some(2)))
+    // 3 buckets per mutation; the tail-2 keeps 2 rows PER mutation
+    // stream (4 total), not 2 rows across the combined union
+    val byMut = out.groupBy("mut_idx").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byMut == Map(0 -> 2L, 1 -> 2L))
+  }
+
   test("get: repeated aggregations append both output stream sets") {
     // C++ semantics (server/store.cc:164-252): each StreamAggregation in
     // the request produces its own output streams over the same input.

@@ -135,6 +135,25 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("C++ mutation semantics: one wire stream per mutation per series") {
+    val store = java.nio.file.Files.createTempDirectory("graft_http5").toString + "/s"
+    val srv = new StoreHttpServer(spark, store, nowMs = () => 100000L,
+      cppMutationSemantics = true).start()
+    try {
+      post(srv.boundPort, "/add", Rpc.encodeAddRequest(Seq(Rpc.Stream(
+        Variable("/cpp/x", Map("h" -> "a"), Variable.Gauge),
+        Seq((1000L, Some(1.0), None, None), (2000L, Some(5.0), None, None))))))
+      val body = Rpc.encodeGetRequest(Requests.GetRequest(
+        "/cpp/x", mutations = Seq(Requests.Mean(10000L), Requests.MaxM(10000L))))
+      val (ok, _, streams) = Rpc.decodeGetResponse(post(srv.boundPort, "/get", body))
+      assert(ok)
+      // server/store.cc:140-147: each mutation appends its own stream
+      assert(streams.length == 2, streams.toString)
+      val vals = streams.map(_.values.map(_._2.get).toList).sortBy(_.head)
+      assert(vals == Seq(List(3.0), List(5.0))) // mean and max of raw
+    } finally srv.stop()
+  }
+
   test("concurrent /add requests all persist (append write race)") {
     val store = java.nio.file.Files.createTempDirectory("graft_http4").toString + "/s"
     val srv = new StoreHttpServer(spark, store, nowMs = () => 100000L).start()
