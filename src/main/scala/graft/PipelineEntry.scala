@@ -109,6 +109,20 @@ object PipelineEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(50)),
 
+    // Composite curation pass — the query a training-data user actually
+    // runs: keep documents that score >= 0.3 quality, are identified
+    // English, AND are their exact-dup group's keeper. One scan feeds
+    // the per-doc scores; the dedup keep-list broadcasts back in.
+    "p_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      docs.join(broadcast(keep), "doc_id")
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 4).as("quality"),
+          TextOps.langId(col("text")).as("lang_pred"))
+        .filter(col("quality") >= 0.3 && col("lang_pred") === "en")
+    }),
+
     // ------------------------------------------------------ deduplication
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
@@ -226,6 +240,26 @@ object PipelineEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "p_curate" -> (T +
+      s""", sc AS (SELECT doc_id,
+         | ${TextOps.LangStopwords.map { case (l, ws) =>
+             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
+         | FROM toks),
+         |lang AS (SELECT doc_id, CASE
+         | ${TextOps.LangStopwords.map { case (l, _) =>
+             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
+           }.mkString(" ")}
+         | ELSE 'unk' END AS lang_pred FROM sc),
+         |q AS (SELECT doc_id, round(greatest(0.0,
+         |  least(len(t)/100.0, 1.0)*0.5
+         |  + (${langScoreSql(TextOps.EnStopwords)})*0.5
+         |  - (CASE WHEN len(text)=0 THEN 0.0
+         |     ELSE len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text) END)
+         |  ), 4) AS quality FROM toks),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT q.doc_id, q.quality, lang.lang_pred
+         |FROM q JOIN lang USING (doc_id) JOIN k ON k.doc_id = q.doc_id
+         |WHERE q.quality >= 0.3 AND lang.lang_pred = 'en'""".stripMargin),
     "d_ngram_jaccard" -> (T + ShingleHashCte +
       """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -113,6 +113,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming windowed mean matches batch byName on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("/w/a", 1000L, 1.0), ("/w/a", 4000L, 3.0),   // bucket 0: mean 2
+      ("/w/a", 11000L, 5.0),                        // bucket 10000: mean 5
+      ("/w/b", 2000L, 10.0), ("/w/b", 8000L, 30.0)) // bucket 0: mean 20
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val batch = graft.operators.Aggregations.byName(
+        graft.model.Point.withSeriesKey(pointDf(rows.toDF("name", "ts", "dval"))),
+        graft.operators.Aggregations.Average, 10000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.windowedMeanByName(
+        pointDf(mem.toDF().toDF("name", "ts", "dval")), 10000L)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(3): _*)
+    mem.addData(rows.drop(3): _*)
+    // advance the watermark past all windows so append mode emits them
+    mem.addData(("/w/flush", 10000000L, 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("win_out")
+      .filter(col("name") =!= "/w/flush")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops re-seen keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
