@@ -103,6 +103,16 @@ object ApiEntry {
       unkey(Mutations.interpolate(Point.withSeriesKey(pts(s, dir)), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // max_gap_interpolate (lib/openinstrument.proto:45-51): brackets
+    // wider than 4 h re-anchor instead of filling. The consumed-point
+    // set is gap-invariant (first per bucket), so only the per-bracket
+    // anchor chain is sequential — a linear recursion the oracle
+    // replays as a recursive CTE.
+    "m_interpolate_gap" -> ((s, dir) =>
+      unkey(Mutations.interpolate(Point.withSeriesKey(pts(s, dir)), H,
+          maxGapMs = 4 * H))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
     "mm_features" -> ((s, dir) =>
@@ -300,6 +310,46 @@ object ApiEntry {
         |UNION ALL
         |SELECT name, usr, ts, round(dval, 4) AS dval
         |FROM pr WHERE rn2 = 1 AND ts % 3600000 = 0""".stripMargin),
+    // Recursive replay of InterpolateOp's anchor chain with a 4 h max
+    // gap. State after consumed point i: prev_state = raw ts (normal
+    // bracket) or floor-aligned ts (anchor — first point or gap >
+    // maxGap). A bracket interpolates from prev_state; an anchor emits
+    // only its own point and only when it lies on the grid.
+    "m_interpolate_gap" ->
+      """WITH RECURSIVE pts AS (SELECT '/events/' || event_type AS name,
+        |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval
+        | FROM events),
+        |cons AS (SELECT name, usr, ts, dval,
+        |  row_number() OVER (PARTITION BY name, usr ORDER BY ts) AS rn
+        | FROM (SELECT name, usr, ts, dval,
+        |    row_number() OVER (PARTITION BY name, usr, ts // 3600000
+        |                       ORDER BY ts) AS brn
+        |   FROM pts) WHERE brn = 1),
+        |st AS (
+        | SELECT name, usr, rn, ts, dval,
+        |  ts - ts % 3600000 AS prev_state, TRUE AS anchored
+        | FROM cons WHERE rn = 1
+        | UNION ALL
+        | SELECT c.name, c.usr, c.rn, c.ts, c.dval,
+        |  CASE WHEN c.ts - s.prev_state > 14400000
+        |       THEN c.ts - c.ts % 3600000 ELSE c.ts END AS prev_state,
+        |  c.ts - s.prev_state > 14400000 AS anchored
+        | FROM st s JOIN cons c
+        |   ON c.name = s.name AND c.usr = s.usr AND c.rn = s.rn + 1),
+        |em AS (SELECT c.name, c.usr, p.ts AS lts0, p.dval AS lv,
+        |  p.prev_state AS lts, c.ts AS ts0, c.dval
+        | FROM st c JOIN st p
+        |   ON c.name = p.name AND c.usr = p.usr AND c.rn = p.rn + 1
+        | WHERE NOT c.anchored),
+        |g AS (SELECT name, usr, lts0, lv, lts, ts0, dval,
+        |  3600000 * unnest(range(lts0 // 3600000 + 1, ts0 // 3600000 + 1)) AS gts
+        | FROM em)
+        |SELECT name, usr, gts AS ts,
+        | round(lv + (dval - lv) * ((gts - lts) / (ts0 - lts)), 4) AS dval
+        |FROM g
+        |UNION ALL
+        |SELECT name, usr, ts, round(dval, 4) AS dval
+        |FROM st WHERE anchored AND ts % 3600000 = 0""".stripMargin,
     "m_uniform" -> UniformOracleSql,
     // identity on the complete uniform grid -> same oracle
     "rle_roundtrip" -> UniformOracleSql,
