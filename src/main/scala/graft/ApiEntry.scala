@@ -178,6 +178,20 @@ object ApiEntry {
             .filter(element_at(col("labels"), "user").isNotNull),
           86400000L, "avg", Some("user"))
         .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
+    // same anchor recursion, different bucket aggregators (ExtAgg /
+    // MedianAgg paths through the gate)
+    "agg_greedy_max_user" -> ((s, dir) =>
+      Aggregations.greedyExact(
+          Point.withSeriesKey(pts(s, dir))
+            .filter(element_at(col("labels"), "user").isNotNull),
+          86400000L, "max", Some("user"))
+        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
+    "agg_greedy_median_user" -> ((s, dir) =>
+      Aggregations.greedyExact(
+          Point.withSeriesKey(pts(s, dir))
+            .filter(element_at(col("labels"), "user").isNotNull),
+          86400000L, "median", Some("user"))
+        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
     // Retention engine: first-match policy with downsampling rewrite
     // (lib/retention_policy_manager.cc:20-63, config.txt:22-77 shape).
     "ret_policy" -> ((s, dir) =>
@@ -194,6 +208,28 @@ object ApiEntry {
               graft.retention.Retention.Drop))), NowMs))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))))
+
+  /** Recursive greedy-interval-cover oracle per (name, user) group,
+    * parameterized by the per-bucket aggregate expression. */
+  private def greedyUserOracle(aggSql: String): String =
+    s"""WITH RECURSIVE pts0 AS (
+       | SELECT '/events/' || event_type || ' ' || CAST(user_id AS VARCHAR) AS gkey,
+       |  epoch_ms(ts) AS ts, value AS dval
+       | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |anch AS (
+       | SELECT gkey, min(ts) AS ats FROM pts0 GROUP BY gkey
+       | UNION ALL
+       | SELECT a.gkey, min(p.ts) AS ats
+       | FROM anch a JOIN pts0 p
+       |   ON p.gkey = a.gkey AND p.ts > a.ats + 86400000
+       | GROUP BY a.gkey),
+       |b AS (SELECT gkey, ats,
+       |  lead(ats) OVER (PARTITION BY gkey ORDER BY ats) AS nxt FROM anch)
+       |SELECT b.gkey, b.ats AS ts, round($aggSql, 4) AS dval
+       |FROM b JOIN pts0 p
+       |  ON p.gkey = b.gkey AND p.ts >= b.ats AND p.ts < b.nxt
+       |WHERE b.nxt IS NOT NULL
+       |GROUP BY b.gkey, b.ats""".stripMargin
 
   /** DuckDB mirror of the C++ UniformTimeSeries resample — also the
     * oracle for `rle_roundtrip` (expand∘encode is the identity on the
@@ -263,25 +299,11 @@ object ApiEntry {
     // first ts > anchor_k + I; bucket k = values in [anchor_k,
     // anchor_{k+1}); the chronologically-last bucket is dropped
     // (the reference's !found exit, lib/protobuf.cc:78-84).
-    "agg_greedy_user" ->
-      """WITH RECURSIVE pts0 AS (
-        | SELECT '/events/' || event_type || ' ' || CAST(user_id AS VARCHAR) AS gkey,
-        |  epoch_ms(ts) AS ts, value AS dval
-        | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
-        |anch AS (
-        | SELECT gkey, min(ts) AS ats FROM pts0 GROUP BY gkey
-        | UNION ALL
-        | SELECT a.gkey, min(p.ts) AS ats
-        | FROM anch a JOIN pts0 p
-        |   ON p.gkey = a.gkey AND p.ts > a.ats + 86400000
-        | GROUP BY a.gkey),
-        |b AS (SELECT gkey, ats,
-        |  lead(ats) OVER (PARTITION BY gkey ORDER BY ats) AS nxt FROM anch)
-        |SELECT b.gkey, b.ats AS ts, round(avg(p.dval), 4) AS dval
-        |FROM b JOIN pts0 p
-        |  ON p.gkey = b.gkey AND p.ts >= b.ats AND p.ts < b.nxt
-        |WHERE b.nxt IS NOT NULL
-        |GROUP BY b.gkey, b.ats""".stripMargin,
+    "agg_greedy_user" -> greedyUserOracle("avg(p.dval)"),
+    "agg_greedy_max_user" -> greedyUserOracle("max(p.dval)"),
+    // upper median bucket[n/2] (lib/protobuf.cc:135-142)
+    "agg_greedy_median_user" -> greedyUserOracle(
+      "list_sort(list(p.dval))[CAST(floor(count(*)/2) AS INT) + 1]"),
     // InterpolateOp consumes a point iff its floor(ts/H) bucket is later
     // than the last consumed point's bucket (skipped points never update
     // state), i.e. consumed = first point per (series, bucket). Brackets
