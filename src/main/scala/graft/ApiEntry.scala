@@ -192,6 +192,18 @@ object ApiEntry {
             .filter(element_at(col("labels"), "user").isNotNull),
           86400000L, "median", Some("user"))
         .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
+    "agg_greedy_sum_user" -> ((s, dir) =>
+      Aggregations.greedyExact(
+          Point.withSeriesKey(pts(s, dir))
+            .filter(element_at(col("labels"), "user").isNotNull),
+          86400000L, "sum", Some("user"))
+        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
+    "agg_greedy_min_user" -> ((s, dir) =>
+      Aggregations.greedyExact(
+          Point.withSeriesKey(pts(s, dir))
+            .filter(element_at(col("labels"), "user").isNotNull),
+          86400000L, "min", Some("user"))
+        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
     // Retention engine: first-match policy with downsampling rewrite
     // (lib/retention_policy_manager.cc:20-63, config.txt:22-77 shape).
     "ret_policy" -> ((s, dir) =>
@@ -304,6 +316,8 @@ object ApiEntry {
     // upper median bucket[n/2] (lib/protobuf.cc:135-142)
     "agg_greedy_median_user" -> greedyUserOracle(
       "list_sort(list(p.dval))[CAST(floor(count(*)/2) AS INT) + 1]"),
+    "agg_greedy_sum_user" -> greedyUserOracle("sum(p.dval)"),
+    "agg_greedy_min_user" -> greedyUserOracle("min(p.dval)"),
     // InterpolateOp consumes a point iff its floor(ts/H) bucket is later
     // than the last consumed point's bucket (skipped points never update
     // state), i.e. consumed = first point per (series, bucket). Brackets
