@@ -170,40 +170,13 @@ object ApiEntry {
     // Greedy bucketing grouped per (name, user): ONE stream per group,
     // which reduces the anchor cascade to a greedy interval cover —
     // still sequential, but expressible as a DuckDB recursive CTE, so
-    // this configuration of the same greedyExact operator is fully
-    // oracle-checked (the multi-stream one above stays rows-only).
-    "agg_greedy_user" -> ((s, dir) =>
-      Aggregations.greedyExact(
-          Point.withSeriesKey(pts(s, dir))
-            .filter(element_at(col("labels"), "user").isNotNull),
-          86400000L, "avg", Some("user"))
-        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
-    // same anchor recursion, different bucket aggregators (ExtAgg /
-    // MedianAgg paths through the gate)
-    "agg_greedy_max_user" -> ((s, dir) =>
-      Aggregations.greedyExact(
-          Point.withSeriesKey(pts(s, dir))
-            .filter(element_at(col("labels"), "user").isNotNull),
-          86400000L, "max", Some("user"))
-        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
-    "agg_greedy_median_user" -> ((s, dir) =>
-      Aggregations.greedyExact(
-          Point.withSeriesKey(pts(s, dir))
-            .filter(element_at(col("labels"), "user").isNotNull),
-          86400000L, "median", Some("user"))
-        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
-    "agg_greedy_sum_user" -> ((s, dir) =>
-      Aggregations.greedyExact(
-          Point.withSeriesKey(pts(s, dir))
-            .filter(element_at(col("labels"), "user").isNotNull),
-          86400000L, "sum", Some("user"))
-        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
-    "agg_greedy_min_user" -> ((s, dir) =>
-      Aggregations.greedyExact(
-          Point.withSeriesKey(pts(s, dir))
-            .filter(element_at(col("labels"), "user").isNotNull),
-          86400000L, "min", Some("user"))
-        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
+    // all five bucket aggregators of the same greedyExact operator are
+    // fully oracle-checked (the multi-stream one above stays rows-only).
+    "agg_greedy_user" -> greedyUserQuery("avg"),
+    "agg_greedy_max_user" -> greedyUserQuery("max"),
+    "agg_greedy_median_user" -> greedyUserQuery("median"),
+    "agg_greedy_sum_user" -> greedyUserQuery("sum"),
+    "agg_greedy_min_user" -> greedyUserQuery("min"),
     // Retention engine: first-match policy with downsampling rewrite
     // (lib/retention_policy_manager.cc:20-63, config.txt:22-77 shape).
     "ret_policy" -> ((s, dir) =>
@@ -220,6 +193,16 @@ object ApiEntry {
               graft.retention.Retention.Drop))), NowMs))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))))
+
+  /** One-stream-per-(name, user) greedy bucketing gate query,
+    * parameterized by the bucket aggregator. */
+  private def greedyUserQuery(aggName: String): (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Aggregations.greedyExact(
+          Point.withSeriesKey(pts(s, dir))
+            .filter(element_at(col("labels"), "user").isNotNull),
+          86400000L, aggName, Some("user"))
+        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))
 
   /** Recursive greedy-interval-cover oracle per (name, user) group,
     * parameterized by the per-bucket aggregate expression. */

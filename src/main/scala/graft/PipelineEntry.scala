@@ -379,14 +379,11 @@ object PipelineEntry {
        |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
 
   /**
-   * DuckDB mirror of the pinned-quantizer IVF gate query. Centroid
-   * score = 2·v·c − |c|² (TopCentroids' −L2² equivalent, same element
-   * order); ties rank the LOWEST centroid index first, replicating the
-   * expression's strict-argmax scan. Corpus rows live in their top-1
-   * list; queries probe their top-4 lists.
+   * Shared CTE chain: pinned-quantizer centroid ranking per vector.
+   * Centroid score = 2·v·c − |c|² (TopCentroids' −L2² equivalent, same
+   * element order); ties rank the LOWEST centroid index first,
+   * replicating the expression's strict-argmax scan.
    */
-  /** Shared CTE chain: pinned-quantizer centroid ranking per vector
-    * (see [[ivfKnnOracle]] for the tie-break contract). */
   private val IvfRankedCte =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
@@ -398,6 +395,9 @@ object PipelineEntry {
       |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS cr
       | FROM scored)""".stripMargin
 
+  /** DuckDB mirror of the pinned-quantizer IVF gate query: corpus rows
+    * live in their top-1 list, queries probe their top-4 lists, exact
+    * cosine + rank within candidates. */
   private def ivfKnnOracle: String = IvfRankedCte +
     """,
       |corpus AS (SELECT vec_id AS nid, v AS nv, cid AS list_id FROM ranked WHERE cr = 1),

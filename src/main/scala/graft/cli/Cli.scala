@@ -11,10 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  *   get <variable> [rate|rate_signed|delta] [interpolate=<dur>]
  *       [mean=<dur>] [min=<dur>] [max=<dur>] [latest=<dur>]
- *       [aggregate=<label>|name] [agg=avg|sum|min|max|median]
+ *       [aggregate=<label>|name ...] [agg=avg|sum|min|max|median]
  *       [interval=<dur>] [max_variables=N] [max_values=N]
+ *       [auto_rate] [independent]
  *   list <prefix> [max_age=<dur>] [max_variables=N]
  *   add <var:value@ts_ms> ...
+ *
+ * Engine extensions beyond the reference grammar: `aggregate=` may
+ * repeat (each block captures the agg=/interval= settings in effect),
+ * `auto_rate` rates RATE-tagged series server-side, and `independent`
+ * applies each mutation to the raw stream (C++ semantics) instead of
+ * chaining (Go).
  *
  * Store location: --store=<path> or GRAFT_STORE env (Parquet point
  * layout written by PointSource.write / the streaming sink).

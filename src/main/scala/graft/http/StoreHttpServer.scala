@@ -243,7 +243,10 @@ object StoreHttpServer {
     spark.sparkContext.setLogLevel("WARN")
     val s = new StoreHttpServer(spark, store,
       opts.get("port").map(_.toInt).getOrElse(8020),
-      argv = args.toSeq).start()
+      argv = args.toSeq,
+      // --mutation_semantics=cpp -> one stream per mutation (C++ servers)
+      cppMutationSemantics =
+        opts.get("mutation_semantics").contains("cpp")).start()
     println(s"LISTENING=${s.boundPort}")
     Thread.currentThread().join()
   }

@@ -48,18 +48,28 @@ object Aggregations {
   private def medianSeries(df: DataFrame, keyNames: Seq[String],
                            intervalMs: Long): DataFrame = {
     val keys = keyNames :+ "bucket_ts"
-    val byVal = df.filter(col("dval").isNotNull)
+    val bucketed = df
       .withColumn("bucket_ts", col("ts") - pmod(col("ts"), lit(intervalMs)))
+    val byVal = bucketed.filter(col("dval").isNotNull)
       .groupBy((keys :+ "dval").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
     val ordered = Window.partitionBy(keys.map(col): _*).orderBy(col("dval"))
     val whole = Window.partitionBy(keys.map(col): _*)
-    byVal
+    val medians = byVal
       .withColumn("cum", sum("cnt").over(ordered))
       .withColumn("pos", (floor(sum("cnt").over(whole) / 2) + 1))
       .filter(col("cum") >= col("pos") &&
         col("cum") - col("cnt") < col("pos"))
       .select(keys.map(col) :+ col("dval"): _*)
+    // buckets whose dvals are ALL null still emit a null-dval row —
+    // matching every other aggregator (sum/avg/min/max over all-null
+    // groups yield a null row, and so did the array-based median)
+    val nullBuckets = bucketed
+      .groupBy(keys.map(col): _*)
+      .agg(count(col("dval")).as("nn"))
+      .filter(col("nn") === 0)
+      .select(keys.map(col) :+ lit(null).cast("double").as("dval"): _*)
+    medians.unionByName(nullBuckets)
   }
 
   /**

@@ -50,6 +50,19 @@ class AggregationsSpec extends SparkSpec {
     "max" -> (_.max),
     "median" -> (b => b.sorted.apply(b.size / 2)))
 
+  test("median emits a null row for all-null buckets, like other aggregators") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("/m/x", 1000L, Some(2.0)), ("/m/x", 2000L, Some(4.0)),
+      ("/m/x", 11000L, None), ("/m/x", 12000L, None)) // all-null bucket
+      .toDF("name", "ts", "dvalOpt")
+      .select(col("name"), col("ts"), col("dvalOpt").as("dval"))
+    val out = Aggregations.byName(df, Aggregations.Median, 10000L)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out == Map(0L -> Some(4.0), 10000L -> None)) // upper median; null row kept
+  }
+
   test("greedyExact cascade matches the pass-based reference loop") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
