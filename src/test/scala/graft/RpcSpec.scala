@@ -36,6 +36,56 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized GetRequest/stream round-trips are lossless") {
+    val rnd = new scala.util.Random(11)
+    def randLabels() = (0 until rnd.nextInt(4))
+      .map(i => s"k$i" -> s"v${rnd.nextInt(100)}").toMap
+    (0 until 200).foreach { _ =>
+      val req = Requests.GetRequest(
+        variable = s"/r/${rnd.nextInt(10)}",
+        minTimestamp = if (rnd.nextBoolean()) Some(rnd.nextLong(1L << 40)) else None,
+        maxTimestamp = if (rnd.nextBoolean()) Some(rnd.nextLong(1L << 40)) else None,
+        mutations = (0 until rnd.nextInt(3)).map(_ => rnd.nextInt(5) match {
+          case 0 => Requests.Rate()
+          case 1 => Requests.Delta
+          case 2 => Requests.Mean(1000L * (1 + rnd.nextInt(100)))
+          case 3 => Requests.Latest(1000L * (1 + rnd.nextInt(100)))
+          case _ => Requests.Interpolate(60000L, 120000L * (1 + rnd.nextInt(5)))
+        }),
+        aggregations = (0 until rnd.nextInt(3)).map(_ =>
+          Requests.AggregationSpec(
+            Seq(Aggregations.Average, Aggregations.Sum, Aggregations.Min,
+              Aggregations.Max, Aggregations.Median)(rnd.nextInt(5)),
+            if (rnd.nextBoolean()) Seq(s"l${rnd.nextInt(3)}") else Nil,
+            1000L * (1 + rnd.nextInt(600)))),
+        maxVariables = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(1000)) else None,
+        maxValues = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(1000)) else None)
+      val back = Rpc.decodeGetRequest(Rpc.encodeGetRequest(req))
+      assert(back.minTimestamp == req.minTimestamp)
+      assert(back.maxTimestamp == req.maxTimestamp)
+      assert(back.mutations == req.mutations)
+      assert(back.aggregations == req.aggregations)
+      assert(back.maxVariables == req.maxVariables)
+      assert(back.maxValues == req.maxValues)
+
+      val streams = (0 until rnd.nextInt(3)).map { i =>
+        Rpc.Stream(
+          graft.model.Variable(s"/s/$i", randLabels(),
+            Seq(graft.model.Variable.Unknown, graft.model.Variable.Gauge,
+              graft.model.Variable.Rate)(rnd.nextInt(3))),
+          (0 until rnd.nextInt(5)).map { _ =>
+            (rnd.nextLong(1L << 40),
+              if (rnd.nextBoolean()) Some(rnd.nextDouble() * 1e6 - 5e5) else None,
+              if (rnd.nextBoolean()) Some(s"sv${rnd.nextInt(100)}") else None,
+              if (rnd.nextBoolean()) Some(rnd.nextLong(1L << 40)) else None)
+          })
+      }
+      val (ok, err, sBack) = Rpc.decodeGetResponse(Rpc.encodeGetResponse(streams))
+      assert(ok && err.isEmpty)
+      assert(sBack == streams)
+    }
+  }
+
   test("decoders never hang or read out of bounds on arbitrary bytes") {
     // Deterministic fuzz: every decode either succeeds or throws — no
     // infinite loop, no ArrayIndexOutOfBounds (the reader must fail on
