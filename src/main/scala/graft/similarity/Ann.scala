@@ -98,12 +98,30 @@ object Ann {
       .select(id, vec, nrm, "bucket")
   }
 
+  /**
+   * Skew guard for the bucket joins: rows in buckets larger than
+   * `maxBucket` are dropped from the CANDIDATE pass (the tiny oversized
+   * set broadcasts into an anti-join). A degenerate corpus — millions of
+   * identical or near-identical vectors hashing to one signature —
+   * otherwise concentrates a quadratic join in one task. Lost recall is
+   * bounded: an over-full bucket's members still meet in the other
+   * `tables−1` independent tables unless those overflow too. The
+   * default cap is far above any healthy bucket (corpus/2^planes).
+   */
+  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame = {
+    val oversized = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket).select("bucket")
+    b.join(broadcast(oversized), Seq("bucket"), "left_anti")
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, planes: Int = 6, dim: Int = 64,
               seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucket: Int = 100000): DataFrame = {
     val hp = hyperplanes(tables, planes, dim, seed)
-    val c = lshBuckets(corpus, hp, idCol, vecCol, "nid", "nvec", "nn")
+    val c = capBuckets(
+      lshBuckets(corpus, hp, idCol, vecCol, "nid", "nvec", "nn"), maxBucket)
     val q = lshBuckets(queries, hp, idCol, vecCol, "qid", "qvec", "qn")
     c.join(q, "bucket")
       .filter(col("qid") =!= col("nid"))
@@ -266,10 +284,13 @@ object Ann {
   def lshPairs(corpus: DataFrame, threshold: Double,
                tables: Int = 8, planes: Int = 6, dim: Int = 64,
                seed: Long = 42L,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxBucket: Int = 100000): DataFrame = {
     val hp = hyperplanes(tables, planes, dim, seed)
-    val a = lshBuckets(corpus, hp, idCol, vecCol, "id_a", "va", "na")
-    val b = lshBuckets(corpus, hp, idCol, vecCol, "id_b", "vb", "nb")
+    val a = capBuckets(
+      lshBuckets(corpus, hp, idCol, vecCol, "id_a", "va", "na"), maxBucket)
+    val b = capBuckets(
+      lshBuckets(corpus, hp, idCol, vecCol, "id_b", "vb", "nb"), maxBucket)
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

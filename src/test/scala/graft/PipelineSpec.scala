@@ -126,6 +126,20 @@ class PipelineSpec extends SparkSpec {
     assert(again == lsh.keySet)
   }
 
+  test("lshPairs bucket cap drops a degenerate all-identical bucket") {
+    import spark.implicits._
+    // 50 identical vectors: every pair is a perfect near-dup and all
+    // land in the same bucket in every table — the quadratic worst case
+    val vec = Array.fill(8)(1.0f)
+    val degenerate = (0L until 50L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    val uncapped = Ann.lshPairs(degenerate, threshold = 0.9,
+      tables = 2, planes = 4, dim = 8)
+    assert(uncapped.count() == 50L * 49 / 2) // all pairs surface
+    val capped = Ann.lshPairs(degenerate, threshold = 0.9,
+      tables = 2, planes = 4, dim = 8, maxBucket = 10)
+    assert(capped.count() == 0) // oversized buckets skipped, no blowup
+  }
+
   test("resizeToFit: aspect-preserving box fit, no upscale, audio dropped") {
     import spark.implicits._
     val features = Seq(
