@@ -109,9 +109,14 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
       // one wire stream per series — and per mutation, when independent
       // mutations tagged the rows (C++'s stream-per-mutation response
       // shape, server/store.cc:140-147)
+      // Sort by (skey, mut_idx) as a typed pair — NOT a concatenated
+      // string, where "#10" would sort before "#2" and break the C++
+      // GetResponse contract of one stream per mutation *in request
+      // order* (streams carry no mutation tag; clients attribute them
+      // positionally, server/store.cc:140-147).
       rows.groupBy { r =>
-          opt[String](r, "skey").getOrElse(variableOf(r).canonical) +
-            opt[Int](r, "mut_idx").fold("")(i => s"#$i")
+          (opt[String](r, "skey").getOrElse(variableOf(r).canonical),
+            opt[Int](r, "mut_idx").getOrElse(-1))
         }.toSeq.sortBy(_._1)
         .map { case (_, rs) =>
           Rpc.Stream(variableOf(rs.head), rs.toSeq.map { r =>

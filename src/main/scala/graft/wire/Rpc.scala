@@ -83,12 +83,17 @@ object Rpc {
     * interpolating resamplers), StdDev as AVERAGE, and Rate's
     * `perSecond` display convention has no wire field — a decode of
     * this encode yields the closest reference-expressible operator, by
-    * design (wire compatibility over extension fidelity). */
+    * design (wire compatibility over extension fidelity). Also lossy by
+    * rounding: max_gap_interpolate is a sample COUNT on the wire
+    * (proto:45-51) while the engine spec carries milliseconds, so a gap
+    * cap that isn't a multiple of the frequency rounds UP to the next
+    * whole sample (never down to 0 — 0<gap<freq must stay a cap, since
+    * an absent field decodes as unlimited fill). */
   private def encodeMutation(w: WireWriter, field: Int,
                              m: Requests.MutationSpec): Unit = {
     val (st, freq, maxGapSamples) = m match {
       case Requests.Interpolate(f, g) =>
-        (0L, f, if (g > 0 && f > 0) g / f else 0L)
+        (0L, f, if (g > 0 && f > 0) (g + f - 1) / f else 0L)
       case Requests.Mean(f) => (1L, f, 0L)
       case Requests.MaxM(f) => (2L, f, 0L)
       case Requests.MinM(f) => (3L, f, 0L)

@@ -14,9 +14,19 @@ final class WireReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     var done = false
     while (!done && pos < end) {
       val b = buf(pos); pos += 1
+      // Wire varints are at most 10 bytes (64 bits / 7); past shift 63
+      // any further payload would wrap via JVM shift-mod-64.
+      if (shift > 63)
+        throw new IllegalArgumentException(
+          s"malformed protobuf: varint longer than 10 bytes ending at $pos")
       v |= (b & 0x7FL) << shift
       if ((b & 0x80) == 0) done = true else shift += 7
     }
+    // A buffer ending mid-varint (continuation bit set on the last
+    // byte) is truncated input — fail loudly like fixed64/lenDelim do.
+    if (!done)
+      throw new IllegalArgumentException(
+        s"truncated protobuf: varint at $pos overruns buffer end $end")
     v
   }
   def fixed64(): Long = {

@@ -154,6 +154,31 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("10+ independent mutations keep request order (no lexicographic #10<#2)") {
+    // Streams carry no mutation tag — clients attribute them positionally
+    // (server/store.cc:140-147). With ≥10 mutations a string-keyed sort
+    // would place "#10" before "#2"; ordering must be numeric on mut_idx.
+    val store = java.nio.file.Files.createTempDirectory("graft_http6").toString + "/s"
+    val srv = new StoreHttpServer(spark, store, nowMs = () => 100000L,
+      cppMutationSemantics = true).start()
+    try {
+      post(srv.boundPort, "/add", Rpc.encodeAddRequest(Seq(Rpc.Stream(
+        Variable("/cpp/ord", Map("h" -> "a"), Variable.Gauge),
+        Seq((1000L, Some(1.0), None, None), (2000L, Some(5.0), None, None))))))
+      val cycle = Seq(Requests.Mean(10000L), Requests.MaxM(10000L),
+        Requests.MinM(10000L))
+      val muts = Seq.fill(4)(cycle).flatten // 12 mutations, idx 0..11
+      val body = Rpc.encodeGetRequest(
+        Requests.GetRequest("/cpp/ord", mutations = muts))
+      val (ok, _, streams) = Rpc.decodeGetResponse(post(srv.boundPort, "/get", body))
+      assert(ok)
+      assert(streams.length == 12, streams.toString)
+      val heads = streams.map(_.values.head._2.get)
+      assert(heads == Seq(3.0, 5.0, 1.0, 3.0, 5.0, 1.0, 3.0, 5.0, 1.0, 3.0, 5.0, 1.0),
+        s"streams must follow mutation request order, got $heads")
+    } finally srv.stop()
+  }
+
   test("concurrent /add requests all persist (append write race)") {
     val store = java.nio.file.Files.createTempDirectory("graft_http4").toString + "/s"
     val srv = new StoreHttpServer(spark, store, nowMs = () => 100000L).start()

@@ -111,6 +111,45 @@ class RpcSpec extends AnyFunSuite {
     }
   }
 
+  test("WireReader rejects a buffer ending mid-varint") {
+    // tag byte for (field 1, varint) followed by a payload byte with the
+    // continuation bit still set at buffer end — a partial value must
+    // throw, not silently decode as the low 7 bits.
+    val b = Array[Byte](0x08, 0xFF.toByte)
+    val r = new WireReader(b, 0, b.length)
+    intercept[IllegalArgumentException] {
+      r.fields { case (_, 0) => r.varint(); case (_, wt) => r.skip(wt) }
+    }
+  }
+
+  test("WireReader rejects varints longer than 10 bytes") {
+    // 11 continuation bytes + terminator: shift would pass 63 and wrap
+    // via the JVM's shift-mod-64; must throw instead.
+    val b = Array[Byte](0x08) ++ Array.fill(11)(0x80.toByte) ++ Array[Byte](0x01)
+    val r = new WireReader(b, 0, b.length)
+    intercept[IllegalArgumentException] {
+      r.fields { case (_, 0) => r.varint(); case (_, wt) => r.skip(wt) }
+    }
+  }
+
+  test("Interpolate gap caps below one sample round-trip to a cap, not unlimited") {
+    // 0 < maxGapMs < freq: integer division would send 0 samples, which
+    // decodes as *unlimited* fill — the inversion ADVICE flagged. Ceiling
+    // division must send at least 1 sample.
+    val req = Requests.GetRequest(
+      variable = "/sys/cpu",
+      mutations = Seq(Requests.Interpolate(60000L, 30000L)))
+    val back = Rpc.decodeGetRequest(Rpc.encodeGetRequest(req))
+    assert(back.mutations == Seq(Requests.Interpolate(60000L, 60000L)),
+      "tight gap cap must round up to 1 sample, never down to no-cap")
+    // and a multiple-of-freq cap is exact
+    val req2 = Requests.GetRequest(
+      variable = "/sys/cpu",
+      mutations = Seq(Requests.Interpolate(60000L, 180000L)))
+    assert(Rpc.decodeGetRequest(Rpc.encodeGetRequest(req2)).mutations ==
+      Seq(Requests.Interpolate(60000L, 180000L)))
+  }
+
   test("WireReader rejects truncated fixed64") {
     val w = new graft.wire.WireWriter
     w.tag(2, 1) // fixed64 tag with no payload
