@@ -161,8 +161,10 @@ object ApiEntry {
           .groupBy(col("skey"))
           .agg(max_by(col("sval"), col("ts")).as("sval"), max("ts").as("ts")))
         .select("name", "usr", "ts", "sval")),
-    // Exact greedy ±interval bucketing (lib/protobuf.cc:49-85): stateful
-    // anchor re-selection is sequential -> rows-only check.
+    // Exact greedy ±interval bucketing (lib/protobuf.cc:49-85), the full
+    // multi-stream anchor cascade — oracle-checked via a DuckDB
+    // simulation of the cascade (recursive CTE over streams in skey
+    // order, list_reduce fold per stream; see GreedyAvgOracleSql).
     "agg_greedy_avg" -> ((s, dir) =>
       Aggregations.greedyExact(Point.withSeriesKey(pts(s, dir)),
           Aggregations.DefaultIntervalMs, "avg")
@@ -225,6 +227,106 @@ object ApiEntry {
        |  ON p.gkey = b.gkey AND p.ts >= b.ats AND p.ts < b.nxt
        |WHERE b.nxt IS NOT NULL
        |GROUP BY b.gkey, b.ats""".stripMargin
+
+  /**
+   * DuckDB simulation of the full multi-stream greedy anchor cascade
+   * (lib/protobuf.cc:49-85), oracle for `agg_greedy_avg`.
+   *
+   * Shape: streams of a group are ranked by series key (skey); a
+   * recursive CTE walks them in rank order carrying the anchor list as
+   * data; each stream is drained by a `list_reduce` fold implementing
+   * GreedyMerge.feed exactly — monotone cursor over the anchor list in
+   * CREATION order (not time order: residual anchors interleave), new
+   * anchors appended when the cursor exhausts, the chronologically-last-
+   * created anchor's bucket dropped.
+   *
+   * DuckDB-1.0 mechanics, discovered the hard way: `list_reduce`'s
+   * accumulator has the ELEMENT type, so the fold runs over a
+   * list-of-lists (init element = anchor records from prior streams,
+   * then one single-record list per value); struct-typed accumulators
+   * lose nested-list fields, so state is a flat list of tagged records
+   * (kind 0 = anchor(pos, ats), kind 1 = assignment(pos, dv), kind 9 =
+   * raw value); `list_position` returns 0 — not NULL — when not found;
+   * the cursor is recovered from the last record (an assignment's pos,
+   * else stream start = 1).
+   */
+  private val GreedyAvgOracleSql =
+    """WITH RECURSIVE
+      |ev AS (
+      |  SELECT '/events/' || event_type AS gkey,
+      |         '/events/' || event_type ||
+      |           CASE WHEN user_id IS NULL THEN '{}'
+      |                ELSE '{user=' || CAST(user_id AS VARCHAR) || '}' END AS skey,
+      |         epoch_ms(ts) AS ts, value AS dval
+      |  FROM events WHERE value IS NOT NULL),
+      |strm AS (
+      |  SELECT gkey, skey,
+      |         dense_rank() OVER (PARTITION BY gkey ORDER BY skey) AS k,
+      |         list([struct_pack(kind := CAST(9 AS BIGINT), pos := CAST(NULL AS BIGINT),
+      |                           ats := ts, dv := dval)] ORDER BY ts) AS vals
+      |  FROM ev GROUP BY gkey, skey),
+      |rec AS (
+      |  SELECT gkey, CAST(0 AS BIGINT) AS k,
+      |         CAST([] AS STRUCT(kind BIGINT, pos BIGINT, ats BIGINT, dv DOUBLE)[]) AS state
+      |  FROM (SELECT DISTINCT gkey FROM strm)
+      |  UNION ALL
+      |  SELECT s.gkey, s.k,
+      |    list_reduce(
+      |      list_prepend(list_filter(r.state, e -> struct_extract(e, 'kind') = 0), s.vals),
+      |      (acc, x) -> CASE
+      |        WHEN list_position(
+      |               list_transform(
+      |                 list_filter(acc, e -> struct_extract(e, 'kind') = 0
+      |                   AND struct_extract(e, 'pos') >=
+      |                     COALESCE(CASE WHEN struct_extract(acc[-1], 'kind') = 1
+      |                                   THEN struct_extract(acc[-1], 'pos')
+      |                                   ELSE CAST(1 AS BIGINT) END, CAST(1 AS BIGINT))),
+      |                 e -> abs(struct_extract(x[1], 'ats') - struct_extract(e, 'ats')) <= 30000),
+      |               true) = 0
+      |        THEN list_concat(acc, [
+      |          struct_pack(kind := CAST(0 AS BIGINT),
+      |            pos := COALESCE(struct_extract(
+      |                     (list_filter(acc, e -> struct_extract(e, 'kind') = 0))[-1], 'pos'),
+      |                   CAST(0 AS BIGINT)) + 1,
+      |            ats := struct_extract(x[1], 'ats'), dv := CAST(NULL AS DOUBLE)),
+      |          struct_pack(kind := CAST(1 AS BIGINT),
+      |            pos := COALESCE(struct_extract(
+      |                     (list_filter(acc, e -> struct_extract(e, 'kind') = 0))[-1], 'pos'),
+      |                   CAST(0 AS BIGINT)) + 1,
+      |            ats := CAST(NULL AS BIGINT), dv := struct_extract(x[1], 'dv'))])
+      |        ELSE list_append(acc,
+      |          struct_pack(kind := CAST(1 AS BIGINT),
+      |            pos := struct_extract(
+      |              (list_filter(acc, e -> struct_extract(e, 'kind') = 0
+      |                 AND struct_extract(e, 'pos') >=
+      |                   COALESCE(CASE WHEN struct_extract(acc[-1], 'kind') = 1
+      |                                 THEN struct_extract(acc[-1], 'pos')
+      |                                 ELSE CAST(1 AS BIGINT) END, CAST(1 AS BIGINT))))[
+      |                list_position(
+      |                  list_transform(
+      |                    list_filter(acc, e -> struct_extract(e, 'kind') = 0
+      |                      AND struct_extract(e, 'pos') >=
+      |                        COALESCE(CASE WHEN struct_extract(acc[-1], 'kind') = 1
+      |                                      THEN struct_extract(acc[-1], 'pos')
+      |                                      ELSE CAST(1 AS BIGINT) END, CAST(1 AS BIGINT))),
+      |                    e -> abs(struct_extract(x[1], 'ats') - struct_extract(e, 'ats')) <= 30000),
+      |                  true)], 'pos'),
+      |            ats := CAST(NULL AS BIGINT), dv := struct_extract(x[1], 'dv')))
+      |      END) AS state
+      |  FROM rec r JOIN strm s ON s.gkey = r.gkey AND s.k = r.k + 1),
+      |fin AS (
+      |  SELECT gkey, list_filter(state, e -> struct_extract(e, 'kind') = 0) AS anchors
+      |  FROM rec QUALIFY row_number() OVER (PARTITION BY gkey ORDER BY k DESC) = 1),
+      |asn AS (
+      |  SELECT gkey, unnest(list_filter(state, e -> struct_extract(e, 'kind') = 1)) AS u
+      |  FROM rec WHERE k >= 1)
+      |SELECT a.gkey AS gkey,
+      |       struct_extract(f.anchors[struct_extract(a.u, 'pos')], 'ats') AS ts,
+      |       round(avg(struct_extract(a.u, 'dv')), 4) AS dval
+      |FROM asn a JOIN fin f USING (gkey)
+      |WHERE struct_extract(a.u, 'pos') < len(f.anchors)
+      |GROUP BY a.gkey, struct_extract(a.u, 'pos'),
+      |         struct_extract(f.anchors[struct_extract(a.u, 'pos')], 'ats')""".stripMargin
 
   /** DuckDB mirror of the C++ UniformTimeSeries resample — also the
     * oracle for `rle_roundtrip` (expand∘encode is the identity on the
@@ -294,6 +396,9 @@ object ApiEntry {
     // first ts > anchor_k + I; bucket k = values in [anchor_k,
     // anchor_{k+1}); the chronologically-last bucket is dropped
     // (the reference's !found exit, lib/protobuf.cc:78-84).
+    // Full multi-stream anchor cascade, simulated in DuckDB (see
+    // GreedyAvgOracleSql scaladoc).
+    "agg_greedy_avg" -> GreedyAvgOracleSql,
     "agg_greedy_user" -> greedyUserOracle("avg(p.dval)"),
     "agg_greedy_max_user" -> greedyUserOracle("max(p.dval)"),
     // upper median bucket[n/2] (lib/protobuf.cc:135-142)
