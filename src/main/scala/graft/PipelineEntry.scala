@@ -48,6 +48,31 @@ object PipelineEntry {
       | FROM hs)
       |""".stripMargin
 
+  /** Shared oracle CTE chain: content-defined chunks per document —
+    * position-independent mirror of the rolling hash in
+    * [[graft.functions.CdcChunks]] (window 4, divisor 32): a boundary
+    * falls after 1-based code-point position i ≥ 4 iff
+    * (cp(i−3)·31³ + cp(i−2)·31² + cp(i−1)·31 + cp(i)) % 32 = 0, and
+    * always after the last character. */
+  private val CdcChunksCte =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |           WHERE text IS NOT NULL AND length(text) > 0),
+      |pos AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS i
+      |        FROM d, unnest(range(4, n + 1)) AS t(i)
+      |        WHERE (unicode(substr(text, CAST(t.i AS INT)-3, 1))*29791
+      |             + unicode(substr(text, CAST(t.i AS INT)-2, 1))*961
+      |             + unicode(substr(text, CAST(t.i AS INT)-1, 1))*31
+      |             + unicode(substr(text, CAST(t.i AS INT), 1))) % 32 = 0),
+      |bnd AS (SELECT doc_id, i FROM pos UNION SELECT doc_id, n FROM d),
+      |ch AS (SELECT doc_id, i AS e,
+      |         lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS s
+      |       FROM bnd),
+      |chunks AS (SELECT c.doc_id,
+      |             row_number() OVER (PARTITION BY c.doc_id ORDER BY c.e) - 1 AS idx,
+      |             substr(d.text, CAST(c.s AS INT) + 1, CAST(c.e - c.s AS INT)) AS chunk
+      |           FROM ch c JOIN d USING (doc_id))
+      |""".stripMargin
+
   /** Shared oracle CTE: per-token 60-bit hashes (simhash input). */
   private val SimhashHsCte =
     """, hs AS (SELECT doc_id,
@@ -144,6 +169,20 @@ object PipelineEntry {
     "d_dup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))),
+    // Content-defined chunking (Rabin-style rolling hash, window 4,
+    // divisor 32): every chunk of every doc, identified by md5.
+    "d_cdc_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(Dedup.cdcChunks(col("text"), 4, 32)).as(Seq("idx", "chunk")))
+        .select(col("doc_id"), col("idx").cast("long").as("idx"),
+          length(col("chunk")).cast("long").as("clen"),
+          md5(col("chunk")).as("chash"))),
+    // Chunk-level containment pairs: >= 3 shared chunks, boilerplate
+    // chunks (df > 50) excluded from blocking.
+    "d_cdc_pairs" -> ((s, dir) =>
+      Dedup.cdcSharedChunkPairs(Tables.documents(s, dir),
+        window = 4, divisor = 32, minShared = 3, maxDf = 50L)),
 
     // -------------------------------------------------- similarity search
     "e_knn_brute" -> ((s, dir) => {
@@ -260,6 +299,17 @@ object PipelineEntry {
          |SELECT q.doc_id, q.quality, lang.lang_pred
          |FROM q JOIN lang USING (doc_id) JOIN k ON k.doc_id = q.doc_id
          |WHERE q.quality >= 0.3 AND lang.lang_pred = 'en'""".stripMargin),
+    "d_cdc_chunks" -> (CdcChunksCte +
+      """SELECT doc_id, idx, CAST(length(chunk) AS BIGINT) AS clen,
+        | md5(chunk) AS chash
+        |FROM chunks""".stripMargin),
+    "d_cdc_pairs" -> (CdcChunksCte +
+      """, ex AS (SELECT DISTINCT doc_id, md5(chunk) AS c FROM chunks),
+        |hot AS (SELECT c FROM ex GROUP BY c HAVING count(*) > 50),
+        |cold AS (SELECT * FROM ex WHERE c NOT IN (SELECT c FROM hot))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM cold a JOIN cold b ON a.c = b.c AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     "d_ngram_jaccard" -> (T + ShingleHashCte +
       """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -262,4 +262,43 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Content-defined chunks of a string column (native single-pass
+    * rolling-hash expression, [[graft.functions.CdcChunks]]). */
+  def cdcChunks(c: Column, window: Int = 4, divisor: Int = 32): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.functions.CdcChunks(
+        org.apache.spark.sql.GraftBridge.toExpression(c), window, divisor))
+
+  /**
+   * Chunk-level near-dup pairs: documents sharing ≥ `minShared`
+   * identical content-defined chunks. Edit-robust sub-document dedup —
+   * a doc that copies half of another still shares that half's chunks
+   * verbatim even though every fixed-size block would shift.
+   *
+   * Plan shape (the 100 TB path): chunk → md5 → explode → distinct
+   * (id, chunk) → optional hot-chunk anti-join (boilerplate chunks
+   * occurring in more than `maxDf` docs would join quadratically) →
+   * one equi-join shuffle on chunk hash → per-pair count. Never
+   * all-pairs.
+   */
+  def cdcSharedChunkPairs(df: DataFrame, window: Int = 4, divisor: Int = 32,
+                          minShared: Int = 2, idCol: String = "doc_id",
+                          textCol: String = "text",
+                          maxDf: Long = Long.MaxValue): DataFrame = {
+    var ex = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          cdcChunks(col(textCol), window, divisor), md5(_)))).as("c"))
+    if (maxDf != Long.MaxValue) {
+      val hot = ex.groupBy("c").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("c")
+      ex = ex.join(hot, Seq("c"), "left_anti")
+    }
+    ex.as("a").join(ex.as("b"),
+        col("a.c") === col("b.c") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -32,6 +32,51 @@ class PipelineSpec extends SparkSpec {
     assert(r.getLong(0) == 648541476951500027L)
   }
 
+  test("cdc chunks: lossless, deterministic, edit-local") {
+    val rnd = new scala.util.Random(42)
+    def randDoc() = (0 until 40 + rnd.nextInt(400))
+      .map(_ => "abcdefgh XY.,"(rnd.nextInt(13))).mkString
+    val texts = (0 until 30).map(_ => randDoc()) :+ "" :+ "ab" :+ "abc"
+    val df = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val out = df.select(col("doc_id"), col("text"),
+        Dedup.cdcChunks(col("text"), 4, 32).as("ch"))
+      .collect()
+    out.foreach { r =>
+      val text = r.getString(1)
+      val chunks = r.getSeq[String](2)
+      // concat identity: chunking is a partition of the document
+      assert(chunks.mkString == text, s"lossy chunking of '$text'")
+      assert(chunks.forall(_.nonEmpty))
+      if (text.isEmpty) assert(chunks.isEmpty)
+    }
+    // edit-locality: inserting one char near the front re-chunks only a
+    // bounded prefix — the suffix chunk lists must converge again
+    val base = randDoc() * 4
+    val edited = base.substring(0, 10) + "Z" + base.substring(10)
+    val Seq(cBase, cEdit) = docs((1L, base), (2L, edited))
+      .orderBy("doc_id")
+      .select(Dedup.cdcChunks(col("text"), 4, 32))
+      .collect().toSeq.map(_.getSeq[String](0))
+    val tailLen = cBase.reverse.zip(cEdit.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(tailLen >= cBase.length - 3,
+      s"edit was not local: only $tailLen of ${cBase.length} tail chunks survived")
+  }
+
+  test("cdc shared-chunk pairs find the containment pair") {
+    // varied text: a repeated sentence would collapse to ONE distinct
+    // chunk under array_distinct and never reach minShared
+    val shared = (1 to 12).map(i =>
+      s"Sentence number $i talks about topic-$i with detail level ${i * 7}. ").mkString
+    val df = docs(
+      (1L, shared + "unique suffix one two three"),
+      (2L, "a completely different prefix here. " + shared),
+      (3L, "nothing in common with the others at all, not one phrase."))
+    val pairs = Dedup.cdcSharedChunkPairs(df, 4, 32, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("exact dedup collapses identical texts, keeps min id") {
     val df = docs((3L, "same text"), (1L, "same text"), (2L, "other"))
     val out = Dedup.exact(df).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
