@@ -1,10 +1,12 @@
 package graft
 
 import graft.dedup.Dedup
+import graft.functions.VectorOps
 import graft.similarity.Ann
 import graft.sources.Tables
 import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -183,6 +185,54 @@ object PipelineEntry {
     "d_cdc_pairs" -> ((s, dir) =>
       Dedup.cdcSharedChunkPairs(Tables.documents(s, dir),
         window = 4, divisor = 32, minShared = 3, maxDf = 50L)),
+    // Embedding near-dup cluster collapse: connected components over
+    // the LSH-blocked cosine pairs (never all-pairs), min-id labels.
+    "e_dup_groups" -> ((s, dir) =>
+      Dedup.duplicateGroups(
+          Ann.lshPairs(Tables.embeddings(s, dir), threshold = 0.4)
+            .select(col("id_a"), col("id_b")))
+        .select(col("doc_id").as("vec_id"), col("group_id"))),
+    // Deterministic content-hash split: md5(text) bucket -> train/val/
+    // test. Content-keyed (not id-keyed) so re-ingested duplicates land
+    // in the same split — no eval contamination from re-crawls; pure
+    // map-side, no shuffle at any scale.
+    "p_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100)
+            .as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))),
+    // GPT-style sequence packing: concatenate token streams per source
+    // shard in doc_id order, slice into 512-token bins; each doc
+    // records its shard-local token offset and first/last bin. Packing
+    // per shard (not globally) keeps the cumulative sum parallel
+    // across shards — a global pack order would serialize the corpus.
+    "p_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin_first", expr("start_off div 512"))
+        .withColumn("bin_last",
+          expr("(start_off + greatest(n_tok, 1L) - 1) div 512"))
+    }),
+    // Benchmark decontamination: flag docs sharing any 8-token shingle
+    // with the benchmark slice (source = 'src1'), with the distinct
+    // shared-shingle count as evidence. Shingle -> hash -> semi-join
+    // against the (small, broadcast) benchmark shingle set.
+    "p_decontam" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(VectorOps.shingleHash60(TextOps.tokens(col("text")), 8)).as("g"))
+      val bench = sh.filter(col("source") === "src1").select("g").distinct()
+      sh.filter(col("source") =!= "src1")
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    }),
 
     // -------------------------------------------------- similarity search
     "e_knn_brute" -> ((s, dir) => {
@@ -310,6 +360,39 @@ object PipelineEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM cold a JOIN cold b ON a.c = b.c AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
+    "p_split" ->
+      """SELECT doc_id, bucket,
+        | CASE WHEN bucket < 90 THEN 'train'
+        |      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket
+        | FROM documents)""".stripMargin,
+    "p_pack" ->
+      """WITH tk AS (SELECT source, doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                       x -> len(x) > 0)) AS BIGINT) AS n_tok
+        | FROM documents),
+        |o AS (SELECT source, doc_id, n_tok,
+        |  CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_off
+        | FROM tk)
+        |SELECT source, doc_id, n_tok, start_off,
+        |  start_off // 512 AS bin_first,
+        |  (start_off + greatest(n_tok, 1) - 1) // 512 AS bin_last
+        |FROM o""".stripMargin,
+    "p_decontam" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  list_distinct([CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT)
+        |                 for i in range(1, len(t)-6)]) AS s
+        | FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src1'),
+        |cand AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src1')
+        |SELECT doc_id, count(*) AS n_hits FROM cand
+        |WHERE g IN (SELECT g FROM bench) GROUP BY doc_id""".stripMargin,
     "d_ngram_jaccard" -> (T + ShingleHashCte +
       """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -377,6 +460,7 @@ object PipelineEntry {
         | FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin,
     "e_lsh_pairs" -> lshPairsOracle,
+    "e_dup_groups" -> eDupGroupsOracle,
     "e_knn_lsh" -> lshKnnOracle,
     "e_knn_ivf" -> ivfKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle)
@@ -415,6 +499,21 @@ object PipelineEntry {
        |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
        | FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (${lshAnyMatch("a", "b")}))
        |SELECT id_a, id_b, round(sim, 4) AS sim FROM p WHERE sim >= 0.4""".stripMargin
+
+  /** Connected components over the lshPairs graph (same candidate
+    * predicate + verify as lshPairsOracle), min-id representative. */
+  private def eDupGroupsOracle: String =
+    s"""${lshSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_inner_product(a.v, b.v)
+       |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+       | FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (${lshAnyMatch("a", "b")})),
+       |pr AS (SELECT id_a, id_b FROM p WHERE sim >= 0.4),
+       |ed AS (SELECT id_a AS a, id_b AS b FROM pr
+       |  UNION SELECT id_b, id_a FROM pr),
+       |reach AS (SELECT DISTINCT a AS n, a AS m FROM ed
+       |  UNION SELECT r.n, ed.b FROM reach r JOIN ed ON r.m = ed.a)
+       |SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n""".stripMargin
 
   /** DuckDB mirror of Ann.lshTopK(queries = vec_id < 10, k = 5). */
   private def lshKnnOracle: String =
