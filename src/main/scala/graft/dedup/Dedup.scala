@@ -286,10 +286,14 @@ object Dedup {
                           minShared: Int = 2, idCol: String = "doc_id",
                           textCol: String = "text",
                           maxDf: Long = Long.MaxValue): DataFrame = {
+    // cache: the chunk-hash projection feeds the hot-df aggregation,
+    // the anti-join probe, and both sides of the self-join — without it
+    // the chunk+md5 subtree re-evaluates once per reference
     var ex = df
       .select(col(idCol).as("id"),
         explode(array_distinct(transform(
           cdcChunks(col(textCol), window, divisor), md5(_)))).as("c"))
+      .cache()
     if (maxDf != Long.MaxValue) {
       val hot = ex.groupBy("c").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("c")
