@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan regression tests: the 100 TB posture, locked in.
+ *
+ * Correctness gates prove the operators right at small scale; these
+ * assert the *plan shapes* that make them survive large scale — no
+ * accidental cartesian in any blocked-join dedup path, no shuffle in
+ * map-side ops, broadcast where a small side is guaranteed. A change
+ * that silently turns a bucket join into an all-pairs join fails here,
+ * not in a 1000-executor postmortem.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Queries whose semantics are intentionally all-pairs (exact
+    * verification baselines, documented quadratic). */
+  private val intentionallyQuadratic = Set("e_cos_pairs", "e_knn_brute")
+
+  test("no blocked dedup/similarity path degenerates to all-pairs") {
+    val blocked = Seq("d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
+      "d_cdc_pairs", "e_lsh_pairs", "t_winnow_pairs", "p_decontam")
+    blocked.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan contains CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("the exact baselines really are the only quadratic plans") {
+    intentionallyQuadratic.foreach { q =>
+      val p = plan(q)
+      assert(p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q is documented as the exact all-pairs baseline; if it stopped " +
+          "being quadratic, move it out of intentionallyQuadratic")
+    }
+  }
+
+  test("p_split is pure map-side: zero exchanges") {
+    val p = plan("p_split")
+    assert(!p.contains("Exchange"), s"p_split must not shuffle:\n$p")
+  }
+
+  test("p_pack shuffles exactly once (per-shard window)") {
+    val p = plan("p_pack")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n == 1, s"p_pack expected exactly 1 shuffle exchange, got $n")
+  }
+
+  test("p_decontam broadcasts the benchmark shingle set") {
+    val p = plan("p_decontam")
+    assert(p.contains("BroadcastExchange"),
+      "benchmark side must broadcast (it is small by construction)")
+  }
+
+  test("time-range scan pushes the ts filter into parquet") {
+    val p = plan("q_pattern_filter")
+    assert(p.contains("PushedFilters:") &&
+      p.replaceAll("\\s", "").matches("(?s).*PushedFilters:\\[[^]]*ts[^]]*\\].*"),
+      s"ts predicate must reach the parquet scan:\n${p.take(2000)}")
+  }
+
+  test("per-series mutations shuffle at most once") {
+    Seq("m_rate", "m_delta", "m_mean_grid").foreach { q =>
+      val p = plan(q)
+      val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(n <= 1, s"$q expected <=1 shuffle exchange, got $n:\n${p.take(1500)}")
+    }
+  }
+}
