@@ -138,12 +138,16 @@ object PipelineEntry {
 
     // Composite curation pass — the query a training-data user actually
     // runs: keep documents that score >= 0.3 quality, are identified
-    // English, AND are their exact-dup group's keeper. One scan feeds
-    // the per-doc scores; the dedup keep-list broadcasts back in.
+    // English, AND are their exact-dup group's keeper. The keeper flag
+    // is a window over the content hash — one shuffle on md5(text),
+    // no join and no keep-list materialization. (A broadcast of the
+    // keep-list would be O(corpus): one row per distinct document —
+    // fine at sf0.1, a guaranteed driver/executor OOM at 100 TB.)
     "p_curate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-      docs.join(broadcast(keep), "doc_id")
+      val w = Window.partitionBy(md5(col("text")))
+      Tables.documents(s, dir)
+        .withColumn("__keeper", min(col("doc_id")).over(w) === col("doc_id"))
+        .filter(col("__keeper"))
         .select(col("doc_id"),
           round(TextOps.qualityScore(col("text")), 4).as("quality"),
           TextOps.langId(col("text")).as("lang_pred"))

@@ -56,7 +56,16 @@ object Requests {
     * name, or per distinct value of each label in `labels`. */
   case class AggregationSpec(agg: Aggregations.AggType,
                              labels: Seq[String] = Nil,
-                             sampleIntervalMs: Long = Aggregations.DefaultIntervalMs)
+                             sampleIntervalMs: Long = Aggregations.DefaultIntervalMs) {
+    /** Reference parity: an unset/zero `sample_interval` falls back to
+      * the 30 s default (`if (!sample_interval) sample_interval = 30000`,
+      * server/store.cc:165-167; default in lib/openinstrument.proto:68-69).
+      * Negative values are treated the same — the wire type is uint32,
+      * so they are unrepresentable in a reference request. */
+    def resolvedIntervalMs: Long =
+      if (sampleIntervalMs <= 0L) Aggregations.DefaultIntervalMs
+      else sampleIntervalMs
+  }
 
   /** lib/openinstrument.proto:91-111.
     *
@@ -99,16 +108,22 @@ object Engine {
       .filter(VariableMatcher.compile(req.variable))
     req.minTimestamp.foreach(lo => df = df.filter(col("ts") >= lo))
     req.maxTimestamp.foreach(hi => df = df.filter(col("ts") <= hi))
-    // max_variables truncates the series set (server/store.cc:133-135)
+    // max_variables truncates the series set (server/store.cc:133-135).
+    // No broadcast hint: the keep-list is capped at `max_variables`
+    // rows so it is USUALLY tiny, but the reference's design point is
+    // millions of series — let AQE broadcast the small case at runtime
+    // instead of forcing a driver materialization that has no size
+    // safety valve at scale.
     req.maxVariables.foreach { cap =>
       val keep = df.select("skey").distinct()
         .orderBy("skey").limit(cap)
-      df = df.join(broadcast(keep), "skey")
+      df = df.join(keep, "skey")
     }
     // One row per series: the exact (name, labels) for each skey —
     // re-attached after mutations that reduce to (skey, ts, dval).
-    // A join (broadcast; bounded by series count) rather than parsing
-    // skey back: the key's escaping makes string re-parsing lossy.
+    // A join rather than parsing skey back: the key's escaping makes
+    // string re-parsing lossy. Un-hinted — O(#series) rows is not
+    // broadcast-safe at fleet scale; AQE broadcasts when it is small.
     val seriesDim = df.select(col("skey"), col("name"), col("labels"))
       .dropDuplicates("skey")
     // value_type-aware auto-rating (opt-in; see GetRequest.autoRate):
@@ -146,13 +161,13 @@ object Engine {
           (req.aggregations.exists(_.labels.nonEmpty) &&
             !df.columns.contains("labels")))
         df = df.drop("name", "labels")
-          .join(broadcast(seriesDim), "skey")
+          .join(seriesDim, "skey")
       val base = df
       df = req.aggregations.map { spec =>
         spec.labels match {
-          case Nil => Aggregations.byName(base, spec.agg, spec.sampleIntervalMs)
+          case Nil => Aggregations.byName(base, spec.agg, spec.resolvedIntervalMs)
           case ls => ls.map(l =>
-              Aggregations.byLabel(base, l, spec.agg, spec.sampleIntervalMs))
+              Aggregations.byLabel(base, l, spec.agg, spec.resolvedIntervalMs))
             .reduce(_ unionByName _)
         }
       }.reduce(_.unionByName(_, allowMissingColumns = true))

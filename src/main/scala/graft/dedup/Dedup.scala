@@ -55,23 +55,30 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxDf: Long = Long.MaxValue): DataFrame = {
-    // cache: the shingle sets feed a self-join + two size joins — without
-    // it the tokenize+hash subtree is re-evaluated once per reference
-    val sets = shingleSets(df, idCol, textCol, n).cache()
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
-    var ex = sets.select(col("id"), explode(col("sh")).as("s"))
+    // cache: the blocking rows feed both sides of the self-join (and,
+    // under maxDf, the hot-shingle aggregation) — without it the
+    // tokenize+hash subtree is re-evaluated once per reference.
+    //
+    // The per-doc set size rides each exploded blocking row (one int
+    // per row) instead of joining a (id → sz) side back in afterwards:
+    // that side would be one row per document — O(corpus) — which is
+    // broadcast-unsafe at scale, and even un-hinted would cost two
+    // extra shuffle joins. `sz` is the FULL set size, captured before
+    // the hot-shingle anti-join, so Jaccard stays exact for surfaced
+    // pairs even when blocking drops hot shingles.
+    var ex = shingleSets(df, idCol, textCol, n)
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .cache()
     if (maxDf != Long.MaxValue) {
       val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf).select("s")
       ex = ex.join(hot, Seq("s"), "left_anti")
     }
-    val shared = ex.as("a").join(ex.as("b"),
+    ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sza")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "szb")), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -119,12 +126,16 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // banded (below) carries sh + band and feeds the self-join, so it
-    // is cached; sets itself has a single consumer chain — caching it
-    // would only add a serialization pass
-    val sets = shingleSets(df, idCol, textCol, n)
+    // sets feeds the signature path AND the two verify joins; banded
+    // feeds both sides of the self-join — cache each so the
+    // tokenize+hash / minhash subtrees evaluate once.
+    val sets = shingleSets(df, idCol, textCol, n).cache()
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("id"), col("sh"),
+    // The band self-join carries ONLY (id, band): candidate shuffle
+    // volume is O(candidates), not O(candidates × avg-shingle-set).
+    // Shingle arrays are re-attached per DISTINCT candidate pair below
+    // — the cdcSharedChunkPairs pattern.
+    val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat(b.cast("string"), lit(":"),
             concat_ws("_", transform(slice(col("sig"), b * r + 1, lit(r)),
@@ -132,10 +143,11 @@ object Dedup {
       .cache()
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sha"), col("shb")))
           / size(array_union(col("sha"), col("shb"))).cast("double"))

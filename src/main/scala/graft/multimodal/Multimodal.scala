@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
  * image/audio/video as opaque `binary` columns with typed metadata.
  *
  * The Spark-side plumbing — schema, batch iteration, partition-local
- * decode, feature schema — is real and tested; the actual media decode
- * is STUBBED (no image/audio libraries in this container) behind
- * [[StubDecoder]], a deterministic fake keyed on the content hash.
- * Swapping in a real decoder means replacing exactly that object.
+ * decode, feature schema — is real and tested. Image decode is REAL
+ * (JDK `javax.imageio` via [[ImageDecoder]] — PNG/JPEG/GIF/BMP); audio
+ * and video decode are STUBBED (no media libraries in this container)
+ * behind [[StubDecoder]], a deterministic fake keyed on the content
+ * hash. Swapping in a real audio/video decoder means replacing exactly
+ * that object.
  *
  * Scale posture: decode runs per-partition via `mapPartitions` (one
  * decoder instance per task, streaming batches — the Scala analog of
@@ -45,13 +47,19 @@ object Multimodal {
    * audio / video library here (one instance per task; batch-friendly).
    * This fake derives every "decoded" property deterministically from
    * the content bytes so tests and oracles are stable.
+   *
+   * Image blobs get a REAL decode first ([[ImageDecoder]], JDK
+   * `javax.imageio` — PNG/JPEG/GIF/BMP); the stub is the fallback for
+   * audio/video (no media libs in this container) and for image bytes
+   * imageio cannot parse (e.g. the fabricated text-blob test fixtures,
+   * keeping oracles deterministic).
    */
   object StubDecoder extends Serializable {
     val FeatureDim = 8
     /** Fake properties derive from the 60-bit md5 prefix `h` of the
       * content so the DuckDB oracle can mirror them exactly. */
     def decode(modality: String, h: Long): (Int, Int, Int, Array[Float]) = {
-      // ??? <- real decode goes here; deterministic fake below.
+      // ??? <- real audio/video decode goes here; deterministic fake below.
       val w = (16 + h % 1024).toInt
       val ht = (16 + (h / 1024) % 1024).toInt
       val frames = modality match {
@@ -62,6 +70,61 @@ object Multimodal {
       val feat = Array.tabulate(FeatureDim)(i =>
         (((h >>> (i * 4)) & 0xFF) / 255.0f) * 2f - 1f)
       (w, ht, frames, feat)
+    }
+  }
+
+  /**
+   * Real image decode via JDK `javax.imageio` (no external deps):
+   * returns (width, height, 1 frame, mean-RGB-derived feature) for any
+   * byte stream the installed readers recognize, None otherwise. Runs
+   * partition-local inside [[extractFeatures]]'s `mapPartitions` —
+   * bytes never leave the executor.
+   */
+  object ImageDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          // Feature: 8-dim summary from a coarse 2×2 luminance/RGB grid
+          // — cheap, deterministic, resolution-independent. A real
+          // pipeline would swap in an embedding model here.
+          val feat = new Array[Float](StubDecoder.FeatureDim)
+          val (hw, hh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+          var qi = 0
+          var qy = 0
+          while (qy < 2) {
+            var qx = 0
+            while (qx < 2) {
+              var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
+              var y = qy * hh
+              val yEnd = math.min(if (qy == 1) h else hh, h)
+              while (y < yEnd) {
+                var x = qx * hw
+                val xEnd = math.min(if (qx == 1) w else hw, w)
+                while (x < xEnd) {
+                  val rgb = img.getRGB(x, y)
+                  rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF
+                  bs += rgb & 0xFF; n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              if (n > 0) {
+                feat(qi) = (rs.toFloat / n / 255f) * 2f - 1f
+                feat(qi + 1) = ((gs + bs).toFloat / (2 * n) / 255f) * 2f - 1f
+              }
+              qi += 2
+              qx += 1
+            }
+            qy += 1
+          }
+          Some((w, h, 1, feat))
+        }
+      } catch { case _: Exception => None }
     }
   }
 
@@ -85,7 +148,11 @@ object Multimodal {
           val sha = java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).map("%02x".format(_)).mkString
           val h60 = java.lang.Long.parseLong(sha.substring(0, 15), 16)
-          val (w, h, f, feat) = StubDecoder.decode(mod, h60)
+          // images: real imageio decode when the bytes parse; stub
+          // fallback keeps undecodable fixtures deterministic
+          val (w, h, f, feat) =
+            (if (mod == "image") ImageDecoder.decode(bytes) else None)
+              .getOrElse(StubDecoder.decode(mod, h60))
           Row(id, mod, bytes.length.toLong, sha,
             if (mod == "image" || mod == "video") w else null,
             if (mod == "image" || mod == "video") h else null,

@@ -103,6 +103,22 @@ class EngineSpec extends SparkSpec {
       ("/sys/mem", "a", 9.0)))
   }
 
+  test("get: sample_interval 0 falls back to the 30 s reference default") {
+    // server/store.cc:165-167: `if (!sample_interval) sample_interval
+    // = 30000` — zero means "unset", not "zero-width buckets".
+    assert(Requests.AggregationSpec(Aggregations.Sum, Nil, 0L)
+      .resolvedIntervalMs == 30000L)
+    assert(Requests.AggregationSpec(Aggregations.Sum, Nil, 10000L)
+      .resolvedIntervalMs == 10000L)
+    val zero = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/*",
+      aggregations = Seq(Requests.AggregationSpec(Aggregations.Sum, Nil, 0L))))
+    val dflt = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/*",
+      aggregations = Seq(Requests.AggregationSpec(Aggregations.Sum, Nil, 30000L))))
+    assert(zero.collect().toSet == dflt.collect().toSet)
+  }
+
   test("get: max_variables caps series, max_values keeps tail") {
     val out = Engine.get(twoSeries(), Requests.GetRequest(
       variable = "/sys/cpu", maxVariables = Some(1), maxValues = Some(2)))
@@ -159,6 +175,33 @@ class MultimodalSpec extends SparkSpec {
     assert(img.getString(1) == "image")
     assert(img.getLong(2) == "hello world".getBytes("UTF-8").length.toLong)
     assert(!img.isNullAt(4) && img.getInt(4) >= 16)
+  }
+
+  test("extractFeatures: real imageio decode for decodable image bytes") {
+    import spark.implicits._
+    // a genuine 40x25 PNG, generated in-process (javax.imageio is JDK)
+    val img = new java.awt.image.BufferedImage(
+      40, 25, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40; y <- 0 until 25)
+      img.setRGB(x, y, ((x * 6) << 16) | ((y * 10) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((7L, "image", png, "image/png"))
+      .toDF("item_id", "modality", "content", "mime")
+      .select(col("item_id"), col("modality"), col("content"), col("mime"),
+        map().cast("map<string,string>").as("meta"))
+    val row = Multimodal.extractFeatures(media).head()
+    assert(row.getInt(4) == 40 && row.getInt(5) == 25) // REAL dimensions
+    assert(row.getInt(6) == 1)
+    assert(row.getSeq[Float](7).length == Multimodal.StubDecoder.FeatureDim)
+    // undecodable image bytes still fall back to the deterministic stub
+    val fake = Seq((8L, "image", "not a png".getBytes("UTF-8"), "image/png"))
+      .toDF("item_id", "modality", "content", "mime")
+      .select(col("item_id"), col("modality"), col("content"), col("mime"),
+        map().cast("map<string,string>").as("meta"))
+    val frow = Multimodal.extractFeatures(fake).head()
+    assert(!frow.isNullAt(4) && frow.getInt(4) >= 16) // stub-derived
   }
 
   test("sampleFrames strides over video frames only") {

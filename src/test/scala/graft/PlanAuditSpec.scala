@@ -68,6 +68,43 @@ class PlanAuditSpec extends SparkSpec {
       s"ts predicate must reach the parquet scan:\n${p.take(2000)}")
   }
 
+  test("no corpus-sized broadcast hints on curation/dedup/api paths") {
+    // A broadcast() hint on an O(corpus) or O(#series) side is a
+    // scale-killer: the driver materializes and ships it with no size
+    // safety valve. These paths must stay un-hinted (AQE broadcasts
+    // genuinely-small sides at runtime on its own).
+    // (api_get_multi is excluded: its by-label aggregation carries the
+    // intentional constLabels broadcast — O(#output groups), small.)
+    Seq("p_curate", "d_ngram_jaccard", "d_minhash_lsh", "d_dup_groups",
+        "api_get_limits").foreach { q =>
+      val qe = SparkEntry.queries(q)(spark, sf).queryExecution
+      assert(!qe.analyzed.toString.contains("ResolvedHint"),
+        s"$q carries a broadcast/join hint on a corpus-sized side")
+    }
+  }
+
+  test("p_curate keeper flag is a window, not a join") {
+    val p = plan("p_curate")
+    assert(!p.contains("Join"),
+      s"p_curate must not join a keep-list back in:\n${p.take(1500)}")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n == 1,
+      s"p_curate expected exactly 1 shuffle (window over content hash), got $n")
+  }
+
+  test("d_ngram_jaccard carries set sizes through blocking: one join only") {
+    val p = plan("d_ngram_jaccard")
+    // Exactly one join: the blocking self-join. The old shape had two
+    // more (hinted broadcast joins re-attaching per-doc set sizes — an
+    // O(corpus) build side). The planner may still freely broadcast the
+    // self-join's small side at this SF — that's AQE/stats deciding,
+    // which is the point: no hint forces it when the side is huge.
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).length
+    assert(joins == 1,
+      s"d_ngram_jaccard expected only the blocking self-join, got $joins joins")
+  }
+
   test("per-series mutations shuffle at most once") {
     Seq("m_rate", "m_delta", "m_mean_grid").foreach { q =>
       val p = plan(q)
