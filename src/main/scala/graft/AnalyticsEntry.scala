@@ -1,0 +1,217 @@
+package graft
+
+import graft.operators.Sessions
+import graft.sources.Tables
+import graft.text.{Pii, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-6 analytics queries: event-sequence operators (sessionization,
+ * as-of join, exact quantiles) over the `events` table and
+ * training-data curation extensions (repetition quality, PII
+ * redaction, stratified sampling, TF-IDF) over `documents`. Each has a
+ * bit-identical DuckDB oracle.
+ *
+ * Scale notes inline per query; the common theme is one hash shuffle
+ * on the natural key (user / doc / token) and zero driver-side state.
+ */
+object AnalyticsEntry {
+
+  private val SessionGapMs = 12L * 3600 * 1000
+
+  /** Whitespace-token CTE shared by the document oracles (same shape as
+    * PipelineEntry's). */
+  private val T =
+    """WITH toks AS (SELECT doc_id, text,
+      | list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+      | FROM documents) """.stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------------------------------------------------- event sequences
+    // Gap-based sessionization + per-session stats. One shuffle total:
+    // the window hash-partitions on user_id and the groupBy(user_id,
+    // session) reuses that partitioning (ClusteredDistribution
+    // satisfied by the subset key).
+    "ev_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(Tables.events(s, dir),
+          col("user_id"), col("ts"), SessionGapMs)
+        .groupBy(col("user_id"), col("session"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("t_start"), max("ts").as("t_end"),
+          round(sum("value"), 4).as("sum_val"))),
+
+    // As-of join: each click gets the latest preceding view of the same
+    // user (inclusive ties, left semantics). Union + one ordered scan —
+    // never an inequality join. Views are pre-aggregated per (user, ts)
+    // so the as-of match is well-defined under timestamp collisions.
+    "ev_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_val"))
+        .withColumn("view_ts", col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      Sessions.asOfJoin(clicks, views, "user_id", "ts",
+          Seq("view_ts", "view_val"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.view_ts").as("view_ts"),
+          col("asof.view_val").as("view_val"))
+    }),
+
+    // Exact interpolated quantiles per event type (Spark `percentile`
+    // == DuckDB `quantile_cont`): map-side partial collection is not
+    // possible for exact quantiles, but group cardinality is the event
+    // type count — a safe full-agg at any scale.
+    "ev_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+
+    // ------------------------------------------------ curation additions
+    // Gopher-style repetition stats: duplicate-token fraction (map-side)
+    // + top-bigram mass fraction (explode → two same-key aggs → join on
+    // doc_id). The HOF alternative (per-row frequency scan) is O(n²)
+    // per document, so the explode shape is the 100 TB path.
+    "t_repetition" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks", TextOps.tokens(col("text")))
+      val base = d.select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
+        .withColumn("dup_tok_frac",
+          round(when(col("n_tok") === 0, 0.0)
+            .otherwise(lit(1.0) - col("n_uniq") / col("n_tok").cast("double")), 4))
+      val top = d.select(col("doc_id"),
+          explode(TextOps.shingles(col("toks"), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg((max("c") / sum("c").cast("double")).as("r"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("dup_tok_frac"),
+          round(coalesce(col("r"), lit(0.0)), 4).as("top2_frac"))
+    }),
+
+    // PII detection + placeholder redaction over the string payload —
+    // pure codegen'd regexps, zero shuffle at any scale.
+    "t_pii" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        Pii.countMatches(col("props"), Pii.EmailPattern).as("n_email"),
+        Pii.countMatches(col("props"), Pii.Ipv4Pattern).as("n_ip"),
+        Pii.countMatches(col("props"), Pii.PhonePattern).as("n_phone"),
+        Pii.countMatches(col("props"), Pii.NumberPattern).as("n_num"),
+        Pii.redact(col("props")).as("redacted"))),
+
+    // Deterministic stratified sample: top-20 per source by salted
+    // content-independent hash order. Spark's WindowGroupLimit pushes
+    // the rank filter below the exchange (per-mapper top-k), so the
+    // shuffle carries ≤ 20·mappers rows per stratum — not the stratum.
+    "p_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("s#"), col("doc_id"))), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 20)
+        .select("source", "doc_id", "rk")
+    }),
+
+    // TF-IDF top-3 terms per document: tf via (doc, tok) agg, df via
+    // tok agg, doc length via window over the tf rows, corpus size via
+    // a 1-row broadcast. Shuffles on (doc,tok) → tok → doc, each on a
+    // bounded natural key; no driver loops.
+    "t_tfidf" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val tot = d.agg(count(lit(1)).as("nd"))
+      val tf = d.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfc, "tok").crossJoin(broadcast(tot))
+        .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+        .withColumn("tfidf", (col("tf") / col("dl")) * log(col("nd") / col("df")))
+      val rw = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+      scored.withColumn("rank", row_number().over(rw).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"),
+          round(col("tfidf"), 4).as("tfidf"), col("rank"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "ev_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+         |g AS (SELECT user_id, ts, value,
+         |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > $SessionGapMs
+         |   THEN 1 ELSE 0 END AS nb
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (SELECT user_id, ts, value,
+         |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+         | FROM g)
+         |SELECT user_id, session, count(*) AS n_events,
+         | min(ts) AS t_start, max(ts) AS t_end, round(sum(value), 4) AS sum_val
+         |FROM sess GROUP BY user_id, session""".stripMargin,
+    "ev_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts, event_type,
+        |  value FROM events),
+        |v AS (SELECT user_id, ts, max(value) AS view_val FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts, v.view_val AS view_val
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "ev_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "t_repetition" -> (T +
+      """, base AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq
+        |  FROM toks),
+        |bg AS (SELECT doc_id,
+        |  unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS b
+        | FROM toks WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |tp AS (SELECT doc_id, max(c)*1.0/sum(c) AS r FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        | round(CASE WHEN n_tok = 0 THEN 0.0
+        |   ELSE 1.0 - n_uniq*1.0/n_tok END, 4) AS dup_tok_frac,
+        | round(coalesce(r, 0.0), 4) AS top2_frac
+        |FROM base LEFT JOIN tp USING (doc_id)""".stripMargin),
+    "t_pii" -> {
+      val redacted = Pii.Rules.foldLeft("props") { case (acc, (p, repl)) =>
+        s"regexp_replace($acc, '$p', '$repl', 'g')"
+      }
+      s"""SELECT event_id,
+         | len(regexp_extract_all(props, '${Pii.EmailPattern}')) AS n_email,
+         | len(regexp_extract_all(props, '${Pii.Ipv4Pattern}')) AS n_ip,
+         | len(regexp_extract_all(props, '${Pii.PhonePattern}')) AS n_phone,
+         | len(regexp_extract_all(props, '${Pii.NumberPattern}')) AS n_num,
+         | $redacted AS redacted
+         |FROM events""".stripMargin
+    },
+    "p_sample" ->
+      """SELECT source, doc_id, rk FROM (
+        | SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('s#' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        | FROM documents) WHERE rk <= 20""".stripMargin,
+    "t_tfidf" -> (T +
+      """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY tok),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT doc_id, tok, tf, df,
+        |  sum(tf) OVER (PARTITION BY doc_id) AS dl
+        | FROM tfc JOIN dfc USING (tok)),
+        |r AS (SELECT doc_id, tok,
+        |  (tf/dl) * ln((SELECT nd FROM nd)/df) AS tfidf FROM sc),
+        |rk AS (SELECT doc_id, tok, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tok) AS BIGINT) AS rank
+        | FROM r)
+        |SELECT doc_id, tok, round(tfidf, 4) AS tfidf, rank
+        |FROM rk WHERE rank <= 3""".stripMargin))
+}

@@ -40,7 +40,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ PipelineEntry.queries ++ ApiEntry.queries
+    coreQueries ++ PipelineEntry.queries ++ ApiEntry.queries ++
+      AnalyticsEntry.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational basics
@@ -238,6 +239,6 @@ object SparkEntry {
         """SELECT name, usr, ts, dval FROM pts
           |WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> ''
           | AND ts BETWEEN 1704500000000 AND 1705500000000""".stripMargin)) ++
-      PipelineEntry.oracleSql ++ ApiEntry.oracleSql
+      PipelineEntry.oracleSql ++ ApiEntry.oracleSql ++ AnalyticsEntry.oracleSql
   }
 }

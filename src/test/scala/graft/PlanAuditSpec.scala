@@ -105,6 +105,43 @@ class PlanAuditSpec extends SparkSpec {
       s"d_ngram_jaccard expected only the blocking self-join, got $joins joins")
   }
 
+  test("ev_sessionize shuffles exactly once (window + stats share the key)") {
+    val p = plan("ev_sessionize")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n == 1, s"ev_sessionize expected exactly 1 shuffle, got $n:\n${p.take(1500)}")
+  }
+
+  test("ev_asof is a union + ordered scan, never a join") {
+    val p = plan("ev_asof")
+    assert(!p.contains("Join"),
+      s"as-of must be the merge shape, not an inequality join:\n${p.take(1500)}")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n <= 2, s"ev_asof expected <=2 shuffles (view pre-agg + window), got $n")
+  }
+
+  test("t_pii is pure map-side: zero exchanges") {
+    val p = plan("t_pii")
+    assert(!p.contains("Exchange"), s"t_pii must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("p_sample rank filter is pushed below the shuffle (WindowGroupLimit)") {
+    val p = plan("p_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-stratum top-k must prune map-side, not carry whole strata:\n${p.take(1500)}")
+  }
+
+  test("t_tfidf and t_repetition never go quadratic") {
+    // t_tfidf's corpus-count crossJoin(broadcast(1-row agg)) is the one
+    // sanctioned nested-loop: its build side is a single row by
+    // construction, so only CartesianProduct is a regression there.
+    assert(!plan("t_tfidf").contains("CartesianProduct"),
+      "t_tfidf plan degenerated to a cartesian")
+    val p = plan("t_repetition")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"t_repetition plan degenerated to all-pairs:\n${p.take(1500)}")
+  }
+
   test("per-series mutations shuffle at most once") {
     Seq("m_rate", "m_delta", "m_mean_grid").foreach { q =>
       val p = plan(q)
