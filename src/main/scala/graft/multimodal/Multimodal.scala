@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
  *
  * The Spark-side plumbing — schema, batch iteration, partition-local
  * decode, feature schema — is real and tested. Image decode is REAL
- * (JDK `javax.imageio` via [[ImageDecoder]] — PNG/JPEG/GIF/BMP); audio
- * and video decode are STUBBED (no media libraries in this container)
- * behind [[StubDecoder]], a deterministic fake keyed on the content
- * hash. Swapping in a real audio/video decoder means replacing exactly
- * that object.
+ * (JDK `javax.imageio` via [[ImageDecoder]] — PNG/JPEG/GIF/BMP), and so
+ * is audio header/PCM decode for WAV/AIFF/AU (JDK `javax.sound.sampled`
+ * via [[AudioDecoder]]). Video decode — and any format the JDK readers
+ * don't recognize (no media libraries in this container) — falls back
+ * to [[StubDecoder]], a deterministic fake keyed on the content hash.
+ * Swapping in a real video/compressed-codec decoder means replacing
+ * exactly that object.
  *
  * Scale posture: decode runs per-partition via `mapPartitions` (one
  * decoder instance per task, streaming batches — the Scala analog of
@@ -49,17 +51,18 @@ object Multimodal {
    * the content bytes so tests and oracles are stable.
    *
    * Image blobs get a REAL decode first ([[ImageDecoder]], JDK
-   * `javax.imageio` — PNG/JPEG/GIF/BMP); the stub is the fallback for
-   * audio/video (no media libs in this container) and for image bytes
-   * imageio cannot parse (e.g. the fabricated text-blob test fixtures,
-   * keeping oracles deterministic).
+   * `javax.imageio` — PNG/JPEG/GIF/BMP), audio blobs too
+   * ([[AudioDecoder]], JDK `javax.sound.sampled` — WAV/AIFF/AU); the
+   * stub is the fallback for video (no media libs in this container)
+   * and for bytes the JDK readers cannot parse (e.g. the fabricated
+   * text-blob test fixtures, keeping oracles deterministic).
    */
   object StubDecoder extends Serializable {
     val FeatureDim = 8
     /** Fake properties derive from the 60-bit md5 prefix `h` of the
       * content so the DuckDB oracle can mirror them exactly. */
     def decode(modality: String, h: Long): (Int, Int, Int, Array[Float]) = {
-      // ??? <- real audio/video decode goes here; deterministic fake below.
+      // ??? <- real video decode goes here; deterministic fake below.
       val w = (16 + h % 1024).toInt
       val ht = (16 + (h / 1024) % 1024).toInt
       val frames = modality match {
@@ -129,6 +132,57 @@ object Multimodal {
   }
 
   /**
+   * Real audio decode via JDK `javax.sound.sampled` (no external deps):
+   * parses WAV/AIFF/AU headers for frame count, and summarizes the PCM
+   * payload into the fixed-width feature (mean byte level over 8 equal
+   * spans, normalized to [-1, 1] — a cheap deterministic stand-in for
+   * an audio embedding). Returns None for byte streams no installed
+   * reader recognizes (compressed formats would need external codecs).
+   * Partition-local inside [[extractFeatures]], like [[ImageDecoder]].
+   */
+  object AudioDecoder extends Serializable {
+    private val MaxFeatureBytes = 1 << 20 // summarize at most 1 MiB of PCM
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val frames = in.getFrameLength
+          if (frames <= 0 || frames > Int.MaxValue) return None
+          val feat = new Array[Float](StubDecoder.FeatureDim)
+          val buf = new Array[Byte](8192)
+          val sums = new Array[Long](StubDecoder.FeatureDim)
+          val counts = new Array[Long](StubDecoder.FeatureDim)
+          val total = math.min(
+            frames * math.max(in.getFormat.getFrameSize, 1).toLong,
+            MaxFeatureBytes.toLong)
+          var pos = 0L
+          var n = in.read(buf)
+          while (n > 0 && pos < total) {
+            var i = 0
+            while (i < n && pos + i < total) {
+              val span = ((pos + i) * StubDecoder.FeatureDim / total).toInt
+              sums(span) += buf(i) & 0xFF
+              counts(span) += 1
+              i += 1
+            }
+            pos += n
+            n = in.read(buf)
+          }
+          var i = 0
+          while (i < StubDecoder.FeatureDim) {
+            if (counts(i) > 0)
+              feat(i) = (sums(i).toFloat / counts(i) / 255f) * 2f - 1f
+            i += 1
+          }
+          Some((0, 0, frames.toInt, feat))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /**
    * Partition-local decode + feature extraction: `binary` in,
    * fixed-width features out. One decoder per partition, rows streamed
    * (never materialized per-partition) — the shape a Pandas-UDF /
@@ -148,11 +202,14 @@ object Multimodal {
           val sha = java.security.MessageDigest.getInstance("MD5")
             .digest(bytes).map("%02x".format(_)).mkString
           val h60 = java.lang.Long.parseLong(sha.substring(0, 15), 16)
-          // images: real imageio decode when the bytes parse; stub
+          // images/audio: real JDK decode when the bytes parse; stub
           // fallback keeps undecodable fixtures deterministic
           val (w, h, f, feat) =
-            (if (mod == "image") ImageDecoder.decode(bytes) else None)
-              .getOrElse(StubDecoder.decode(mod, h60))
+            (mod match {
+              case "image" => ImageDecoder.decode(bytes)
+              case "audio" => AudioDecoder.decode(bytes)
+              case _ => None
+            }).getOrElse(StubDecoder.decode(mod, h60))
           Row(id, mod, bytes.length.toLong, sha,
             if (mod == "image" || mod == "video") w else null,
             if (mod == "image" || mod == "video") h else null,

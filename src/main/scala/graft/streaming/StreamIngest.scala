@@ -76,6 +76,82 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
       .drop("event_time")
 
+  // --------------------------------------------- stateful sessionization
+
+  /** `event_time` mirrors `ts`: the watermarked timestamp column must
+    * stay among the stateful operator's input attributes, or the
+    * unsupported-operation checker rejects the event-time timeout. */
+  final case class SessEvent(key: String, ts: Long, value: Double,
+                             event_time: java.sql.Timestamp)
+  /** Open-session accumulator: O(1) per live key. */
+  final case class SessionState(tStart: Long, tEnd: Long, n: Long, sum: Double)
+  final case class SessionOut(
+      key: String, t_start: Long, t_end: Long, n_events: Long, sum_val: Double)
+
+  /**
+   * One flatMapGroupsWithState step of gap sessionization: in-batch
+   * events of one key fold into the open session; a gap > `gapMs`
+   * closes it (emitted immediately); the still-open session closes via
+   * EVENT-TIME timeout once the watermark passes `tEnd + gapMs` — so
+   * emission needs no future event from the same key, and state is one
+   * fixed record per key with a live session, removed at close.
+   *
+   * Same gap semantics as the batch [[graft.operators.Sessions
+   * .sessionize]] (gap strictly greater than `gapMs` splits; equal
+   * stays), kept in sync by StreamingSpec comparing both paths. Late
+   * events beyond the watermark belong to the batch path, like
+   * [[windowedMeanByName]].
+   */
+  def sessionStep(gapMs: Long)(
+      key: String, rows: Iterator[SessEvent],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator.single(SessionOut(key, s.tStart, s.tEnd, s.n, s.sum))
+    }
+    val out = List.newBuilder[SessionOut]
+    var s = state.getOption.orNull
+    rows.toSeq.sortBy(_.ts).foreach { e =>
+      s =
+        if (s == null) SessionState(e.ts, e.ts, 1L, e.value)
+        else if (e.ts - s.tEnd > gapMs) {
+          out += SessionOut(key, s.tStart, s.tEnd, s.n, s.sum)
+          SessionState(e.ts, e.ts, 1L, e.value)
+        } else SessionState(s.tStart, math.max(s.tEnd, e.ts), s.n + 1,
+          s.sum + e.value)
+    }
+    if (s != null) {
+      state.update(s)
+      // the timeout timestamp must sit at or above the current
+      // watermark, or Spark rejects it (a session whose horizon the
+      // watermark already passed closes on the very next batch)
+      state.setTimeoutTimestamp(
+        math.max(s.tEnd + gapMs, state.getCurrentWatermarkMs() + 1))
+    }
+    out.result().iterator
+  }
+
+  /**
+   * Streaming gap sessionization over `(key: string, ts: long ms,
+   * value: double)` rows: the streaming half of
+   * [[graft.operators.Sessions.sessionize]] + per-session stats.
+   * Append-mode; sessions emit when closed (by gap or by watermark).
+   */
+  def sessionizeStream(events: DataFrame, gapMs: Long,
+                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .select(col("key"), col("ts"), col("value"), col("event_time"))
+      .as[SessEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(sessionStep(gapMs))
+  }
+
   // ------------------------------------------------- stateful resample
 
   /** Per-series incremental state of the uniform resampler — the same

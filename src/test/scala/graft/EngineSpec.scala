@@ -204,6 +204,41 @@ class MultimodalSpec extends SparkSpec {
     assert(!frow.isNullAt(4) && frow.getInt(4) >= 16) // stub-derived
   }
 
+  test("extractFeatures: real javax.sound decode for WAV audio bytes") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a genuine 500-frame 16-bit mono 8kHz WAV, generated in-process
+    val nFrames = 500
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(i / 10.0) * 12000).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val media = Seq((9L, "audio", bos.toByteArray, "audio/wav"))
+      .toDF("item_id", "modality", "content", "mime")
+      .select(col("item_id"), col("modality"), col("content"), col("mime"),
+        map().cast("map<string,string>").as("meta"))
+    val row = Multimodal.extractFeatures(media).head()
+    assert(row.isNullAt(4) && row.isNullAt(5)) // audio: no dimensions
+    assert(row.getInt(6) == nFrames)           // REAL frame count
+    val feat = row.getSeq[Float](7)
+    assert(feat.length == Multimodal.StubDecoder.FeatureDim)
+    assert(feat.forall(f => f >= -1f && f <= 1f) && feat.exists(_ != 0f))
+    // undecodable audio bytes still fall back to the deterministic stub
+    val fake = Seq((10L, "audio", "not a wav".getBytes("UTF-8"), "audio/wav"))
+      .toDF("item_id", "modality", "content", "mime")
+      .select(col("item_id"), col("modality"), col("content"), col("mime"),
+        map().cast("map<string,string>").as("meta"))
+    val frow = Multimodal.extractFeatures(fake).head()
+    assert(frow.getInt(6) >= 1) // stub-derived frame count
+  }
+
   test("sampleFrames strides over video frames only") {
     import spark.implicits._
     val docs = Seq((2L, "some video content", "s")).toDF("doc_id", "text", "source")

@@ -164,6 +164,72 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("h1", "h2", "h3"))
   }
 
+  test("streaming sessionization matches batch sessionize + stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // gap = 10s; u2 rides batch 1 — in batch 2 its ts
+      // would be behind the watermark and (correctly) dropped as late
+      ("u1", 1000L, 1.0), ("u1", 5000L, 2.0),    // session 1
+      ("u2", 2000L, 10.0),                        // own session
+      ("u1", 20000L, 3.0), ("u1", 25000L, 4.0))  // session 2 (15s gap)
+    val batch = graft.operators.Sessions.sessionize(
+        rows.toDF("key", "ts", "value"), col("key"), col("ts"), 10000L)
+      .groupBy("key", "session")
+      .agg(min("ts").as("t_start"), max("ts").as("t_end"),
+        count(lit(1)).as("n_events"), sum("value").as("sum_val"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.sessionizeStream(
+        mem.toDF().toDF("key", "ts", "value"), 10000L,
+        watermark = "1 second")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*) // u1 gap splits mid-stream
+    q.processAllAvailable()
+    // advance the watermark past every open horizon so timeouts fire
+    mem.addData(("uflush", 10000000L, 0.0))
+    q.processAllAvailable()
+    mem.addData(("uflush2", 20100000L, 0.0)) // closes uflush's session too
+    q.processAllAvailable()
+    val streamed = spark.table("sess_out")
+      .filter(!col("key").startsWith("uflush"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
+  test("session state closes on event-time timeout and is removed") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val step = StreamIngest.sessionStep(10000L) _
+    // open a session; timeout horizon = tEnd + gap
+    val live = TestGroupState.create[StreamIngest.SessionState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout(),
+      0L, Optional.of(500L), hasTimedOut = false)
+    val emitted = step("u1", Iterator(
+      StreamIngest.SessEvent("u1", 1000L, 1.0, new java.sql.Timestamp(1000L)),
+      StreamIngest.SessEvent("u1", 4000L, 2.0, new java.sql.Timestamp(4000L))).toSeq.iterator, live).toList
+    assert(emitted.isEmpty, "open session must not emit early")
+    assert(live.exists && live.get ==
+      StreamIngest.SessionState(1000L, 4000L, 2L, 3.0))
+    assert(live.getTimeoutTimestampMs.isPresent &&
+      live.getTimeoutTimestampMs.get == 14000L)
+    // watermark passes the horizon: session emits, state removed
+    val timedOut = TestGroupState.create[StreamIngest.SessionState](
+      Optional.of(live.get), GroupStateTimeout.EventTimeTimeout(),
+      0L, Optional.of(14001L), hasTimedOut = true)
+    val closed = step("u1", Iterator.empty, timedOut).toList
+    assert(closed == List(StreamIngest.SessionOut("u1", 1000L, 4000L, 2L, 3.0)))
+    assert(timedOut.isRemoved, "closed session state must be evicted")
+  }
+
   test("idle series state is evicted on timeout; a revived series re-anchors") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
