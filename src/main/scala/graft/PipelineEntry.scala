@@ -275,6 +275,10 @@ object PipelineEntry {
     // Winnowing-fingerprint candidate pairs: docs sharing >= 3 selected
     // fingerprints (Schleimer winnowing guarantees shared substrings of
     // the window length surface here) — the plagiarism-style dedup pass.
+    // Boilerplate fingerprints (df > 50) are excluded from blocking,
+    // like the cdc/ngram paths: one hot key shared by k docs otherwise
+    // joins k²-quadratically. (At sf0.01 max df is 7 — the guard is
+    // output-neutral at gate scale, load-bearing at 100 TB.)
     "t_winnow_pairs" -> ((s, dir) => {
       val fps = Tables.documents(s, dir)
         .withColumn("toks", TextOps.tokens(col("text")))
@@ -282,7 +286,11 @@ object PipelineEntry {
         .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))
-      fps.as("a").join(fps.as("b"),
+        .cache() // feeds the df agg and both join sides
+      val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select("fp")
+      val cold = fps.join(hot, Seq("fp"), "left_anti")
+      cold.as("a").join(cold.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared"))
@@ -321,9 +329,11 @@ object PipelineEntry {
     "t_winnow" -> (T + WinnowCte +
       "SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w"),
     "t_winnow_pairs" -> (T + WinnowCte +
-      """, fp AS (SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w)
+      """, fp AS (SELECT doc_id, unnest(list_distinct(f)) AS fp FROM w),
+        |hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
+        |cold AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     "t_vocab" -> (T +
       """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)

@@ -75,6 +75,49 @@ class PropertySpec extends SparkSpec {
     assert(encoded.count() < 60)
   }
 
+  test("sessionize matches a sequential per-key scan on random data") {
+    import spark.implicits._
+    val rows = (0 until 400).map { i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(100000).toLong, rnd.nextDouble()) }
+      .distinctBy(r => (r._1, r._2)) // unique ts per key (documented contract)
+    val gap = 5000L
+    val got = graft.operators.Sessions.sessionize(
+        rows.toDF("key", "ts", "value"), col("key"), col("ts"), gap)
+      .select("key", "ts", "session").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // reference: sequential scan per key
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      var sess = 0L; var lastTs = Long.MinValue
+      rs.sortBy(_._2).foreach { case (_, ts, _) =>
+        if (lastTs == Long.MinValue || ts - lastTs > gap) sess += 1
+        assert(got((k, ts)) == sess, s"key=$k ts=$ts")
+        lastTs = ts
+      }
+    }
+  }
+
+  test("asOfJoin matches the brute-force quadratic definition on random data") {
+    import spark.implicits._
+    val left = (0 until 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(10000).toLong))
+    val right = (0 until 150).map { i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(10000).toLong, rnd.nextDouble()) }
+      .distinctBy(r => (r._1, r._2)) // one right row per (key, ts)
+    val got = graft.operators.Sessions.asOfJoin(
+        left.toDF("event_id", "key", "ts"),
+        right.toDF("key", "ts", "v").withColumn("rts", col("ts")),
+        "key", "ts", Seq("rts", "v"))
+      .select(col("event_id"), col("asof.rts"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    left.foreach { case (id, k, ts) =>
+      val expected = right.filter(r => r._1 == k && r._2 <= ts)
+        .map(_._2).maxOption
+      assert(got(id) == expected, s"event $id key=$k ts=$ts")
+    }
+  }
+
   test("SQL function registration: dot_product and simhash60 usable from spark.sql") {
     GraftFunctions.register(spark)
     val dp = spark.sql(
