@@ -60,6 +60,30 @@ object AnalyticsEntry {
           col("asof.view_val").as("view_val"))
     }),
 
+    // Ordered funnel (view -> click -> purchase) per user: stage
+    // timestamps via three stacked full-frame windows on the same key —
+    // the partitioning survives all three, so ONE shuffle total and no
+    // self-joins (the naive per-stage join would be three).
+    "ev_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(w))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(min("t_view").as("t_view"), min("t_click").as("t_click"),
+          min("t_purchase").as("t_purchase"))
+        .withColumn("stage",
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1).otherwise(0).cast("long"))
+    }),
+
     // Exact interpolated quantiles per event type (Spark `percentile`
     // == DuckDB `quantile_cont`): map-side partial collection is not
     // possible for exact quantiles, but group cardinality is the event
@@ -161,6 +185,20 @@ object AnalyticsEntry {
         |SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts, v.view_val AS view_val
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS t_view FROM e),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+        |         THEN ts END) OVER (PARTITION BY user_id) AS t_click FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+        |         THEN ts END) OVER (PARTITION BY user_id) AS t_purchase FROM s2)
+        |SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+        | min(t_purchase) AS t_purchase,
+        | CAST(CASE WHEN min(t_purchase) IS NOT NULL THEN 3
+        |      WHEN min(t_click) IS NOT NULL THEN 2
+        |      WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM s3 GROUP BY user_id""".stripMargin,
     "ev_quantiles" ->
       """SELECT event_type, count(*) AS n,
         | round(quantile_cont(value, 0.5), 4) AS p50,

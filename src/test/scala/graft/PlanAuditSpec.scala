@@ -119,6 +119,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(n <= 2, s"ev_asof expected <=2 shuffles (view pre-agg + window), got $n")
   }
 
+  test("ev_funnel stacks its stage windows on one shuffle") {
+    val p = plan("ev_funnel")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n == 1, s"ev_funnel expected exactly 1 shuffle (3 windows + agg " +
+      s"share the user_id partitioning), got $n:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "funnel must not self-join per stage")
+  }
+
   test("t_pii is pure map-side: zero exchanges") {
     val p = plan("t_pii")
     assert(!p.contains("Exchange"), s"t_pii must not shuffle:\n${p.take(1500)}")
