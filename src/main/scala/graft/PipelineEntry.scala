@@ -265,6 +265,16 @@ object PipelineEntry {
       Ann.ivfTopKWith(Ann.pinnedCentroids(emb, nlist = 16),
         emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
     }),
+    // PQ/ADC top-k over PINNED deterministic codebooks (m=8 subspaces,
+    // ksub=16 codewords from the 16 smallest vec_ids): corpus scanned
+    // as m-byte codes only, queries exact, distances via per-query
+    // lookup tables. The oracle re-derives codebooks, codes, and ADC
+    // sums bit-identically.
+    "e_knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.pqTopK(Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64),
+        emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     // IVF index-build balance check: corpus rows per inverted list
     // under the pinned quantizer.
     "e_ivf_stats" -> ((s, dir) => {
@@ -477,6 +487,7 @@ object PipelineEntry {
     "e_dup_groups" -> eDupGroupsOracle,
     "e_knn_lsh" -> lshKnnOracle,
     "e_knn_ivf" -> ivfKnnOracle,
+    "e_knn_pq" -> pqKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
@@ -578,4 +589,40 @@ object PipelineEntry {
     """
       |SELECT cid AS list_id, count(*) AS n_vectors
       |FROM ranked WHERE cr = 1 GROUP BY cid""".stripMargin
+
+  /**
+   * DuckDB mirror of the pinned-codebook PQ gate query (m=8, ksub=16,
+   * dsub=8): codewords are subspace slices of the 16 smallest-id
+   * vectors; encode ranks by the same 2·v·c − |c|² score (DESC, ties
+   * lowest cid) as TopCentroids over the slice; ADC distances sum the
+   * per-element squared differences in element order, then the 8
+   * subspace partials in subspace order (`list(d ORDER BY s)`), keeping
+   * every float op sequence identical to the Spark side.
+   */
+  private def pqKnnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      | FROM e ORDER BY vec_id LIMIT 16),
+      |sub AS (SELECT CAST(t.s AS INT) AS s FROM unnest(range(0, 8)) AS t(s)),
+      |sc AS (SELECT e.vec_id, sub.s, cent.cid,
+      |  2.0 * list_inner_product(e.v[sub.s*8+1 : sub.s*8+8],
+      |                           cent.cv[sub.s*8+1 : sub.s*8+8])
+      |  - list_inner_product(cent.cv[sub.s*8+1 : sub.s*8+8],
+      |                       cent.cv[sub.s*8+1 : sub.s*8+8]) AS score
+      | FROM e CROSS JOIN sub CROSS JOIN cent),
+      |enc AS (SELECT vec_id, s, cid AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY score DESC, cid) AS r FROM sc) WHERE r = 1),
+      |ds AS (SELECT q.vec_id AS qid, x.vec_id AS nid, enc.s,
+      |  list_sum([(q.v[enc.s*8+i] - cent.cv[enc.s*8+i])
+      |           *(q.v[enc.s*8+i] - cent.cv[enc.s*8+i])
+      |            for i in range(1, 9)]) AS d
+      | FROM e q JOIN e x ON q.vec_id < 10 AND q.vec_id <> x.vec_id
+      | JOIN enc ON enc.vec_id = x.vec_id
+      | JOIN cent ON cent.cid = enc.code),
+      |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adist
+      |       FROM ds GROUP BY qid, nid),
+      |r AS (SELECT qid, nid, adist,
+      |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
+      |SELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5""".stripMargin
 }

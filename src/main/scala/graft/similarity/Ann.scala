@@ -254,6 +254,100 @@ object Ann {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  // ----------------------------------------------------------------- PQ
+
+  /**
+   * Product-quantization codebooks from the `ksub` smallest-id corpus
+   * vectors, sliced into `m` subspaces (pure function of the data, like
+   * [[pinnedCentroids]] — an external oracle rebuilds the identical
+   * index; a production index would k-means each subspace instead).
+   * Shape: (m, ksub, dim/m).
+   */
+  def pinnedCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val pinned = pinnedCentroids(corpus, ksub, idCol, vecCol)
+    Array.tabulate(m)(s => pinned.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /**
+   * PQ encode: each vector becomes `m` small codes (argmin codeword per
+   * subspace; same score/tie rule as IVF assignment — one native
+   * [[graft.functions.TopCentroids]] per subspace over the sliced
+   * vector). At ksub ≤ 256 that is m bytes per vector — a 32× memory
+   * compression at dim=64 float32 — which is the entire point: the
+   * search set fits in RAM where raw vectors would not.
+   */
+  def pqEncode(codebooks: Array[Array[Array[Double]]], corpus: DataFrame,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    corpus.select(col(idCol).as("nid"),
+      array((0 until m).map(s =>
+        topCentroids(slice(col(vecCol), s * dsub + 1, dsub), codebooks(s), 1)
+          .getItem(0)): _*).as("code"))
+  }
+
+  /**
+   * PQ top-k via ADC (asymmetric distance computation): queries stay
+   * exact; per (query, subspace) a distance table to the `ksub`
+   * codewords is computed ONCE (driver-side — m·ksub doubles per query,
+   * tiny by construction like the [[bruteTopK]] broadcast); each corpus
+   * row's approximate L2² is then `m` table lookups summed in subspace
+   * order — the corpus scan touches only the codes, never the vectors.
+   *
+   * Scale shape: encoded corpus (nid, m codes) × broadcast query
+   * tables, per-partition rank pruning (WindowGroupLimit) before the
+   * final k-merge — one corpus scan, no corpus shuffle beyond top-k.
+   * Returns (qid, nid, adist, rank), ranked by ascending approximate
+   * distance (ties by nid). Approximate by design: ranking quality
+   * degrades gracefully with m.
+   */
+  def pqTopK(codebooks: Array[Array[Array[Double]]],
+             corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    // per-query ADC tables: dt(s)(c) = Σ_i (q_s(i) − codeword(i))², in
+    // element order (bit-identical to the oracle's comprehension sum)
+    val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      val dt = Array.tabulate(m, codebooks.head.length) { (s, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = q(s * dsub + i) - codebooks(s)(c)(i)
+          d += t * t
+          i += 1
+        }
+        d
+      }
+      (qid, dt.map(_.toSeq).toSeq)
+    }.toSeq
+    import spark.implicits._
+    val q = qRows.toDF("qid", "dt")
+    val adist = (0 until m).map(s =>
+        element_at(element_at(col("dt"), s + 1),
+          element_at(col("code"), s + 1) + 1))
+      .reduce(_ + _)
+    pqEncode(codebooks, corpus, idCol, vecCol)
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+        col("rank"))
+  }
+
   /**
    * All-pairs near-duplicate detection by embedding cosine ≥
    * `threshold`. Exact variant blocks nothing (quadratic — only for
