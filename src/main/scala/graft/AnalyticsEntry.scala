@@ -84,6 +84,21 @@ object AnalyticsEntry {
             .when(col("t_view").isNotNull, 1).otherwise(0).cast("long"))
     }),
 
+    // Cohort retention matrix: users bucketed by first-seen day, then
+    // (cohort_day, days_since) distinct-user counts. The cohort day
+    // rides a full-frame window on user_id; the matrix agg reuses no
+    // partitioning (different key) but its cardinality is days² —
+    // trivially small at any corpus scale.
+    "ev_cohort" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day", expr("ts div 86400000"))
+        .withColumn("cohort_day",
+          min("day").over(Window.partitionBy("user_id")))
+      e.groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("days_since"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
     // Exact interpolated quantiles per event type (Spark `percentile`
     // == DuckDB `quantile_cont`): map-side partial collection is not
     // possible for exact quantiles, but group cardinality is the event
@@ -199,6 +214,13 @@ object AnalyticsEntry {
         |      WHEN min(t_click) IS NOT NULL THEN 2
         |      WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "ev_cohort" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, day,
+        |  min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e)
+        |SELECT cohort_day, day - cohort_day AS days_since,
+        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM c GROUP BY cohort_day, day - cohort_day""".stripMargin,
     "ev_quantiles" ->
       """SELECT event_type, count(*) AS n,
         | round(quantile_cont(value, 0.5), 4) AS p50,
