@@ -30,6 +30,8 @@ object Sessions {
    * for the gate tables); ties would make `lag` order-dependent.
    */
   def sessionize(df: DataFrame, key: Column, ts: Column, gapMs: Long): DataFrame = {
+    require(!df.columns.contains("session"),
+      "input already has a 'session' column")
     val w = Window.partitionBy(key).orderBy(ts)
     val boundary = when(lag(ts, 1).over(w).isNull
       || ts - lag(ts, 1).over(w) > gapMs, 1).otherwise(0)
@@ -59,6 +61,8 @@ object Sessions {
    */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
                payload: Seq[String]): DataFrame = {
+    require(Seq("asof", "__p", "__side").forall(c => !left.columns.contains(c)),
+      "left side must not carry asof/__p/__side columns")
     val r = right.select(col(key), col(tsCol),
         struct(payload.map(col): _*).as("__p"))
       .withColumn("__side", lit(0))
