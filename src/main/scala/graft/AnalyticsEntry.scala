@@ -21,6 +21,9 @@ object AnalyticsEntry {
 
   private val SessionGapMs = 12L * 3600 * 1000
 
+  /** Fixed column list profiled by p_profile — shared with the oracle. */
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
   /** Whitespace-token CTE shared by the document oracles (same shape as
     * PipelineEntry's). */
   private val T =
@@ -156,6 +159,29 @@ object AnalyticsEntry {
         .select("source", "doc_id", "rk")
     }),
 
+    // Data-profiling pass (the validation step before any training
+    // run): one row per column with null count, exact distinct count,
+    // and min/max rendered as strings. Single full-agg scan; the
+    // per-column explosion happens map-side on the agg OUTPUT (one
+    // row), so profiling cost is one pass regardless of column count.
+    "p_profile" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cols = ProfileCols
+      val agg = d.agg(
+        count(lit(1)).as("n"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          count_distinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))): _*)
+      agg.select(col("n"), explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
+            col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_val"),
+            col(s"mx_$c").as("max_val"))): _*)).as("p"))
+        .select(col("p.col_name"), col("n"), col("p.n_null"),
+          col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+    }),
+
     // TF-IDF top-3 terms per document: tf via (doc, tok) agg, df via
     // tok agg, doc length via window over the tf rows, corpus size via
     // a 1-row broadcast. Shuffles on (doc,tok) → tok → doc, each on a
@@ -252,6 +278,14 @@ object AnalyticsEntry {
          | $redacted AS redacted
          |FROM events""".stripMargin
     },
+    "p_profile" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val,
+         | CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "p_sample" ->
       """SELECT source, doc_id, rk FROM (
         | SELECT source, doc_id,

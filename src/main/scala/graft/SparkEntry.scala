@@ -97,6 +97,10 @@ object SparkEntry {
         .select(col("name"), col("usr"), col("ts"), round(col("dval"), 4).as("dval"))),
 
     // --------------------------------- cross-stream aggregations (§2.2)
+    // NOTE on round(.,4): float sums are non-associative, so Spark's
+    // partial-agg order vs DuckDB's can differ by ~1e-13; rounding
+    // absorbs that unless a value sits exactly on a .00005 boundary
+    // (observed: 3/3385 rows at sf0.1; zero at the sf0.01 gate).
     "agg_avg_byname" -> ((s, dir) =>
       Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
         .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
