@@ -232,6 +232,58 @@ object Ann {
       .agg(count(lit(1)).as("n_vectors"))
   }
 
+  /**
+   * Materialize the IVF index: the corpus written partitioned by
+   * inverted list (`list_id=<n>/` directories). This is the scale
+   * counterpart of [[ivfListStats]]'s balance check — after this,
+   * probes are PARTITION FILTERS: a query touching `nprobe` of `nlist`
+   * lists reads nprobe/nlist of the data from disk, before any task
+   * is scheduled.
+   */
+  def ivfMaterialize(centroids: Array[Array[Double]], corpus: DataFrame,
+                     path: String,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Unit = {
+    import graft.functions.VectorOps.topCentroids
+    corpus.select(col(idCol), col(vecCol),
+        topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Search a materialized IVF index ([[ivfMaterialize]] layout). The
+   * query set's probe lists are collected to literal partition filters
+   * (bounded by queries × nprobe — the same small-query contract as the
+   * [[bruteTopK]] broadcast), so only the probed `list_id=` directories
+   * are ever read; candidates then join on list_id exactly like
+   * [[ivfTopKWith]], producing identical results for the same
+   * quantizer.
+   */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       centroids: Array[Array[Double]],
+                       queries: DataFrame, k: Int, nprobe: Int = 4,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        norm(col(vecCol)).as("qn"),
+        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
+    val probed = q.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path)
+      .filter(col("list_id").isin(probed: _*))
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        norm(col(vecCol)).as("nn"), col("list_id"))
+    c.join(q, "list_id")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
   /** IVF search against caller-provided centroids — assignment and
     * probing identical to [[ivfTopK]]. */
   def ivfTopKWith(centroids: Array[Array[Double]],

@@ -252,6 +252,29 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("materialized IVF index: probes become partition filters, same results") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 90L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val cents = Ann.pinnedCentroids(emb, nlist = 6)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    Ann.ivfMaterialize(cents, emb, path)
+    val indexed = Ann.ivfSearchIndexed(spark, path, cents, queries,
+      k = 3, nprobe = 2)
+    // partition pruning: the probed list_ids appear as PartitionFilters
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      s"probes must prune list_id partitions:\n${plan.take(1500)}")
+    // results identical to the unmaterialized path on the same quantizer
+    val direct = Ann.ivfTopKWith(cents, emb, queries, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = indexed
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == direct)
+  }
+
   test("langid picks the dominant stopword language, unk below threshold") {
     val df = docs(
       (1L, "the cat and the dog is in a house of wonders"),
