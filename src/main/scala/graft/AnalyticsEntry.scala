@@ -161,9 +161,13 @@ object AnalyticsEntry {
 
     // Data-profiling pass (the validation step before any training
     // run): one row per column with null count, exact distinct count,
-    // and min/max rendered as strings. Single full-agg scan; the
-    // per-column explosion happens map-side on the agg OUTPUT (one
-    // row), so profiling cost is one pass regardless of column count.
+    // and min/max rendered as strings. One parquet scan; note the
+    // multiple exact count_distincts make Catalyst Expand the input
+    // (one shuffled row per distinct-agg per input row) — the price of
+    // exactness, paid so the oracle can hash-match. The 100 TB variant
+    // swaps in approx_count_distinct (HLL partials, no Expand) at the
+    // cost of the exact gate. The per-column explosion happens on the
+    // one-row agg OUTPUT, which is free at any scale.
     "p_profile" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val cols = ProfileCols
