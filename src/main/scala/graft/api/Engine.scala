@@ -212,10 +212,16 @@ object Engine {
   /**
    * `/add` ingest validation + enrichment (server/store.cc:402-444):
    * forces a `hostname` label when absent, rejects invalid names and
-   * future timestamps (> 1 s drift). Returns (accepted, rejected);
-   * rejected rows carry a `reject_reason`.
+   * future timestamps (> 1 s drift). With a retention `policy`, points
+   * the policy would immediately discard are dropped at ingest too
+   * (server/store.cc:428-434; the reference drops silently — we route
+   * them to the rejected side output with reason "retention drop" for
+   * observability, a documented divergence). Returns (accepted,
+   * rejected); rejected rows carry a `reject_reason`.
    */
-  def add(points: DataFrame, hostname: String, nowMs: Long): (DataFrame, DataFrame) = {
+  def add(points: DataFrame, hostname: String, nowMs: Long,
+          policy: Option[graft.retention.Retention.Policy] = None):
+      (DataFrame, DataFrame) = {
     val enriched = points.withColumn("labels",
       when(map_contains_key(col("labels"), lit("hostname")), col("labels"))
         .otherwise(map_concat(coalesce(col("labels"), map()),
@@ -225,6 +231,8 @@ object Engine {
            !col("name").startsWith("/") || col("name").rlike("\\s"),
         "invalid variable name")
       .when(col("ts") > nowMs + 1000L, "future timestamp")
+      .when(policy.map(graft.retention.Retention.dropsAtIngest(_, nowMs))
+        .getOrElse(lit(false)), "retention drop")
     val tagged = enriched.withColumn("reject_reason", reason)
     (tagged.filter(col("reject_reason").isNull).drop("reject_reason"),
       tagged.filter(col("reject_reason").isNotNull))

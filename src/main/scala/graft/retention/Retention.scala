@@ -64,6 +64,16 @@ object Retention {
       case ((item, i), el) => when(itemMatches(item, nowMs), i).otherwise(el)
     }
 
+  /** True for rows the policy discards immediately — first match is a
+    * DROP item, or no item matches (default DROP). The ingest-side
+    * predicate (server/store.cc:428-434); the background rewrite uses
+    * [[apply]]. */
+  def dropsAtIngest(policy: Policy, nowMs: Long): Column = {
+    val dropIdxs = policy.items.zipWithIndex
+      .collect { case (item, i) if item.policy == Drop => i }
+    policyIndex(policy, nowMs).isin((dropIdxs :+ -1).map(Integer.valueOf): _*)
+  }
+
   /**
    * Applies the policy: returns the surviving (possibly downsampled)
    * points. Input must be the canonical point schema; the series key is

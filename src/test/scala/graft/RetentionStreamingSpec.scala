@@ -61,6 +61,31 @@ class RetentionSpec extends SparkSpec {
     assert(out == Set((now - 1000L, 1.0), (old + 1000L, 7.0)))
   }
 
+  test("ingest-time retention drop routes doomed points to the side output") {
+    import spark.implicits._
+    val p = Policy(Seq(
+      PolicyItem(Seq("/keep/*"), Keep),
+      PolicyItem(Seq("/old/*"), Drop, minAgeMs = 3600000L),
+      PolicyItem(Seq("/old/*"), Keep)))
+    val df = Seq(
+      ("/keep/a", now - 1000L),              // kept
+      ("/old/x", now - 2L * 3600000L),       // first match = DROP item
+      ("/old/x", now - 1000L),               // fresh -> falls to KEEP item
+      ("/unmatched/y", now - 1000L))         // no match -> default DROP
+      .toDF("name", "ts")
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), lit(1.0).as("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val (ok, rej) = graft.api.Engine.add(df, "h1", now, policy = Some(p))
+    assert(ok.select("name", "ts").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet ==
+      Set(("/keep/a", now - 1000L), ("/old/x", now - 1000L)))
+    val rejected = rej.select("name", "reject_reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rejected == Set(("/old/x", "retention drop"),
+      ("/unmatched/y", "retention drop")))
+  }
+
   test("no-match default is DROP") {
     import spark.implicits._
     val p = Policy(Seq(PolicyItem(Seq("/only/this"), Keep)))
