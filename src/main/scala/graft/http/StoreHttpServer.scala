@@ -153,7 +153,10 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
       }
     }
     val df = rows.toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
-    val (ok, bad) = Engine.add(df, hostname = "http", nowMs = nowMs())
+    // ingest-time retention DROP (server/store.cc:428-434); an empty
+    // policy means "not configured", NOT default-drop-everything
+    val (ok, bad) = Engine.add(df, hostname = "http", nowMs = nowMs(),
+      policy = if (retention.items.nonEmpty) Some(retention) else None)
     val (nBad, writeMs) = timed {
       // One append at a time: with the handler pool, two concurrent
       // Spark appends to the same path race on the shared _temporary
