@@ -21,7 +21,8 @@ object StreamIngest {
    * at-rest layout with exactly-once checkpointing.
    */
   def ingest(spark: SparkSession, sourceDir: String, storeDir: String,
-             checkpointDir: String, hostname: String = "ingest"): StreamingQuery = {
+             checkpointDir: String, hostname: String = "ingest",
+             policy: Option[graft.retention.Retention.Policy] = None): StreamingQuery = {
     val stream = spark.readStream
       .schema(Point.schema)
       .parquet(sourceDir)
@@ -32,6 +33,12 @@ object StreamIngest {
       // future-timestamp rejection (>1s drift), evaluated at batch
       // time — the streaming analog of server/store.cc:414-444
       .filter(col("ts") <= unix_millis(current_timestamp()) + 1000L)
+      // ingest-time retention DROP (server/store.cc:428-434), same
+      // predicate as Engine.add; age is measured at plan time — fine
+      // for ingest where points are ~now and policies act on hours+
+      .transform(df => policy.fold(df)(p => df.filter(
+        !graft.retention.Retention.dropsAtIngest(p,
+          java.lang.System.currentTimeMillis()))))
       .withColumn("labels",
         when(map_contains_key(col("labels"), lit("hostname")), col("labels"))
           .otherwise(map_concat(coalesce(col("labels"), map()),
