@@ -48,8 +48,8 @@ object Retention {
 
   final case class Policy(items: Seq[PolicyItem])
 
-  private def itemMatches(item: PolicyItem, nowMs: Long): Column = {
-    val age = lit(nowMs) - col("ts")
+  private def itemMatches(item: PolicyItem, now: Column): Column = {
+    val age = now - col("ts")
     val pat =
       if (item.patterns.isEmpty) lit(true)
       else item.patterns.map(VariableMatcher.compile).reduce(_ || _)
@@ -58,21 +58,30 @@ object Retention {
     pat && ageLo && ageHi
   }
 
-  /** First-match policy index per row; −1 = no match (default DROP). */
-  def policyIndex(policy: Policy, nowMs: Long): Column =
+  /** First-match policy index per row; −1 = no match (default DROP).
+    * `now` is a Column so streaming callers can pass a per-batch clock
+    * (`unix_millis(current_timestamp())`) instead of a plan-time
+    * constant. */
+  def policyIndex(policy: Policy, now: Column): Column =
     policy.items.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((item, i), el) => when(itemMatches(item, nowMs), i).otherwise(el)
+      case ((item, i), el) => when(itemMatches(item, now), i).otherwise(el)
     }
+
+  def policyIndex(policy: Policy, nowMs: Long): Column =
+    policyIndex(policy, lit(nowMs))
 
   /** True for rows the policy discards immediately — first match is a
     * DROP item, or no item matches (default DROP). The ingest-side
     * predicate (server/store.cc:428-434); the background rewrite uses
     * [[apply]]. */
-  def dropsAtIngest(policy: Policy, nowMs: Long): Column = {
+  def dropsAtIngest(policy: Policy, now: Column): Column = {
     val dropIdxs = policy.items.zipWithIndex
       .collect { case (item, i) if item.policy == Drop => i }
-    policyIndex(policy, nowMs).isin((dropIdxs :+ -1).map(Integer.valueOf): _*)
+    policyIndex(policy, now).isin((dropIdxs :+ -1).map(Integer.valueOf): _*)
   }
+
+  def dropsAtIngest(policy: Policy, nowMs: Long): Column =
+    dropsAtIngest(policy, lit(nowMs))
 
   /**
    * Applies the policy: returns the surviving (possibly downsampled)

@@ -34,11 +34,12 @@ object StreamIngest {
       // time — the streaming analog of server/store.cc:414-444
       .filter(col("ts") <= unix_millis(current_timestamp()) + 1000L)
       // ingest-time retention DROP (server/store.cc:428-434), same
-      // predicate as Engine.add; age is measured at plan time — fine
-      // for ingest where points are ~now and policies act on hours+
+      // predicate as Engine.add; the clock is the per-micro-batch
+      // current_timestamp, so point ages stay correct over a stream
+      // that runs for days
       .transform(df => policy.fold(df)(p => df.filter(
         !graft.retention.Retention.dropsAtIngest(p,
-          java.lang.System.currentTimeMillis()))))
+          unix_millis(current_timestamp())))))
       .withColumn("labels",
         when(map_contains_key(col("labels"), lit("hostname")), col("labels"))
           .otherwise(map_concat(coalesce(col("labels"), map()),
