@@ -186,6 +186,22 @@ object AnalyticsEntry {
           col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
     }),
 
+    // Unigram-LM surprisal score: mean -ln p(token) per document under
+    // the corpus unigram distribution — the classic cheap LM-quality
+    // filter (high = out-of-distribution/noise, low = repetitive).
+    // Same natural-key shuffles as t_tfidf; corpus totals ride a 1-row
+    // broadcast.
+    "t_unigram_nll" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum("cnt").as("total"))
+      tok.join(vocab, "tok").crossJoin(broadcast(tot))
+        .withColumn("nll", -log(col("cnt") / col("total")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), round(avg("nll"), 4).as("avg_nll"))
+    }),
+
     // TF-IDF top-3 terms per document: tf via (doc, tok) agg, df via
     // tok agg, doc length via window over the tf rows, corpus size via
     // a 1-row broadcast. Shuffles on (doc,tok) → tok → doc, each on a
@@ -296,6 +312,13 @@ object AnalyticsEntry {
         |  CAST(row_number() OVER (PARTITION BY source
         |    ORDER BY md5('s#' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
         | FROM documents) WHERE rk <= 20""".stripMargin,
+    "t_unigram_nll" -> (T +
+      """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab)
+        |SELECT doc_id, count(*) AS n_tok,
+        | round(avg(-ln(cnt / (SELECT total FROM tot))), 4) AS avg_nll
+        |FROM tk JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin),
     "t_tfidf" -> (T +
       """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
         |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
