@@ -385,10 +385,15 @@ object Ann {
     }.toSeq
     import spark.implicits._
     val q = qRows.toDF("qid", "dt")
-    val adist = (0 until m).map(s =>
-        element_at(element_at(col("dt"), s + 1),
-          element_at(col("code"), s + 1) + 1))
-      .reduce(_ + _)
+    // single reference to `code`: an element_at-per-subspace chain would
+    // reference it m times, and CollapseProject then re-inlines the m
+    // TopCentroids encode expressions once PER REFERENCE (the same
+    // multi-reference trap documented at TextOps.winnowFromHashes —
+    // measured 8× the encode cost at m=8). zip_with + aggregate keeps
+    // the same left-to-right subspace summation order as the oracle.
+    val adist = aggregate(
+      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
     pqEncode(codebooks, corpus, idCol, vecCol)
       .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
