@@ -230,6 +230,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sessionization matches batch on random data across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 240).map { i =>
+      (s"u${rnd.nextInt(7)}", rnd.nextInt(500000).toLong, rnd.nextDouble()) }
+      .distinctBy(r => (r._1, r._2))
+      // global ts order, then chunked: every event in batch i+1 is >=
+      // everything in batch i, so nothing ever lands behind the
+      // watermark (which would be correctly-but-confusingly dropped)
+      .sortBy(_._2)
+    val batch = graft.operators.Sessions.sessionize(
+        rows.toDF("key", "ts", "value"), col("key"), col("ts"), 20000L)
+      .groupBy("key", "session")
+      .agg(min("ts").as("t_start"), max("ts").as("t_end"),
+        count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_val"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSet
+
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.sessionizeStream(
+        mem.toDF().toDF("key", "ts", "value"), 20000L, watermark = "1 second")
+      .writeStream.format("memory").queryName("sess_rand_out")
+      .outputMode("append").start()
+    rows.grouped(60).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    // two flush batches: advance the watermark past every horizon, then
+    // fire the armed timeouts
+    mem.addData(("uflush", 100000000L, 0.0)); q.processAllAvailable()
+    mem.addData(("uflush2", 200100000L, 0.0)); q.processAllAvailable()
+    val streamed = spark.table("sess_rand_out")
+      .filter(!col("key").startsWith("uflush"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        math.rint(r.getDouble(4) * 1e6) / 1e6)).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("session state closes on event-time timeout and is removed") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
