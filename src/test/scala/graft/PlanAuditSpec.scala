@@ -157,4 +157,18 @@ class PlanAuditSpec extends SparkSpec {
       assert(n <= 1, s"$q expected <=1 shuffle exchange, got $n:\n${p.take(1500)}")
     }
   }
+
+  test("the exact streaming state machines are one repartition + one pass") {
+    // resample/interpolate: repartition(skey) -> spillable sort ->
+    // InternalRow scan. The mapPartitions pass crosses an RDD boundary,
+    // so the SQL plan alone hides the upstream exchange — count shuffle
+    // dependencies in the full RDD lineage instead; more than one would
+    // mean the state machine stopped riding its own partitioning.
+    Seq("m_uniform", "m_interpolate").foreach { q =>
+      val lineage = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.toRdd.toDebugString
+      val n = "ShuffledRowRDD".r.findAllIn(lineage).length
+      assert(n == 1, s"$q expected exactly 1 shuffle in the lineage, got $n:\n$lineage")
+    }
+  }
 }
