@@ -87,6 +87,18 @@ object AnalyticsEntry {
             .when(col("t_view").isNotNull, 1).otherwise(0).cast("long"))
     }),
 
+    // Rolling 24h activity per event: RANGE-frame window (value-based
+    // bounds, not row counts) on the user_id shuffle — the per-entity
+    // rate-limit / burst-detection shape.
+    "ev_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(-86400000L, 0L)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum("value").over(w), 4).as("sum_24h"))
+    }),
+
     // Cohort retention matrix: users bucketed by first-seen day, then
     // (cohort_day, days_since) distinct-user counts. The cohort day
     // rides a full-frame window on user_id; the matrix agg reuses no
@@ -260,6 +272,13 @@ object AnalyticsEntry {
         |      WHEN min(t_click) IS NOT NULL THEN 2
         |      WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "ev_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts, value FROM events)
+        |SELECT event_id, user_id, ts,
+        | count(*) OVER w AS n_24h,
+        | round(sum(value) OVER w, 4) AS sum_24h
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "ev_cohort" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
         |c AS (SELECT user_id, day,
