@@ -8,11 +8,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Round-6 analytics queries: event-sequence operators (sessionization,
- * as-of join, exact quantiles) over the `events` table and
- * training-data curation extensions (repetition quality, PII
- * redaction, stratified sampling, TF-IDF) over `documents`. Each has a
- * bit-identical DuckDB oracle.
+ * Event-sequence and curation analytics: sessionization, as-of join,
+ * funnel, cohort matrix, rolling windows, and exact quantiles over the
+ * `events` table; repetition quality, PII redaction, stratified
+ * sampling, TF-IDF, unigram-LM surprisal, and table profiling over
+ * `documents`. Each has a bit-identical DuckDB oracle.
  *
  * Scale notes inline per query; the common theme is one hash shuffle
  * on the natural key (user / doc / token) and zero driver-side state.
