@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
 
 /**
  * Event-sequence and curation analytics: sessionization, as-of join,
- * funnel, cohort matrix, rolling windows, and exact quantiles over the
- * `events` table; repetition quality, PII redaction, stratified
- * sampling, TF-IDF, unigram-LM surprisal, and table profiling over
- * `documents`. Each has a bit-identical DuckDB oracle.
+ * funnel, cohort matrix, rolling windows, exact quantiles, and z-score
+ * outliers over the `events` table; repetition quality, PII redaction,
+ * stratified sampling, TF-IDF, unigram-LM surprisal, char entropy,
+ * per-language heavy hitters, soft-dedup weights, domain-mixture
+ * reweighting, and table profiling over `documents`. Each has a
+ * bit-identical DuckDB oracle.
  *
  * Scale notes inline per query; the common theme is one hash shuffle
  * on the natural key (user / doc / token) and zero driver-side state.
@@ -214,6 +216,82 @@ object AnalyticsEntry {
         .agg(count(lit(1)).as("n_tok"), round(avg("nll"), 4).as("avg_nll"))
     }),
 
+    // Per-event-type z-score outliers. The moment stats are O(#event
+    // types) rows — a genuinely broadcast-safe build side at any corpus
+    // size (contrast with the corpus-sized keep-lists this engine
+    // deliberately avoids broadcasting). Both sides round z to 4dp so
+    // partial-agg summation order can't flip the hash.
+    "ev_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_pop("value").as("sigma"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+    }),
+
+    // Heavy hitters: top-10 tokens per language. Spark's
+    // WindowGroupLimit rule pushes the rank<=10 filter below the
+    // exchange, so each mapper ships at most 10 rows per language —
+    // the shuffle is O(k·mappers·langs) regardless of vocabulary size
+    // (asserted in PlanAuditSpec).
+    "t_topk_lang" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+    }),
+
+    // Character-level Shannon entropy per document (low entropy =
+    // repetitive/degenerate text; a standard cheap quality signal).
+    // Histogram via explode→(doc,ch) agg — the map-side-combinable
+    // shape; the HOF per-row frequency scan would be O(alphabet·len)
+    // re-evaluated per element (TextOps.scala:126-133 trap).
+    // entropy = ln n − Σ c·ln c / n over the per-char counts c.
+    "t_entropy" -> ((s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]"), lit(0))).as("ch"))
+      ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_ch"),
+          round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
+            .as("entropy"))
+    }),
+
+    // Soft dedup: duplicate-aware sampling weight 1/|cluster| per
+    // exact-content cluster — keeps one expected copy per duplicate
+    // set without dropping rows. Window keeper-count on the content
+    // hash: ONE shuffle, no corpus-sized join side anywhere.
+    "d_softdedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("csz",
+          count(lit(1)).over(Window.partitionBy(md5(col("text")))).cast("long"))
+        .select(col("doc_id"), col("csz").as("cluster_size"),
+          round(lit(1.0) / col("csz"), 6).as("weight"))),
+
+    // Domain-mixture reweighting toward a uniform source mix: per-doc
+    // sampling weight n_tot / (n_sources · n_src). The per-source
+    // stats table is O(#sources) — tiny at any corpus scale — so the
+    // totals ride full-frame windows over it and the enriched stats
+    // broadcast back to the corpus. Integer arithmetic until the final
+    // division keeps the oracle bit-exact.
+    "p_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val full = Window.partitionBy(lit(0))
+      val stats = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("n_tot", sum("n_src").over(full))
+        .withColumn("n_sources", count(lit(1)).over(full))
+        .select(col("source"),
+          round(col("n_tot") / (col("n_sources") * col("n_src")), 6).as("mix_w"))
+      d.join(broadcast(stats), "source")
+        .select("doc_id", "source", "mix_w")
+    }),
+
     // TF-IDF top-3 terms per document: tf via (doc, tok) agg, df via
     // tok agg, doc length via window over the tf rows, corpus size via
     // a 1-row broadcast. Shuffles on (doc,tok) → tok → doc, each on a
@@ -338,6 +416,39 @@ object AnalyticsEntry {
         |SELECT doc_id, count(*) AS n_tok,
         | round(avg(-ln(cnt / (SELECT total FROM tot))), 4) AS avg_nll
         |FROM tk JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin),
+    "ev_outliers" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu,
+        |  stddev_pop(value) AS sigma FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value, round((value-mu)/sigma, 4) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs((value-mu)/sigma) > 3""".stripMargin,
+    "t_topk_lang" ->
+      """WITH tk AS (SELECT lang,
+        |  unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY lang, tok),
+        |r AS (SELECT lang, tok, cnt, CAST(row_number() OVER (PARTITION BY lang
+        |  ORDER BY cnt DESC, tok) AS BIGINT) AS rank FROM c)
+        |SELECT lang, tok, cnt, rank FROM r WHERE rank <= 10""".stripMargin,
+    "t_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS ch
+        | FROM documents),
+        |h AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ch,
+        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |FROM h GROUP BY doc_id""".stripMargin,
+    "d_softdedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |c AS (SELECT h, count(*) AS csz FROM h GROUP BY h)
+        |SELECT doc_id, csz AS cluster_size, round(1.0/csz, 6) AS weight
+        |FROM h JOIN c USING (h)""".stripMargin,
+    "p_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_src FROM documents
+        |  GROUP BY source),
+        |e AS (SELECT source, round(sum(n_src) OVER () * 1.0 /
+        |  (count(*) OVER () * n_src), 6) AS mix_w FROM s)
+        |SELECT doc_id, source, mix_w FROM documents JOIN e USING (source)""".stripMargin,
     "t_tfidf" -> (T +
       """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
         |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),

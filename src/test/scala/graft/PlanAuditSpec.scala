@@ -150,6 +150,33 @@ class PlanAuditSpec extends SparkSpec {
       s"t_repetition plan degenerated to all-pairs:\n${p.take(1500)}")
   }
 
+  test("t_topk_lang rank filter is pushed below the shuffle (WindowGroupLimit)") {
+    val p = plan("t_topk_lang")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-language top-k must prune map-side, not shuffle the vocabulary:\n${p.take(1500)}")
+  }
+
+  test("ev_outliers and p_mix broadcast their tiny stats side") {
+    // The build sides are O(#event_types) / O(#sources) rows — bounded
+    // by schema, not corpus, so the explicit hint is safe and saves the
+    // corpus-side shuffle a SortMergeJoin would add.
+    Seq("ev_outliers", "p_mix").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q stats join must broadcast its bounded stats side:\n${p.take(1500)}")
+      val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+      assert(n <= 2, s"$q expected <=2 shuffles (stats agg (+tiny window)), got $n")
+    }
+  }
+
+  test("d_softdedup is one shuffle, no join") {
+    val p = plan("d_softdedup")
+    assert(!p.contains("Join"),
+      s"soft-dedup weight must be a window on the content hash, not a join:\n${p.take(1500)}")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n == 1, s"d_softdedup expected exactly 1 shuffle, got $n")
+  }
+
   test("per-series mutations shuffle at most once") {
     Seq("m_rate", "m_delta", "m_mean_grid").foreach { q =>
       val p = plan(q)
