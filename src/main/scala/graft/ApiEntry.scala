@@ -113,6 +113,15 @@ object ApiEntry {
           maxGapMs = 4 * H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // Time-constant EWMA smoothing (τ = 10 min). Per-point recurrence
+    // v += (1−exp(−Δt/τ))·(x−v) is one float expression per row on
+    // both sides, so the recursive-CTE oracle replays it bit-exactly.
+    // Tie-robust: Δt = 0 ⇒ α = 0 ⇒ the smoothed value is unchanged
+    // whichever way a timestamp collision sorts.
+    "m_ewma" -> ((s, dir) =>
+      unkey(Mutations.ewma(Point.withSeriesKey(pts(s, dir)), 600000.0))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
     "mm_features" -> ((s, dir) =>
@@ -434,6 +443,23 @@ object ApiEntry {
         |UNION ALL
         |SELECT name, usr, ts, round(dval, 4) AS dval
         |FROM pr WHERE rn2 = 1 AND ts % 3600000 = 0""".stripMargin),
+    // Recursive replay of EwmaOp: one smoothed value per consumed
+    // point, chained by rn. Same float-op order as the state machine.
+    "m_ewma" ->
+      """WITH RECURSIVE pts AS (SELECT '/events/' || event_type AS name,
+        |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval
+        | FROM events),
+        |n AS (SELECT name, usr, ts, dval,
+        |  row_number() OVER (PARTITION BY name, usr ORDER BY ts) AS rn
+        | FROM pts),
+        |r AS (
+        | SELECT name, usr, rn, ts, dval AS v FROM n WHERE rn = 1
+        | UNION ALL
+        | SELECT c.name, c.usr, c.rn, c.ts,
+        |  r.v + (1 - exp(-(c.ts - r.ts)/600000.0)) * (c.dval - r.v) AS v
+        | FROM r JOIN n c
+        |   ON c.name = r.name AND c.usr = r.usr AND c.rn = r.rn + 1)
+        |SELECT name, usr, ts, round(v, 4) AS dval FROM r""".stripMargin,
     // Recursive replay of InterpolateOp's anchor chain with a 4 h max
     // gap. State after consumed point i: prev_state = raw ts (normal
     // bracket) or floor-aligned ts (anchor — first point or gap >

@@ -297,6 +297,25 @@ object Mutations {
     def flush(): Seq[(Long, Double)] = Nil
   }
 
+  /**
+   * Irregular-interval EWMA smoothing: `v += α·(x − v)` with
+   * `α = 1 − exp(−Δt/τ)` — the time-constant form, invariant to
+   * sampling rate (α→1 across a long gap, so the smoother re-anchors
+   * instead of dragging stale state across it). The first point of a
+   * series emits itself. Beyond-reference op; the natural companion to
+   * [[rate]] for dashboard smoothing.
+   */
+  final class EwmaOp(tauMs: Double) extends StreamOp {
+    private var v = 0.0; private var prevTs = 0L; private var first = true
+    def feed(ts: Long, x: Double): Seq[(Long, Double)] = {
+      if (first) { v = x; first = false }
+      else v += (1.0 - math.exp(-(ts - prevTs) / tauMs)) * (x - v)
+      prevTs = ts
+      List((ts, v))
+    }
+    def flush(): Seq[(Long, Double)] = Nil
+  }
+
   def meanExact(df: DataFrame, durationMs: Long): DataFrame =
     perSeries(df)(() => new MeanOp(durationMs))
 
@@ -311,4 +330,7 @@ object Mutations {
 
   def resampleUniform(df: DataFrame, intervalMs: Long): DataFrame =
     perSeries(df)(() => new UniformOp(intervalMs))
+
+  def ewma(df: DataFrame, tauMs: Double): DataFrame =
+    perSeries(df)(() => new EwmaOp(tauMs))
 }

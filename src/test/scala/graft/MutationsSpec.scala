@@ -79,6 +79,22 @@ class MutationsSpec extends SparkSpec {
     assert(got === Seq(240L -> 60.0, 540L -> 155.0))
   }
 
+  test("EWMA: first point emits itself; constant series stays constant") {
+    val const = Seq(0L -> 5.0, 100L -> 5.0, 5000L -> 5.0)
+    val got = collectTsVal(Mutations.ewma(keyed(const), 1000.0))
+    assert(got.map(_._1) === const.map(_._1))
+    got.map(_._2).foreach(v => assert(v === 5.0))
+  }
+
+  test("EWMA: α = 1 − exp(−Δt/τ), and a wide gap re-anchors to the new value") {
+    val pts = Seq(0L -> 0.0, 100L -> 10.0, 1000000L -> 42.0)
+    val got = collectTsVal(Mutations.ewma(keyed(pts), 1000.0))
+    val a1 = 1.0 - math.exp(-0.1)
+    assert(math.abs(got(1)._2 - a1 * 10.0) < 1e-12)
+    // Δt = 1000·τ ⇒ α ≈ 1: the smoother forgets everything before the gap
+    assert(math.abs(got(2)._2 - 42.0) < 1e-9)
+  }
+
   test("multiple series are mutated independently") {
     val a = series(uniform, "/a")
     val b = series(uniform.map { case (t, v) => (t, v * 2) }, "/b")
