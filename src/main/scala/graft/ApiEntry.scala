@@ -122,6 +122,14 @@ object ApiEntry {
       unkey(Mutations.ewma(Point.withSeriesKey(pts(s, dir)), 600000.0))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // EWMA-control-chart anomaly scores (τ = 10 min): each point's
+    // z-score against the EWM mean/variance BEFORE it. Oracle replays
+    // the two-variable recurrence by rn chaining; rows emit once the
+    // prior variance is positive (point ≥ 3 of a non-constant prefix).
+    "m_anomaly" -> ((s, dir) =>
+      unkey(Mutations.ewmZscore(Point.withSeriesKey(pts(s, dir)), 600000.0))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
     "mm_features" -> ((s, dir) =>
@@ -460,6 +468,31 @@ object ApiEntry {
         | FROM r JOIN n c
         |   ON c.name = r.name AND c.usr = r.usr AND c.rn = r.rn + 1)
         |SELECT name, usr, ts, round(v, 4) AS dval FROM r""".stripMargin,
+    // Recursive replay of Anomaly.step: state (m, s2) chained by rn;
+    // z uses the previous row's state. Same float-op order as the
+    // Scala step (exp() recomputed per use is bit-stable).
+    "m_anomaly" ->
+      """WITH RECURSIVE pts AS (SELECT '/events/' || event_type AS name,
+        |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval
+        | FROM events),
+        |n AS (SELECT name, usr, ts, dval,
+        |  row_number() OVER (PARTITION BY name, usr ORDER BY ts) AS rn
+        | FROM pts),
+        |r AS (
+        | SELECT name, usr, rn, ts, CAST(NULL AS DOUBLE) AS z,
+        |  dval AS m, CAST(0.0 AS DOUBLE) AS s2
+        | FROM n WHERE rn = 1
+        | UNION ALL
+        | SELECT c.name, c.usr, c.rn, c.ts,
+        |  CASE WHEN r.s2 > 0 THEN (c.dval - r.m) / sqrt(r.s2) END AS z,
+        |  r.m + (1 - exp(-(c.ts - r.ts)/600000.0)) * (c.dval - r.m) AS m,
+        |  (1 - (1 - exp(-(c.ts - r.ts)/600000.0))) *
+        |   (r.s2 + (1 - exp(-(c.ts - r.ts)/600000.0))
+        |     * (c.dval - r.m) * (c.dval - r.m)) AS s2
+        | FROM r JOIN n c
+        |   ON c.name = r.name AND c.usr = r.usr AND c.rn = r.rn + 1)
+        |SELECT name, usr, ts, round(z, 4) AS dval FROM r
+        |WHERE z IS NOT NULL""".stripMargin,
     // Recursive replay of InterpolateOp's anchor chain with a 4 h max
     // gap. State after consumed point i: prev_state = raw ts (normal
     // bracket) or floor-aligned ts (anchor — first point or gap >

@@ -333,4 +333,19 @@ object Mutations {
 
   def ewma(df: DataFrame, tauMs: Double): DataFrame =
     perSeries(df)(() => new EwmaOp(tauMs))
+
+  /** Batch adapter over [[Anomaly.step]]: emits each point's z-score
+    * (as `dval`) against the EWM mean/variance before it. */
+  final class EwmZscoreOp(tauMs: Double) extends StreamOp {
+    private var s = Anomaly.init
+    def feed(ts: Long, x: Double): Seq[(Long, Double)] = {
+      val (next, z) = Anomaly.step(s, ts, x, tauMs)
+      s = next
+      z.map(ts -> _).toList
+    }
+    def flush(): Seq[(Long, Double)] = Nil
+  }
+
+  def ewmZscore(df: DataFrame, tauMs: Double): DataFrame =
+    perSeries(df)(() => new EwmZscoreOp(tauMs))
 }

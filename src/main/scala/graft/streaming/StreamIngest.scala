@@ -248,6 +248,56 @@ object StreamIngest {
    * on the query; the default 0 ms trigger would busy-loop empty
    * batches. With eviction disabled there is no such constraint.
    */
+  // ------------------------------------------------- stateful anomaly
+
+  /**
+   * One flatMapGroupsWithState step of online anomaly scoring: feed
+   * sorted in-batch points of one series through [[graft.operators
+   * .Anomaly.step]] (the literal function the batch path runs, so the
+   * two are bit-identical); emit each point's z-score against the
+   * prior EWM mean/variance. State is one fixed record per live
+   * series; `idleTimeoutMs` evicts idle series exactly like
+   * [[uniformStep]] (same revive-re-anchors divergence note).
+   */
+  def anomalyStep(tauMs: Double, idleTimeoutMs: Long = 0L)(
+      key: String, rows: Iterator[InPoint],
+      state: GroupState[graft.operators.Anomaly.S]): Iterator[OutPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var s = state.getOption.getOrElse(graft.operators.Anomaly.init)
+    val out = List.newBuilder[OutPoint]
+    rows.toSeq.sortBy(_.ts).foreach { p =>
+      val (next, z) = graft.operators.Anomaly.step(s, p.ts, p.dval, tauMs)
+      s = next
+      z.foreach(v => out += OutPoint(key, p.ts, v))
+    }
+    state.update(s)
+    if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+    out.result().iterator
+  }
+
+  /**
+   * Streaming EWMA-control-chart z-scores per series — the streaming
+   * half of [[graft.operators.Mutations.ewmZscore]]. Append-mode;
+   * downstream alerting is a `filter(abs(dval) > k)` on the output.
+   */
+  def anomalyStream(points: DataFrame, tauMs: Double,
+                    idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    Point.withSeriesKey(points)
+      .select(col("skey"), col("ts"), col("dval"))
+      .as[InPoint]
+      .groupByKey(_.skey)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        anomalyStep(tauMs, idleTimeoutMs))
+  }
+
   def uniformResampleStream(points: DataFrame, intervalMs: Long,
                             idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {
     val spark = points.sparkSession

@@ -138,6 +138,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming anomaly z-scores are bit-equal to batch on random data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    // 5 series, unique timestamps per series (ties would make the fold
+    // order ambiguous between the two paths), occasional level shifts
+    val pts = (0 until 5).flatMap { s =>
+      var lvl = 100.0 * (s + 1)
+      (0 until 60).map { i =>
+        if (rnd.nextInt(10) == 0) lvl += 50.0
+        StreamIngest.InPoint(s"/a{h=$s}", i * 7000L + rnd.nextInt(6999),
+          lvl + rnd.nextGaussian())
+      }
+    }
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("skey").as("name"),
+        map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val batch = Mutations.ewmZscore(
+        graft.model.Point.withSeriesKey(pointDf(pts.toDF("skey", "ts", "dval"))),
+        60000.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val mem = MemoryStream[StreamIngest.InPoint]
+    val q = StreamIngest.anomalyStream(pointDf(mem.toDF()), 60000.0,
+        idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    // batches split mid-series in ts order: state must carry over
+    pts.sortBy(_.ts).grouped(100).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    val streamed = spark.table("anom_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(streamed.size == batch.size && streamed == batch)
+  }
+
   test("streaming windowed mean matches batch byName on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
