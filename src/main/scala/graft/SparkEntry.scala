@@ -122,6 +122,30 @@ object SparkEntry {
         .select(col("name"), element_at(col("labels"), "user").as("usr"),
           col("ts"), round(col("dval"), 4).as("dval"))),
 
+    // Dashboard heatmap: (name, hour, value-bin) counts — one shuffle
+    // with map-side partials; the bin floor is exact on both sides so
+    // no rounding is involved at all.
+    "agg_heatmap" -> ((s, dir) =>
+      unkey(pts(s, dir))
+        .groupBy(col("name"),
+          (col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"),
+          (floor(col("dval") / 100) * 100).cast("long").as("vbin"))
+        .agg(count(lit(1)).as("n"))
+        .select("name", "ts", "vbin", "n")),
+
+    // Cross-metric Pearson correlation on the aligned hour grid:
+    // meanGrid per name, equi-join on the grid timestamp, corr per
+    // name pair. Output cardinality is C(#names, 2); the grid join
+    // shuffles on ts with both sides already hour-deduplicated.
+    "agg_corr" -> ((s, dir) => {
+      val g = Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
+      val a = g.select(col("name").as("name_a"), col("ts"), col("dval").as("va"))
+      val b = g.select(col("name").as("name_b"), col("ts"), col("dval").as("vb"))
+      a.join(b, "ts").filter(col("name_a") < col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(count(lit(1)).as("n"), round(corr(col("va"), col("vb")), 4).as("r"))
+    }),
+
     // ------------------------------------------ stream infra ops (§2.3)
     "rle_encode" -> ((s, dir) => {
       // double-payload RLE (the oracle's shape); sval runs are covered
@@ -220,6 +244,17 @@ object SparkEntry {
       "agg_sum_bylabel" -> (P +
         """SELECT name, usr, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
           |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "agg_heatmap" -> (P +
+        """SELECT name, ts - ts % 3600000 AS ts,
+          | CAST(floor(dval/100)*100 AS BIGINT) AS vbin, count(*) AS n
+          |FROM pts GROUP BY 1, 2, 3""".stripMargin),
+      "agg_corr" -> (P +
+        """, g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
+          |  FROM pts GROUP BY 1, 2)
+          |SELECT a.name AS name_a, b.name AS name_b, count(*) AS n,
+          | round(corr(a.v, b.v), 4) AS r
+          |FROM g a JOIN g b USING (ts) WHERE a.name < b.name
+          |GROUP BY 1, 2""".stripMargin),
       "rle_encode" -> (
         """WITH pts AS (SELECT '/events/' || event_type AS name,
           |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts,
