@@ -208,6 +208,48 @@ object PipelineEntry {
         .withColumn("split",
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "val").otherwise("test"))),
+    // Deterministic weighted Bernoulli sampler — the stage that
+    // actually APPLIES the curation weights: keep doc iff
+    // u(doc) < min(rate · mix_w / cluster_size, 1), where u is a 48-bit
+    // salted content-independent hash uniform. Composes the p_mix
+    // mixture weight with the d_softdedup duplicate discount in one
+    // pass: one window shuffle (content hash) + an O(#sources)
+    // broadcast; re-runs reproduce the exact same sample.
+    "p_wsample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val full = Window.partitionBy(lit(0))
+      val stats = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+        .withColumn("n_tot", sum("n_src").over(full))
+        .withColumn("n_sources", count(lit(1)).over(full))
+        .select(col("source"),
+          (col("n_tot") / (col("n_sources") * col("n_src"))).as("mix_w"))
+      d.withColumn("csz",
+          count(lit(1)).over(Window.partitionBy(md5(col("text")))).cast("long"))
+        .join(broadcast(stats), "source")
+        .withColumn("wgt", least(lit(0.6) * col("mix_w") / col("csz"), lit(1.0)))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("ws#"), col("doc_id"))), 1, 12), 16, 10)
+            .cast("double") / 281474976710656.0)
+        .filter(col("u") < col("wgt"))
+        .select(col("doc_id"), col("source"), round(col("wgt"), 6).as("wgt"))
+    }),
+
+    // Token-budgeted selection: per source, take docs in salted-hash
+    // order until the running token count hits the budget — the
+    // "N tokens per domain" subsampling stage. One window shuffle on
+    // source; inherently carries each stratum to its reducer (a
+    // cumulative sum can't group-limit map-side the way p_sample's
+    // rank can), so at extreme skew pre-bucket the big sources.
+    "p_budget" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("b#"), col("doc_id"))), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .filter(col("cum") <= 800L)
+    }),
+
     // GPT-style sequence packing: concatenate token streams per source
     // shard in doc_id order, slice into 512-token bins; each doc
     // records its shard-local token offset and first/last bin. Packing
@@ -391,6 +433,32 @@ object PipelineEntry {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket
         | FROM documents)""".stripMargin,
+    "p_wsample" ->
+      """WITH s AS (SELECT source, count(*) AS n_src FROM documents
+        |  GROUP BY source),
+        |e AS (SELECT source, sum(n_src) OVER () * 1.0 /
+        |  (count(*) OVER () * n_src) AS mix_w FROM s),
+        |cl AS (SELECT md5(text) AS h, count(*) AS csz FROM documents
+        |  GROUP BY md5(text)),
+        |d AS (SELECT doc_id, source,
+        |  least(0.6 * e.mix_w / cl.csz, 1.0) AS wgt,
+        |  CAST(('0x' || substr(md5('ws#' || CAST(doc_id AS VARCHAR)), 1, 12))
+        |    AS BIGINT) / 281474976710656.0 AS u
+        | FROM documents JOIN e USING (source)
+        |   JOIN cl ON cl.h = md5(text))
+        |SELECT doc_id, source, round(wgt, 6) AS wgt FROM d
+        |WHERE u < wgt""".stripMargin,
+    "p_budget" ->
+      """WITH tk AS (SELECT source, doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                       x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |  md5('b#' || CAST(doc_id AS VARCHAR)) AS hh
+        | FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hh, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        | FROM tk)
+        |SELECT source, doc_id, n_tok, cum FROM c WHERE cum <= 800""".stripMargin,
     "p_pack" ->
       """WITH tk AS (SELECT source, doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
