@@ -177,6 +177,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"d_softdedup expected exactly 1 shuffle, got $n")
   }
 
+  test("p_wsample: window keeper-count + tiny-stats broadcast, no corpus join") {
+    val p = plan("p_wsample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(#sources) mix-weight side must broadcast:\n${p.take(1500)}")
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(joins == 0,
+      s"p_wsample must not shuffle-join a corpus-sized side, got $joins:\n${p.take(1500)}")
+  }
+
+  test("p_budget is one shuffle (per-source cumsum window)") {
+    val p = plan("p_budget")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n == 1, s"p_budget expected exactly 1 shuffle, got $n:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "p_budget must not join")
+  }
+
   test("per-series mutations shuffle at most once") {
     Seq("m_rate", "m_delta", "m_mean_grid").foreach { q =>
       val p = plan(q)
