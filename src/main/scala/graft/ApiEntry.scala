@@ -126,10 +126,12 @@ object ApiEntry {
     // z-score against the EWM mean/variance BEFORE it. Oracle replays
     // the two-variable recurrence by rn chaining; rows emit once the
     // prior variance is positive (point ≥ 3 of a non-constant prefix).
+    // (+ 0.0 normalizes IEEE −0.0: Spark's round drops the sign,
+    // DuckDB's keeps it — a z straddling zero would hash-mismatch)
     "m_anomaly" -> ((s, dir) =>
       unkey(Mutations.ewmZscore(Point.withSeriesKey(pts(s, dir)), 600000.0))
         .select(col("name"), col("usr"), col("ts"),
-          round(col("dval"), 4).as("dval"))),
+          (round(col("dval"), 4) + 0.0).as("dval"))),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
     "mm_features" -> ((s, dir) =>
@@ -491,7 +493,7 @@ object ApiEntry {
         |     * (c.dval - r.m) * (c.dval - r.m)) AS s2
         | FROM r JOIN n c
         |   ON c.name = r.name AND c.usr = r.usr AND c.rn = r.rn + 1)
-        |SELECT name, usr, ts, round(z, 4) AS dval FROM r
+        |SELECT name, usr, ts, round(z, 4) + 0.0 AS dval FROM r
         |WHERE z IS NOT NULL""".stripMargin,
     // Recursive replay of InterpolateOp's anchor chain with a 4 h max
     // gap. State after consumed point i: prev_state = raw ts (normal

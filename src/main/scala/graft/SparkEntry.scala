@@ -143,7 +143,7 @@ object SparkEntry {
       val b = g.select(col("name").as("name_b"), col("ts"), col("dval").as("vb"))
       a.join(b, "ts").filter(col("name_a") < col("name_b"))
         .groupBy("name_a", "name_b")
-        .agg(count(lit(1)).as("n"), round(corr(col("va"), col("vb")), 4).as("r"))
+        .agg(count(lit(1)).as("n"), (round(corr(col("va"), col("vb")), 4) + 0.0).as("r"))
     }),
 
     // ------------------------------------------ stream infra ops (§2.3)
@@ -252,7 +252,7 @@ object SparkEntry {
         """, g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
           |  FROM pts GROUP BY 1, 2)
           |SELECT a.name AS name_a, b.name AS name_b, count(*) AS n,
-          | round(corr(a.v, b.v), 4) AS r
+          | round(corr(a.v, b.v), 4) + 0.0 AS r
           |FROM g a JOIN g b USING (ts) WHERE a.name < b.name
           |GROUP BY 1, 2""".stripMargin),
       "rle_encode" -> (

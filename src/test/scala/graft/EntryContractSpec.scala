@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Driver-contract regression tests for the SparkEntry surface. A query
+ * without an oracle silently downgrades to a rows-only check at the
+ * correctness gate, and the `++` merge of the four query maps silently
+ * drops a colliding key — both failure modes land here instead.
+ */
+class EntryContractSpec extends AnyFunSuite {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracle SQL without a query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("the module query maps never collide (++ would drop one side)") {
+    val maps = Seq(
+      "PipelineEntry" -> PipelineEntry.queries.keySet,
+      "ApiEntry" -> ApiEntry.queries.keySet,
+      "AnalyticsEntry" -> AnalyticsEntry.queries.keySet)
+    for (Seq((na, a), (nb, b)) <- maps.combinations(2)) {
+      val inter = a & b
+      assert(inter.isEmpty, s"$na and $nb both define: ${inter.toSeq.sorted}")
+    }
+    val merged = maps.map(_._2.size).sum +
+      (SparkEntry.queries.keySet -- maps.flatMap(_._2)).size
+    assert(SparkEntry.queries.size == merged,
+      "a core query name collides with a module query name")
+  }
+
+  test("query names are driver-safe slugs") {
+    SparkEntry.queries.keySet.foreach { n =>
+      assert(n.matches("^[a-z0-9_]+$"), s"bad query name: $n")
+    }
+  }
+}
