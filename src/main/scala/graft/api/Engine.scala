@@ -50,6 +50,16 @@ object Requests {
   case class Uniform(freq: Long) extends MutationSpec {
     def apply(df: DataFrame): DataFrame = Mutations.resampleUniform(df, freq)
   }
+  /** Engine extension (no reference wire field): time-constant EWMA
+    * smoothing, `tau` in ms. */
+  case class Ewma(tau: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.ewma(df, tau.toDouble)
+  }
+  /** Engine extension: EWMA-control-chart z-scores (dval becomes the
+    * score of each point against the prior EWM mean/variance). */
+  case class Anomaly(tau: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.ewmZscore(df, tau.toDouble)
+  }
 
   /** Cross-stream aggregation (StreamAggregation,
     * lib/openinstrument.proto:54-70): one output series per variable

@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  *   get <variable> [rate|rate_signed|delta] [interpolate=<dur>]
  *       [mean=<dur>] [min=<dur>] [max=<dur>] [latest=<dur>]
+ *       [ewma=<dur>] [anomaly=<dur>]
  *       [aggregate=<label>|name ...] [agg=avg|sum|min|max|median]
  *       [interval=<dur>] [max_variables=N] [max_values=N]
  *       [auto_rate] [independent]
@@ -81,6 +82,8 @@ object Cli {
         case (_, Some(("max", d))) => muts :+= Requests.MaxM(parseDuration(d))
         case (_, Some(("latest", d))) => muts :+= Requests.Latest(parseDuration(d))
         case (_, Some(("stddev", d))) => muts :+= Requests.StdDev(parseDuration(d))
+        case (_, Some(("ewma", d))) => muts :+= Requests.Ewma(parseDuration(d))
+        case (_, Some(("anomaly", d))) => muts :+= Requests.Anomaly(parseDuration(d))
         case (_, Some(("agg", t))) =>
           aggType = t match {
             case "avg" => Aggregations.Average

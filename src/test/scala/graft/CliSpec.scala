@@ -26,6 +26,12 @@ class CliSpec extends SparkSpec {
     assert(req.maxValues.contains(10))
   }
 
+  test("get args: ewma and anomaly mutations parse with durations") {
+    val req = Cli.parseGet("/sys/cpu", Seq("ewma=10m", "anomaly=1h"))
+    assert(req.mutations == Seq(
+      graft.api.Requests.Ewma(600000L), graft.api.Requests.Anomaly(3600000L)))
+  }
+
   test("get args: repeated aggregates, auto_rate, independent") {
     val req = Cli.parseGet("/sys/cpu", Seq(
       "mean=5m", "max=5m", "independent", "auto_rate",
