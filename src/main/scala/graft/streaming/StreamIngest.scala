@@ -248,6 +248,62 @@ object StreamIngest {
    * on the query; the default 0 ms trigger would busy-loop empty
    * batches. With eviction disabled there is no such constraint.
    */
+  // ---------------------------------------------------- stateful rate
+
+  /** Last point of a series — all the state a rate needs. */
+  final case class RateState(ts: Long, dval: Double)
+
+  /**
+   * One flatMapGroupsWithState step of the streaming counter rate:
+   * identical math to [[graft.operators.Mutations.rateSigned]]
+   * (`(v−v_prev) / Δt`, per-second by convention), with negatives
+   * dropped unless `signed` (counter-reset protection, as in batch
+   * [[graft.operators.Mutations.rate]]).
+   */
+  def rateStep(perSecond: Boolean, signed: Boolean, idleTimeoutMs: Long = 0L)(
+      key: String, rows: Iterator[InPoint],
+      state: GroupState[RateState]): Iterator[OutPoint] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var last = state.getOption.orNull
+    val out = List.newBuilder[OutPoint]
+    rows.toSeq.sortBy(_.ts).foreach { p =>
+      if (last != null) {
+        val dt0 = p.ts - last.ts
+        val r = (p.dval - last.dval) / (if (perSecond) dt0 / 1000.0 else dt0.toDouble)
+        if (signed || r >= 0) out += OutPoint(key, p.ts, r)
+      }
+      last = RateState(p.ts, p.dval)
+    }
+    if (last != null) state.update(last)
+    if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+    out.result().iterator
+  }
+
+  /**
+   * Streaming per-series rate — the live-dashboard primitive. O(1)
+   * state (the previous point) per live series, idle eviction as in
+   * the resampler; bit-equal to the batch lag-window rate
+   * (StreamingSpec).
+   */
+  def rateStream(points: DataFrame, perSecond: Boolean = true,
+                 signed: Boolean = false,
+                 idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    Point.withSeriesKey(points)
+      .select(col("skey"), col("ts"), col("dval"))
+      .as[InPoint]
+      .groupByKey(_.skey)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        rateStep(perSecond, signed, idleTimeoutMs))
+  }
+
   // ------------------------------------------------- stateful anomaly
 
   /**

@@ -177,6 +177,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batch.size && streamed == batch)
   }
 
+  test("streaming rate is bit-equal to the batch lag-window rate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    // counters with occasional resets (negative rates must drop on
+    // both paths), unique ts per series
+    val pts = (0 until 4).flatMap { s =>
+      var v = 0.0
+      (0 until 50).map { i =>
+        v = if (rnd.nextInt(12) == 0) 0.0 else v + rnd.nextInt(100)
+        StreamIngest.InPoint(s"/c{h=$s}", i * 5000L + rnd.nextInt(4999), v)
+      }
+    }
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("skey").as("name"),
+        map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val batch = Mutations.rate(
+        graft.model.Point.withSeriesKey(pointDf(pts.toDF("skey", "ts", "dval"))),
+        perSecond = true)
+      .select("skey", "ts", "dval")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = MemoryStream[StreamIngest.InPoint]
+    val q = StreamIngest.rateStream(pointDf(mem.toDF()), idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("append").start()
+    pts.sortBy(_.ts).grouped(70).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    val streamed = spark.table("rate_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming windowed mean matches batch byName on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
