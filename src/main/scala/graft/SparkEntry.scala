@@ -122,6 +122,20 @@ object SparkEntry {
         .select(col("name"), element_at(col("labels"), "user").as("usr"),
           col("ts"), round(col("dval"), 4).as("dval"))),
 
+    // Percentile downsample: exact interpolated p50/p95 per series per
+    // hour bucket (Spark `percentile` ≡ DuckDB `quantile_cont`, proven
+    // by ev_quantiles). Exact percentiles can't partial-aggregate, but
+    // the group is one series-hour — bounded rows per group at any
+    // corpus size.
+    "m_pctl_grid" -> ((s, dir) =>
+      unkey(pts(s, dir)
+          .groupBy(col("skey"),
+            (col("ts") - pmod(col("ts"), lit(HourMs))).as("bts"))
+          .agg(max("ts").as("ts"),
+            round(expr("percentile(dval, 0.5)"), 4).as("p50"),
+            round(expr("percentile(dval, 0.95)"), 4).as("p95")))
+        .select("name", "usr", "ts", "p50", "p95")),
+
     // Dashboard heatmap: (name, hour, value-bin) counts — one shuffle
     // with map-side partials; the bin floor is exact on both sides so
     // no rounding is involved at all.
@@ -243,6 +257,11 @@ object SparkEntry {
           |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
       "agg_sum_bylabel" -> (P +
         """SELECT name, usr, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
+          |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_pctl_grid" -> (P +
+        """SELECT name, usr, max(ts) AS ts,
+          | round(quantile_cont(dval, 0.5), 4) AS p50,
+          | round(quantile_cont(dval, 0.95), 4) AS p95
           |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
       "agg_heatmap" -> (P +
         """SELECT name, ts - ts % 3600000 AS ts,
