@@ -90,6 +90,23 @@ object PipelineEntry {
       |  for b in range(0, 60)]) AS BIGINT) AS sig
       |FROM hs""".stripMargin
 
+  /** Shared oracle CTE chain ending in `grp(doc_id, group_id)`: n-gram
+    * Jaccard near-dup edges → connected components by min-label
+    * reachability (recursive). Used by d_dup_groups and p_split_safe. */
+  private val DupGroupCtes =
+    (T.replaceFirst("WITH ", "WITH RECURSIVE ") + ShingleHashCte +
+      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b,
+        |  inter*1.0/(len(sa.s)+len(sb.s)-inter) AS jac
+        | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+        |e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
+        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.5),
+        |reach AS (SELECT DISTINCT a AS n, a AS m FROM e
+        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+        |grp AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n)""".stripMargin)
+
   private def langScoreSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> list_contains($lst, x)))*1.0/len(t) END"
@@ -175,6 +192,25 @@ object PipelineEntry {
     "d_dup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))),
+    // Leakage-safe split: bucket by the near-dup GROUP representative,
+    // not the document — near-duplicates can never straddle train/val/
+    // test (the classic eval-contamination hole p_split's content hash
+    // only closes for EXACT dups). The groups join is un-hinted: its
+    // build side is O(near-dup docs) — corpus-sized in the worst case,
+    // so AQE must keep the choice.
+    "p_split_safe" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val groups = Dedup.duplicateGroups(
+        Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5))
+      d.join(groups, Seq("doc_id"), "left")
+        .withColumn("gid", coalesce(col("group_id"), col("doc_id")))
+        .withColumn("bucket",
+          conv(substring(md5(concat(lit("g#"), col("gid"))), 1, 4), 16, 10)
+            .cast("long") % 100)
+        .select(col("doc_id"), col("gid"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test").as("split"))
+    }),
     // Content-defined chunking (Rabin-style rolling hash, window 4,
     // divisor 32): every chunk of every doc, identified by md5.
     "d_cdc_chunks" -> ((s, dir) =>
@@ -509,18 +545,17 @@ object PipelineEntry {
         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
         | FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
-    "d_dup_groups" -> (T.replaceFirst("WITH ", "WITH RECURSIVE ") + ShingleHashCte +
-      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT id_a, id_b,
-        |  inter*1.0/(len(sa.s)+len(sb.s)-inter) AS jac
-        | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-        |e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
-        |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.5),
-        |reach AS (SELECT DISTINCT a AS n, a AS m FROM e
-        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
-        |SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n""".stripMargin),
+    "d_dup_groups" -> (DupGroupCtes +
+      "\nSELECT doc_id, group_id FROM grp"),
+    "p_split_safe" -> (DupGroupCtes + """,
+      |sp AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS gid
+      |  FROM documents d LEFT JOIN grp g USING (doc_id))
+      |SELECT doc_id, gid, bucket,
+      | CASE WHEN bucket < 90 THEN 'train'
+      |      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id, gid,
+      |  CAST(('0x' || substr(md5('g#' || CAST(gid AS VARCHAR)), 1, 4))
+      |    AS BIGINT) % 100 AS bucket FROM sp)""".stripMargin),
     "d_simhash" -> (T + SimhashHsCte + SimhashSigSelect),
     "d_simhash_pairs" -> (T + SimhashHsCte +
       s""", sigs AS ($SimhashSigSelect),

@@ -14,6 +14,17 @@ class PipelineSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("p_split_safe: near-dup group members never straddle splits") {
+    val df = SparkEntry.queries("p_split_safe")(spark, "/root/testdata/sf0.001")
+    val leaked = df.groupBy("gid")
+      .agg(count_distinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(leaked == 0)
+    // and it really groups: at least one group with >1 member exists
+    // in the fixture, or the test is vacuous
+    assert(df.groupBy("gid").count().filter(col("count") > 1).count() > 0)
+  }
+
   test("tokens / shingles / winnow shapes") {
     val df = docs((1L, "a b c d e"))
       .select(
