@@ -136,6 +136,38 @@ object SparkEntry {
             round(expr("percentile(dval, 0.95)"), 4).as("p95")))
         .select("name", "usr", "ts", "p50", "p95")),
 
+    // Cross-series binary op (the PromQL `a / b` shape): error-rate
+    // ratio = hourly error count over hourly click count, aligned on
+    // the grid. Two partial-agg scans of one source collapse into one
+    // groupBy with conditional counts — NO join at all; missing
+    // denominators yield null, as PromQL drops unmatched samples.
+    "agg_ratio" -> ((s, dir) =>
+      unkey(pts(s, dir))
+        .groupBy((col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"))
+        .agg(
+          count(when(col("name") === "/events/error", 1)).as("n_err"),
+          count(when(col("name") === "/events/click", 1)).as("n_click"))
+        .withColumn("ratio",
+          round(col("n_err") / when(col("n_click") > 0, col("n_click")), 4))),
+
+    // Time-offset comparison (PromQL `offset 24h`): each series-hour
+    // mean vs its own value a day earlier — day-over-day drift. The
+    // offset lookup is a lag window over the hour grid guarded to
+    // exactly 24 steps, not a self-join: the grid is dense here, and
+    // the guard keeps sparse grids correct (missing hour ⇒ null).
+    "agg_dod" -> ((s, dir) => {
+      val g = unkey(Mutations.meanGrid(pts(s, dir), HourMs))
+        .select(col("name"), col("usr"), col("bucket_ts"), col("dval"))
+      val w = Window.partitionBy("name", "usr").orderBy("bucket_ts")
+      g.withColumn("prev_ts", lag("bucket_ts", 24).over(w))
+        .withColumn("prev", lag("dval", 24).over(w))
+        .withColumn("dod",
+          round(col("dval") - when(
+            col("prev_ts") === col("bucket_ts") - 24L * HourMs, col("prev")), 4))
+        .select(col("name"), col("usr"), col("bucket_ts").as("ts"),
+          round(col("dval"), 4).as("dval"), col("dod"))
+    }),
+
     // Dashboard heatmap: (name, hour, value-bin) counts — one shuffle
     // with map-side partials; the bin floor is exact on both sides so
     // no rounding is involved at all.
@@ -258,6 +290,23 @@ object SparkEntry {
       "agg_sum_bylabel" -> (P +
         """SELECT name, usr, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
           |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "agg_ratio" -> (P +
+        """SELECT ts, n_err, n_click,
+          | round(n_err * 1.0 / (CASE WHEN n_click > 0 THEN n_click END), 4)
+          |  AS ratio
+          |FROM (SELECT ts - ts % 3600000 AS ts,
+          |  count(CASE WHEN name = '/events/error' THEN 1 END) AS n_err,
+          |  count(CASE WHEN name = '/events/click' THEN 1 END) AS n_click
+          | FROM pts GROUP BY 1)""".stripMargin),
+      "agg_dod" -> (P +
+        """, g AS (SELECT name, usr, ts - ts % 3600000 AS bts, avg(dval) AS v
+          |  FROM pts GROUP BY name, usr, ts - ts % 3600000),
+          |l AS (SELECT name, usr, bts, v,
+          |  lag(bts, 24) OVER w AS pbts, lag(v, 24) OVER w AS pv
+          | FROM g WINDOW w AS (PARTITION BY name, usr ORDER BY bts))
+          |SELECT name, usr, bts AS ts, round(v, 4) AS dval,
+          | round(v - (CASE WHEN pbts = bts - 86400000 THEN pv END), 4) AS dod
+          |FROM l""".stripMargin),
       "m_pctl_grid" -> (P +
         """SELECT name, usr, max(ts) AS ts,
           | round(quantile_cont(dval, 0.5), 4) AS p50,
