@@ -136,6 +136,23 @@ object SparkEntry {
             round(expr("percentile(dval, 0.95)"), 4).as("p95")))
         .select("name", "usr", "ts", "p50", "p95")),
 
+    // Alert-rule evaluation ("mean > 62 sustained ≥ 3 consecutive
+    // hours") — the reference leaves alerting to clients; here it is
+    // one declarative plan: hourly means → threshold filter → gap
+    // sessionization of the violation hours (gap > 1h splits an
+    // episode) → episode stats with a min-duration gate. Two shuffles
+    // total (grid agg, episode window), both on the name key.
+    "m_alert" -> ((s, dir) => {
+      val viol = graft.operators.Sessions.sessionize(
+        Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
+          .filter(col("dval") > 62.0),
+        col("name"), col("ts"), HourMs)
+      viol.groupBy(col("name"), col("session"))
+        .agg(min("ts").as("t_start"), max("ts").as("t_end"),
+          count(lit(1)).as("n_hours"), round(max("dval"), 4).as("peak"))
+        .filter(col("n_hours") >= 3)
+    }),
+
     // Cross-series binary op (the PromQL `a / b` shape): error-rate
     // ratio = hourly error count over hourly click count, aligned on
     // the grid. Two partial-agg scans of one source collapse into one
@@ -290,6 +307,19 @@ object SparkEntry {
       "agg_sum_bylabel" -> (P +
         """SELECT name, usr, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
           |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_alert" -> (P +
+        """, g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
+          |  FROM pts GROUP BY 1, 2),
+          |f AS (SELECT * FROM g WHERE v > 62),
+          |n AS (SELECT name, ts, v, CASE WHEN lag(ts) OVER w IS NULL
+          |   OR ts - lag(ts) OVER w > 3600000 THEN 1 ELSE 0 END AS nb
+          | FROM f WINDOW w AS (PARTITION BY name ORDER BY ts)),
+          |s AS (SELECT name, ts, v, CAST(sum(nb) OVER (PARTITION BY name
+          |  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+          | FROM n)
+          |SELECT name, session, min(ts) AS t_start, max(ts) AS t_end,
+          | count(*) AS n_hours, round(max(v), 4) AS peak
+          |FROM s GROUP BY name, session HAVING count(*) >= 3""".stripMargin),
       "agg_ratio" -> (P +
         """SELECT ts, n_err, n_click,
           | round(n_err * 1.0 / (CASE WHEN n_click > 0 THEN n_click END), 4)
