@@ -209,6 +209,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), (round(corr(col("va"), col("vb")), 4) + 0.0).as("r"))
     }),
 
+    // Top-20 series by total load — "which streams are the heaviest".
+    // Global order + tiny limit must plan as TakeOrderedAndProject
+    // (per-partition top-k, merged on the driver), never a full sort
+    // (asserted in PlanAuditSpec).
+    "q_top_series" -> ((s, dir) =>
+      unkey(pts(s, dir).groupBy("skey")
+          .agg(count(lit(1)).as("n"), round(sum("dval"), 4).as("total")))
+        .orderBy(col("total").desc, col("name"), col("usr"))
+        .limit(20)
+        .select("name", "usr", "n", "total")),
+
+    // Winsorized mean per metric: values clipped to the metric's own
+    // [p05, p95] before averaging — the robust-aggregation shape. The
+    // clip bounds are O(#names) rows (broadcast-safe by schema); means
+    // are rounded on both sides.
+    "agg_winsor" -> ((s, dir) => {
+      val p = unkey(pts(s, dir))
+      val bounds = p.groupBy("name").agg(
+        expr("percentile(dval, 0.05)").as("lo"),
+        expr("percentile(dval, 0.95)").as("hi"))
+      p.join(broadcast(bounds), "name")
+        .withColumn("clipped", least(greatest(col("dval"), col("lo")), col("hi")))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n"),
+          round(avg("dval"), 4).as("mean_raw"),
+          round(avg("clipped"), 4).as("mean_winsor"))
+    }),
+
     // ------------------------------------------ stream infra ops (§2.3)
     "rle_encode" -> ((s, dir) => {
       // double-payload RLE (the oracle's shape); sval runs are covered
@@ -353,6 +381,17 @@ object SparkEntry {
           | round(corr(a.v, b.v), 4) + 0.0 AS r
           |FROM g a JOIN g b USING (ts) WHERE a.name < b.name
           |GROUP BY 1, 2""".stripMargin),
+      "q_top_series" -> (P +
+        """SELECT name, usr, n, total FROM (
+          | SELECT name, usr, count(*) AS n, round(sum(dval), 4) AS total
+          | FROM pts GROUP BY name, usr)
+          |ORDER BY total DESC, name, usr LIMIT 20""".stripMargin),
+      "agg_winsor" -> (P +
+        """, b AS (SELECT name, quantile_cont(dval, 0.05) AS lo,
+          |  quantile_cont(dval, 0.95) AS hi FROM pts GROUP BY name)
+          |SELECT name, count(*) AS n, round(avg(dval), 4) AS mean_raw,
+          | round(avg(least(greatest(dval, lo), hi)), 4) AS mean_winsor
+          |FROM pts JOIN b USING (name) GROUP BY name""".stripMargin),
       "rle_encode" -> (
         """WITH pts AS (SELECT '/events/' || event_type AS name,
           |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts,

@@ -193,6 +193,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "p_budget must not join")
   }
 
+  test("q_top_series plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_top_series")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be per-partition top-k + driver merge:\n${p.take(1500)}")
+  }
+
+  test("agg_winsor broadcasts its O(#names) clip bounds") {
+    val p = plan("agg_winsor")
+    assert(p.contains("BroadcastHashJoin"),
+      s"clip-bounds join must broadcast the bounded stats side:\n${p.take(1500)}")
+  }
+
   test("per-series mutations shuffle at most once") {
     Seq("m_rate", "m_delta", "m_mean_grid").foreach { q =>
       val p = plan(q)
