@@ -174,6 +174,11 @@ object PipelineEntry {
     // ------------------------------------------------------ deduplication
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
+    // Canonicalized exact dedup: case/punctuation/whitespace edits
+    // collapse to one cluster (the cheap normalization tier between
+    // exact and near-dup). Same single-shuffle shape as d_dedup_exact.
+    "d_dedup_canon" -> ((s, dir) =>
+      Dedup.canonical(Tables.documents(s, dir))),
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)),
     "d_minhash_lsh" -> ((s, dir) =>
@@ -431,6 +436,11 @@ object PipelineEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d_dedup_canon" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |  AS canon_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
     "p_curate" -> (T +
       s""", sc AS (SELECT doc_id,
          | ${TextOps.LangStopwords.map { case (l, ws) =>

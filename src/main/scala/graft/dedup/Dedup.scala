@@ -28,6 +28,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Canonical text: lowercase, non-alphanumerics collapsed to single
+    * spaces, trimmed — the normalization pass before [[canonical]]
+    * dedup (catches case/punctuation/whitespace-edited duplicates
+    * exact hashing misses). Pure codegen'd column expression. */
+  def canonicalText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact dedup on the canonical form — same single-shuffle shape as
+    * [[exact]], keyed on md5(canonicalText). */
+  def canonical(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    df.groupBy(md5(canonicalText(col(textCol))).as("canon_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /**
    * Distinct word n-gram shingle set per document. Tokens are
    * materialized as their own projection first: `shingles` references
