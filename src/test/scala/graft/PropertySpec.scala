@@ -58,6 +58,33 @@ class PropertySpec extends SparkSpec {
     assert(run(pts) == run(pts.repartition(11)))
   }
 
+  test("ewma is shift-equivariant and scale-equivariant; anomaly z is invariant") {
+    // ewma(a·x + c) = a·ewma(x) + c (the recurrence is affine in x);
+    // the control-chart z-score is invariant under the same map —
+    // the detector fires identically on °C and °F versions of a metric.
+    val pts = graft.model.Point.withSeriesKey(randomPoints(3, 40))
+    val mapped = pts.withColumn("dval", col("dval") * 2.5 + 7.0)
+    def runE(df: org.apache.spark.sql.DataFrame) =
+      Mutations.ewma(df, 1500.0).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val (base, shifted) = (runE(pts), runE(mapped))
+    assert(base.length == shifted.length && base.nonEmpty)
+    base.zip(shifted).foreach { case ((k1, t1, v1), (k2, t2, v2)) =>
+      assert(k1 == k2 && t1 == t2 && math.abs(v2 - (v1 * 2.5 + 7.0)) < 1e-9)
+    }
+    def runZ(df: org.apache.spark.sql.DataFrame) =
+      Mutations.ewmZscore(df, 1500.0).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+    val (bz, sz) = (runZ(pts), runZ(mapped))
+    assert(bz.length == sz.length && bz.nonEmpty)
+    bz.zip(sz).foreach { case ((k1, t1, z1), (k2, t2, z2)) =>
+      assert(k1 == k2 && t1 == t2 && math.abs(z2 - z1) < 1e-6,
+        s"z not invariant: $z1 vs $z2")
+    }
+  }
+
   test("rle: expand(encode(x)) recovers x exactly on step-free series") {
     import spark.implicits._
     // runs of equal values at a fixed 1s cadence
