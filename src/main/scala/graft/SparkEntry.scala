@@ -136,6 +136,27 @@ object SparkEntry {
             round(expr("percentile(dval, 0.95)"), 4).as("p95")))
         .select("name", "usr", "ts", "p50", "p95")),
 
+    // Dense-grid LOCF gap fill: every series rendered onto a complete
+    // hour grid between its first and last bucket, missing hours
+    // carrying the last observed value forward — the dashboard
+    // "connect the gaps" render (linear fill is m_interpolate). The
+    // grid explodes from per-series (t0, t1) spans; all shuffles ride
+    // series keys, grid size is bounded by retention × series.
+    "m_locf_grid" -> ((s, dir) => {
+      val b = pts(s, dir)
+        .groupBy(col("skey"), (col("ts") - pmod(col("ts"), lit(HourMs))).as("bts"))
+        .agg(max_by(col("dval"), col("ts")).as("last_val"))
+      val grid = b.groupBy("skey").agg(min("bts").as("t0"), max("bts").as("t1"))
+        .select(col("skey"),
+          explode(sequence(col("t0"), col("t1"), lit(HourMs))).as("bts"))
+      val w = Window.partitionBy("skey").orderBy("bts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      unkey(grid.join(b, Seq("skey", "bts"), "left")
+          .withColumn("dval", last("last_val", ignoreNulls = true).over(w)))
+        .select(col("name"), col("usr"), col("bts").as("ts"),
+          round(col("dval"), 4).as("dval"))
+    }),
+
     // Alert-rule evaluation ("mean > 62 sustained ≥ 3 consecutive
     // hours") — the reference leaves alerting to clients; here it is
     // one declarative plan: hourly means → threshold filter → gap
@@ -335,6 +356,20 @@ object SparkEntry {
       "agg_sum_bylabel" -> (P +
         """SELECT name, usr, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
           |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_locf_grid" -> (P +
+        """, b AS (SELECT name, usr, ts - ts % 3600000 AS bts,
+          |  arg_max(dval, ts) AS v FROM pts GROUP BY 1, 2, 3),
+          |s AS (SELECT name, usr, min(bts) AS t0, max(bts) AS t1
+          |  FROM b GROUP BY 1, 2),
+          |g AS (SELECT name, usr,
+          |  3600000 * unnest(range(t0 // 3600000, t1 // 3600000 + 1)) AS bts
+          | FROM s),
+          |j AS (SELECT g.name, g.usr, g.bts, b.v
+          | FROM g LEFT JOIN b USING (name, usr, bts))
+          |SELECT name, usr, bts AS ts,
+          | round(last_value(v IGNORE NULLS) OVER (PARTITION BY name, usr
+          |   ORDER BY bts ROWS UNBOUNDED PRECEDING), 4) AS dval
+          |FROM j""".stripMargin),
       "m_alert" -> (P +
         """, g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
           |  FROM pts GROUP BY 1, 2),
