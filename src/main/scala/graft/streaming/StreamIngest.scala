@@ -160,6 +160,21 @@ object StreamIngest {
         GroupStateTimeout.EventTimeTimeout())(sessionStep(gapMs))
   }
 
+  /**
+   * Streaming alert-rule evaluation over raw points: "value > τ
+   * sustained ≥ `minDurMs`" — threshold filter → stateful gap
+   * sessionization of the violation points → duration gate. An
+   * episode emits when it closes (a sub-gap pause ends it) or when
+   * the watermark passes its horizon; the batch m_alert query is the
+   * same rule shape over the hourly grid.
+   */
+  def alertStream(events: DataFrame, threshold: Double, gapMs: Long,
+                  minDurMs: Long,
+                  watermark: String = "1 hour"): Dataset[SessionOut] =
+    sessionizeStream(
+        events.filter(col("value") > threshold), gapMs, watermark)
+      .filter(col("t_end") - col("t_start") >= minDurMs)
+
   // ------------------------------------------------- stateful resample
 
   /** Per-series incremental state of the uniform resampler — the same

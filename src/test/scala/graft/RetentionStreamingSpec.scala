@@ -346,6 +346,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming alert episodes match the batch rule on random data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    val rows = (0 until 300).map { i =>
+      (s"m${rnd.nextInt(4)}", rnd.nextInt(400000).toLong,
+        rnd.nextDouble() * 100) }
+      .distinctBy(r => (r._1, r._2)).sortBy(_._2)
+    // batch rule: violations (> 60), gap 15s, episodes >= 20s long
+    val batch = graft.operators.Sessions.sessionize(
+        rows.toDF("key", "ts", "value").filter(col("value") > 60.0),
+        col("key"), col("ts"), 15000L)
+      .groupBy("key", "session")
+      .agg(min("ts").as("t_start"), max("ts").as("t_end"),
+        count(lit(1)).as("n_events"))
+      .filter(col("t_end") - col("t_start") >= 20000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.alertStream(
+        mem.toDF().toDF("key", "ts", "value"), 60.0, 15000L, 20000L,
+        watermark = "1 second")
+      .writeStream.format("memory").queryName("alert_out")
+      .outputMode("append").start()
+    rows.grouped(75).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    mem.addData(("mflush", 100000000L, 1000.0)); q.processAllAvailable()
+    mem.addData(("mflush2", 200100000L, 1000.0)); q.processAllAvailable()
+    val streamed = spark.table("alert_out")
+      .filter(!col("key").startsWith("mflush"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("session state closes on event-time timeout and is removed") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
