@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
 
 /**
  * Driver queries for the request API (Engine.get/list), the exact
- * resamplers, and the multimodal plumbing — with DuckDB oracles
- * mirroring each pipeline stage-for-stage.
+ * resamplers, the EWMA/anomaly recurrences, and the multimodal
+ * plumbing — with DuckDB oracles mirroring each pipeline
+ * stage-for-stage (sequential recurrences replayed as recursive CTEs).
  */
 object ApiEntry {
 
