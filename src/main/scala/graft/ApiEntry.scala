@@ -149,13 +149,14 @@ object ApiEntry {
             Multimodal.fromDocuments(Tables.documents(s, dir))),
           stride = 30)
         .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))),
-    // Resize-to-fit 64x64 (aspect preserved, no upscale): box-fit math
-    // + resized-blob plumbing; oracle verifies dims and the stub blob's
-    // hash end-to-end.
+    // Resize-to-fit 64x64 (aspect preserved, no upscale). Real bilinear
+    // resample for parseable images; these fabricated text blobs take
+    // the deterministic stub branch, so the oracle verifies dims and
+    // the stub blob's hash end-to-end (the real branch is unit-tested
+    // on generated PNGs in PipelineSpec).
     "mm_resize" -> ((s, dir) =>
       Multimodal.resizeToFit(
-          Multimodal.extractFeatures(
-            Multimodal.fromDocuments(Tables.documents(s, dir))),
+          Multimodal.fromDocuments(Tables.documents(s, dir)),
           64, 64)
         .select(col("item_id"), col("modality"),
           col("out_w").cast("long").as("out_w"),

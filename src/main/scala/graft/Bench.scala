@@ -50,12 +50,21 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3 decimals (ms precision) keeps the 100+-entry line compact; more
+    // digits are noise at these magnitudes anyway
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.filter(_._3.isEmpty).map(_._2).sum
+    val total = r3(results.filter(_._3.isEmpty).map(_._2).sum)
+    val nErrors = results.count(_._3.isDefined)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The harness capturing stdout keeps only the tail of the output; the
+    // full line above is ~3 KB and can lose its leading fields to
+    // truncation. Repeat the headline numbers on a second, short line so
+    // the total is always parseable from the tail.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

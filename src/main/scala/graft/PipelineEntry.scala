@@ -277,18 +277,33 @@ object PipelineEntry {
 
     // Token-budgeted selection: per source, take docs in salted-hash
     // order until the running token count hits the budget — the
-    // "N tokens per domain" subsampling stage. One window shuffle on
-    // source; inherently carries each stratum to its reducer (a
-    // cumulative sum can't group-limit map-side the way p_sample's
-    // rank can), so at extreme skew pre-bucket the big sources.
+    // "N tokens per domain" subsampling stage. TWO-PHASE cumulative
+    // sum: a naive per-source cumsum window ships each whole stratum
+    // through one reducer. Instead each source splits into 256
+    // hash-prefix buckets — the bucket is the leading 2 hex chars of
+    // the SAME salted ordering hash, so (bucket, hash) order IS hash
+    // order — the cumsum runs within (source, bucket) in parallel, and
+    // per-bucket offsets (sums of the earlier buckets) come from an
+    // O(#sources × 256) aggregate joined back by broadcast. Identical
+    // output to the single-window form; no stratum ever serializes.
     "p_budget" -> ((s, dir) => {
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(concat(lit("b#"), col("doc_id"))), col("doc_id"))
-      Tables.documents(s, dir)
+      val d = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("h", md5(concat(lit("b#"), col("doc_id"))))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val offsets = d.groupBy("source", "bkt")
+        .agg(sum("n_tok").as("part"))
+        .withColumn("off", coalesce(
+          sum("part").over(Window.partitionBy("source").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("source", "bkt", "off")
+      val wb = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+      d.join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("cum", col("off") + sum("n_tok").over(wb))
         .filter(col("cum") <= 800L)
+        .select(col("source"), col("doc_id"), col("n_tok"), col("cum"))
     }),
 
     // GPT-style sequence packing: concatenate token streams per source
@@ -340,9 +355,31 @@ object PipelineEntry {
       val emb = Tables.embeddings(s, dir)
       Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // Lloyd-TRAINED IVF, gated float-free on its RECALL: per query,
+    // the count of ids shared with exact brute-force top-k must reach
+    // 4 of 5 (nlist=16, nprobe=4 at this corpus size). k-means float
+    // order is oracle-hostile, so the gate checks the integer recall
+    // property — exactly what an ANN index must deliver — and the
+    // oracle asserts the expected per-query outcome.
+    "e_knn_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val ivf = Ann.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 4,
+          dim = 64)
+        .select(col("qid"), col("nid"))
+      val brute = Ann.bruteTopK(emb, queries, k = 5)
+        .select(col("qid"), col("nid"))
+      val overlap = ivf.intersect(brute)
+        .groupBy("qid").agg(count(lit(1)).as("overlap"))
+      queries.select(col("vec_id").as("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("overlap"), lit(0L)) >= 4L).cast("long").as("recall_ok"))
+    }),
     // IVF top-k over a PINNED deterministic quantizer (the 16 smallest
     // vec_ids, no Lloyd) so the oracle can rebuild the identical index;
-    // the trained-quantizer path (Ann.ivfTopK) stays spec-covered.
+    // the trained-quantizer path (Ann.ivfTopK) is additionally
+    // recall-gated above (e_knn_ivf_trained).
     "e_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ann.ivfTopKWith(Ann.pinnedCentroids(emb, nlist = 16),
@@ -379,7 +416,13 @@ object PipelineEntry {
         .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))
-        .cache() // feeds the df agg and both join sides
+        // One explicit shuffle on fp materializes the tokenize+winnow
+        // pass exactly once: the df agg and BOTH self-join sides need
+        // hashpartitioning(fp) anyway, so they all read the same
+        // ReusedExchange. (A .cache() here leaked pinned partitions —
+        // the query builder never sees the caller's action to
+        // unpersist after.)
+        .repartition(col("fp"))
       val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") > 50).select("fp")
       val cold = fps.join(hot, Seq("fp"), "left_anti")
@@ -600,6 +643,12 @@ object PipelineEntry {
     "e_dup_groups" -> eDupGroupsOracle,
     "e_knn_lsh" -> lshKnnOracle,
     "e_knn_ivf" -> ivfKnnOracle,
+    // The oracle states the recall CONTRACT (every query recalls >= 4
+    // of its 5 exact neighbors); the Spark side measures the trained
+    // index against brute force and must meet it.
+    "e_knn_ivf_trained" ->
+      """SELECT vec_id AS qid, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "e_knn_pq" -> pqKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle)
 

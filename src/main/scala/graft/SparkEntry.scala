@@ -18,6 +18,25 @@ object SparkEntry {
 
   val HourMs = 3600000L
 
+  /** The requested metric set for the correlation query — a real
+    * correlation request names its metrics, which is what bounds the
+    * per-timestamp pair fan-out (|set|², not fleet-wide #names²). */
+  val CorrNames: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** The m_alert rule in the reference's config.txt syntax, parsed at
+    * query build ([[graft.config.StoreConfig]]) — the alert evaluator
+    * is an API over config, not a hard-coded plan. */
+  val AlertConfigText: String =
+    """alert {
+      |  comment: "hourly mean above 62 for 3+ consecutive hours"
+      |  variable { name: "*" }
+      |  aggregation: AVERAGE
+      |  sample_frequency: 3600000
+      |  condition: GT
+      |  threshold: 62.0
+      |  min_periods: 3
+      |}""".stripMargin
+
   /** events.parquet → canonical points with series key. */
   private def pts(s: SparkSession, dir: String): DataFrame =
     Point.withSeriesKey(PointSource.events(s, dir))
@@ -161,20 +180,16 @@ object SparkEntry {
     }),
 
     // Alert-rule evaluation ("mean > 62 sustained ≥ 3 consecutive
-    // hours") — the reference leaves alerting to clients; here it is
-    // one declarative plan: hourly means → threshold filter → gap
-    // sessionization of the violation hours (gap > 1h splits an
-    // episode) → episode stats with a min-duration gate. Two shuffles
-    // total (grid agg, episode window), both on the name key.
+    // hours") — the reference leaves alerting to clients; here the
+    // rule text (config.txt syntax, [[AlertConfigText]]) is PARSED and
+    // evaluated by the Alerts API: hourly means → condition filter →
+    // gap sessionization of the violation hours → episode stats with
+    // the min-periods gate. Two shuffles total (grid agg, episode
+    // window), both on the name key.
     "m_alert" -> ((s, dir) => {
-      val viol = graft.operators.Sessions.sessionize(
-        Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
-          .filter(col("dval") > 62.0),
-        col("name"), col("ts"), HourMs)
-      viol.groupBy(col("name"), col("session"))
-        .agg(min("ts").as("t_start"), max("ts").as("t_end"),
-          count(lit(1)).as("n_hours"), round(max("dval"), 4).as("peak"))
-        .filter(col("n_hours") >= 3)
+      val rule = graft.config.StoreConfig.parse(AlertConfigText).alerts.head
+      graft.operators.Alerts.evaluate(pts(s, dir), rule)
+        .withColumnRenamed("n_periods", "n_hours")
     }),
 
     // Cross-series binary op (the PromQL `a / b` shape): error-rate
@@ -221,14 +236,21 @@ object SparkEntry {
         .select("name", "ts", "vbin", "n")),
 
     // Cross-metric Pearson correlation on the aligned hour grid:
-    // meanGrid per name, equi-join on the grid timestamp, corr per
-    // name pair. Output cardinality is C(#names, 2); the grid join
-    // shuffles on ts with both sides already hour-deduplicated.
+    // meanGrid per REQUESTED name, equi-join on the grid timestamp,
+    // corr per name pair. The name set is part of the request (the
+    // real correlation-query shape): per-ts join fan-out is bounded by
+    // |request|² ≤ 25 here, never fleet-wide name cardinality — an
+    // unbounded ts-only self-join is per-ts quadratic in #names. The
+    // pair inequality rides the join condition, so mirror pairs die
+    // inside the join, not in a post-filter.
     "agg_corr" -> ((s, dir) => {
+      val requested = CorrNames.map("/events/" + _)
       val g = Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
+        .filter(col("name").isin(requested: _*))
       val a = g.select(col("name").as("name_a"), col("ts"), col("dval").as("va"))
-      val b = g.select(col("name").as("name_b"), col("ts"), col("dval").as("vb"))
-      a.join(b, "ts").filter(col("name_a") < col("name_b"))
+      val b = g.select(col("name").as("name_b"), col("ts").as("ts_b"),
+        col("dval").as("vb"))
+      a.join(b, col("ts") === col("ts_b") && col("name_a") < col("name_b"))
         .groupBy("name_a", "name_b")
         .agg(count(lit(1)).as("n"), (round(corr(col("va"), col("vb")), 4) + 0.0).as("r"))
     }),
@@ -413,8 +435,10 @@ object SparkEntry {
           | CAST(floor(dval/100)*100 AS BIGINT) AS vbin, count(*) AS n
           |FROM pts GROUP BY 1, 2, 3""".stripMargin),
       "agg_corr" -> (P +
-        """, g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
-          |  FROM pts GROUP BY 1, 2)
+        s""", g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
+          |  FROM pts
+          |  WHERE name IN (${CorrNames.map(n => s"'/events/$n'").mkString(", ")})
+          |  GROUP BY 1, 2)
           |SELECT a.name AS name_a, b.name AS name_b, count(*) AS n,
           | round(corr(a.v, b.v), 4) + 0.0 AS r
           |FROM g a JOIN g b USING (ts) WHERE a.name < b.name

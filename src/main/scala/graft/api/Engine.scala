@@ -236,13 +236,17 @@ object Engine {
       when(map_contains_key(col("labels"), lit("hostname")), col("labels"))
         .otherwise(map_concat(coalesce(col("labels"), map()),
           map(lit("hostname"), lit(hostname)))))
+    // Clause order mirrors the reference's evaluation order
+    // (server/store.cc:428-444): the retention check runs BEFORE the
+    // future-timestamp check, so a future-dated point that retention
+    // would discard is labeled a retention drop, not a future timestamp.
     val reason =
       when(col("name").isNull || length(col("name")) < 2 ||
            !col("name").startsWith("/") || col("name").rlike("\\s"),
         "invalid variable name")
-      .when(col("ts") > nowMs + 1000L, "future timestamp")
       .when(policy.map(graft.retention.Retention.dropsAtIngest(_, nowMs))
         .getOrElse(lit(false)), "retention drop")
+      .when(col("ts") > nowMs + 1000L, "future timestamp")
     val tagged = enriched.withColumn("reject_reason", reason)
     (tagged.filter(col("reject_reason").isNull).drop("reject_reason"),
       tagged.filter(col("reject_reason").isNotNull))

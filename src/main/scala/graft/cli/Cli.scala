@@ -17,12 +17,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *       [auto_rate] [independent]
  *   list <prefix> [max_age=<dur>] [max_variables=N]
  *   add <var:value@ts_ms> ...
+ *   alerts <variable> alert=<threshold> [min_periods=N] [interval=<dur>]
+ *          [agg=avg|sum|min|max] [condition=GT|GE|LT|LE]
+ *   alerts config=<path>           # all alert{} rules from a config file
  *
  * Engine extensions beyond the reference grammar: `aggregate=` may
  * repeat (each block captures the agg=/interval= settings in effect),
- * `auto_rate` rates RATE-tagged series server-side, and `independent`
+ * `auto_rate` rates RATE-tagged series server-side, `independent`
  * applies each mutation to the raw stream (C++ semantics) instead of
- * chaining (Go).
+ * chaining (Go), and `alerts` evaluates threshold-episode rules
+ * (reference config.txt syntax via StoreConfig, or ad-hoc flags).
  *
  * Store location: --store=<path> or GRAFT_STORE env (Parquet point
  * layout written by PointSource.write / the streaming sink).
@@ -112,11 +116,46 @@ object Cli {
       autoRate = autoRate, chainMutations = chain)
   }
 
+  /** `alerts` args → rules: a config file, or one ad-hoc rule from the
+    * `alert=` threshold flag (+ optional shaping flags). */
+  def parseAlerts(args: Seq[String]): Seq[graft.operators.Alerts.AlertRule] = {
+    val opts = args.flatMap(kv).toMap
+    opts.get("config") match {
+      case Some(path) =>
+        graft.config.StoreConfig.parse(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          "UTF-8")).alerts
+      case None =>
+        val pattern = args.headOption.filterNot(_.contains("="))
+          .getOrElse("*")
+        val threshold = opts.get("alert").map(_.toDouble).getOrElse(
+          throw new IllegalArgumentException("alerts needs alert=<threshold> or config=<path>"))
+        Seq(graft.operators.Alerts.AlertRule(
+          patterns = Seq(pattern),
+          agg = opts.getOrElse("agg", "avg") match {
+            case "avg" => Aggregations.Average
+            case "sum" => Aggregations.Sum
+            case "min" => Aggregations.Min
+            case "max" => Aggregations.Max
+          },
+          intervalMs = opts.get("interval").map(parseDuration)
+            .getOrElse(Aggregations.DefaultIntervalMs),
+          condition = graft.operators.Alerts.Condition(
+            opts.getOrElse("condition", "GT")),
+          threshold = threshold,
+          minPeriods = opts.get("min_periods").map(_.toInt).getOrElse(1),
+          comment = s"cli rule on $pattern"))
+    }
+  }
+
   def run(spark: SparkSession, store: String, argv: Seq[String],
           nowMs: Long = System.currentTimeMillis()): DataFrame =
     argv match {
       case Seq("get", variable, rest @ _*) =>
         Engine.get(PointSource.read(spark, store), parseGet(variable, rest))
+      case Seq("alerts", rest @ _*) =>
+        graft.operators.Alerts.evaluateAll(
+          PointSource.read(spark, store), parseAlerts(rest))
       case Seq("list", prefix, rest @ _*) =>
         val opts = rest.flatMap(kv).toMap
         Engine.list(PointSource.read(spark, store),

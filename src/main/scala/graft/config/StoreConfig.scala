@@ -1,0 +1,100 @@
+package graft.config
+
+import graft.api.Requests
+import graft.operators.{Aggregations, Alerts}
+import graft.retention.Retention
+
+/**
+ * Typed view over a parsed reference-style store config
+ * ([[TextProto]]; reference config.txt + StoreConfig in
+ * lib/openinstrument.proto): server addresses, the retention policy
+ * (config.txt:22-77 shape), and — engine extension, same syntax — the
+ * alert rules the reference leaves to clients.
+ *
+ * Alert-rule block (same field conventions as retention/mutation
+ * blocks; evaluation in [[graft.operators.Alerts]]):
+ * {{{
+ * alert {
+ *   comment: "high event rate"
+ *   variable { name: "*" }
+ *   aggregation: AVERAGE       # AVERAGE|SUM|MIN|MAX (StreamAggregation enum)
+ *   sample_frequency: 3600000  # grid interval, ms
+ *   condition: GT              # GT|GE|LT|LE on the gridded value
+ *   threshold: 62.0
+ *   min_periods: 3             # consecutive violating grid periods
+ * }
+ * }}}
+ */
+object StoreConfig {
+
+  final case class Config(
+      servers: Seq[String],
+      retention: Retention.Policy,
+      alerts: Seq[Alerts.AlertRule])
+
+  def parse(text: String): Config = {
+    val root = TextProto.parse(text)
+    Config(
+      servers = root.msgs("server").flatMap(_.str("address")),
+      retention = Retention.Policy(
+        root.msgs("retention_policy").flatMap(_.msgs("policy")).map(policyItem)),
+      alerts = root.msgs("alert").map(alertRule))
+  }
+
+  /** `variable { name label{label,value} }` → the matcher's pattern
+    * string (`/name{k=v,…}`, [[graft.model.Variable]] syntax). */
+  private def variablePattern(v: TextProto.Msg): String = {
+    val name = v.str("name").getOrElse("*")
+    val labels = v.msgs("label").flatMap(l =>
+      for (k <- l.str("label"); value <- l.str("value")) yield s"$k=$value")
+    if (labels.isEmpty) name else labels.mkString(s"$name{", ",", "}")
+  }
+
+  /** SampleType enum (lib/openinstrument.proto:26-43) → MutationSpec. */
+  private def mutation(m: TextProto.Msg): Requests.MutationSpec = {
+    val freq = m.long("sample_frequency").getOrElse(0L)
+    m.str("sample_type").getOrElse("NONE") match {
+      case "NONE"        => Requests.Interpolate(freq,
+        m.long("max_gap_interpolate").getOrElse(0L))
+      case "AVERAGE"     => Requests.Mean(freq)
+      case "MAX"         => Requests.MaxM(freq)
+      case "MIN"         => Requests.MinM(freq)
+      case "RATE"        => Requests.Rate()
+      case "RATE_SIGNED" => Requests.RateSigned()
+      case "DELTA"       => Requests.Delta
+      case "LATEST"      => Requests.Latest(freq)
+      case other => throw new IllegalArgumentException(s"sample_type $other")
+    }
+  }
+
+  private def policyItem(p: TextProto.Msg): Retention.PolicyItem =
+    Retention.PolicyItem(
+      patterns = p.msgs("variable").map(variablePattern),
+      policy = p.str("policy").getOrElse("DROP") match {
+        case "KEEP" => Retention.Keep
+        case "DROP" => Retention.Drop
+        case other => throw new IllegalArgumentException(s"policy $other")
+      },
+      minAgeMs = p.long("min_age").getOrElse(0L),
+      maxAgeMs = p.long("max_age").getOrElse(0L),
+      mutations = p.msgs("mutation").map(mutation),
+      comment = p.strs("comment").mkString(" "))
+
+  private def alertRule(a: TextProto.Msg): Alerts.AlertRule =
+    Alerts.AlertRule(
+      patterns = a.msgs("variable").map(variablePattern),
+      agg = a.str("aggregation").getOrElse("AVERAGE") match {
+        case "AVERAGE" => Aggregations.Average
+        case "SUM"     => Aggregations.Sum
+        case "MIN"     => Aggregations.Min
+        case "MAX"     => Aggregations.Max
+        case other => throw new IllegalArgumentException(s"aggregation $other")
+      },
+      intervalMs = a.long("sample_frequency")
+        .getOrElse(Aggregations.DefaultIntervalMs),
+      condition = Alerts.Condition(a.str("condition").getOrElse("GT")),
+      threshold = a.dbl("threshold").getOrElse(
+        throw new IllegalArgumentException("alert rule needs threshold:")),
+      minPeriods = a.int("min_periods").getOrElse(1),
+      comment = a.strs("comment").mkString(" "))
+}

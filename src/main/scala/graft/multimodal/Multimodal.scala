@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
  * image/audio/video as opaque `binary` columns with typed metadata.
  *
  * The Spark-side plumbing — schema, batch iteration, partition-local
- * decode, feature schema — is real and tested. Image decode is REAL
- * (JDK `javax.imageio` via [[ImageDecoder]] — PNG/JPEG/GIF/BMP), and so
- * is audio header/PCM decode for WAV/AIFF/AU (JDK `javax.sound.sampled`
- * via [[AudioDecoder]]). Video decode — and any format the JDK readers
+ * decode, feature schema — is real and tested. Image decode AND image
+ * resize are REAL (JDK `javax.imageio` + `Graphics2D` via
+ * [[ImageDecoder]] — PNG/JPEG/GIF/BMP), and so is audio header/PCM
+ * decode for WAV/AIFF/AU (JDK `javax.sound.sampled` via
+ * [[AudioDecoder]]). Video decode — and any format the JDK readers
  * don't recognize (no media libraries in this container) — falls back
  * to [[StubDecoder]], a deterministic fake keyed on the content hash.
  * Swapping in a real video/compressed-codec decoder means replacing
@@ -84,13 +85,38 @@ object Multimodal {
    * bytes never leave the executor.
    */
   object ImageDecoder extends Serializable {
-    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
-      if (bytes == null || bytes.length == 0) return None
+    /** Parse bytes into a BufferedImage if any installed JDK reader
+      * recognizes them (PNG/JPEG/GIF/BMP), None otherwise. */
+    private[multimodal] def readImage(
+        bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null || bytes.length == 0) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** REAL pixel resample (JDK-only): bilinear `Graphics2D.drawImage`
+      * into a `BufferedImage(w, h)`, PNG-encoded. Deterministic for a
+      * given (input image, target dims) — JDK software raster. */
+    private[multimodal] def resample(img: java.awt.image.BufferedImage,
+                                     w: Int, h: Int): Array[Byte] = {
+      import java.awt.RenderingHints
+      import java.awt.image.BufferedImage
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
       try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        if (img == null) None
-        else {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+      try readImage(bytes) match {
+        case None => None
+        case Some(img) => {
           val (w, h) = (img.getWidth, img.getHeight)
           // Feature: 8-dim summary from a coarse 2×2 luminance/RGB grid
           // — cheap, deterministic, resolution-independent. A real
@@ -188,6 +214,10 @@ object Multimodal {
    * (never materialized per-partition) — the shape a Pandas-UDF /
    * `mapInPandas` pipeline has, expressed Scala-natively.
    */
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   def extractFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -199,8 +229,7 @@ object Multimodal {
           val mod = r.getString(1)
           val bytes = if (r.isNullAt(2)) Array.empty[Byte] else
             r.getAs[Array[Byte]](2)
-          val sha = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map("%02x".format(_)).mkString
+          val sha = md5Hex(bytes)
           val h60 = java.lang.Long.parseLong(sha.substring(0, 15), 16)
           // images/audio: real JDK decode when the bytes parse; stub
           // fallback keeps undecodable fixtures deterministic
@@ -234,31 +263,67 @@ object Multimodal {
       map(lit("origin"), col("source")).as("meta"))
 
   /**
-   * Resize-to-fit for image/video rows: scales (width, height) to fit
-   * a `maxW`×`maxH` box preserving aspect ratio (never upscales), and
-   * emits a new `content` blob for the resized media. The box-fit math
-   * and column plumbing are real; the pixel work is STUBBED — the
-   * output bytes derive deterministically from (source sha, target
-   * dims), so oracles can verify the full pipeline shape. A real
-   * implementation replaces only the `content` expression with a
-   * partition-local decoder call.
-   *
-   * Pure relational (codegen'd expressions, no shuffle): at 100 TB this
-   * is a map-only pass over the blob partition layout.
+   * Aspect-preserving box fit: (w, h) scaled to fit `maxW`×`maxH`,
+   * never upscaled, floor semantics, ≥1 px. Same double arithmetic as
+   * the SQL oracle (`least(maxW/w, maxH/h, 1.0)`, `floor`, `greatest`).
    */
-  def resizeToFit(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
-    val scale = least(lit(maxW.toDouble) / col("width"),
-      lit(maxH.toDouble) / col("height"), lit(1.0))
-    features.filter(col("modality").isin("image", "video"))
-      .withColumn("out_w",
-        greatest(lit(1), floor(col("width") * scale).cast("int")))
-      .withColumn("out_h",
-        greatest(lit(1), floor(col("height") * scale).cast("int")))
-      .select(col("item_id"), col("modality"), col("out_w"), col("out_h"),
-        // ??? <- real pixel resample goes here; deterministic stub below
-        encode(concat(col("content_sha"), lit(":"),
-          col("out_w").cast("string"), lit("x"),
-          col("out_h").cast("string")), "UTF-8").as("content"))
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val s = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+    (math.max(1, math.floor(w * s).toInt), math.max(1, math.floor(h * s).toInt))
+  }
+
+  /** Output schema of [[resizeToFit]]. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("item_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  /**
+   * Resize-to-fit for image/video rows of a media table
+   * ([[schema]]-shaped: item_id, modality, content): scales the decoded
+   * (width, height) to fit a `maxW`×`maxH` box preserving aspect ratio
+   * (never upscales) and emits the resized blob.
+   *
+   * Image bytes any JDK reader parses get a REAL resize —
+   * [[ImageDecoder.resample]]: bilinear `Graphics2D.drawImage` into the
+   * fitted box, PNG-encoded. Video (no codec in this container) and
+   * unparseable bytes fall back to the deterministic stub: dims from
+   * the content-hash fake ([[StubDecoder]], same math as
+   * [[extractFeatures]]) and a `"sha:WxH"` stand-in blob, so oracles
+   * can verify the pipeline shape end-to-end.
+   *
+   * Partition-local `mapPartitions` like [[extractFeatures]] — one
+   * decoder per task, blobs never leave the executor, no shuffle: at
+   * 100 TB this is a map-only pass over the blob partition layout.
+   */
+  def resizeToFit(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizedSchema)
+    media.filter(col("modality").isin("image", "video"))
+      .select("item_id", "modality", "content")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mod = r.getString(1)
+          val bytes = if (r.isNullAt(2)) Array.empty[Byte] else
+            r.getAs[Array[Byte]](2)
+          val real = if (mod == "image") ImageDecoder.readImage(bytes) else None
+          real match {
+            case Some(img) =>
+              val (ow, oh) = fitBox(img.getWidth, img.getHeight, maxW, maxH)
+              Row(id, mod, ow, oh, ImageDecoder.resample(img, ow, oh))
+            case None =>
+              val sha = md5Hex(bytes)
+              val h60 = java.lang.Long.parseLong(sha.substring(0, 15), 16)
+              val (w, h, _, _) = StubDecoder.decode(mod, h60)
+              val (ow, oh) = fitBox(w, h, maxW, maxH)
+              Row(id, mod, ow, oh, s"$sha:${ow}x$oh".getBytes("UTF-8"))
+          }
+        }
+      }(enc)
+      .toDF()
   }
 
   /**

@@ -35,6 +35,15 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Driver-side collects must accept the same `array<float|double>`
+    * embeddings the distributed paths do (TopCentroids casts either). */
+  private def toDoubles(s: Seq[Any]): Array[Double] =
+    s.map {
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue()
+      case n: java.lang.Number => n.doubleValue()
+    }.toArray
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
@@ -85,17 +94,19 @@ object Ann {
    * shape matches [[bruteTopK]]; queries with no bucket-mates in any
    * table produce fewer than `k` rows (or none) — approximate by design.
    */
-  /** One row per (input row, table): table-tagged signature bucket. */
-  private def lshBuckets(df: DataFrame, hp: Array[Array[Array[Double]]],
-                         idCol: String, vecCol: String,
-                         id: String, vec: String, nrm: String): DataFrame = {
+  /** One row per (input row, table): (id, bucket) ONLY. The band join
+    * must not carry vector payload — candidate shuffle volume would be
+    * O(candidates × dim) instead of O(candidates); callers re-attach
+    * (vector, norm) per DISTINCT candidate id, the
+    * [[graft.dedup.Dedup.minhashLshPairs]] pattern. */
+  private def lshBucketsId(df: DataFrame, hp: Array[Array[Array[Double]]],
+                           idCol: String, vecCol: String, id: String): DataFrame = {
     val tables = hp.length
     df.select((0 until tables).map(t =>
         concat(lit(t + ":"), signature(col(vecCol), hp(t)).cast("string"))
-          .as(s"b$t")) :+ col(idCol).as(id) :+ col(vecCol).as(vec) :+
-        norm(col(vecCol)).as(nrm): _*)
+          .as(s"b$t")) :+ col(idCol).as(id): _*)
       .withColumn("bucket", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
-      .select(id, vec, nrm, "bucket")
+      .select(id, "bucket")
   }
 
   /**
@@ -120,12 +131,19 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucket: Int = 100000): DataFrame = {
     val hp = hyperplanes(tables, planes, dim, seed)
-    val c = capBuckets(
-      lshBuckets(corpus, hp, idCol, vecCol, "nid", "nvec", "nn"), maxBucket)
-    val q = lshBuckets(queries, hp, idCol, vecCol, "qid", "qvec", "qn")
-    c.join(q, "bucket")
+    // id-only band join + dedup, THEN re-attach vectors per distinct
+    // (qid, nid) — candidate shuffle volume is O(candidates), not
+    // O(candidates × dim)
+    val cand = capBuckets(lshBucketsId(corpus, hp, idCol, vecCol, "nid"), maxBucket)
+      .join(lshBucketsId(queries, hp, idCol, vecCol, "qid"), "bucket")
       .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
       .dropDuplicates("qid", "nid")
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm(col(vecCol)).as("nn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    cand.join(q, "qid").join(c, "nid")
       .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
@@ -151,7 +169,7 @@ object Ann {
                      sampleSize: Int = 4096, iters: Int = 5,
                      vecCol: String = "embedding", seed: Long = 42L): Array[Array[Double]] = {
     val sample = corpus.select(col(vecCol)).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .collect().map(r => toDoubles(r.getSeq[Any](0)))
     require(sample.nonEmpty, "empty corpus")
     val rnd = new scala.util.Random(seed)
     var centroids = Array.tabulate(nlist)(i => sample(
@@ -213,7 +231,7 @@ object Ann {
     corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(nlist)
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(r => toDoubles(r.getSeq[Any](1)))
 
   /**
    * IVF index-build statistics: corpus rows per inverted list. At scale
@@ -369,8 +387,9 @@ object Ann {
     // per-query ADC tables: dt(s)(c) = Σ_i (q_s(i) − codeword(i))², in
     // element order (bit-identical to the oracle's comprehension sum)
     val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
-      val qid = r.getLong(0)
-      val q = r.getSeq[Float](1).map(_.toDouble).toArray
+      // numeric-id / float-or-double tolerant, like the sibling APIs
+      val qid = r.getAs[Number](0).longValue()
+      val q = toDoubles(r.getSeq[Any](1))
       val dt = Array.tabulate(m, codebooks.head.length) { (s, c) =>
         var d = 0.0
         var i = 0
@@ -438,13 +457,24 @@ object Ann {
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxBucket: Int = 100000): DataFrame = {
     val hp = hyperplanes(tables, planes, dim, seed)
-    val a = capBuckets(
-      lshBuckets(corpus, hp, idCol, vecCol, "id_a", "va", "na"), maxBucket)
-    val b = capBuckets(
-      lshBuckets(corpus, hp, idCol, vecCol, "id_b", "vb", "nb"), maxBucket)
-    a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
+    // Band self-join carries ONLY (id, bucket); pairs are deduped on
+    // bare ids and (vector, norm) re-attached per DISTINCT pair for the
+    // exact-cosine verify — the minhashLshPairs pattern. Shuffle volume
+    // through the join and the dropDuplicates is O(candidates), not
+    // O(candidates × dim).
+    val banded = capBuckets(
+      lshBucketsId(corpus, hp, idCol, vecCol, "id"), maxBucket)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "id_b")
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))

@@ -70,6 +70,37 @@ object StreamIngest {
       .select(col("name"), unix_millis(col("window.start")).as("ts"), col("dval"))
 
   /**
+   * Watermarked tumbling-window aggregation grouped by one label's
+   * distinct values — the streaming analog of
+   * [[graft.operators.Aggregations.byLabel]] with
+   * `preserveConstantLabels = false`. (Constant-label preservation
+   * needs a full second pass over the group's label entries — a batch /
+   * compaction concern; exact MEDIAN likewise stays batch-only.)
+   * Output matches the batch column shape: `name, labels` (the grouped
+   * label only), `ts` (bucket start), `dval`. The tumbling window
+   * boundary `floor(ts / interval)` is the same bucketing as the batch
+   * `ts - ts % interval`, so closed windows are value-equal to the
+   * batch result over the same data.
+   */
+  def windowedAggByLabel(points: DataFrame, label: String,
+                         agg: graft.operators.Aggregations.AggType,
+                         intervalMs: Long,
+                         watermark: String = "10 minutes"): DataFrame = {
+    require(agg != graft.operators.Aggregations.Median,
+      "exact median needs the full bucket - batch path only")
+    points
+      .filter(map_contains_key(col("labels"), lit(label)))
+      .withColumn("gval", element_at(col("labels"), label))
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("name"), col("gval"),
+        window(col("event_time"), s"$intervalMs milliseconds"))
+      .agg(agg.fn(col("dval")).as("dval"))
+      .select(col("name"), map(lit(label), col("gval")).as("labels"),
+        unix_millis(col("window.start")).as("ts"), col("dval"))
+  }
+
+  /**
    * Streaming exact dedup for a document/point stream: drops rows whose
    * `keyCols` were already seen within the watermark window. State is
    * bounded by the watermark (keys expire once the event-time watermark
@@ -109,6 +140,17 @@ object StreamIngest {
    * stays), kept in sync by StreamingSpec comparing both paths. Late
    * events beyond the watermark belong to the batch path, like
    * [[windowedMeanByName]].
+   *
+   * In-watermark events that arrive out of order ACROSS batches are
+   * handled: an event within `gapMs` of the open session's interval
+   * merges from either end (`tStart` lowers via min, `tEnd` raises via
+   * max); a straggler more than `gapMs` OLDER than the open session can
+   * never merge with it (the open session starts > gap later) and is
+   * emitted as its own closed single-event session. DOCUMENTED
+   * DIVERGENCE from batch: a chain of such stragglers that batch
+   * sessionize would merge into one pre-session emits as one singleton
+   * each — bounded to arrival disorder beyond the gap; in-gap disorder
+   * is exact.
    */
   def sessionStep(gapMs: Long)(
       key: String, rows: Iterator[SessEvent],
@@ -126,8 +168,14 @@ object StreamIngest {
         else if (e.ts - s.tEnd > gapMs) {
           out += SessionOut(key, s.tStart, s.tEnd, s.n, s.sum)
           SessionState(e.ts, e.ts, 1L, e.value)
-        } else SessionState(s.tStart, math.max(s.tEnd, e.ts), s.n + 1,
-          s.sum + e.value)
+        } else if (s.tStart - e.ts > gapMs) {
+          // cross-batch straggler older than the open session by more
+          // than the gap: emit as its own closed session, leave the
+          // open one untouched
+          out += SessionOut(key, e.ts, e.ts, 1L, e.value)
+          s
+        } else SessionState(math.min(s.tStart, e.ts),
+          math.max(s.tEnd, e.ts), s.n + 1, s.sum + e.value)
     }
     if (s != null) {
       state.update(s)
@@ -285,12 +333,18 @@ object StreamIngest {
     var last = state.getOption.orNull
     val out = List.newBuilder[OutPoint]
     rows.toSeq.sortBy(_.ts).foreach { p =>
-      if (last != null) {
+      // monotonicity guard: a point at or behind the stored last ts
+      // (out-of-order arrival from a later batch, or a duplicate) has
+      // no defined rate (Δt ≤ 0 → ±Infinity) and must not rewind the
+      // state — drop it; the batch path over the full sorted data is
+      // where such stragglers belong
+      if (last == null) last = RateState(p.ts, p.dval)
+      else if (p.ts > last.ts) {
         val dt0 = p.ts - last.ts
         val r = (p.dval - last.dval) / (if (perSecond) dt0 / 1000.0 else dt0.toDouble)
         if (signed || r >= 0) out += OutPoint(key, p.ts, r)
+        last = RateState(p.ts, p.dval)
       }
-      last = RateState(p.ts, p.dval)
     }
     if (last != null) state.update(last)
     if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
@@ -340,9 +394,15 @@ object StreamIngest {
     var s = state.getOption.getOrElse(graft.operators.Anomaly.init)
     val out = List.newBuilder[OutPoint]
     rows.toSeq.sortBy(_.ts).foreach { p =>
-      val (next, z) = graft.operators.Anomaly.step(s, p.ts, p.dval, tauMs)
-      s = next
-      z.foreach(v => out += OutPoint(key, p.ts, v))
+      // monotonicity guard (as in rateStep): Δt ≤ 0 would give a
+      // negative decay α, driving the EWM variance negative and
+      // silently corrupting every later z-score — drop out-of-order
+      // arrivals instead of feeding them to the state machine
+      if (s.n == 0L || p.ts > s.prevTs) {
+        val (next, z) = graft.operators.Anomaly.step(s, p.ts, p.dval, tauMs)
+        s = next
+        z.foreach(v => out += OutPoint(key, p.ts, v))
+      }
     }
     state.update(s)
     if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)

@@ -43,6 +43,36 @@ class CliSpec extends SparkSpec {
     assert(req.aggregations(1).sampleIntervalMs == 60000L)
   }
 
+  test("alerts args: ad-hoc rule from alert= flag, rules from config=") {
+    val r = Cli.parseAlerts(Seq("/sys/load*", "alert=0.9", "min_periods=2",
+      "interval=1h", "agg=max", "condition=GE"))
+    assert(r == Seq(graft.operators.Alerts.AlertRule(
+      patterns = Seq("/sys/load*"),
+      agg = graft.operators.Aggregations.Max,
+      intervalMs = 3600000L,
+      condition = graft.operators.Alerts.Ge,
+      threshold = 0.9, minPeriods = 2, comment = "cli rule on /sys/load*")))
+    intercept[IllegalArgumentException](Cli.parseAlerts(Seq("/sys/load")))
+    val cfg = java.nio.file.Files.createTempFile("alerts", ".txt")
+    java.nio.file.Files.write(cfg, SparkEntry.AlertConfigText.getBytes("UTF-8"))
+    val fromFile = Cli.parseAlerts(Seq(s"config=$cfg"))
+    assert(fromFile.map(a => (a.threshold, a.minPeriods)) == Seq((62.0, 3)))
+  }
+
+  test("alerts end-to-end: threshold episodes from a store") {
+    val store = java.nio.file.Files.createTempDirectory("graft_alert").toString + "/s"
+    // 4 consecutive violating minutes, a gap, then a single violation
+    Cli.runAdd(spark, store,
+      (0 until 4).map(i => s"/al/x:9@${i * 60000}") ++
+        Seq("/al/x:1@300000", "/al/x:9@600000"),
+      nowMs = 1000000L)
+    val eps = Cli.run(spark, store, Seq("alerts", "/al/*", "alert=5",
+        "min_periods=3", "interval=1m"))
+      .select("t_start", "t_end", "n_periods").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(eps == Seq((0L, 180000L, 4L)))
+  }
+
   test("end-to-end: add, get with mutation, list against a store") {
     val store = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/s"
     val added = Cli.runAdd(spark, store, Seq(

@@ -196,21 +196,56 @@ class PipelineSpec extends SparkSpec {
     assert(capped.count() == 0) // oversized buckets skipped, no blowup
   }
 
-  test("resizeToFit: aspect-preserving box fit, no upscale, audio dropped") {
+  test("fitBox: aspect-preserving box fit, no upscale, floor+min-1px") {
+    import graft.multimodal.Multimodal.fitBox
+    assert(fitBox(2000, 100, 64, 64) == ((64, 3)))   // wide: scale 0.032
+    assert(fitBox(100, 2000, 64, 64) == ((3, 64)))   // tall
+    assert(fitBox(32, 32, 64, 64) == ((32, 32)))     // fits: no upscale
+    assert(fitBox(10000, 10, 64, 64) == ((64, 1)))   // floor clamps to 1px
+  }
+
+  test("resizeToFit: REAL resample for parseable images, stub for the rest") {
     import spark.implicits._
-    val features = Seq(
-      (1L, "video", 2000, 100, "sha_a"),
-      (2L, "image", 32, 32, "sha_b"),
-      (3L, "audio", 0, 0, "sha_c"))
-      .toDF("item_id", "modality", "width", "height", "content_sha")
-    val out = graft.multimodal.Multimodal.resizeToFit(features, 64, 64)
-      .select("item_id", "out_w", "out_h", "content").collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
-        new String(r.getAs[Array[Byte]](3), "UTF-8"))).toSeq.sortBy(_._1)
-    // 2000x100 -> scale 0.032 -> 64x3; 32x32 fits already (no upscale)
-    assert(out == Seq(
-      (1L, 64, 3, "sha_a:64x3"),
-      (2L, 32, 32, "sha_b:32x32")))
+    import graft.multimodal.Multimodal
+    // a real 200x100 PNG generated in-process (red/blue halves)
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        200, 100, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 100).foreach(y => (0 until 200).foreach(x =>
+        img.setRGB(x, y, if (x < 100) 0xFF0000 else 0x0000FF)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", png),                              // real decode path
+      (2L, "image", "not an image".getBytes("UTF-8")), // stub fallback
+      (3L, "video", png),                              // video: always stub
+      (4L, "audio", png))                              // dropped
+      .toDF("item_id", "modality", "content")
+    val out = Multimodal.resizeToFit(media, 64, 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // real path: 200x100 -> 64x32, and the output bytes are a REAL PNG
+    // with exactly those pixel dimensions whose halves kept their hues
+    val (_, w1, h1, bytes1) = out(1L)
+    assert((w1, h1) == ((64, 32)))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes1))
+    assert(back != null && back.getWidth == 64 && back.getHeight == 32)
+    val left = back.getRGB(10, 16)
+    val right = back.getRGB(54, 16)
+    assert(((left >> 16) & 0xFF) > ((left) & 0xFF), "left half stays red-ish")
+    assert(((right) & 0xFF) > ((right >> 16) & 0xFF), "right half stays blue-ish")
+    // stub path: dims from the content-hash fake, "sha:WxH" blob
+    val (_, w2, h2, bytes2) = out(2L)
+    assert(new String(bytes2, "UTF-8").endsWith(s":${w2}x$h2"))
+    // video never attempts the image decode, even for parseable bytes
+    val (_, _, _, bytes3) = out(3L)
+    assert(new String(bytes3, "UTF-8").contains(":"),
+      "video must take the stub branch")
   }
 
   test("topCentroids: argmin matches a reference scan, best-first order") {

@@ -186,11 +186,34 @@ class PlanAuditSpec extends SparkSpec {
       s"p_wsample must not shuffle-join a corpus-sized side, got $joins:\n${p.take(1500)}")
   }
 
-  test("p_budget is one shuffle (per-source cumsum window)") {
+  test("p_budget cumsum is two-phase: per-bucket windows + broadcast offsets") {
     val p = plan("p_budget")
-    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
-    assert(n == 1, s"p_budget expected exactly 1 shuffle, got $n:\n${p.take(1500)}")
-    assert(!p.contains("Join"), "p_budget must not join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(#sources × 256) bucket-offset side must broadcast:\n${p.take(1500)}")
+    assert("windowspecdefinition\\(source#\\d+, bkt#\\d+".r.findFirstIn(p).isDefined,
+      "the corpus-side cumsum window must partition by (source, bucket) — " +
+        s"a source-only window serializes each stratum:\n${p.take(1500)}")
+    val joins = "(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(p).length
+    assert(joins == 0,
+      s"offsets must broadcast, not shuffle-join the corpus, got $joins")
+  }
+
+  test("lsh band joins carry ids only — no vector payload in the candidate shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Seq("e_lsh_pairs", "e_knn_lsh").foreach { q =>
+      val opt = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val bandJoins = opt.collect {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "bucket")) => j
+      }
+      assert(bandJoins.nonEmpty, s"$q should contain a band join on bucket")
+      val vecNames = Set("embedding", "va", "vb", "nvec", "qvec", "v")
+      bandJoins.foreach { j =>
+        val names = j.output.map(_.name).toSet
+        assert(names.intersect(vecNames).isEmpty,
+          s"$q band join output carries vector payload: $names — " +
+            "candidate shuffle volume must be O(candidates), not O(candidates × dim)")
+      }
+    }
   }
 
   test("q_top_series plans as TakeOrderedAndProject, not a global sort") {

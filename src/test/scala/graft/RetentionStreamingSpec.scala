@@ -245,6 +245,144 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming byLabel windowed agg matches batch byLabel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("/w/a", "h1", 1000L, 1.0), ("/w/a", "h1", 4000L, 3.0), // (a,h1) b0: sum 4
+      ("/w/a", "h2", 2000L, 5.0),                             // (a,h2) b0: sum 5
+      ("/w/a", "h1", 11000L, 7.0),                            // (a,h1) b10000
+      ("/w/b", "h1", 2000L, 10.0))                            // (b,h1) b0
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), map(lit("host"), col("host")).as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val batch = graft.operators.Aggregations.byLabel(
+        pointDf(rows.toDF("name", "host", "ts", "dval")),
+        "host", graft.operators.Aggregations.Sum, 10000L,
+        preserveConstantLabels = false)
+      .select(col("name"), element_at(col("labels"), "host").as("h"),
+        col("ts"), col("dval"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val mem = MemoryStream[(String, String, Long, Double)]
+    val q = StreamIngest.windowedAggByLabel(
+        pointDf(mem.toDF().toDF("name", "host", "ts", "dval")),
+        "host", graft.operators.Aggregations.Sum, 10000L)
+      .writeStream.format("memory").queryName("winlbl_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(3): _*)
+    mem.addData(rows.drop(3): _*)
+    // advance the watermark past all windows so append mode emits them
+    mem.addData(("/w/flush", "h9", 10000000L, 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("winlbl_out")
+      .filter(col("name") =!= "/w/flush")
+      .select(col("name"), element_at(col("labels"), "host").as("h"),
+        col("ts"), col("dval"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
+  test("session merge handles in-watermark out-of-order events across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.sessionizeStream(
+        mem.toDF().toDF("key", "ts", "value"), 10000L,
+        watermark = "1 hour") // generous: batch-2 events stay in-watermark
+      .writeStream.format("memory").queryName("sess_ooo_out")
+      .outputMode("append").start()
+    mem.addData(("u1", 20000L, 1.0), ("u1", 25000L, 2.0))
+    q.processAllAvailable()
+    // batch 2, both in-watermark: 18000 is within the gap of the open
+    // session's start (merges, LOWERING t_start); 1000 precedes it by
+    // more than the gap (can never merge -> own singleton session);
+    // the far-future event gap-splits and flushes the merged session
+    mem.addData(("u1", 1000L, 5.0), ("u1", 18000L, 3.0),
+      ("u1", 10000000L, 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_ooo_out")
+      .filter(col("t_start") < 1000000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    q.stop()
+    assert(streamed == Set(
+      ("u1", 1000L, 1000L, 1L, 5.0),
+      ("u1", 18000L, 25000L, 3L, 6.0)))
+  }
+
+  test("rate stream drops out-of-order points instead of emitting ±Inf") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("skey").as("name"),
+        map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val mem = MemoryStream[StreamIngest.InPoint]
+    val q = StreamIngest.rateStream(pointDf(mem.toDF()), idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("rate_ooo_out")
+      .outputMode("append").start()
+    mem.addData(StreamIngest.InPoint("/c", 10000L, 5.0),
+      StreamIngest.InPoint("/c", 20000L, 15.0))
+    q.processAllAvailable()
+    // 15000 arrives after 20000 was processed: Δt < 0 — must be
+    // dropped without rewinding the stored last point; a duplicate ts
+    // (Δt = 0 → ±Inf) must drop too
+    mem.addData(StreamIngest.InPoint("/c", 15000L, 100.0),
+      StreamIngest.InPoint("/c", 20000L, 99.0),
+      StreamIngest.InPoint("/c", 30000L, 25.0))
+    q.processAllAvailable()
+    val streamed = spark.table("rate_ooo_out")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(streamed == Set((20000L, 1.0), (30000L, 1.0)))
+  }
+
+  test("anomaly stream skips out-of-order points without corrupting state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("skey").as("name"),
+        map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val rnd = new scala.util.Random(13)
+    val clean = (0 until 40).map(i =>
+      StreamIngest.InPoint("/a", i * 5000L, 50.0 + rnd.nextGaussian()))
+    // batch reference over the CLEAN ordered series only
+    val batch = Mutations.ewmZscore(
+        graft.model.Point.withSeriesKey(
+          pointDf(clean.map(p => (p.skey, p.ts, p.dval))
+            .toDF("skey", "ts", "dval"))),
+        60000.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val mem = MemoryStream[StreamIngest.InPoint]
+    val q = StreamIngest.anomalyStream(pointDf(mem.toDF()), 60000.0,
+        idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("anom_ooo_out")
+      .outputMode("append").start()
+    mem.addData(clean.take(20): _*)
+    q.processAllAvailable()
+    // stragglers behind the stored last ts: without the monotonicity
+    // guard, the negative Δt makes α < 0 and the EWM variance can go
+    // negative, corrupting every later z-score
+    mem.addData(StreamIngest.InPoint("/a", 42000L, 500.0),
+      StreamIngest.InPoint("/a", 95000L, -500.0))
+    q.processAllAvailable()
+    mem.addData(clean.drop(20): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("anom_ooo_out")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops re-seen keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
