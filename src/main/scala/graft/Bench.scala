@@ -19,9 +19,15 @@ object Bench {
       SparkEntry.queries.get("list_vars")
         .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())
     } catch { case _: Throwable => }
+    // local-iteration filter, like Verify's SPARK_GRAFT_ONLY (unset on
+    // the driver → all queries)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // deterministic order: stable attribution of warm-cache effects
     // across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1).map { case (name, fn) =>
       // Two timed passes, report the min: a single pass is hostage to
       // whatever else shares the box (GC, page cache churn, concurrent
       // jobs); the min of two is robust against one-off interference

@@ -410,22 +410,25 @@ object PipelineEntry {
     // joins k²-quadratically. (At sf0.01 max df is 7 — the guard is
     // output-neutral at gate scale, load-bearing at 100 TB.)
     "t_winnow_pairs" -> ((s, dir) => {
-      val fps = Tables.documents(s, dir)
+      // The boilerplate-fp exclusion is a WINDOW over the same
+      // hashpartitioning(fp) the self-join needs — not a separate
+      // count aggregate anti-joined back. One exchange on fp below
+      // the window is byte-identical for both self-join sides, so the
+      // tokenize+winnow pass runs ONCE and is shared via
+      // ReusedExchange; only the (cheap) window count + filter
+      // replays per side. (An earlier .cache() here leaked pinned
+      // partitions — the query builder never sees the caller's action
+      // to unpersist after.)
+      val cold = Tables.documents(s, dir)
         .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("sh", TextOps.shingles(col("toks"), 3))
         .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))
-        // One explicit shuffle on fp materializes the tokenize+winnow
-        // pass exactly once: the df agg and BOTH self-join sides need
-        // hashpartitioning(fp) anyway, so they all read the same
-        // ReusedExchange. (A .cache() here leaked pinned partitions —
-        // the query builder never sees the caller's action to
-        // unpersist after.)
         .repartition(col("fp"))
-      val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 50).select("fp")
-      val cold = fps.join(hot, Seq("fp"), "left_anti")
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("df") <= 50)
+        .select("doc_id", "fp")
       cold.as("a").join(cold.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
