@@ -231,7 +231,11 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
   def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
-/** `runMain graft.http.StoreHttpServer --store=<dir> [--port=N]`. */
+/** `runMain graft.http.StoreHttpServer --store=<dir> [--port=N]
+  * [--config=<config.txt>]` — `--config` takes the reference's
+  * text-format store config (config.txt): its retention policy goes
+  * live at /add ingest and is served back on /get_config, exactly the
+  * reference server's startup contract (server/store.cc:72-95). */
 object StoreHttpServer {
   def main(args: Array[String]): Unit = {
     val opts = args.filter(_.startsWith("--"))
@@ -240,6 +244,11 @@ object StoreHttpServer {
     val store = opts.getOrElse("store",
       sys.env.getOrElse("GRAFT_STORE",
         throw new IllegalArgumentException("--store=<path> required")))
+    val retention = opts.get("config")
+      .map(p => graft.config.StoreConfig.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        "UTF-8")).retention)
+      .getOrElse(graft.retention.Retention.Policy(Nil))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
@@ -251,6 +260,7 @@ object StoreHttpServer {
     spark.sparkContext.setLogLevel("WARN")
     val s = new StoreHttpServer(spark, store,
       opts.get("port").map(_.toInt).getOrElse(8020),
+      retention = retention,
       argv = args.toSeq,
       // --mutation_semantics=cpp -> one stream per mutation (C++ servers)
       cppMutationSemantics =

@@ -223,6 +223,34 @@ object StreamIngest {
         events.filter(col("value") > threshold), gapMs, watermark)
       .filter(col("t_end") - col("t_start") >= minDurMs)
 
+  /**
+   * Streaming evaluation of a CONFIG alert rule
+   * ([[graft.operators.Alerts.AlertRule]], reference config.txt
+   * syntax) over canonical points: pattern scope → condition on the
+   * raw value → stateful gap sessionization per series, episode gap =
+   * the rule's grid interval, duration gate = (minPeriods−1)·interval
+   * (a k-period batch episode spans k−1 grid steps). The LIVE
+   * approximation of [[graft.operators.Alerts.evaluate]]: raw points
+   * violate directly, where the batch path grid-aggregates first —
+   * alerts fire at point granularity without waiting for a window to
+   * close.
+   */
+  def alertRuleStream(points: DataFrame,
+                      rule: graft.operators.Alerts.AlertRule,
+                      watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val scoped =
+      if (rule.patterns.isEmpty) points
+      else points.filter(rule.patterns
+        .map(graft.pattern.VariableMatcher.compile).reduce(_ || _))
+    sessionizeStream(
+        Point.withSeriesKey(scoped)
+          .select(col("skey").as("key"), col("ts"), col("dval").as("value"))
+          .filter(rule.condition.apply(col("value"), rule.threshold)),
+        rule.intervalMs, watermark)
+      .filter(col("t_end") - col("t_start") >=
+        (rule.minPeriods - 1).toLong * rule.intervalMs)
+  }
+
   // ------------------------------------------------- stateful resample
 
   /** Per-series incremental state of the uniform resampler — the same

@@ -519,6 +519,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("config alert rule drives the live alert stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // LT rule from config text: value below 10 sustained >= 3 periods
+    // (2 * 60000 ms span) on /al/* only
+    val Seq(rule) = graft.config.StoreConfig.parse(
+      """alert {
+        |  variable { name: "/al/*" }
+        |  sample_frequency: 60000
+        |  condition: LT
+        |  threshold: 10.0
+        |  min_periods: 3
+        |}""".stripMargin).alerts
+    val mem = MemoryStream[(String, Long, Double)]
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val q = StreamIngest.alertRuleStream(
+        pointDf(mem.toDF().toDF("name", "ts", "dval")), rule,
+        watermark = "1 second")
+      .writeStream.format("memory").queryName("cfg_alert_out")
+      .outputMode("append").start()
+    // base offset keeps the first event ahead of the initial watermark
+    // (a ts==0 row sits exactly on it and is dropped as late)
+    val b = 600000L
+    mem.addData( // 4 violating minutes, then recovery; /oth out of scope
+      ("/al/x", b, 1.0), ("/al/x", b + 60000L, 2.0), ("/al/x", b + 120000L, 3.0),
+      ("/al/x", b + 180000L, 4.0), ("/al/x", b + 240000L, 99.0),
+      ("/oth/y", b, 1.0), ("/oth/y", b + 60000L, 1.0), ("/oth/y", b + 120000L, 1.0))
+    q.processAllAvailable()
+    mem.addData(("/al/flush", 100000000L, 0.0)); q.processAllAvailable()
+    mem.addData(("/al/flush2", 200100000L, 0.0)); q.processAllAvailable()
+    val eps = spark.table("cfg_alert_out")
+      .filter(!col("key").startsWith("/al/flush"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    q.stop()
+    assert(eps == Set(("/al/x", 600000L, 780000L, 4L)))
+  }
+
   test("session state closes on event-time timeout and is removed") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
