@@ -244,9 +244,11 @@ object SparkEntry {
     // pair inequality rides the join condition, so mirror pairs die
     // inside the join, not in a post-filter.
     "agg_corr" -> ((s, dir) => {
-      val requested = CorrNames.map("/events/" + _)
-      val g = Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
-        .filter(col("name").isin(requested: _*))
+      // scope lands on the raw event_type column -> parquet pushed
+      // filter (plan-audited); a name filter post-concat cannot push
+      val scoped = Point.withSeriesKey(
+        graft.sources.PointSource.events(s, dir, CorrNames))
+      val g = Aggregations.byName(scoped, Aggregations.Average, HourMs)
       val a = g.select(col("name").as("name_a"), col("ts"), col("dval").as("va"))
       val b = g.select(col("name").as("name_b"), col("ts").as("ts_b"),
         col("dval").as("vb"))

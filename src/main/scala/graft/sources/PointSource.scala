@@ -19,8 +19,17 @@ object PointSource {
    * Adapts the driver's `events` table onto the canonical schema:
    * one series per (event_type, user) pair, GAUGE-typed, ms timestamps.
    */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+  /** `eventTypes` non-empty restricts the scan to those types — the
+    * filter lands on the RAW `event_type` column, before the
+    * name-mapping select, so it reaches the parquet scan as a pushed
+    * filter. (A filter on the derived `name` — a concat over
+    * event_type — can never push; a 5-metric query would scan every
+    * event at 100 TB.) */
+  def events(spark: SparkSession, sfDir: String,
+             eventTypes: Seq[String] = Nil): DataFrame = {
+    val raw0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = if (eventTypes.isEmpty) raw0
+      else raw0.filter(col("event_type").isin(eventTypes: _*))
     // The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark only
     // reads via spark.sql.legacy.parquet.nanosAsLong=true (→ LongType ns).
     // `div` (integer division) is mandatory: ns magnitudes (~1.7e18)

@@ -216,6 +216,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("agg_corr's requested-name scope reaches the parquet scan") {
+    val p = plan("agg_corr")
+    assert(p.replaceAll("\\s", "")
+        .matches("(?s).*PushedFilters:\\[[^]]*event_type[^]]*\\].*"),
+      s"the metric-set restriction must push to the event_type scan " +
+        s"(a post-concat name filter cannot):\n${p.take(2000)}")
+  }
+
   test("q_top_series plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q_top_series")
     assert(p.contains("TakeOrderedAndProject"),
