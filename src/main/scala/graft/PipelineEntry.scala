@@ -364,8 +364,11 @@ object PipelineEntry {
     "e_knn_ivf_trained" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 10)
+      // deterministicSample: the Lloyd training sample is the 4096
+      // smallest vec_ids, a pure function of the data — the recall
+      // measured here is exactly what any re-run trains and gets
       val ivf = Ann.ivfTopK(emb, queries, k = 5, nlist = 16, nprobe = 4,
-          dim = 64)
+          dim = 64, deterministicSample = true)
         .select(col("qid"), col("nid"))
       val brute = Ann.bruteTopK(emb, queries, k = 5)
         .select(col("qid"), col("nid"))

@@ -137,6 +137,8 @@ object Cli {
             case "sum" => Aggregations.Sum
             case "min" => Aggregations.Min
             case "max" => Aggregations.Max
+            case other => throw new IllegalArgumentException(
+              s"alerts agg=$other (want avg|sum|min|max)")
           },
           intervalMs = opts.get("interval").map(parseDuration)
             .getOrElse(Aggregations.DefaultIntervalMs),

@@ -167,8 +167,17 @@ object Ann {
    */
   def trainCentroids(corpus: DataFrame, nlist: Int, dim: Int,
                      sampleSize: Int = 4096, iters: Int = 5,
-                     vecCol: String = "embedding", seed: Long = 42L): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol)).limit(sampleSize)
+                     vecCol: String = "embedding", seed: Long = 42L,
+                     sampleOrderCol: Option[String] = None): Array[Array[Double]] = {
+    // With sampleOrderCol the training sample is a pure function of
+    // the DATA (the sampleSize smallest ids) rather than of partition
+    // order — two runs over the same corpus train identical centroids
+    // regardless of file split/listing. Recall-contract gates need
+    // this; plain limit() keeps the cheaper no-sort scan otherwise.
+    val base = sampleOrderCol.fold(corpus.select(col(vecCol)))(
+      o => corpus.select(col(o), col(vecCol)).orderBy(col(o))
+        .select(col(vecCol)))
+    val sample = base.limit(sampleSize)
       .collect().map(r => toDoubles(r.getSeq[Any](0)))
     require(sample.nonEmpty, "empty corpus")
     val rnd = new scala.util.Random(seed)
@@ -214,8 +223,10 @@ object Ann {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    ivfTopKWith(trainCentroids(corpus, nlist, dim, vecCol = vecCol),
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              deterministicSample: Boolean = false): DataFrame =
+    ivfTopKWith(trainCentroids(corpus, nlist, dim, vecCol = vecCol,
+        sampleOrderCol = if (deterministicSample) Some(idCol) else None),
       corpus, queries, k, nprobe, idCol, vecCol)
 
   /**
