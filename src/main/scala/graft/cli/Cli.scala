@@ -116,18 +116,25 @@ object Cli {
       autoRate = autoRate, chainMutations = chain)
   }
 
+  private val alertFlagKeys =
+    Set("alert", "min_periods", "interval", "agg", "condition", "config")
+
   /** `alerts` args → rules: a config file, or one ad-hoc rule from the
-    * `alert=` threshold flag (+ optional shaping flags). */
+    * `alert=` threshold flag (+ optional shaping flags). An arg is a
+    * FLAG only when its `key=` prefix is a known flag name — a labeled
+    * variable pattern (`/name{k=v}`) contains '=' too and must stay a
+    * pattern, not be silently swallowed into the option map. */
   def parseAlerts(args: Seq[String]): Seq[graft.operators.Alerts.AlertRule] = {
-    val opts = args.flatMap(kv).toMap
+    def isFlag(a: String): Boolean =
+      kv(a).exists { case (k, _) => alertFlagKeys(k) }
+    val opts = args.filter(isFlag).flatMap(kv).toMap
     opts.get("config") match {
       case Some(path) =>
         graft.config.StoreConfig.parse(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           "UTF-8")).alerts
       case None =>
-        val pattern = args.headOption.filterNot(_.contains("="))
-          .getOrElse("*")
+        val pattern = args.headOption.filterNot(isFlag).getOrElse("*")
         val threshold = opts.get("alert").map(_.toDouble).getOrElse(
           throw new IllegalArgumentException("alerts needs alert=<threshold> or config=<path>"))
         Seq(graft.operators.Alerts.AlertRule(

@@ -50,19 +50,28 @@ object StoreConfig {
     if (labels.isEmpty) name else labels.mkString(s"$name{", ",", "}")
   }
 
-  /** SampleType enum (lib/openinstrument.proto:26-43) → MutationSpec. */
-  private def mutation(m: TextProto.Msg): Requests.MutationSpec = {
+  /** SampleType enum (lib/openinstrument.proto:26-43) → MutationSpec,
+    * mirroring the wire codec ([[graft.wire.Rpc]] mutationSpec) so the
+    * same rule means the same thing parsed from config.txt or decoded
+    * off the wire: `max_gap_interpolate` is a sample COUNT
+    * (proto:45-51) converted to ms as count·frequency, and a NONE
+    * (interpolate) block without a positive `sample_frequency` is
+    * dropped (`Interpolate(0)` would divide by zero; absent max-gap
+    * means unlimited fill, the Go server's behavior). */
+  private def mutation(m: TextProto.Msg): Option[Requests.MutationSpec] = {
     val freq = m.long("sample_frequency").getOrElse(0L)
+    val maxGapMs = m.long("max_gap_interpolate")
+      .filter(_ > 0).map(_ * freq).getOrElse(0L)
     m.str("sample_type").getOrElse("NONE") match {
-      case "NONE"        => Requests.Interpolate(freq,
-        m.long("max_gap_interpolate").getOrElse(0L))
-      case "AVERAGE"     => Requests.Mean(freq)
-      case "MAX"         => Requests.MaxM(freq)
-      case "MIN"         => Requests.MinM(freq)
-      case "RATE"        => Requests.Rate()
-      case "RATE_SIGNED" => Requests.RateSigned()
-      case "DELTA"       => Requests.Delta
-      case "LATEST"      => Requests.Latest(freq)
+      case "NONE"        =>
+        if (freq > 0) Some(Requests.Interpolate(freq, maxGapMs)) else None
+      case "AVERAGE"     => Some(Requests.Mean(freq))
+      case "MAX"         => Some(Requests.MaxM(freq))
+      case "MIN"         => Some(Requests.MinM(freq))
+      case "RATE"        => Some(Requests.Rate())
+      case "RATE_SIGNED" => Some(Requests.RateSigned())
+      case "DELTA"       => Some(Requests.Delta)
+      case "LATEST"      => Some(Requests.Latest(freq))
       case other => throw new IllegalArgumentException(s"sample_type $other")
     }
   }
@@ -77,7 +86,7 @@ object StoreConfig {
       },
       minAgeMs = p.long("min_age").getOrElse(0L),
       maxAgeMs = p.long("max_age").getOrElse(0L),
-      mutations = p.msgs("mutation").map(mutation),
+      mutations = p.msgs("mutation").flatMap(mutation),
       comment = p.strs("comment").mkString(" "))
 
   private def alertRule(a: TextProto.Msg): Alerts.AlertRule =

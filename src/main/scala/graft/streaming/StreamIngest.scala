@@ -383,7 +383,11 @@ object StreamIngest {
    * Streaming per-series rate — the live-dashboard primitive. O(1)
    * state (the previous point) per live series, idle eviction as in
    * the resampler; bit-equal to the batch lag-window rate
-   * (StreamingSpec).
+   * (StreamingSpec) on strictly-increasing timestamps. DOCUMENTED
+   * DIVERGENCE: duplicate-ts and out-of-order points are DROPPED by
+   * the monotonicity guard (the batch lag window instead emits the
+   * undefined ±Infinity a zero Δt produces — garbage either way; the
+   * stream declines to emit it).
    */
   def rateStream(points: DataFrame, perSecond: Boolean = true,
                  signed: Boolean = false,
@@ -439,8 +443,12 @@ object StreamIngest {
 
   /**
    * Streaming EWMA-control-chart z-scores per series — the streaming
-   * half of [[graft.operators.Mutations.ewmZscore]]. Append-mode;
-   * downstream alerting is a `filter(abs(dval) > k)` on the output.
+   * half of [[graft.operators.Mutations.ewmZscore]], bit-equal on
+   * strictly-increasing timestamps (duplicate/out-of-order points are
+   * dropped by the monotonicity guard — see [[rateStream]]'s
+   * divergence note; the batch window feeds them to the recurrence
+   * with α ≤ 0). Append-mode; downstream alerting is a
+   * `filter(abs(dval) > k)` on the output.
    */
   def anomalyStream(points: DataFrame, tauMs: Double,
                     idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {

@@ -53,6 +53,10 @@ class CliSpec extends SparkSpec {
       condition = graft.operators.Alerts.Ge,
       threshold = 0.9, minPeriods = 2, comment = "cli rule on /sys/load*")))
     intercept[IllegalArgumentException](Cli.parseAlerts(Seq("/sys/load")))
+    // a labeled pattern contains '=' but is NOT a flag — it must stay
+    // the pattern, not be swallowed into the option map leaving "*"
+    val labeled = Cli.parseAlerts(Seq("/sys/load{host=web1}", "alert=0.9"))
+    assert(labeled.head.patterns == Seq("/sys/load{host=web1}"))
     val cfg = java.nio.file.Files.createTempFile("alerts", ".txt")
     java.nio.file.Files.write(cfg, SparkEntry.AlertConfigText.getBytes("UTF-8"))
     val fromFile = Cli.parseAlerts(Seq(s"config=$cfg"))

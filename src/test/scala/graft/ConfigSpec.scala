@@ -72,6 +72,23 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextProto.parse("a { b: 1"))
     intercept[IllegalArgumentException](TextProto.parse("a } b"))
     intercept[IllegalArgumentException](TextProto.parse("a"))
+    intercept[IllegalArgumentException](TextProto.parse("threshold:"))
+  }
+
+  test("mutation units mirror the wire codec: gap in samples, freq guard") {
+    // max_gap_interpolate is a sample COUNT (proto:45-51): 2 samples at
+    // 30 s frequency = 60 000 ms of fill cap, exactly like Rpc decode
+    val cfg = StoreConfig.parse(
+      """retention_policy { policy {
+        |  variable { name: "*" }
+        |  policy: KEEP
+        |  mutation { sample_type: NONE sample_frequency: 30000 max_gap_interpolate: 2 }
+        |  mutation { sample_type: NONE }
+        |} }""".stripMargin)
+    // the freq-less NONE block is dropped (Interpolate(0) would divide
+    // by zero; Rpc.mutationSpec makes the same call)
+    assert(cfg.retention.items.head.mutations ==
+      Seq(graft.api.Requests.Interpolate(30000L, 60000L)))
   }
 
   test("StoreConfig maps retention policy items (first-match order kept)") {
