@@ -286,6 +286,10 @@ object PipelineEntry {
     // per-bucket offsets (sums of the earlier buckets) come from an
     // O(#sources × 256) aggregate joined back by broadcast. Identical
     // output to the single-window form; no stratum ever serializes.
+    // DELIBERATE cost: the tokenize scan runs twice (offsets branch
+    // prunes columns differently, so no exchange reuse) — a second
+    // fully-parallel linear pass, traded for removing the per-source
+    // serialization that breaks at scale.
     "p_budget" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
@@ -413,25 +417,28 @@ object PipelineEntry {
     // joins k²-quadratically. (At sf0.01 max df is 7 — the guard is
     // output-neutral at gate scale, load-bearing at 100 TB.)
     "t_winnow_pairs" -> ((s, dir) => {
-      // The boilerplate-fp exclusion is a WINDOW over the same
-      // hashpartitioning(fp) the self-join needs — not a separate
-      // count aggregate anti-joined back. One exchange on fp below
-      // the window is byte-identical for both self-join sides, so the
-      // tokenize+winnow pass runs ONCE and is shared via
-      // ReusedExchange; only the (cheap) window count + filter
-      // replays per side. (An earlier .cache() here leaked pinned
-      // partitions — the query builder never sees the caller's action
-      // to unpersist after.)
-      val cold = Tables.documents(s, dir)
+      // Hot-key-SAFE shape: the boilerplate df count aggregates with
+      // map-side partials (a hot fp reduces to ~#partitions rows
+      // before any shuffle) and the tiny hot set broadcasts into an
+      // anti-join that drops hot rows map-side — no task ever holds a
+      // hot stratum. (A window-count over an fp-partitioned exchange
+      // would funnel every row of a 10^8-df boilerplate fp through
+      // ONE task just to discard it; a .cache() leaks pinned
+      // partitions — both rejected forms.) Cost: the tokenize+winnow
+      // pass runs twice — once for the df branch, once SHARED by both
+      // self-join sides (identical subplans → one ReusedExchange).
+      val fps = Tables.documents(s, dir)
         .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("sh", TextOps.shingles(col("toks"), 3))
         .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))
-        .repartition(col("fp"))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-        .filter(col("df") <= 50)
-        .select("doc_id", "fp")
+      val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50).select("fp")
+      // un-hinted: the hot set is usually tiny (AQE broadcasts it),
+      // but it is bounded by distinct-fps/50, not by schema — at an
+      // adversarial 100 TB a forced broadcast would be the hazard
+      val cold = fps.join(hot, Seq("fp"), "left_anti")
       cold.as("a").join(cold.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -128,13 +128,20 @@ object Cli {
     def isFlag(a: String): Boolean =
       kv(a).exists { case (k, _) => alertFlagKeys(k) }
     val opts = args.filter(isFlag).flatMap(kv).toMap
+    // the pattern may sit anywhere among the flags; more than one
+    // non-flag arg is a typo (e.g. a misspelled flag) — fail loudly
+    // rather than silently alerting fleet-wide
+    val nonFlags = args.filterNot(isFlag)
+    if (nonFlags.length > 1)
+      throw new IllegalArgumentException(
+        s"alerts: unexpected arguments ${nonFlags.tail.mkString(", ")}")
     opts.get("config") match {
       case Some(path) =>
         graft.config.StoreConfig.parse(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           "UTF-8")).alerts
       case None =>
-        val pattern = args.headOption.filterNot(isFlag).getOrElse("*")
+        val pattern = nonFlags.headOption.getOrElse("*")
         val threshold = opts.get("alert").map(_.toDouble).getOrElse(
           throw new IllegalArgumentException("alerts needs alert=<threshold> or config=<path>"))
         Seq(graft.operators.Alerts.AlertRule(

@@ -142,15 +142,16 @@ object StreamIngest {
    * [[windowedMeanByName]].
    *
    * In-watermark events that arrive out of order ACROSS batches are
-   * handled: an event within `gapMs` of the open session's interval
-   * merges from either end (`tStart` lowers via min, `tEnd` raises via
-   * max); a straggler more than `gapMs` OLDER than the open session can
-   * never merge with it (the open session starts > gap later) and is
-   * emitted as its own closed single-event session. DOCUMENTED
-   * DIVERGENCE from batch: a chain of such stragglers that batch
-   * sessionize would merge into one pre-session emits as one singleton
-   * each — bounded to arrival disorder beyond the gap; in-gap disorder
-   * is exact.
+   * handled by an interval merge over {open-session state} ∪ {batch
+   * events}: all intervals within `gapMs` of each other coalesce
+   * (`tStart` can lower, `tEnd` can raise), then every merged session
+   * except the LAST (the open one) emits closed. Within one batch plus
+   * the carried state this is exactly the batch sessionization — a
+   * straggler only becomes its own session when nothing in the batch
+   * bridges it. DOCUMENTED DIVERGENCE from batch: a session already
+   * emitted in an earlier batch cannot retroactively absorb a
+   * straggler a later batch delivers (append mode cannot retract);
+   * disorder confined to one batch is exact.
    */
   def sessionStep(gapMs: Long)(
       key: String, rows: Iterator[SessEvent],
@@ -160,32 +161,30 @@ object StreamIngest {
       state.remove()
       return Iterator.single(SessionOut(key, s.tStart, s.tEnd, s.n, s.sum))
     }
-    val out = List.newBuilder[SessionOut]
-    var s = state.getOption.orNull
-    rows.toSeq.sortBy(_.ts).foreach { e =>
-      s =
-        if (s == null) SessionState(e.ts, e.ts, 1L, e.value)
-        else if (e.ts - s.tEnd > gapMs) {
-          out += SessionOut(key, s.tStart, s.tEnd, s.n, s.sum)
-          SessionState(e.ts, e.ts, 1L, e.value)
-        } else if (s.tStart - e.ts > gapMs) {
-          // cross-batch straggler older than the open session by more
-          // than the gap: emit as its own closed session, leave the
-          // open one untouched
-          out += SessionOut(key, e.ts, e.ts, 1L, e.value)
-          s
-        } else SessionState(math.min(s.tStart, e.ts),
-          math.max(s.tEnd, e.ts), s.n + 1, s.sum + e.value)
-    }
-    if (s != null) {
-      state.update(s)
-      // the timeout timestamp must sit at or above the current
-      // watermark, or Spark rejects it (a session whose horizon the
-      // watermark already passed closes on the very next batch)
-      state.setTimeoutTimestamp(
-        math.max(s.tEnd + gapMs, state.getCurrentWatermarkMs() + 1))
-    }
-    out.result().iterator
+    val pieces = (state.getOption.toList ++
+        rows.toSeq.map(e => SessionState(e.ts, e.ts, 1L, e.value)))
+      .sortBy(s => (s.tStart, s.tEnd))
+    if (pieces.isEmpty) return Iterator.empty
+    // fold ascending intervals, coalescing within the gap (equal-gap
+    // stays, strictly-greater splits — batch Sessions.sessionize rule)
+    val merged = pieces.tail.foldLeft(List(pieces.head)) { (acc, e) =>
+      val head = acc.head
+      if (e.tStart - head.tEnd <= gapMs)
+        SessionState(math.min(head.tStart, e.tStart),
+          math.max(head.tEnd, e.tEnd), head.n + e.n, head.sum + e.sum) :: acc.tail
+      else e :: acc
+    }.reverse
+    // everything before the open (last) session is gap-separated from
+    // it — closed for good as far as this batch can know
+    val out = merged.init.map(s => SessionOut(key, s.tStart, s.tEnd, s.n, s.sum))
+    val open = merged.last
+    state.update(open)
+    // the timeout timestamp must sit at or above the current
+    // watermark, or Spark rejects it (a session whose horizon the
+    // watermark already passed closes on the very next batch)
+    state.setTimeoutTimestamp(
+      math.max(open.tEnd + gapMs, state.getCurrentWatermarkMs() + 1))
+    out.iterator
   }
 
   /**
@@ -228,12 +227,16 @@ object StreamIngest {
    * ([[graft.operators.Alerts.AlertRule]], reference config.txt
    * syntax) over canonical points: pattern scope → condition on the
    * raw value → stateful gap sessionization per series, episode gap =
-   * the rule's grid interval, duration gate = (minPeriods−1)·interval
-   * (a k-period batch episode spans k−1 grid steps). The LIVE
-   * approximation of [[graft.operators.Alerts.evaluate]]: raw points
-   * violate directly, where the batch path grid-aggregates first —
-   * alerts fire at point granularity without waiting for a window to
-   * close.
+   * the rule's grid interval, duration gate = the episode touches ≥
+   * `minPeriods` grid buckets. The gate counts BUCKETS, not raw span:
+   * points ≤ interval apart can only step one bucket at a time, so the
+   * bucket span of a session equals the distinct violating periods the
+   * batch grid sees — a 3-period episode whose raw points sit at
+   * 00:59/01:30/02:01 spans barely an hour of wall time but 3 buckets,
+   * and must fire. The LIVE approximation of
+   * [[graft.operators.Alerts.evaluate]]: raw points violate directly,
+   * where the batch path grid-aggregates first — alerts fire at point
+   * granularity without waiting for a window to close.
    */
   def alertRuleStream(points: DataFrame,
                       rule: graft.operators.Alerts.AlertRule,
@@ -247,8 +250,8 @@ object StreamIngest {
           .select(col("skey").as("key"), col("ts"), col("dval").as("value"))
           .filter(rule.condition.apply(col("value"), rule.threshold)),
         rule.intervalMs, watermark)
-      .filter(col("t_end") - col("t_start") >=
-        (rule.minPeriods - 1).toLong * rule.intervalMs)
+      .filter(expr(s"t_end div ${rule.intervalMs}") -
+        expr(s"t_start div ${rule.intervalMs}") >= rule.minPeriods - 1)
   }
 
   // ------------------------------------------------- stateful resample
@@ -426,11 +429,12 @@ object StreamIngest {
     var s = state.getOption.getOrElse(graft.operators.Anomaly.init)
     val out = List.newBuilder[OutPoint]
     rows.toSeq.sortBy(_.ts).foreach { p =>
-      // monotonicity guard (as in rateStep): Δt ≤ 0 would give a
-      // negative decay α, driving the EWM variance negative and
-      // silently corrupting every later z-score — drop out-of-order
-      // arrivals instead of feeding them to the state machine
-      if (s.n == 0L || p.ts > s.prevTs) {
+      // monotonicity guard: a STRICTLY negative Δt would give α < 0,
+      // driving the EWM variance negative and silently corrupting
+      // every later z-score — drop those. Δt == 0 stays: α = 0 leaves
+      // (m, s2) untouched and the z-score is well-defined, exactly
+      // what the batch recurrence does with a duplicate timestamp.
+      if (s.n == 0L || p.ts >= s.prevTs) {
         val (next, z) = graft.operators.Anomaly.step(s, p.ts, p.dval, tauMs)
         s = next
         z.foreach(v => out += OutPoint(key, p.ts, v))
@@ -444,11 +448,11 @@ object StreamIngest {
   /**
    * Streaming EWMA-control-chart z-scores per series — the streaming
    * half of [[graft.operators.Mutations.ewmZscore]], bit-equal on
-   * strictly-increasing timestamps (duplicate/out-of-order points are
-   * dropped by the monotonicity guard — see [[rateStream]]'s
-   * divergence note; the batch window feeds them to the recurrence
-   * with α ≤ 0). Append-mode; downstream alerting is a
-   * `filter(abs(dval) > k)` on the output.
+   * non-decreasing timestamps (duplicate ts is the well-defined α = 0
+   * case and is processed like batch; STRICTLY out-of-order points
+   * are dropped by the monotonicity guard — α < 0 would corrupt the
+   * EWM variance — see [[rateStream]]'s divergence note). Append-mode;
+   * downstream alerting is a `filter(abs(dval) > k)` on the output.
    */
   def anomalyStream(points: DataFrame, tauMs: Double,
                     idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {

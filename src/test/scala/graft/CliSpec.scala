@@ -57,6 +57,10 @@ class CliSpec extends SparkSpec {
     // the pattern, not be swallowed into the option map leaving "*"
     val labeled = Cli.parseAlerts(Seq("/sys/load{host=web1}", "alert=0.9"))
     assert(labeled.head.patterns == Seq("/sys/load{host=web1}"))
+    // pattern position is free; a second non-flag arg fails loudly
+    assert(Cli.parseAlerts(Seq("alert=5", "/m/cpu")).head.patterns == Seq("/m/cpu"))
+    intercept[IllegalArgumentException](
+      Cli.parseAlerts(Seq("/m/cpu", "alert=5", "min_period=3"))) // typo'd flag
     val cfg = java.nio.file.Files.createTempFile("alerts", ".txt")
     java.nio.file.Files.write(cfg, SparkEntry.AlertConfigText.getBytes("UTF-8"))
     val fromFile = Cli.parseAlerts(Seq(s"config=$cfg"))

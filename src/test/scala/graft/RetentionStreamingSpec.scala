@@ -369,11 +369,11 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append").start()
     mem.addData(clean.take(20): _*)
     q.processAllAvailable()
-    // stragglers behind the stored last ts: without the monotonicity
-    // guard, the negative Δt makes α < 0 and the EWM variance can go
-    // negative, corrupting every later z-score
+    // stragglers STRICTLY behind the stored last ts (95000): without
+    // the monotonicity guard, the negative Δt makes α < 0 and the EWM
+    // variance can go negative, corrupting every later z-score
     mem.addData(StreamIngest.InPoint("/a", 42000L, 500.0),
-      StreamIngest.InPoint("/a", 95000L, -500.0))
+      StreamIngest.InPoint("/a", 94999L, -500.0))
     q.processAllAvailable()
     mem.addData(clean.drop(20): _*)
     q.processAllAvailable()
@@ -558,6 +558,46 @@ class StreamingSpec extends SparkSpec {
         r.getLong(3))).toSet
     q.stop()
     assert(eps == Set(("/al/x", 600000L, 780000L, 4L)))
+  }
+
+  test("anomaly step processes duplicate timestamps like batch (α = 0)") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // state with positive variance at ts=2000
+    val s0 = graft.operators.Anomaly.S(m = 10.0, s2 = 4.0, prevTs = 2000L, n = 3L)
+    val st = TestGroupState.create[graft.operators.Anomaly.S](
+      Optional.of(s0), GroupStateTimeout.NoTimeout(), 0L,
+      Optional.empty(), hasTimedOut = false)
+    val out = StreamIngest.anomalyStep(60000.0)(
+      "/a", Iterator(StreamIngest.InPoint("/a", 2000L, 16.0)), st).toList
+    // duplicate ts: α = 0 leaves (m, s2) untouched, z = (16-10)/2 = 3
+    assert(out == List(StreamIngest.OutPoint("/a", 2000L, 3.0)))
+    assert(st.get.m == 10.0 && st.get.s2 == 4.0 && st.get.n == 4L)
+    // strictly older: dropped, state untouched
+    val out2 = StreamIngest.anomalyStep(60000.0)(
+      "/a", Iterator(StreamIngest.InPoint("/a", 1999L, 999.0)), st).toList
+    assert(out2.isEmpty && st.get.prevTs == 2000L && st.get.n == 4L)
+  }
+
+  test("session interval merge: a bridged straggler joins, unbridged splits") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val step = StreamIngest.sessionStep(10000L) _
+    // open session [20000, 25000]; batch delivers 5000, 12000, 40000:
+    // 12000 bridges 5000 to the open session (5000→12000→20000 all
+    // within gap) — batch semantics say ONE session [5000, 25000];
+    // 40000 then gap-splits it closed and stays open
+    val st = TestGroupState.create[StreamIngest.SessionState](
+      Optional.of(StreamIngest.SessionState(20000L, 25000L, 2L, 3.0)),
+      GroupStateTimeout.EventTimeTimeout(), 0L, Optional.of(500L),
+      hasTimedOut = false)
+    val out = step("u1", Iterator(
+      StreamIngest.SessEvent("u1", 5000L, 1.0, new java.sql.Timestamp(5000L)),
+      StreamIngest.SessEvent("u1", 12000L, 2.0, new java.sql.Timestamp(12000L)),
+      StreamIngest.SessEvent("u1", 40000L, 4.0, new java.sql.Timestamp(40000L))).toSeq.iterator,
+      st).toList
+    assert(out == List(StreamIngest.SessionOut("u1", 5000L, 25000L, 4L, 6.0)))
+    assert(st.get == StreamIngest.SessionState(40000L, 40000L, 1L, 4.0))
   }
 
   test("session state closes on event-time timeout and is removed") {
