@@ -129,14 +129,22 @@ object Cli {
       kv(a).exists { case (k, _) => alertFlagKeys(k) }
     val opts = args.filter(isFlag).flatMap(kv).toMap
     // the pattern may sit anywhere among the flags; more than one
-    // non-flag arg is a typo (e.g. a misspelled flag) — fail loudly
+    // non-flag arg means one of them is a mistyped flag — fail loudly
+    // naming ALL of them (we cannot tell the pattern from the typo)
     // rather than silently alerting fleet-wide
     val nonFlags = args.filterNot(isFlag)
     if (nonFlags.length > 1)
       throw new IllegalArgumentException(
-        s"alerts: unexpected arguments ${nonFlags.tail.mkString(", ")}")
+        "alerts: cannot tell the variable pattern from a mistyped flag " +
+          s"among: ${nonFlags.mkString(", ")}")
     opts.get("config") match {
       case Some(path) =>
+        // config rules carry their own variable patterns; a stray
+        // pattern arg here would be silently ignored — reject it
+        if (nonFlags.nonEmpty)
+          throw new IllegalArgumentException(
+            s"alerts: config= rules define their own patterns; " +
+              s"unexpected argument ${nonFlags.head}")
         graft.config.StoreConfig.parse(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           "UTF-8")).alerts

@@ -250,8 +250,14 @@ object StreamIngest {
           .select(col("skey").as("key"), col("ts"), col("dval").as("value"))
           .filter(rule.condition.apply(col("value"), rule.threshold)),
         rule.intervalMs, watermark)
-      .filter(expr(s"t_end div ${rule.intervalMs}") -
-        expr(s"t_start div ${rule.intervalMs}") >= rule.minPeriods - 1)
+      // floor-aligned bucket starts (pmod, like the batch grid in
+      // Aggregations.byName) — `div` truncates toward zero and would
+      // undercount buckets for sessions straddling negative ts. Pure
+      // long arithmetic, no float division.
+      .filter(
+        (col("t_end") - pmod(col("t_end"), lit(rule.intervalMs))) -
+          (col("t_start") - pmod(col("t_start"), lit(rule.intervalMs))) >=
+          (rule.minPeriods - 1).toLong * rule.intervalMs)
   }
 
   // ------------------------------------------------- stateful resample

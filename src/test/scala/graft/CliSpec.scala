@@ -61,6 +61,11 @@ class CliSpec extends SparkSpec {
     assert(Cli.parseAlerts(Seq("alert=5", "/m/cpu")).head.patterns == Seq("/m/cpu"))
     intercept[IllegalArgumentException](
       Cli.parseAlerts(Seq("/m/cpu", "alert=5", "min_period=3"))) // typo'd flag
+    // config rules carry their own patterns: a stray pattern arg errors
+    val cfg2 = java.nio.file.Files.createTempFile("alerts2", ".txt")
+    java.nio.file.Files.write(cfg2, SparkEntry.AlertConfigText.getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      Cli.parseAlerts(Seq(s"config=$cfg2", "/m/cpu")))
     val cfg = java.nio.file.Files.createTempFile("alerts", ".txt")
     java.nio.file.Files.write(cfg, SparkEntry.AlertConfigText.getBytes("UTF-8"))
     val fromFile = Cli.parseAlerts(Seq(s"config=$cfg"))
