@@ -444,6 +444,23 @@ object PipelineEntry {
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 3)
+    }),
+    // Count-min sketch: fixed depth×width counter grid estimates token
+    // frequencies where the exact vocabulary doesn't fit (t_vocab's
+    // shuffle is O(vocab); the sketch's is O(depth×width) after
+    // map-side combine). Gate probes the exact top-20 heavy hitters —
+    // est_cnt ≥ cnt with md5-deterministic collisions, so the oracle
+    // re-derives the grid and the estimates bit-identically.
+    "t_cms" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val grid = graft.sketch.CountMin.cells(toks, "tok",
+        depth = 4, width = 1024)
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+      graft.sketch.CountMin.estimate(grid, probes, "tok",
+          depth = 4, width = 1024)
+        .select(col("tok"), col("cnt"), col("est_cnt"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -488,6 +505,22 @@ object PipelineEntry {
       """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
         |FROM x GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
+    "t_cms" -> (T +
+      """, tk AS (SELECT unnest(t) AS tok FROM toks),
+        |h AS (SELECT tok, rr.r,
+        |  CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '#' || tok), 1, 15))
+        |    AS BIGINT) % 1024 AS col
+        | FROM tk CROSS JOIN range(4) rr(r)),
+        |cells AS (SELECT r, col, CAST(count(*) AS BIGINT) AS cell
+        | FROM h GROUP BY 1, 2),
+        |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        | FROM tk GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20),
+        |p AS (SELECT top.tok, top.cnt, rr.r,
+        |  CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '#' || top.tok), 1, 15))
+        |    AS BIGINT) % 1024 AS col
+        | FROM top CROSS JOIN range(4) rr(r))
+        |SELECT p.tok, p.cnt, CAST(min(cells.cell) AS BIGINT) AS est_cnt
+        |FROM p JOIN cells USING (r, col) GROUP BY 1, 2""".stripMargin),
     "d_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_dups

@@ -1,0 +1,65 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Count-min sketch over a token stream — the bounded-memory frequency
+ * estimator for corpora whose exact vocabulary does not fit anywhere
+ * (Cormode & Muthukrishnan 2005). Beyond-reference operator for the
+ * training-data pipeline: the exact top-k paths (`t_vocab`,
+ * `t_topk_lang`) shuffle the whole vocabulary; this one's state is a
+ * FIXED `depth × width` grid of counters regardless of vocab size.
+ *
+ * Scale shape: the cell build explodes `depth` (row, col) pairs per
+ * token occurrence, then aggregates with map-side partial combine —
+ * every partition reduces to at most depth×width cells before the one
+ * tiny shuffle; the merged grid is depth×width rows total (KBs), so
+ * point estimates join it BROADCAST. Estimates are deterministic
+ * (md5-derived row hashes, no RNG) and one-sided: est ≥ true count,
+ * overshooting by colliding tokens' mass — the classic accuracy /
+ * memory trade, ε ≈ e/width at δ ≈ exp(−depth).
+ */
+object CountMin {
+
+  /** Row-`r` bucket of a token: 60-bit md5 prefix of `"r#token"` mod
+    * `width` — non-negative, and cheap for an external SQL oracle to
+    * re-derive exactly (the [[graft.dedup.Dedup]] hashing idiom). */
+  def bucket(tok: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$r#"), tok)), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /**
+   * Build the sketch: depth×width cell counts from one pass over the
+   * token stream. Output columns: `r`, `col`, `cell` (long).
+   */
+  def cells(toks: DataFrame, tokCol: String,
+            depth: Int, width: Int): DataFrame =
+    toks.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(col(tokCol), r, width).as("col"))): _*))
+        .as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.col").as("col"))
+      .agg(count(lit(1)).as("cell"))
+
+  /**
+   * Point-estimate the probe tokens' frequencies: est = min over the
+   * `depth` rows of the token's cell. The grid is depth×width rows by
+   * construction — broadcast it; probes never shuffle.
+   * Output: probe columns + `est_cnt`.
+   */
+  def estimate(grid: DataFrame, probes: DataFrame, tokCol: String,
+               depth: Int, width: Int): DataFrame = {
+    val probed = probes.select(col("*"),
+      explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), bucket(col(tokCol), r, width).as("col"))): _*))
+        .as("rc"))
+      .select(col("*"), col("rc.r").as("r"), col("rc.col").as("col"))
+      .drop("rc")
+    probed.join(broadcast(grid), Seq("r", "col"))
+      // an empty cell can only happen if the probe token never occurred
+      // (then every row's cell is absent and the join drops it — the
+      // estimate of an unseen token is 0 by omission)
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(col("cell")).as("est_cnt"))
+  }
+}

@@ -248,6 +248,30 @@ class PipelineSpec extends SparkSpec {
       "video must take the stub branch")
   }
 
+  test("count-min sketch: one-sided estimates, exact at generous width") {
+    import spark.implicits._
+    import graft.sketch.CountMin
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(9)("gamma") ++ Seq("delta")
+    val toks = words.toDF("tok")
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val probes = exact.keys.toSeq.toDF("tok")
+    // narrow sketch: estimates are ONE-SIDED (est >= true), never under
+    val estNarrow = CountMin.estimate(
+        CountMin.cells(toks, "tok", depth = 3, width = 4),
+        probes, "tok", depth = 3, width = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(estNarrow(t) >= c, s"$t: ${estNarrow(t)} < $c") }
+    // generous width: 4 tokens in 2^16 buckets × 4 rows — a collision in
+    // EVERY row is (4/65536)^4-improbable and md5 is fixed, so exact
+    val estWide = CountMin.estimate(
+        CountMin.cells(toks, "tok", depth = 4, width = 65536),
+        probes, "tok", depth = 4, width = 65536)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estWide == exact)
+  }
+
   test("topCentroids: argmin matches a reference scan, best-first order") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

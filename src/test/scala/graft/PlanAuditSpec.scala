@@ -224,6 +224,15 @@ class PlanAuditSpec extends SparkSpec {
         s"(a post-concat name filter cannot):\n${p.take(2000)}")
   }
 
+  test("t_cms broadcasts its depth×width grid; probe side never shuffles it") {
+    val p = plan("t_cms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sketch grid is depth×width rows by construction — broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "t_cms estimate degenerated to all-pairs")
+  }
+
   test("q_top_series plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q_top_series")
     assert(p.contains("TakeOrderedAndProject"),
