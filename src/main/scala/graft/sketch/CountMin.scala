@@ -32,6 +32,14 @@ object CountMin {
   /**
    * Build the sketch: depth×width cell counts from one pass over the
    * token stream. Output columns: `r`, `col`, `cell` (long).
+   *
+   * STREAMS AS-IS: over an unbounded `readStream` source this same
+   * plan runs as an update-mode aggregation whose state is the grid
+   * itself — bounded at d·w rows however many distinct tokens pass,
+   * no watermark needed (a count-min counter only grows). That is the
+   * sketch's whole point at stream scale: live heavy-hitter counts
+   * where an exact vocabulary aggregation's state is unbounded
+   * (StreamingSpec proves stream-vs-batch grid equality).
    */
   def cells(toks: DataFrame, tokCol: String,
             depth: Int, width: Int): DataFrame =

@@ -560,6 +560,30 @@ class StreamingSpec extends SparkSpec {
     assert(eps == Set(("/al/x", 600000L, 780000L, 4L)))
   }
 
+  test("count-min grid streams in update mode, equal to the batch grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val words = Seq.fill(30)("alpha") ++ Seq.fill(12)("beta") ++
+      Seq.fill(5)("gamma") ++ Seq("delta", "epsilon")
+    val batch = graft.sketch.CountMin.cells(
+        words.toDF("tok"), "tok", depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = MemoryStream[String]
+    // update mode: the aggregation state IS the bounded d×w grid
+    val q = graft.sketch.CountMin.cells(
+        mem.toDF().toDF("tok"), "tok", depth = 3, width = 64)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    words.grouped(20).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    // update sink appends a row per changed cell per batch — the
+    // LATEST row per (r, col) is the final counter
+    val streamed = spark.table("cms_out")
+      .groupBy("r", "col").agg(max("cell").as("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("anomaly step processes duplicate timestamps like batch (α = 0)") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
