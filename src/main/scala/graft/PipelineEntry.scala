@@ -417,28 +417,32 @@ object PipelineEntry {
     // joins k²-quadratically. (At sf0.01 max df is 7 — the guard is
     // output-neutral at gate scale, load-bearing at 100 TB.)
     "t_winnow_pairs" -> ((s, dir) => {
-      // Hot-key-SAFE shape: the boilerplate df count aggregates with
-      // map-side partials (a hot fp reduces to ~#partitions rows
-      // before any shuffle) and the tiny hot set broadcasts into an
-      // anti-join that drops hot rows map-side — no task ever holds a
-      // hot stratum. (A window-count over an fp-partitioned exchange
-      // would funnel every row of a 10^8-df boilerplate fp through
-      // ONE task just to discard it; a .cache() leaks pinned
-      // partitions — both rejected forms.) Cost: the tokenize+winnow
-      // pass runs twice — once for the df branch, once SHARED by both
-      // self-join sides (identical subplans → one ReusedExchange).
+      // Hot-key-SAFE shape, single tokenize: the exploded fingerprints
+      // repartition on (doc_id, fp) — a spread key, so a 10^8-df
+      // boilerplate fp's stratum lands across many tasks, never one.
+      // That exchange is the ONE materialization of the tokenize+
+      // winnow pass: the df-count branch and both self-join sides all
+      // read it byte-identically (exchange/stage reuse), so the pass
+      // compiles and runs once. The df count aggregates with map-side
+      // partials into a tiny fp-keyed shuffle, and [[Dedup.dropHotKeys]]
+      // (outer join + IsNull — an anti join would be PUSHED BELOW the
+      // repartition, splitting the shared exchange) drops hot rows
+      // BEFORE the join's fp-clustered exchange — no task ever holds
+      // a hot stratum. (A window-count over an fp-partitioned exchange
+      // would funnel the boilerplate stratum through ONE task just to
+      // discard it; a .cache() leaks pinned partitions — both rejected
+      // forms. The explicit not-null guards below the exchange keep
+      // every branch's subtree copy identical: the self-join would
+      // otherwise infer them on its branches only, and reuse is lost.)
       val fps = Tables.documents(s, dir)
         .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("sh", TextOps.shingles(col("toks"), 3))
         .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
         .select(col("doc_id"),
           explode(TextOps.winnowFromHashes(col("hs"), 4)).as("fp"))
-      val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") > 50).select("fp")
-      // un-hinted: the hot set is usually tiny (AQE broadcasts it),
-      // but it is bounded by distinct-fps/50, not by schema — at an
-      // adversarial 100 TB a forced broadcast would be the hazard
-      val cold = fps.join(hot, Seq("fp"), "left_anti")
+        .filter(col("doc_id").isNotNull && col("fp").isNotNull)
+        .repartition(col("doc_id"), col("fp"))
+      val cold = Dedup.dropHotKeys(fps, "fp", 50L)
       cold.as("a").join(cold.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -69,9 +69,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxDf: Long = Long.MaxValue): DataFrame = {
-    // cache: the blocking rows feed both sides of the self-join (and,
-    // under maxDf, the hot-shingle aggregation) — without it the
-    // tokenize+hash subtree is re-evaluated once per reference.
+    // The blocking rows feed both sides of the self-join (and, under
+    // maxDf, the hot-shingle aggregation). A `.cache()` here would pin
+    // partitions for the caller's session lifetime with no unpersist
+    // hook; instead an explicit repartition plants ONE exchange that
+    // every consumer's subplan shares byte-identically, so exchange/
+    // stage reuse evaluates the tokenize+hash subtree exactly once and
+    // nothing stays pinned. Without a hot guard the exchange key is the
+    // blocking key itself (the self-join needs that clustering anyway —
+    // a single shuffle total); with maxDf the key set includes `id` so
+    // a hot shingle's stratum spreads across tasks and the anti-join
+    // drops it BEFORE the join's s-clustered exchange.
     //
     // The per-doc set size rides each exploded blocking row (one int
     // per row) instead of joining a (id → sz) side back in afterwards:
@@ -79,15 +87,16 @@ object Dedup {
     // broadcast-unsafe at scale, and even un-hinted would cost two
     // extra shuffle joins. `sz` is the FULL set size, captured before
     // the hot-shingle anti-join, so Jaccard stays exact for surfaced
-    // pairs even when blocking drops hot shingles.
-    var ex = shingleSets(df, idCol, textCol, n)
+    // pairs even when blocking drops hot shingles. (All three partition
+    // columns appear in the repartition expression so column pruning
+    // cannot specialize any branch's copy of the subtree below the
+    // exchange — byte-identical children are what reuse keys on.)
+    val rows = shingleSets(df, idCol, textCol, n)
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
-      .cache()
-    if (maxDf != Long.MaxValue) {
-      val hot = ex.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("s")
-      ex = ex.join(hot, Seq("s"), "left_anti")
-    }
+    val ex =
+      if (maxDf == Long.MaxValue) rows.repartition(col("s"))
+      else dropHotKeys(rows.repartition(col("id"), col("sz"), col("s")),
+        "s", maxDf)
     ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -97,6 +106,29 @@ object Dedup {
         col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /**
+   * Drop rows whose blocking key occurs in more than `maxDf` rows —
+   * the hot-key guard shared by the blocked-join dedup paths. Written
+   * as a left-outer join + IsNull filter rather than a left-anti join
+   * ON PURPOSE: Catalyst pushes semi/anti joins below
+   * RepartitionByExpression, which would split the caller's shared
+   * exchange into per-branch copies and re-run the tokenize/chunk
+   * subtree once per branch; an outer join stays put, so the df-count
+   * branch and the join branches all read ONE exchange. The hot side
+   * is one row per hot key (post-aggregate), so the outer join cannot
+   * duplicate rows, and it stays un-hinted — the side is bounded by
+   * distinct-keys/maxDf, not by schema, so AQE must keep the
+   * broadcast decision.
+   */
+  private[graft] def dropHotKeys(ex: DataFrame, keyCol: String, maxDf: Long): DataFrame = {
+    val hot = ex.groupBy(keyCol).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col(keyCol), lit(1).as("__hot"))
+    ex.join(hot, Seq(keyCol), "left")
+      .filter(col("__hot").isNull)
+      .drop("__hot")
   }
 
   /** Universal-hash family modulus (2³¹ − 1, Mersenne prime). */
@@ -140,21 +172,27 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // sets feeds the signature path AND the two verify joins; banded
-    // feeds both sides of the self-join — cache each so the
-    // tokenize+hash / minhash subtrees evaluate once.
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    // sets feeds the signature path AND the two verify joins — four
+    // consumers of the tokenize+hash pass. Instead of a `.cache()`
+    // (pinned partitions, no unpersist hook), repartition on the
+    // unique doc id: one exchange whose map side tokenizes once, and
+    // whose output every consumer reads via exchange/stage reuse. The
+    // id-hash partitioning also already satisfies the verify joins'
+    // clustering requirement, so they add no shuffle of the shingle
+    // arrays.
+    val sets = shingleSets(df, idCol, textCol, n).repartition(col("id"))
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // The band self-join carries ONLY (id, band): candidate shuffle
     // volume is O(candidates), not O(candidates × avg-shingle-set).
     // Shingle arrays are re-attached per DISTINCT candidate pair below
-    // — the cdcSharedChunkPairs pattern.
+    // — the cdcSharedChunkPairs pattern. Both self-join sides share the
+    // band exchange (byte-identical subplans → one ReusedExchange).
     val banded = sig.select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat(b.cast("string"), lit(":"),
             concat_ws("_", transform(slice(col("sig"), b * r + 1, lit(r)),
               x => x.cast("string"))))))).as("band"))
-      .cache()
+      .repartition(col("band"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -275,10 +313,16 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, maxDist: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol).cache()
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(expr("transform(sequence(0, 3), b -> " +
-        "concat(b, ':', (sig div shiftleft(1L, b * 15)) % 32768))")).as("band"))
+    // Both self-join sides consume the banded rows: repartition on the
+    // band (the clustering the join needs anyway) plants one exchange
+    // that both sides share via exchange/stage reuse — the token-hash +
+    // simhash pass runs once, with nothing cached/pinned. (sig rides
+    // the 16-byte banded row, so no re-attach join is needed.)
+    val banded = simhashSignatures(df, idCol, textCol)
+      .select(col("id"), col("sig"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "concat(b, ':', (sig div shiftleft(1L, b * 15)) % 32768))")).as("band"))
+      .repartition(col("band"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -312,19 +356,25 @@ object Dedup {
                           minShared: Int = 2, idCol: String = "doc_id",
                           textCol: String = "text",
                           maxDf: Long = Long.MaxValue): DataFrame = {
-    // cache: the chunk-hash projection feeds the hot-df aggregation,
-    // the anti-join probe, and both sides of the self-join — without it
-    // the chunk+md5 subtree re-evaluates once per reference
-    var ex = df
+    // The chunk-hash projection feeds the hot-df aggregation, the
+    // anti-join probe, and both sides of the self-join. As in
+    // [[ngramJaccardPairs]], a repartition — not a `.cache()` — makes
+    // the chunk+md5 subtree evaluate once: every consumer shares the
+    // one exchange byte-identically. With a hot guard the key set
+    // includes `id` so a boilerplate chunk's stratum spreads across
+    // tasks and is dropped before the join's c-clustered exchange;
+    // without one, the blocking key is the join's own clustering.
+    val rows = df
       .select(col(idCol).as("id"),
         explode(array_distinct(transform(
           cdcChunks(col(textCol), window, divisor), md5(_)))).as("c"))
-      .cache()
-    if (maxDf != Long.MaxValue) {
-      val hot = ex.groupBy("c").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("c")
-      ex = ex.join(hot, Seq("c"), "left_anti")
-    }
+      // explicit not-null guards BELOW the exchange: the self-join
+      // infers them on its branches; without matching filters in the
+      // hot-df branch the subtree copies differ and reuse is lost
+      .filter(col("id").isNotNull && col("c").isNotNull)
+    val ex =
+      if (maxDf == Long.MaxValue) rows.repartition(col("c"))
+      else dropHotKeys(rows.repartition(col("id"), col("c")), "c", maxDf)
     ex.as("a").join(ex.as("b"),
         col("a.c") === col("b.c") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

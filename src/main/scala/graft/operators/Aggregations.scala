@@ -127,7 +127,13 @@ object Aggregations {
         .filter(col("n") === 1 && col("k") =!= label)
         .groupBy(col("name"), col("gval"))
         .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("extra"))
-      series.join(broadcast(constLabels), Seq("name", "gval"), "left")
+      // un-hinted: constLabels is one row per OUTPUT (name, gval)
+      // group — series-cardinality, not schema-bounded. At fleet label
+      // cardinality (millions of series) a forced broadcast would be a
+      // driver/executor hazard; AQE broadcasts it at runtime when it
+      // is actually small, and both sides already shuffle on
+      // (name, gval) so a sort-merge join adds no extra exchange.
+      series.join(constLabels, Seq("name", "gval"), "left")
         .select(col("name"),
           map_concat(
             coalesce(col("extra"), map()),

@@ -73,10 +73,12 @@ class PlanAuditSpec extends SparkSpec {
     // scale-killer: the driver materializes and ships it with no size
     // safety valve. These paths must stay un-hinted (AQE broadcasts
     // genuinely-small sides at runtime on its own).
-    // (api_get_multi is excluded: its by-label aggregation carries the
-    // intentional constLabels broadcast — O(#output groups), small.)
+    // agg_preserve / agg_sum_bylabel / api_get_multi cover byLabel's
+    // constLabels side: one row per OUTPUT series group —
+    // series-cardinality, not schema-bounded, so it must stay un-hinted.
     Seq("p_curate", "d_ngram_jaccard", "d_minhash_lsh", "d_dup_groups",
-        "api_get_limits").foreach { q =>
+        "api_get_limits", "agg_preserve", "agg_sum_bylabel",
+        "api_get_multi").foreach { q =>
       val qe = SparkEntry.queries(q)(spark, sf).queryExecution
       assert(!qe.analyzed.toString.contains("ResolvedHint"),
         s"$q carries a broadcast/join hint on a corpus-sized side")
@@ -251,6 +253,43 @@ class PlanAuditSpec extends SparkSpec {
       val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
       assert(n <= 1, s"$q expected <=1 shuffle exchange, got $n:\n${p.take(1500)}")
     }
+  }
+
+  test("no query plan pins an InMemoryRelation (library-level .cache() leak)") {
+    // A .cache() inside a queries() builder pins partitions for the
+    // session's lifetime with no unpersist hook, and quietly flatters
+    // min-of-two bench passes. The sanctioned shape is a repartition
+    // whose exchange all consumers share (exchange/stage reuse).
+    // (d_dup_groups et al. may cache INTERNALLY around their own
+    // actions — that is fine as long as they unpersist, which leaves
+    // nothing in the returned plan.)
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val opt = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      assert(!opt.toString.contains("InMemoryRelation"),
+        s"$q plan contains an InMemoryRelation — un-unpersisted cache")
+    }
+  }
+
+  test("shared-subtree dedup paths compute their tokenize pass once (ReusedExchange)") {
+    // The expensive text pass (tokenize/shingle/winnow/chunk+md5) must
+    // materialize through ONE exchange that the hot-df branch and both
+    // self-join sides read back — not once per branch. Asserted with
+    // AQE off so the static planner's ReuseExchangeAndSubquery verdict
+    // is visible and deterministic; AQE's runtime stage reuse keys on
+    // the same canonicalized-subtree equality.
+    val reusePaths = Seq("t_winnow_pairs", "d_ngram_jaccard",
+      "d_minhash_lsh", "d_simhash_pairs", "d_cdc_pairs")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      reusePaths.foreach { q =>
+        val p = plan(q)
+        assert(p.contains("ReusedExchange"),
+          s"$q plan has no ReusedExchange — a shared subtree is compiling twice")
+        val scans = "FileScan parquet".r.findAllIn(p).length
+        assert(scans == 1,
+          s"$q expected exactly 1 documents scan (single tokenize pass), got $scans")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("the exact streaming state machines are one repartition + one pass") {
