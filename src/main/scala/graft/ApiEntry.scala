@@ -133,6 +133,31 @@ object ApiEntry {
       unkey(Mutations.ewmZscore(Point.withSeriesKey(pts(s, dir)), 600000.0))
         .select(col("name"), col("usr"), col("ts"),
           (round(col("dval"), 4) + 0.0).as("dval"))),
+    // Exact Go Mean (mutations.go:10-49): bucket anchored at its first
+    // input ts, closed when a point arrives more than H past the
+    // anchor; mean emitted at the bucket's LAST consumed ts; the
+    // trailing bucket flushes at end of series. The per-series state
+    // (anchor, sum, count) is a linear chain, so the oracle replays it
+    // as a recursive CTE with the same float-accumulation order.
+    // (events has no duplicate (series, ts) rows at gate SFs, so the
+    // replay order is total.)
+    "m_mean_exact" -> ((s, dir) =>
+      unkey(Mutations.meanExact(Point.withSeriesKey(pts(s, dir)), H))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
+    // Exact Go Min+Max (mutations.go:139-191), one gate for both: the
+    // previous window's extremum is emitted at the ts of the point
+    // that OPENS the next window; the trailing partial window is
+    // discarded. Window anchors evolve from timestamps alone, so min
+    // and max share one replay chain (carrying both extrema); pure
+    // comparisons — no float arithmetic — make the oracle bit-exact.
+    "m_minmax_exact" -> ((s, dir) => {
+      val k = Point.withSeriesKey(pts(s, dir))
+      unkey(Mutations.minExact(k, H)).withColumn("op", lit("min"))
+        .unionByName(
+          unkey(Mutations.maxExact(k, H)).withColumn("op", lit("max")))
+        .select(col("name"), col("usr"), col("op"), col("ts"), col("dval"))
+    }),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
     "mm_features" -> ((s, dir) =>
@@ -497,6 +522,73 @@ object ApiEntry {
         |   ON c.name = r.name AND c.usr = r.usr AND c.rn = r.rn + 1)
         |SELECT name, usr, ts, round(z, 4) + 0.0 AS dval FROM r
         |WHERE z IS NOT NULL""".stripMargin,
+    // Recursive replay of MeanOp (mutations.go:10-49): state after row
+    // rn is (anchor, sum, count); a row arriving > H past the anchor
+    // emits the previous row's (ts, sum/count) and restarts, and the
+    // last row of each series flushes its open bucket. e_ts/e_v carry
+    // the emission that happened WHILE consuming the row (NULL if
+    // none). Sum accumulates in the same order as MeanOp.feed.
+    "m_mean_exact" ->
+      """WITH RECURSIVE pts AS (SELECT '/events/' || event_type AS name,
+        |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval
+        | FROM events),
+        |n AS (SELECT name, usr, ts, dval,
+        |  row_number() OVER (PARTITION BY name, usr ORDER BY ts) AS rn
+        | FROM pts),
+        |mx AS (SELECT name, usr, max(rn) AS mrn FROM n GROUP BY 1, 2),
+        |r AS (
+        | SELECT name, usr, rn, ts, ts AS anchor, dval AS s,
+        |  CAST(1 AS BIGINT) AS c,
+        |  CAST(NULL AS BIGINT) AS e_ts, CAST(NULL AS DOUBLE) AS e_v
+        | FROM n WHERE rn = 1
+        | UNION ALL
+        | SELECT c2.name, c2.usr, c2.rn, c2.ts,
+        |  CASE WHEN c2.ts - r.anchor > 3600000 THEN c2.ts ELSE r.anchor END,
+        |  CASE WHEN c2.ts - r.anchor > 3600000 THEN c2.dval ELSE r.s + c2.dval END,
+        |  CASE WHEN c2.ts - r.anchor > 3600000 THEN CAST(1 AS BIGINT) ELSE r.c + 1 END,
+        |  CASE WHEN c2.ts - r.anchor > 3600000 THEN r.ts ELSE CAST(NULL AS BIGINT) END,
+        |  CASE WHEN c2.ts - r.anchor > 3600000 THEN r.s / r.c ELSE CAST(NULL AS DOUBLE) END
+        | FROM r JOIN n c2
+        |   ON c2.name = r.name AND c2.usr = r.usr AND c2.rn = r.rn + 1)
+        |SELECT name, usr, e_ts AS ts, round(e_v, 4) AS dval FROM r
+        |WHERE e_ts IS NOT NULL
+        |UNION ALL
+        |SELECT r.name, r.usr, r.ts, round(r.s / r.c, 4) AS dval
+        |FROM r JOIN mx ON mx.name = r.name AND mx.usr = r.usr
+        |  AND r.rn = mx.mrn""".stripMargin,
+    // Recursive replay of ExtremumOp (mutations.go:139-191), min and
+    // max in one chain: window anchors depend only on timestamps, so
+    // both extrema ride the same recursion; a row at-or-past
+    // anchor + H emits the previous window's extrema AT ITS OWN ts
+    // and restarts both. No flush — the trailing window is discarded,
+    // and pure comparisons make the replay bit-exact.
+    "m_minmax_exact" ->
+      """WITH RECURSIVE pts AS (SELECT '/events/' || event_type AS name,
+        |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval
+        | FROM events),
+        |n AS (SELECT name, usr, ts, dval,
+        |  row_number() OVER (PARTITION BY name, usr ORDER BY ts) AS rn
+        | FROM pts),
+        |r AS (
+        | SELECT name, usr, rn, ts, ts AS anchor, dval AS emin, dval AS emax,
+        |  CAST(NULL AS DOUBLE) AS o_min, CAST(NULL AS DOUBLE) AS o_max
+        | FROM n WHERE rn = 1
+        | UNION ALL
+        | SELECT c2.name, c2.usr, c2.rn, c2.ts,
+        |  CASE WHEN c2.ts >= r.anchor + 3600000 THEN c2.ts ELSE r.anchor END,
+        |  CASE WHEN c2.ts >= r.anchor + 3600000 THEN c2.dval
+        |       ELSE least(r.emin, c2.dval) END,
+        |  CASE WHEN c2.ts >= r.anchor + 3600000 THEN c2.dval
+        |       ELSE greatest(r.emax, c2.dval) END,
+        |  CASE WHEN c2.ts >= r.anchor + 3600000 THEN r.emin END,
+        |  CASE WHEN c2.ts >= r.anchor + 3600000 THEN r.emax END
+        | FROM r JOIN n c2
+        |   ON c2.name = r.name AND c2.usr = r.usr AND c2.rn = r.rn + 1)
+        |SELECT name, usr, 'min' AS op, ts, o_min AS dval FROM r
+        |WHERE o_min IS NOT NULL
+        |UNION ALL
+        |SELECT name, usr, 'max' AS op, ts, o_max AS dval FROM r
+        |WHERE o_max IS NOT NULL""".stripMargin,
     // Recursive replay of InterpolateOp's anchor chain with a 4 h max
     // gap. State after consumed point i: prev_state = raw ts (normal
     // bracket) or floor-aligned ts (anchor — first point or gap >

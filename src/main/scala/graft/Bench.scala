@@ -69,8 +69,14 @@ object Bench {
     // The harness capturing stdout keeps only the tail of the output; the
     // full line above is ~3 KB and can lose its leading fields to
     // truncation. Repeat the headline numbers on a second, short line so
-    // the total is always parseable from the tail.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"sf":"$sfDir"}""")
+    // the total is always parseable from the tail. The 1-minute load
+    // average + core count make driver-contended runs self-diagnosing:
+    // timings taken while the box was busy (load ≫ cores in use) should
+    // be discounted rather than read as regressions.
+    val load = r3(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
+    val nproc = Runtime.getRuntime.availableProcessors
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"load":$load,"nproc":$nproc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
