@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
  * The Spark-side plumbing — schema, batch iteration, partition-local
  * decode, feature schema — is real and tested. Image decode AND image
  * resize are REAL (JDK `javax.imageio` + `Graphics2D` via
- * [[ImageDecoder]] — PNG/JPEG/GIF/BMP), and so is audio header/PCM
- * decode for WAV/AIFF/AU (JDK `javax.sound.sampled` via
- * [[AudioDecoder]]). Video decode — and any format the JDK readers
- * don't recognize (no media libraries in this container) — falls back
+ * [[ImageDecoder]] — PNG/JPEG/GIF/BMP), audio header/PCM decode for
+ * WAV/AIFF/AU is real (JDK `javax.sound.sampled` via [[AudioDecoder]]),
+ * and the video path gets REAL multi-frame decode for animated GIFs
+ * (ImageIO's per-frame GIF reader via [[VideoDecoder]]: frame count,
+ * per-frame dims, frame-sampled features, first-frame thumbnail
+ * resize). True video codecs (MP4/WebM — no media libraries in this
+ * container) and any bytes the JDK readers don't recognize fall back
  * to [[StubDecoder]], a deterministic fake keyed on the content hash.
- * Swapping in a real video/compressed-codec decoder means replacing
- * exactly that object.
+ * Swapping in a real codec means replacing exactly that decoder
+ * object.
  *
  * Scale posture: decode runs per-partition via `mapPartitions` (one
  * decoder instance per task, streaming batches — the Scala analog of
@@ -53,17 +56,19 @@ object Multimodal {
    *
    * Image blobs get a REAL decode first ([[ImageDecoder]], JDK
    * `javax.imageio` — PNG/JPEG/GIF/BMP), audio blobs too
-   * ([[AudioDecoder]], JDK `javax.sound.sampled` — WAV/AIFF/AU); the
-   * stub is the fallback for video (no media libs in this container)
-   * and for bytes the JDK readers cannot parse (e.g. the fabricated
-   * text-blob test fixtures, keeping oracles deterministic).
+   * ([[AudioDecoder]], JDK `javax.sound.sampled` — WAV/AIFF/AU), and
+   * video blobs that are animated GIFs ([[VideoDecoder]]); the stub is
+   * the fallback for true video codecs and compressed audio (no media
+   * libs in this container) and for bytes the JDK readers cannot parse
+   * (e.g. the fabricated text-blob test fixtures, keeping oracles
+   * deterministic).
    */
   object StubDecoder extends Serializable {
     val FeatureDim = 8
     /** Fake properties derive from the 60-bit md5 prefix `h` of the
       * content so the DuckDB oracle can mirror them exactly. */
     def decode(modality: String, h: Long): (Int, Int, Int, Array[Float]) = {
-      // ??? <- real video decode goes here; deterministic fake below.
+      // ??? <- real MP4/WebM/MP3 codecs go here; deterministic fake below.
       val w = (16 + h % 1024).toInt
       val ht = (16 + (h / 1024) % 1024).toInt
       val frames = modality match {
@@ -113,48 +118,134 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** 8-dim summary from a coarse 2×2 luminance/RGB grid — cheap,
+      * deterministic, resolution-independent. A real pipeline would
+      * swap in an embedding model here. Shared with [[VideoDecoder]]
+      * (per-frame features). */
+    private[multimodal] def gridFeature(
+        img: java.awt.image.BufferedImage): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val feat = new Array[Float](StubDecoder.FeatureDim)
+      val (hw, hh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+      var qi = 0
+      var qy = 0
+      while (qy < 2) {
+        var qx = 0
+        while (qx < 2) {
+          var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
+          var y = qy * hh
+          val yEnd = math.min(if (qy == 1) h else hh, h)
+          while (y < yEnd) {
+            var x = qx * hw
+            val xEnd = math.min(if (qx == 1) w else hw, w)
+            while (x < xEnd) {
+              val rgb = img.getRGB(x, y)
+              rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF
+              bs += rgb & 0xFF; n += 1
+              x += 1
+            }
+            y += 1
+          }
+          if (n > 0) {
+            feat(qi) = (rs.toFloat / n / 255f) * 2f - 1f
+            feat(qi + 1) = ((gs + bs).toFloat / (2 * n) / 255f) * 2f - 1f
+          }
+          qi += 2
+          qx += 1
+        }
+        qy += 1
+      }
+      feat
+    }
+
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
       try readImage(bytes) match {
         case None => None
-        case Some(img) => {
-          val (w, h) = (img.getWidth, img.getHeight)
-          // Feature: 8-dim summary from a coarse 2×2 luminance/RGB grid
-          // — cheap, deterministic, resolution-independent. A real
-          // pipeline would swap in an embedding model here.
-          val feat = new Array[Float](StubDecoder.FeatureDim)
-          val (hw, hh) = (math.max(w / 2, 1), math.max(h / 2, 1))
-          var qi = 0
-          var qy = 0
-          while (qy < 2) {
-            var qx = 0
-            while (qx < 2) {
-              var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
-              var y = qy * hh
-              val yEnd = math.min(if (qy == 1) h else hh, h)
-              while (y < yEnd) {
-                var x = qx * hw
-                val xEnd = math.min(if (qx == 1) w else hw, w)
-                while (x < xEnd) {
-                  val rgb = img.getRGB(x, y)
-                  rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF
-                  bs += rgb & 0xFF; n += 1
-                  x += 1
-                }
-                y += 1
-              }
-              if (n > 0) {
-                feat(qi) = (rs.toFloat / n / 255f) * 2f - 1f
-                feat(qi + 1) = ((gs + bs).toFloat / (2 * n) / 255f) * 2f - 1f
-              }
-              qi += 2
-              qx += 1
-            }
-            qy += 1
-          }
-          Some((w, h, 1, feat))
-        }
+        case Some(img) =>
+          Some((img.getWidth, img.getHeight, 1, gridFeature(img)))
       } catch { case _: Exception => None }
     }
+  }
+
+  /**
+   * Real multi-frame decode for the video path via ImageIO's GIF
+   * reader — the one media container the JDK exposes per-frame access
+   * to (no video codecs exist in this container). Animated GIFs get a
+   * REAL frame count, per-frame dimensions, and a feature averaged
+   * over up to [[MaxSampledFrames]] evenly-spaced frames. Anything
+   * that is not a GIF (true codecs — MP4/WebM — or mislabeled blobs)
+   * returns None and falls back to [[StubDecoder]]; swapping in a real
+   * codec means replacing exactly this object, same as the audio seam.
+   * Partition-local inside [[extractFeatures]], like [[ImageDecoder]].
+   */
+  object VideoDecoder extends Serializable {
+    /** Feature cost cap: long GIFs sample this many frames, evenly. */
+    val MaxSampledFrames = 8
+
+    /** Run `f` over a GIF ImageReader positioned on `bytes`; None when
+      * no reader recognizes them or the container is not a GIF. The
+      * non-seek-forward input is required for `getNumImages(true)`
+      * (it scans the whole stream) and random frame reads. */
+    private def withGifReader[T](bytes: Array[Byte])(
+        f: javax.imageio.ImageReader => T): Option[T] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val r = readers.next()
+          if (!r.getFormatName.equalsIgnoreCase("gif")) return None
+          try {
+            r.setInput(iis, false, false)
+            Some(f(r))
+          } finally r.dispose()
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Per-frame (width, height) — GIF frames may be sub-rectangle
+      * patches of the logical screen, so dims are truly per-frame. */
+    def frameDims(bytes: Array[Byte]): Option[Seq[(Int, Int)]] =
+      withGifReader(bytes) { r =>
+        (0 until r.getNumImages(true)).map(i => (r.getWidth(i), r.getHeight(i)))
+      }.filter(_.nonEmpty)
+
+    /** First frame as an image — the representative thumbnail
+      * [[resizeToFit]] resamples for video rows. */
+    def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      withGifReader(bytes) { r =>
+        if (r.getNumImages(true) > 0) r.read(0) else null
+      } match {
+        case Some(img) if img != null => Some(img)
+        case _ => None
+      }
+
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      withGifReader(bytes) { r =>
+        val n = r.getNumImages(true)
+        if (n <= 0) null
+        else {
+          // feature = mean of the 2×2 grid feature over ≤8 evenly
+          // spaced frames — temporal summary at bounded decode cost
+          val sampled =
+            if (n <= MaxSampledFrames) 0 until n
+            else (0 until MaxSampledFrames).map(j => j * (n - 1) / (MaxSampledFrames - 1))
+          val acc = new Array[Float](StubDecoder.FeatureDim)
+          sampled.foreach { i =>
+            val f = ImageDecoder.gridFeature(r.read(i))
+            var k = 0
+            while (k < acc.length) { acc(k) += f(k); k += 1 }
+          }
+          var k = 0
+          while (k < acc.length) { acc(k) /= sampled.size; k += 1 }
+          (r.getWidth(0), r.getHeight(0), n, acc)
+        }
+      } match {
+        case Some(res) if res != null => Some(res)
+        case _ => None
+      }
   }
 
   /**
@@ -231,12 +322,14 @@ object Multimodal {
             r.getAs[Array[Byte]](2)
           val sha = md5Hex(bytes)
           val h60 = java.lang.Long.parseLong(sha.substring(0, 15), 16)
-          // images/audio: real JDK decode when the bytes parse; stub
-          // fallback keeps undecodable fixtures deterministic
+          // images/audio/GIF-video: real JDK decode when the bytes
+          // parse; stub fallback keeps undecodable fixtures (and true
+          // video codecs, absent from this container) deterministic
           val (w, h, f, feat) =
             (mod match {
               case "image" => ImageDecoder.decode(bytes)
               case "audio" => AudioDecoder.decode(bytes)
+              case "video" => VideoDecoder.decode(bytes)
               case _ => None
             }).getOrElse(StubDecoder.decode(mod, h60))
           Row(id, mod, bytes.length.toLong, sha,
@@ -288,8 +381,11 @@ object Multimodal {
    *
    * Image bytes any JDK reader parses get a REAL resize —
    * [[ImageDecoder.resample]]: bilinear `Graphics2D.drawImage` into the
-   * fitted box, PNG-encoded. Video (no codec in this container) and
-   * unparseable bytes fall back to the deterministic stub: dims from
+   * fitted box, PNG-encoded — and video bytes that are animated GIFs
+   * resample their first frame ([[VideoDecoder.firstFrame]]), the
+   * standard thumbnail shape. True video codecs (absent from this
+   * container) and unparseable bytes fall back to the deterministic
+   * stub: dims from
    * the content-hash fake ([[StubDecoder]], same math as
    * [[extractFeatures]]) and a `"sha:WxH"` stand-in blob, so oracles
    * can verify the pipeline shape end-to-end.
@@ -309,7 +405,13 @@ object Multimodal {
           val mod = r.getString(1)
           val bytes = if (r.isNullAt(2)) Array.empty[Byte] else
             r.getAs[Array[Byte]](2)
-          val real = if (mod == "image") ImageDecoder.readImage(bytes) else None
+          // video rows resample their FIRST GIF frame — the standard
+          // thumbnail shape; non-GIF video bytes fall to the stub
+          val real = mod match {
+            case "image" => ImageDecoder.readImage(bytes)
+            case "video" => VideoDecoder.firstFrame(bytes)
+            case _ => None
+          }
           real match {
             case Some(img) =>
               val (ow, oh) = fitBox(img.getWidth, img.getHeight, maxW, maxH)

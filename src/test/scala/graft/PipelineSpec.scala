@@ -220,7 +220,7 @@ class PipelineSpec extends SparkSpec {
     val media = Seq(
       (1L, "image", png),                              // real decode path
       (2L, "image", "not an image".getBytes("UTF-8")), // stub fallback
-      (3L, "video", png),                              // video: always stub
+      (3L, "video", png),                              // video: PNG is not a GIF container -> stub
       (4L, "audio", png))                              // dropped
       .toDF("item_id", "modality", "content")
     val out = Multimodal.resizeToFit(media, 64, 64)
@@ -242,10 +242,70 @@ class PipelineSpec extends SparkSpec {
     // stub path: dims from the content-hash fake, "sha:WxH" blob
     val (_, w2, h2, bytes2) = out(2L)
     assert(new String(bytes2, "UTF-8").endsWith(s":${w2}x$h2"))
-    // video never attempts the image decode, even for parseable bytes
+    // video attempts only the GIF container decode: parseable PNG
+    // bytes under a video modality are a mislabeled blob -> stub
     val (_, _, _, bytes3) = out(3L)
     assert(new String(bytes3, "UTF-8").contains(":"),
-      "video must take the stub branch")
+      "non-GIF video bytes must take the stub branch")
+  }
+
+  /** A `frames`-frame animated GIF (20×10, solid color per frame)
+    * written with the JDK's own GIF sequence writer. */
+  private def animatedGif(frames: Int, w: Int = 20, h: Int = 10): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      wr.setOutput(ios)
+      wr.prepareWriteSequence(null)
+      (0 until frames).foreach { i =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        try {
+          g.setColor(new java.awt.Color(80 * i % 256, 255 - 60 * i % 256, 40))
+          g.fillRect(0, 0, w, h)
+        } finally g.dispose()
+        wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      wr.endWriteSequence()
+    } finally { wr.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("video path: REAL multi-frame GIF decode — frame count, dims, features, thumbnail") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val gif = animatedGif(3)
+    // decoder level: real frame count and per-frame dims
+    val Some((w, h, n, feat)) = Multimodal.VideoDecoder.decode(gif)
+    assert((w, h, n) == ((20, 10, 3)))
+    assert(feat.length == Multimodal.StubDecoder.FeatureDim)
+    assert(Multimodal.VideoDecoder.frameDims(gif).get == Seq.fill(3)((20, 10)))
+    // non-GIF bytes refuse the video decode (no mislabeled-blob decode)
+    assert(Multimodal.VideoDecoder.decode("junk".getBytes("UTF-8")).isEmpty)
+    // pipeline level: extractFeatures reports the REAL n_frames for a
+    // GIF video row, stub n_frames for an undecodable one
+    val media = Seq(
+      (1L, "video", gif),
+      (2L, "video", "not a gif".getBytes("UTF-8")))
+      .toDF("item_id", "modality", "content")
+      .withColumn("mime", lit("application/octet-stream"))
+      .withColumn("meta", map().cast("map<string,string>"))
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(feats(1L) == ((20, 10, 3)))
+    assert(feats(2L)._3 != 3, "undecodable video bytes keep the stub frame count")
+    // resize level: the GIF's first frame gets a REAL thumbnail (20x10
+    // fits 64x64 -> no upscale; bytes decode back as a real PNG)
+    val rz = Multimodal.resizeToFit(media, 64, 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4))).toMap
+    assert((rz(1L)._1, rz(1L)._2) == ((20, 10)))
+    val thumb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rz(1L)._3))
+    assert(thumb != null && thumb.getWidth == 20 && thumb.getHeight == 10)
   }
 
   test("count-min sketch: one-sided estimates, exact at generous width") {
