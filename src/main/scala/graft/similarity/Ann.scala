@@ -391,12 +391,20 @@ object Ann {
   def pqTopK(codebooks: Array[Array[Array[Double]]],
              corpus: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
+             vecCol: String = "embedding"): DataFrame =
+    adcRank(pqEncode(codebooks, corpus, idCol, vecCol),
+      adcTables(corpus.sparkSession, codebooks, queries, idCol, vecCol), k)
+
+  /** Per-query ADC distance tables: dt(s)(c) = Σ_i (q_s(i) −
+    * codeword(i))², in element order (bit-identical to the oracle's
+    * comprehension sum). Driver-side — m·ksub doubles per query, tiny
+    * by construction like the [[bruteTopK]] broadcast. */
+  private def adcTables(spark: org.apache.spark.sql.SparkSession,
+                        codebooks: Array[Array[Array[Double]]],
+                        queries: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks.head.head.length
-    // per-query ADC tables: dt(s)(c) = Σ_i (q_s(i) − codeword(i))², in
-    // element order (bit-identical to the oracle's comprehension sum)
     val qRows = queries.select(col(idCol), col(vecCol)).collect().map { r =>
       // numeric-id / float-or-double tolerant, like the sibling APIs
       val qid = r.getAs[Number](0).longValue()
@@ -414,7 +422,13 @@ object Ann {
       (qid, dt.map(_.toSeq).toSeq)
     }.toSeq
     import spark.implicits._
-    val q = qRows.toDF("qid", "dt")
+    qRows.toDF("qid", "dt")
+  }
+
+  /** ADC scoring over an encoded corpus (nid, code): m table lookups
+    * summed in subspace order, per-partition rank pruning before the
+    * final k-merge. */
+  private def adcRank(encoded: DataFrame, q: DataFrame, k: Int): DataFrame = {
     // single reference to `code`: an element_at-per-subspace chain would
     // reference it m times, and CollapseProject then re-inlines the m
     // TopCentroids encode expressions once PER REFERENCE (the same
@@ -424,7 +438,7 @@ object Ann {
     val adist = aggregate(
       zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    pqEncode(codebooks, corpus, idCol, vecCol)
+    encoded
       .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .withColumn("adist", adist)
@@ -434,6 +448,35 @@ object Ann {
       .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
         col("rank"))
   }
+
+  /**
+   * Materialize the PQ index: the [[pqEncode]]d corpus — (nid, `m`
+   * small codes) — written as parquet. The at-rest counterpart of
+   * [[ivfMaterialize]]: ADC search over the index reads `m` bytes per
+   * vector from disk (ksub ≤ 256) instead of the raw vectors — at
+   * dim=64 float32 a 32× scan-volume reduction, which is what makes a
+   * 100 TB corpus ADC-searchable from storage.
+   */
+  def pqMaterialize(codebooks: Array[Array[Array[Double]]],
+                    corpus: DataFrame, path: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    pqEncode(codebooks, corpus, idCol, vecCol)
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * ADC search over a materialized PQ index ([[pqMaterialize]] layout):
+   * scoring identical to [[pqTopK]] — same codebooks ⇒ bit-identical
+   * results — but the corpus side is the codes parquet, so the scan
+   * touches (nid, code) only; the raw embedding table is never opened.
+   */
+  def pqSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      codebooks: Array[Array[Array[Double]]],
+                      queries: DataFrame, k: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    adcRank(spark.read.parquet(path),
+      adcTables(spark, codebooks, queries, idCol, vecCol), k)
 
   /**
    * All-pairs near-duplicate detection by embedding cosine ≥

@@ -405,6 +405,28 @@ class PipelineSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("materialized PQ index: codes-only scan, bit-identical to in-memory ADC") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val books = Ann.pinnedCodebooks(emb, m = 4, ksub = 8, dim = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    Ann.pqMaterialize(books, emb, path)
+    val indexed = Ann.pqSearchIndexed(spark, path, books, queries, k = 3)
+    // the index scan reads codes only — the embedding column never
+    // appears in the parquet read schema
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<nid:bigint,code:array<int>>"),
+      s"ADC over the index must scan (nid, code) only:\n${plan.take(1500)}")
+    val direct = Ann.pqTopK(books, emb, queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = indexed
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == direct)
+  }
+
   test("langid picks the dominant stopword language, unk below threshold") {
     val df = docs(
       (1L, "the cat and the dog is in a house of wonders"),
