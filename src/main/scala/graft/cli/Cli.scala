@@ -145,6 +145,15 @@ object Cli {
           throw new IllegalArgumentException(
             s"alerts: config= rules define their own patterns; " +
               s"unexpected argument ${nonFlags.head}")
+        // same strictness for ad-hoc shaping flags: config rules carry
+        // their own thresholds/aggregations, so a combined
+        // `config= alert=` invocation would silently drop the alert=
+        // threshold — reject instead of ignoring
+        val strayFlags = opts.keySet - "config"
+        if (strayFlags.nonEmpty)
+          throw new IllegalArgumentException(
+            s"alerts: config= rules define their own shape; drop " +
+              s"${strayFlags.toSeq.sorted.map(_ + "=").mkString(", ")}")
         graft.config.StoreConfig.parse(new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           "UTF-8")).alerts
@@ -159,8 +168,9 @@ object Cli {
             case "sum" => Aggregations.Sum
             case "min" => Aggregations.Min
             case "max" => Aggregations.Max
+            case "median" => Aggregations.Median // batch evaluation only
             case other => throw new IllegalArgumentException(
-              s"alerts agg=$other (want avg|sum|min|max)")
+              s"alerts agg=$other (want avg|sum|min|max|median)")
           },
           intervalMs = opts.get("interval").map(parseDuration)
             .getOrElse(Aggregations.DefaultIntervalMs),

@@ -97,6 +97,11 @@ object StoreConfig {
         case "SUM"     => Aggregations.Sum
         case "MIN"     => Aggregations.Min
         case "MAX"     => Aggregations.Max
+        // legal per the reference StreamAggregation enum (MEDIAN=3);
+        // served by the batch evaluator via Aggregations.Median. The
+        // streaming path rejects it at alertRuleStream instead (exact
+        // median needs the full window, which streaming state bounds).
+        case "MEDIAN"  => Aggregations.Median
         case other => throw new IllegalArgumentException(s"aggregation $other")
       },
       intervalMs = a.long("sample_frequency")

@@ -42,9 +42,22 @@ object TextProto {
         val sb = new StringBuilder
         i += 1
         while (i < n && text(i) != '"') {
-          if (text(i) == '\\' && i + 1 < n) { sb += text(i + 1); i += 2 }
-          else { sb += text(i); i += 1 }
+          if (text(i) == '\\') {
+            if (i + 1 >= n) throw new IllegalArgumentException(
+              "dangling escape at end of config text")
+            // standard TextFormat escapes; \\ and \" (and anything
+            // unrecognized) copy the escaped char literally
+            sb += (text(i + 1) match {
+              case 'n' => '\n'
+              case 't' => '\t'
+              case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          } else { sb += text(i); i += 1 }
         }
+        if (i >= n) throw new IllegalArgumentException(
+          "unterminated string literal in config text")
         i += 1 // closing quote
         // the sentinel prefix marks "was quoted" so an empty string
         // literal survives and `{`/`:` never collide with content

@@ -54,20 +54,28 @@ object CountMin {
    * `depth` rows of the token's cell. The grid is depth×width rows by
    * construction — broadcast it; probes never shuffle.
    * Output: probe columns + `est_cnt`.
+   *
+   * Probe rows should be DISTINCT: the final group-by runs over all
+   * probe columns, so duplicate probe rows merge into one output row.
+   * Internal working columns use a reserved `__cms_` prefix so probe
+   * tables with columns named `r`/`col`/`rc` resolve unambiguously.
    */
   def estimate(grid: DataFrame, probes: DataFrame, tokCol: String,
                depth: Int, width: Int): DataFrame = {
     val probed = probes.select(col("*"),
       explode(array((0 until depth).map(r =>
         struct(lit(r).as("r"), bucket(col(tokCol), r, width).as("col"))): _*))
-        .as("rc"))
-      .select(col("*"), col("rc.r").as("r"), col("rc.col").as("col"))
-      .drop("rc")
-    probed.join(broadcast(grid), Seq("r", "col"))
+        .as("__cms_rc"))
+      .select(col("*"), col("__cms_rc.r").as("__cms_r"),
+        col("__cms_rc.col").as("__cms_col"))
+      .drop("__cms_rc")
+    val g = grid.select(col("r").as("__cms_r"), col("col").as("__cms_col"),
+      col("cell").as("__cms_cell"))
+    probed.join(broadcast(g), Seq("__cms_r", "__cms_col"))
       // an empty cell can only happen if the probe token never occurred
       // (then every row's cell is absent and the join drops it — the
       // estimate of an unseen token is 0 by omission)
       .groupBy(probes.columns.map(col): _*)
-      .agg(min(col("cell")).as("est_cnt"))
+      .agg(min(col("__cms_cell")).as("est_cnt"))
   }
 }

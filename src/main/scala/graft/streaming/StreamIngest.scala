@@ -237,10 +237,32 @@ object StreamIngest {
    * [[graft.operators.Alerts.evaluate]]: raw points violate directly,
    * where the batch path grid-aggregates first — alerts fire at point
    * granularity without waiting for a window to close.
+   *
+   * The rule's `agg` therefore only shapes the BATCH evaluation.
+   * Point-level thresholding tracks AVERAGE/MAX-threshold intent
+   * (a point crossing is evidence the bucket aggregate crosses);
+   * for SUM or MIN rules it can fire or stay silent where the grid
+   * aggregate decides oppositely (a bucket SUM exceeds τ with no
+   * single point doing so; a bucket MIN exceeds τ only when ALL
+   * points do) — accepted with a logged warning. MEDIAN is rejected:
+   * an exact median needs the full window, which bounded streaming
+   * state cannot hold (batch serves it via the distributed median).
    */
   def alertRuleStream(points: DataFrame,
                       rule: graft.operators.Alerts.AlertRule,
                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    rule.agg match {
+      case graft.operators.Aggregations.Median =>
+        throw new IllegalArgumentException(
+          "alertRuleStream cannot serve MEDIAN rules: exact medians need " +
+            "the full window; evaluate this rule in batch (Alerts.evaluate)")
+      case graft.operators.Aggregations.Sum | graft.operators.Aggregations.Min =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"alertRuleStream approximates a ${rule.agg} rule at point " +
+            "granularity; the batch grid evaluation can decide differently " +
+            "for this aggregation (see scaladoc)")
+      case _ => ()
+    }
     val scoped =
       if (rule.patterns.isEmpty) points
       else points.filter(rule.patterns

@@ -70,6 +70,14 @@ class CliSpec extends SparkSpec {
     java.nio.file.Files.write(cfg, SparkEntry.AlertConfigText.getBytes("UTF-8"))
     val fromFile = Cli.parseAlerts(Seq(s"config=$cfg"))
     assert(fromFile.map(a => (a.threshold, a.minPeriods)) == Seq((62.0, 3)))
+    // ...and so does an ad-hoc shaping flag: config rules carry their
+    // own thresholds, a combined config=+alert= would silently drop
+    // the alert= threshold
+    intercept[IllegalArgumentException](
+      Cli.parseAlerts(Seq(s"config=$cfg", "alert=0.9")))
+    // median is a legal batch aggregation from the CLI too
+    assert(Cli.parseAlerts(Seq("alert=1", "agg=median")).head.agg ==
+      graft.operators.Aggregations.Median)
   }
 
   test("alerts end-to-end: threshold episodes from a store") {

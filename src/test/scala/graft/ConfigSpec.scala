@@ -73,6 +73,28 @@ class ConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextProto.parse("a } b"))
     intercept[IllegalArgumentException](TextProto.parse("a"))
     intercept[IllegalArgumentException](TextProto.parse("threshold:"))
+    // unterminated quotes and dangling escapes error instead of
+    // silently consuming to EOF
+    intercept[IllegalArgumentException](TextProto.parse("""c: "unclosed"""))
+    intercept[IllegalArgumentException](TextProto.parse("c: \"half\\"))
+  }
+
+  test("quoted strings translate standard TextFormat escapes") {
+    val m = TextProto.parse("""c: "line\nnext\ttab \"q\" back\\slash"""" )
+    assert(m.str("c").contains("line\nnext\ttab \"q\" back\\slash"))
+  }
+
+  test("MEDIAN alert aggregation parses (batch-served)") {
+    val cfg = """alert { variable: "/m/x" aggregation: MEDIAN
+                |  threshold: 5.0 }""".stripMargin
+    val Seq(rule) = StoreConfig.parse(cfg).alerts
+    assert(rule.agg == graft.operators.Aggregations.Median)
+    // the streaming evaluator refuses it up front — exact medians need
+    // the full window; the batch path (Alerts.evaluate) serves it.
+    // (The agg check precedes any plan construction, so no session is
+    // needed here.)
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamIngest.alertRuleStream(null, rule))
   }
 
   test("mutation units mirror the wire codec: gap in samples, freq guard") {

@@ -330,6 +330,15 @@ class PipelineSpec extends SparkSpec {
         probes, "tok", depth = 4, width = 65536)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estWide == exact)
+    // probe columns named r/col (the grid's own names) resolve
+    // unambiguously — internals use the reserved __cms_ prefix
+    val trickyProbes = exact.keys.toSeq.map(t => (t, 7, 9))
+      .toDF("tok", "r", "col")
+    val estTricky = CountMin.estimate(
+        CountMin.cells(toks, "tok", depth = 4, width = 65536),
+        trickyProbes, "tok", depth = 4, width = 65536)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(estTricky == exact.map { case (t, c) => (t, 7, 9) -> c })
   }
 
   test("topCentroids: argmin matches a reference scan, best-first order") {
