@@ -26,6 +26,32 @@ object AnalyticsEntry {
   /** Fixed column list profiled by p_profile — shared with the oracle. */
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
+  /** Dataset profile (one row per profiled column): row/null/distinct
+    * counts + min/max. `exact` picks count_distinct (Expand-based —
+    * one shuffled row per distinct-agg per input row, the price of a
+    * hash-matchable gate) vs approx_count_distinct (HLL++ partials,
+    * the 100 TB path). The per-column explosion happens on the one-row
+    * aggregate OUTPUT, free at any scale. */
+  private def profile(d: DataFrame, exact: Boolean): DataFrame = {
+    val cols = ProfileCols
+    val nd: String => org.apache.spark.sql.Column =
+      if (exact) c => count_distinct(col(c))
+      else c => approx_count_distinct(col(c))
+    val agg = d.agg(
+      count(lit(1)).as("n"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        nd(c).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))): _*)
+    agg.select(col("n"), explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
+          col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_val"),
+          col(s"mx_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.col_name"), col("n"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
   /** Whitespace-token CTE shared by the document oracles (same shape as
     * PipelineEntry's). */
   private val T =
@@ -182,23 +208,16 @@ object AnalyticsEntry {
     // swaps in approx_count_distinct (HLL partials, no Expand) at the
     // cost of the exact gate. The per-column explosion happens on the
     // one-row agg OUTPUT, which is free at any scale.
-    "p_profile" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val cols = ProfileCols
-      val agg = d.agg(
-        count(lit(1)).as("n"),
-        cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-          count_distinct(col(c)).as(s"nd_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c"))): _*)
-      agg.select(col("n"), explode(array(cols.map(c =>
-          struct(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
-            col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_val"),
-            col(s"mx_$c").as("max_val"))): _*)).as("p"))
-        .select(col("p.col_name"), col("n"), col("p.n_null"),
-          col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
-    }),
+    "p_profile" -> ((s, dir) => profile(Tables.documents(s, dir), exact = true)),
+
+    // The 100 TB variant: approx_count_distinct (HyperLogLog++
+    // partials) replaces the Expand-based exact distincts — no
+    // per-distinct-agg row expansion, one ordinary partial aggregate
+    // per partition. Estimates are sketch-dependent (no DuckDB twin),
+    // so this gate is rows-only: the shape and row count are checked,
+    // the exact sibling above carries the hash gate.
+    "p_profile_approx" -> ((s, dir) =>
+      profile(Tables.documents(s, dir), exact = false)),
 
     // Unigram-LM surprisal score: mean -ln p(token) per document under
     // the corpus unigram distribution — the classic cheap LM-quality

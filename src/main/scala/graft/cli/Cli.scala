@@ -18,8 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *   list <prefix> [max_age=<dur>] [max_variables=N]
  *   add <var:value@ts_ms> ...
  *   alerts <variable> alert=<threshold> [min_periods=N] [interval=<dur>]
- *          [agg=avg|sum|min|max] [condition=GT|GE|LT|LE]
+ *          [agg=avg|sum|min|max|median] [condition=GT|GE|LT|LE]
  *   alerts config=<path>           # all alert{} rules from a config file
+ *   alerts config=<path> follow=<dir> [watermark=<dur>]
+ *                                  # LIVE: stream episodes from a watched
+ *                                  # point-parquet directory (console sink)
  *
  * Engine extensions beyond the reference grammar: `aggregate=` may
  * repeat (each block captures the agg=/interval= settings in effect),
@@ -182,6 +185,28 @@ object Cli {
     }
   }
 
+  /**
+   * `alerts … follow=<dir> [watermark=<dur>]`: the LIVE evaluation —
+   * episodes stream from a watched point-parquet directory
+   * ([[graft.streaming.StreamIngest.alertRulesFollow]]) instead of a
+   * batch store scan. Rules come from `config=` (the usual pairing) or
+   * the ad-hoc flags; `follow=`/`watermark=` are consumed here and
+   * invisible to rule parsing, so `config=`'s strictness about shaping
+   * flags still holds. Returns the unbounded episode DataFrame — the
+   * caller picks the sink (main uses console).
+   */
+  def alertsFollow(spark: SparkSession, args: Seq[String]): DataFrame = {
+    val followKeys = Set("follow", "watermark")
+    val opts = args.flatMap(kv).filter { case (k, _) => followKeys(k) }.toMap
+    val dir = opts.getOrElse("follow",
+      throw new IllegalArgumentException("alerts follow mode needs follow=<dir>"))
+    val wmMs = opts.get("watermark").map(parseDuration).getOrElse(3600000L)
+    val rules = parseAlerts(args.filterNot(a =>
+      kv(a).exists { case (k, _) => followKeys(k) }))
+    graft.streaming.StreamIngest.alertRulesFollow(spark, dir, rules,
+      s"$wmMs milliseconds")
+  }
+
   def run(spark: SparkSession, store: String, argv: Seq[String],
           nowMs: Long = System.currentTimeMillis()): DataFrame =
     argv match {
@@ -242,6 +267,12 @@ object Cli {
     rest.toSeq match {
       case Seq("add", specs @ _*) =>
         println(s"added ${runAdd(spark, store, specs)} points")
+      case Seq("alerts", args @ _*) if args.exists(_.startsWith("follow=")) =>
+        // live mode: episodes print as they close; runs until killed
+        alertsFollow(spark, args)
+          .writeStream.format("console").outputMode("append")
+          .option("truncate", false).start()
+          .awaitTermination()
       case argv =>
         run(spark, store, argv).show(100, truncate = false)
     }

@@ -282,6 +282,29 @@ object StreamIngest {
           (rule.minPeriods - 1).toLong * rule.intervalMs)
   }
 
+  /**
+   * Live evaluation of a whole alert config over a file point stream:
+   * watches `sourceDir` for canonical point-parquet drops and runs
+   * [[alertRuleStream]] per rule, unioned and tagged with
+   * `rule_id`/`rule` — the streaming twin of
+   * [[graft.operators.Alerts.evaluateAll]], closing the batch/stream
+   * symmetry (CLI: `alerts config=… follow=…`). MEDIAN rules are
+   * rejected by [[alertRuleStream]] (batch-only). Each rule's
+   * sessionization keeps its own bounded per-series state; the file
+   * source is read once and shared across the rule branches.
+   */
+  def alertRulesFollow(spark: SparkSession, sourceDir: String,
+                       rules: Seq[graft.operators.Alerts.AlertRule],
+                       watermark: String = "1 hour"): DataFrame = {
+    require(rules.nonEmpty, "no alert rules configured")
+    val pts = spark.readStream.schema(Point.schema).parquet(sourceDir)
+    rules.zipWithIndex.map { case (r, i) =>
+      alertRuleStream(pts, r, watermark).toDF()
+        .withColumn("rule_id", lit(i))
+        .withColumn("rule", lit(r.comment))
+    }.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------- stateful resample
 
   /** Per-series incremental state of the uniform resampler — the same

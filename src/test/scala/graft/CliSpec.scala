@@ -80,6 +80,49 @@ class CliSpec extends SparkSpec {
       graft.operators.Aggregations.Median)
   }
 
+  test("alerts follow=: live episode stream from a watched directory") {
+    // GT 50 sustained >= 3 one-minute periods on /al/* only
+    val cfg = java.nio.file.Files.createTempFile("follow_cfg", ".txt")
+    java.nio.file.Files.write(cfg,
+      """alert {
+        |  variable { name: "/al/*" }
+        |  sample_frequency: 60000
+        |  condition: GT
+        |  threshold: 50.0
+        |  min_periods: 3
+        |  comment: "hot"
+        |}""".stripMargin.getBytes("UTF-8"))
+    val watch = java.nio.file.Files.createTempDirectory("follow_src").toString
+    val b = 600000L // keep the first event ahead of the initial watermark
+    series((0 to 3).map(i => (b + i * 60000L, 99.0)) :+ ((b + 240000L, 1.0)),
+        name = "/al/x")
+      .unionByName(series(Seq((b, 99.0), (b + 60000L, 99.0)), name = "/oth/y"))
+      .write.parquet(s"$watch/batch1")
+    val out = Cli.alertsFollow(spark,
+      Seq(s"config=$cfg", s"follow=$watch/batch1", "watermark=1s"))
+    val q = out.writeStream.format("memory").queryName("cli_follow_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark past the episode horizon with flush rows
+    // (two batches: timeouts fire against the END-of-batch watermark;
+    // the rows must VIOLATE the rule — non-violating points are
+    // filtered before the watermark operator and cannot advance it)
+    series(Seq((100000000L, 99.0)), name = "/al/flush")
+      .write.mode("append").parquet(s"$watch/batch1")
+    q.processAllAvailable()
+    series(Seq((200100000L, 99.0)), name = "/al/flush2")
+      .write.mode("append").parquet(s"$watch/batch1")
+    q.processAllAvailable()
+    val eps = spark.table("cli_follow_out")
+      .filter(!col("key").startsWith("/al/flush"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(r.fieldIndex("rule_id")),
+        r.getString(r.fieldIndex("rule")))).toSet
+    q.stop()
+    // /al/x violates for 4 periods then recovers; /oth/y is out of scope
+    assert(eps == Set(("/al/x", b, b + 180000L, 4L, 0, "hot")))
+  }
+
   test("alerts end-to-end: threshold episodes from a store") {
     val store = java.nio.file.Files.createTempDirectory("graft_alert").toString + "/s"
     // 4 consecutive violating minutes, a gap, then a single violation

@@ -10,11 +10,20 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class EntryContractSpec extends AnyFunSuite {
 
+  /** Queries whose oracle is DELIBERATELY omitted — sketch-estimate
+    * outputs no external engine reproduces bit-wise (DuckDB's HLL ≠
+    * Spark's), downgraded to the driver's rows-only check on purpose.
+    * Every entry here needs an exact hash-gated sibling. */
+  private val rowsOnlyQueries = Set("p_profile_approx")
+
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert((q -- o).isEmpty, s"queries without oracle SQL: ${(q -- o).toSeq.sorted}")
+    assert((q -- o -- rowsOnlyQueries).isEmpty,
+      s"queries without oracle SQL: ${(q -- o -- rowsOnlyQueries).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracle SQL without a query: ${(o -- q).toSeq.sorted}")
+    assert((rowsOnlyQueries -- q).isEmpty && (rowsOnlyQueries & o.toSet).isEmpty,
+      "rowsOnlyQueries must name real queries that have no oracle")
   }
 
   test("the module query maps never collide (++ would drop one side)") {
