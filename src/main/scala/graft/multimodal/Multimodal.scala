@@ -196,10 +196,15 @@ object Multimodal {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) return None
           val r = readers.next()
-          if (!r.getFormatName.equalsIgnoreCase("gif")) return None
+          // dispose covers the non-GIF exit too: a corpus scan hitting
+          // millions of mislabeled (e.g. PNG-under-video) blobs must
+          // not leak a plugin reader per row to the GC
           try {
-            r.setInput(iis, false, false)
-            Some(f(r))
+            if (!r.getFormatName.equalsIgnoreCase("gif")) None
+            else {
+              r.setInput(iis, false, false)
+              Some(f(r))
+            }
           } finally r.dispose()
         } finally iis.close()
       } catch { case _: Exception => None }

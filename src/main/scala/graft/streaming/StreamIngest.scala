@@ -238,30 +238,42 @@ object StreamIngest {
    * where the batch path grid-aggregates first — alerts fire at point
    * granularity without waiting for a window to close.
    *
-   * The rule's `agg` therefore only shapes the BATCH evaluation.
-   * Point-level thresholding tracks AVERAGE/MAX-threshold intent
-   * (a point crossing is evidence the bucket aggregate crosses);
-   * for SUM or MIN rules it can fire or stay silent where the grid
-   * aggregate decides oppositely (a bucket SUM exceeds τ with no
-   * single point doing so; a bucket MIN exceeds τ only when ALL
-   * points do) — accepted with a logged warning. MEDIAN is rejected:
-   * an exact median needs the full window, which bounded streaming
-   * state cannot hold (batch serves it via the distributed median).
+   * The rule's `agg` therefore only shapes the BATCH evaluation, and
+   * soundness of point-level thresholding depends on the
+   * (agg, condition) PAIR: a point crossing implies the bucket
+   * aggregate crosses exactly for extremum-aligned pairs — MAX with
+   * GT/GE, MIN with LT/LE. The misaligned pairs (MAX+LT: the bucket
+   * max is below τ only when ALL points are; MIN+GT symmetric) and
+   * SUM in either direction (a bucket sum crosses τ with no single
+   * point doing so) can fire or stay silent where the grid decides
+   * oppositely — accepted with a logged warning. AVERAGE is the
+   * documented point-granularity approximation and stays silent.
+   * MEDIAN is rejected: an exact median needs the full window, which
+   * bounded streaming state cannot hold (batch serves it via the
+   * distributed median).
    */
   def alertRuleStream(points: DataFrame,
                       rule: graft.operators.Alerts.AlertRule,
                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import graft.operators.{Aggregations, Alerts}
     rule.agg match {
-      case graft.operators.Aggregations.Median =>
+      case Aggregations.Median =>
         throw new IllegalArgumentException(
           "alertRuleStream cannot serve MEDIAN rules: exact medians need " +
             "the full window; evaluate this rule in batch (Alerts.evaluate)")
-      case graft.operators.Aggregations.Sum | graft.operators.Aggregations.Min =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"alertRuleStream approximates a ${rule.agg} rule at point " +
-            "granularity; the batch grid evaluation can decide differently " +
-            "for this aggregation (see scaladoc)")
-      case _ => ()
+      case _ =>
+        val pointSound = (rule.agg, rule.condition) match {
+          case (Aggregations.Max, Alerts.Gt | Alerts.Ge) => true
+          case (Aggregations.Min, Alerts.Lt | Alerts.Le) => true
+          case (Aggregations.Max, _) | (Aggregations.Min, _) |
+               (Aggregations.Sum, _) => false
+          case _ => true // AVERAGE: the documented approximation
+        }
+        if (!pointSound)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"alertRuleStream approximates a ${rule.agg}+${rule.condition} " +
+              "rule at point granularity; the batch grid evaluation can " +
+              "decide differently for this pairing (see scaladoc)")
     }
     val scoped =
       if (rule.patterns.isEmpty) points

@@ -281,14 +281,20 @@ class PlanAuditSpec extends SparkSpec {
       "d_minhash_lsh", "d_simhash_pairs", "d_cdc_pairs")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      reusePaths.foreach { q =>
-        val p = plan(q)
+      def check(q: String, p: String): Unit = {
         assert(p.contains("ReusedExchange"),
           s"$q plan has no ReusedExchange — a shared subtree is compiling twice")
         val scans = "FileScan parquet".r.findAllIn(p).length
         assert(scans == 1,
           s"$q expected exactly 1 documents scan (single tokenize pass), got $scans")
       }
+      reusePaths.foreach(q => check(q, plan(q)))
+      // the hot-guarded ngram branch is not behind any gate query
+      // (d_ngram_jaccard uses the default maxDf) — audit it directly
+      check("ngramJaccardPairs(maxDf)",
+        graft.dedup.Dedup.ngramJaccardPairs(
+            spark.read.parquet(s"$sf/documents.parquet"), maxDf = 50L)
+          .queryExecution.executedPlan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
