@@ -258,13 +258,49 @@ object Multimodal {
    * parses WAV/AIFF/AU headers for frame count, and summarizes the PCM
    * payload into the fixed-width feature (mean byte level over 8 equal
    * spans, normalized to [-1, 1] — a cheap deterministic stand-in for
-   * an audio embedding). Returns None for byte streams no installed
-   * reader recognizes (compressed formats would need external codecs).
+   * an audio embedding). Compressed containers the JDK cannot decode
+   * still get REAL sample counts from [[CompressedAudio]]'s MP3/OGG
+   * header walks (features fall back to the byte-span summary of the
+   * compressed payload); anything else returns None → stub.
    * Partition-local inside [[extractFeatures]], like [[ImageDecoder]].
    */
   object AudioDecoder extends Serializable {
     private val MaxFeatureBytes = 1 << 20 // summarize at most 1 MiB of PCM
-    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+
+    /** Deterministic byte-span summary (mean level over 8 equal spans)
+      * of a raw payload — the feature stand-in for compressed audio,
+      * where real features would need a codec. */
+    private[multimodal] def spanFeature(bytes: Array[Byte]): Array[Float] = {
+      val feat = new Array[Float](StubDecoder.FeatureDim)
+      val total = math.min(bytes.length, MaxFeatureBytes)
+      if (total == 0) return feat
+      val sums = new Array[Long](StubDecoder.FeatureDim)
+      val counts = new Array[Long](StubDecoder.FeatureDim)
+      var i = 0
+      while (i < total) {
+        val span = (i.toLong * StubDecoder.FeatureDim / total).toInt
+        sums(span) += bytes(i) & 0xFF; counts(span) += 1; i += 1
+      }
+      var k = 0
+      while (k < feat.length) {
+        if (counts(k) > 0)
+          feat(k) = (sums(k).toFloat / counts(k) / 255f) * 2f - 1f
+        k += 1
+      }
+      feat
+    }
+
+    /** PCM decode via the JDK readers, then compressed-container
+      * header walks (REAL sample counts for MP3/OGG, span feature
+      * from the compressed payload), then None → stub. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      pcmDecode(bytes).orElse(
+        CompressedAudio.mp3Samples(bytes)
+          .orElse(CompressedAudio.oggSamples(bytes))
+          .filter(s => s > 0 && s <= Int.MaxValue)
+          .map(s => (0, 0, s.toInt, spanFeature(bytes))))
+
+    private def pcmDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
       if (bytes == null || bytes.length == 0) return None
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -301,6 +337,98 @@ object Multimodal {
           Some((0, 0, frames.toInt, feat))
         } finally in.close()
       } catch { case _: Exception => None }
+    }
+  }
+
+  /**
+   * REAL header metadata for compressed audio the JDK has no codec
+   * for: pure byte-level walks of the public container formats — no
+   * PCM decode, but exact sample counts (duration). MP3: ID3v2 skip +
+   * MPEG audio frame-header hop (sync, bitrate/samplerate tables,
+   * frame-size arithmetic), total samples = frames × samples/frame.
+   * OGG: page walk by segment table; the end-of-stream page's granule
+   * position IS the total PCM sample count (Vorbis/Opus convention).
+   * Features still need a codec — [[AudioDecoder]] substitutes the
+   * deterministic byte-span summary over the compressed payload and
+   * the stub remains the swap point for real decoding.
+   */
+  object CompressedAudio extends Serializable {
+    private val Mp3BitrateK = Array( // MPEG1 Layer III, kbps
+      0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val Mp3BitrateK2 = Array( // MPEG2/2.5 Layer III
+      0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    private val Mp3Rates = Map( // version bits -> samplerate table
+      3 -> Array(44100, 48000, 32000), // MPEG1
+      2 -> Array(22050, 24000, 16000), // MPEG2
+      0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+    /** Total PCM samples of an MPEG-audio (Layer III) stream, walking
+      * frame headers; None unless ≥2 consecutive valid frames parse
+      * (guards against random byte coincidences). */
+    def mp3Samples(bytes: Array[Byte]): Option[Long] = {
+      if (bytes == null || bytes.length < 4) return None
+      var i = 0
+      // ID3v2 prefix: "ID3" + 2 version + 1 flags + 4 syncsafe size
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3') {
+        val sz = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+          ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+        i = 10 + sz
+      }
+      var frames = 0L
+      var samples = 0L
+      while (i + 4 <= bytes.length) {
+        val b0 = bytes(i) & 0xFF; val b1 = bytes(i + 1) & 0xFF
+        val b2 = bytes(i + 2) & 0xFF
+        val sync = b0 == 0xFF && (b1 & 0xE0) == 0xE0
+        val ver = (b1 >> 3) & 0x3    // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layer = (b1 >> 1) & 0x3  // 1 = Layer III
+        val brIdx = (b2 >> 4) & 0xF
+        val srIdx = (b2 >> 2) & 0x3
+        if (!sync || ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) {
+          // not a valid frame at i: accept what we have if ≥2 frames
+          // ended exactly here (EOF of audio data), else reject
+          return if (frames >= 2 && i == bytes.length) Some(samples) else None
+        }
+        val mpeg1 = ver == 3
+        val bitrate = (if (mpeg1) Mp3BitrateK(brIdx) else Mp3BitrateK2(brIdx)) * 1000
+        val rate = Mp3Rates(ver)(srIdx)
+        val spf = if (mpeg1) 1152 else 576
+        val padding = (b2 >> 1) & 0x1
+        val frameLen = spf / 8 * bitrate / rate + padding
+        if (frameLen <= 4) return None
+        frames += 1
+        samples += spf
+        i += frameLen
+      }
+      if (frames >= 2 && i == bytes.length) Some(samples) else None
+    }
+
+    /** Total PCM samples of an OGG stream: walk pages ("OggS" capture
+      * pattern, size from the segment table), return the granule
+      * position of the end-of-stream page. */
+    def oggSamples(bytes: Array[Byte]): Option[Long] = {
+      if (bytes == null || bytes.length < 28) return None
+      var i = 0
+      var eosGranule: Option[Long] = None
+      while (i + 27 <= bytes.length) {
+        if (!(bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
+              bytes(i + 3) == 'S')) return None
+        val hdrType = bytes(i + 5) & 0xFF
+        var granule = 0L
+        var g = 7
+        while (g >= 0) { granule = (granule << 8) | (bytes(i + 6 + g) & 0xFF); g -= 1 }
+        val nSegs = bytes(i + 26) & 0xFF
+        if (i + 27 + nSegs > bytes.length) return None
+        var payload = 0
+        var s = 0
+        while (s < nSegs) { payload += bytes(i + 27 + s) & 0xFF; s += 1 }
+        if ((hdrType & 0x04) != 0) eosGranule = Some(granule)
+        i += 27 + nSegs + payload
+      }
+      // a truncated trailing page invalidates the walk
+      if (i == bytes.length) eosGranule.filter(_ >= 0) else None
     }
   }
 

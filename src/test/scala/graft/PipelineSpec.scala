@@ -273,6 +273,49 @@ class PipelineSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("compressed audio: real MP3/OGG header walks yield exact sample counts") {
+    import graft.multimodal.Multimodal.CompressedAudio
+    // MPEG1 Layer III, 128 kbps, 44100 Hz, no padding:
+    // header FF FB 90 00, frame length 144*128000/44100 = 417 bytes
+    def mp3(frames: Int, id3: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      if (id3) { // "ID3" v2.3, no flags, syncsafe size 130 (0x01 0x02)
+        bos.write(Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 1, 2))
+        bos.write(new Array[Byte](130))
+      }
+      (0 until frames).foreach { _ =>
+        bos.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0))
+        bos.write(new Array[Byte](417 - 4))
+      }
+      bos.toByteArray
+    }
+    assert(CompressedAudio.mp3Samples(mp3(3, id3 = false)) == Some(3 * 1152L))
+    assert(CompressedAudio.mp3Samples(mp3(5, id3 = true)) == Some(5 * 1152L))
+    assert(CompressedAudio.mp3Samples("plain text".getBytes("UTF-8")).isEmpty)
+    assert(CompressedAudio.mp3Samples(mp3(1, id3 = false)).isEmpty,
+      "a single frame must not satisfy the >=2-frame validity guard")
+    // OGG: two pages, the EOS page carries granule = total samples
+    def oggPage(granule: Long, hdrType: Int, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("OggS".getBytes("US-ASCII"))
+      bos.write(0); bos.write(hdrType)
+      (0 until 8).foreach(i => bos.write(((granule >> (8 * i)) & 0xFF).toInt))
+      bos.write(new Array[Byte](8)) // serial + seq
+      bos.write(new Array[Byte](4)) // crc (unchecked)
+      bos.write(1); bos.write(payload.length) // one segment
+      bos.write(payload)
+      bos.toByteArray
+    }
+    val ogg = oggPage(0L, 0x02, Array[Byte](1, 2, 3)) ++
+      oggPage(88200L, 0x04, Array[Byte](4, 5))
+    assert(CompressedAudio.oggSamples(ogg) == Some(88200L))
+    assert(CompressedAudio.oggSamples(ogg.dropRight(1)).isEmpty,
+      "truncated trailing page invalidates the walk")
+    // the audio pipeline surfaces the real sample count as n_frames
+    val got = graft.multimodal.Multimodal.AudioDecoder.decode(mp3(4, id3 = false))
+    assert(got.map(_._3) == Some(4 * 1152))
+  }
+
   test("video path: REAL multi-frame GIF decode — frame count, dims, features, thumbnail") {
     import spark.implicits._
     import graft.multimodal.Multimodal
