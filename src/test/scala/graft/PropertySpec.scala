@@ -145,6 +145,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("compressed-audio walks never accept random bytes; constructed streams always parse") {
+    import graft.multimodal.Multimodal.CompressedAudio
+    // soundness: random byte blobs (no valid frame chain / page chain)
+    // must not parse — the guards exist precisely so mislabeled blobs
+    // in a corpus scan fall to the stub instead of reporting garbage
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val blob = Array.fill(rnd.nextInt(2000) + 1)(rnd.nextInt(256).toByte)
+      // exclude the astronomically-unlikely-but-possible valid prefix
+      // cases by construction: random first byte is 0xFF with p=1/256
+      // AND the remaining header fields must ALL validate AND the
+      // frame hops must land exactly at EOF — if this ever fires the
+      // walk found a genuinely well-formed stream, which is fine; we
+      // assert only that a parse implies structural validity below
+      CompressedAudio.mp3Samples(blob).foreach { s =>
+        assert(s > 0 && s % 576 == 0, "accepted stream must be whole frames")
+      }
+      assert(CompressedAudio.oggSamples(blob).isEmpty ||
+        (blob.length >= 4 && blob.take(4).sameElements("OggS".getBytes)),
+        "an OGG parse requires the capture pattern")
+    }
+    // completeness: every constructed frame count round-trips
+    (2 to 12).foreach { n =>
+      val bos = new java.io.ByteArrayOutputStream()
+      (0 until n).foreach { _ =>
+        bos.write(Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0))
+        bos.write(new Array[Byte](413))
+      }
+      assert(CompressedAudio.mp3Samples(bos.toByteArray) == Some(n * 1152L))
+    }
+  }
+
+  test("TextProto escape translation round-trips through a rendered config") {
+    // any string built from the escapable set survives quote → parse
+    val payloads = Seq("a\nb", "tab\there", "q\"uote", "back\\slash",
+      "\n\t\"\\", "plain", "mix \"x\"\n\tdone")
+    payloads.foreach { p =>
+      val rendered = "c: \"" + p.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t") + "\""
+      val got = graft.config.TextProto.parse(rendered).str("c")
+      assert(got.contains(p), s"round-trip failed for ${p.replace("\n", "<n>")}")
+    }
+  }
+
   test("SQL function registration: dot_product and simhash60 usable from spark.sql") {
     GraftFunctions.register(spark)
     val dp = spark.sql(
