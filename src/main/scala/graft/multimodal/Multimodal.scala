@@ -308,33 +308,22 @@ object Multimodal {
         try {
           val frames = in.getFrameLength
           if (frames <= 0 || frames > Int.MaxValue) return None
-          val feat = new Array[Float](StubDecoder.FeatureDim)
-          val buf = new Array[Byte](8192)
-          val sums = new Array[Long](StubDecoder.FeatureDim)
-          val counts = new Array[Long](StubDecoder.FeatureDim)
+          // decode up to the feature cap into a buffer and reuse the
+          // one span-summary implementation (same math as the
+          // compressed path, over PCM bytes instead of payload bytes)
           val total = math.min(
             frames * math.max(in.getFormat.getFrameSize, 1).toLong,
-            MaxFeatureBytes.toLong)
-          var pos = 0L
-          var n = in.read(buf)
-          while (n > 0 && pos < total) {
-            var i = 0
-            while (i < n && pos + i < total) {
-              val span = ((pos + i) * StubDecoder.FeatureDim / total).toInt
-              sums(span) += buf(i) & 0xFF
-              counts(span) += 1
-              i += 1
-            }
+            MaxFeatureBytes.toLong).toInt
+          val pcm = new Array[Byte](total)
+          var pos = 0
+          var n = in.read(pcm, 0, total)
+          while (n > 0 && pos + n < total) {
             pos += n
-            n = in.read(buf)
+            n = in.read(pcm, pos, total - pos)
           }
-          var i = 0
-          while (i < StubDecoder.FeatureDim) {
-            if (counts(i) > 0)
-              feat(i) = (sums(i).toFloat / counts(i) / 255f) * 2f - 1f
-            i += 1
-          }
-          Some((0, 0, frames.toInt, feat))
+          val got = if (n > 0) pos + n else pos
+          Some((0, 0, frames.toInt,
+            spanFeature(if (got == total) pcm else pcm.take(got))))
         } finally in.close()
       } catch { case _: Exception => None }
     }
@@ -363,8 +352,12 @@ object Multimodal {
       0 -> Array(11025, 12000, 8000))  // MPEG2.5
 
     /** Total PCM samples of an MPEG-audio (Layer III) stream, walking
-      * frame headers; None unless ≥2 consecutive valid frames parse
-      * (guards against random byte coincidences). */
+      * frame headers. Accepts only a clean walk: ≥2 consecutive valid
+      * frames (guards against random byte coincidences) ending exactly
+      * at EOF or at an ID3v1 `TAG` trailer (the one trailing structure
+      * nearly every real MP3 carries); a leading Xing/Info metadata
+      * frame is recognized and excluded from the sample count (it is a
+      * structurally valid frame with no audio). */
     def mp3Samples(bytes: Array[Byte]): Option[Long] = {
       if (bytes == null || bytes.length < 4) return None
       var i = 0
@@ -375,6 +368,10 @@ object Multimodal {
           ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
         i = 10 + sz
       }
+      // ID3v1 trailer: "TAG" + 125 bytes, always the last 128 bytes
+      def atId3v1Trailer(p: Int): Boolean =
+        p + 128 == bytes.length && bytes(p) == 'T' && bytes(p + 1) == 'A' &&
+          bytes(p + 2) == 'G'
       var frames = 0L
       var samples = 0L
       while (i + 4 <= bytes.length) {
@@ -387,9 +384,9 @@ object Multimodal {
         val srIdx = (b2 >> 2) & 0x3
         if (!sync || ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
             srIdx == 3) {
-          // not a valid frame at i: accept what we have if ≥2 frames
-          // ended exactly here (EOF of audio data), else reject
-          return if (frames >= 2 && i == bytes.length) Some(samples) else None
+          // not a valid frame at i: accept the walk only when it ends
+          // at the standard trailer, otherwise reject the whole blob
+          return if (frames >= 2 && atId3v1Trailer(i)) Some(samples) else None
         }
         val mpeg1 = ver == 3
         val bitrate = (if (mpeg1) Mp3BitrateK(brIdx) else Mp3BitrateK2(brIdx)) * 1000
@@ -398,16 +395,43 @@ object Multimodal {
         val padding = (b2 >> 1) & 0x1
         val frameLen = spf / 8 * bitrate / rate + padding
         if (frameLen <= 4) return None
+        // Xing/Info VBR/CBR metadata frame: encoders (LAME, ffmpeg)
+        // emit it first; it decodes to silence and real decoders do
+        // not count it. Recognize the ASCII tag anywhere in the first
+        // frame's body (its exact offset depends on version/channel
+        // mode/CRC; a scan is robust and only the first frame is
+        // ever checked).
+        val isMetaFrame = frames == 0 && {
+          val end = math.min(i + frameLen, bytes.length) - 4
+          var p = i + 4
+          var found = false
+          while (p <= end && !found) {
+            val c0 = bytes(p)
+            found = (c0 == 'X' && bytes(p + 1) == 'i' && bytes(p + 2) == 'n' &&
+                bytes(p + 3) == 'g') ||
+              (c0 == 'I' && bytes(p + 1) == 'n' && bytes(p + 2) == 'f' &&
+                bytes(p + 3) == 'o')
+            p += 1
+          }
+          found
+        }
         frames += 1
-        samples += spf
+        if (!isMetaFrame) samples += spf
         i += frameLen
       }
-      if (frames >= 2 && i == bytes.length) Some(samples) else None
+      if (frames >= 2 && (i == bytes.length || atId3v1Trailer(i)))
+        Some(samples)
+      else None
     }
 
     /** Total PCM samples of an OGG stream: walk pages ("OggS" capture
       * pattern, size from the segment table), return the granule
-      * position of the end-of-stream page. */
+      * position of the end-of-stream page. The FIRST page must carry
+      * the beginning-of-stream flag — granule positions are absolute,
+      * so a tail fragment cut at a page boundary would otherwise
+      * report the full original stream's sample count. (For chained
+      * streams this is the last chain's granule, the usual single-
+      * stream convention.) */
     def oggSamples(bytes: Array[Byte]): Option[Long] = {
       if (bytes == null || bytes.length < 28) return None
       var i = 0
@@ -416,6 +440,7 @@ object Multimodal {
         if (!(bytes(i) == 'O' && bytes(i + 1) == 'g' && bytes(i + 2) == 'g' &&
               bytes(i + 3) == 'S')) return None
         val hdrType = bytes(i + 5) & 0xFF
+        if (i == 0 && (hdrType & 0x02) == 0) return None // fragment, not a stream
         var granule = 0L
         var g = 7
         while (g >= 0) { granule = (granule << 8) | (bytes(i + 6 + g) & 0xFF); g -= 1 }

@@ -294,6 +294,23 @@ class PipelineSpec extends SparkSpec {
     assert(CompressedAudio.mp3Samples("plain text".getBytes("UTF-8")).isEmpty)
     assert(CompressedAudio.mp3Samples(mp3(1, id3 = false)).isEmpty,
       "a single frame must not satisfy the >=2-frame validity guard")
+    // the ubiquitous ID3v1 trailer ("TAG" + 125 bytes) is accepted...
+    val id3v1 = "TAG".getBytes("US-ASCII") ++ new Array[Byte](125)
+    assert(CompressedAudio.mp3Samples(mp3(3, id3 = false) ++ id3v1) ==
+      Some(3 * 1152L))
+    // ...arbitrary trailing junk is not
+    assert(CompressedAudio.mp3Samples(
+      mp3(3, id3 = false) ++ "junk".getBytes("UTF-8")).isEmpty)
+    // a leading Xing/Info metadata frame is structurally valid but
+    // carries no audio — excluded from the count like real decoders do
+    val xingFrame = {
+      val f = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0) ++
+        new Array[Byte](413)
+      System.arraycopy("Xing".getBytes("US-ASCII"), 0, f, 40, 4)
+      f
+    }
+    assert(CompressedAudio.mp3Samples(xingFrame ++ mp3(4, id3 = false)) ==
+      Some(4 * 1152L))
     // OGG: two pages, the EOS page carries granule = total samples
     def oggPage(granule: Long, hdrType: Int, payload: Array[Byte]): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -311,6 +328,11 @@ class PipelineSpec extends SparkSpec {
     assert(CompressedAudio.oggSamples(ogg) == Some(88200L))
     assert(CompressedAudio.oggSamples(ogg.dropRight(1)).isEmpty,
       "truncated trailing page invalidates the walk")
+    // a tail fragment starting at a page boundary has no BOS flag:
+    // its absolute granule would report the FULL stream's samples
+    assert(CompressedAudio.oggSamples(
+      oggPage(88200L, 0x04, Array[Byte](4, 5))).isEmpty,
+      "fragment without beginning-of-stream must not parse")
     // the audio pipeline surfaces the real sample count as n_frames
     val got = graft.multimodal.Multimodal.AudioDecoder.decode(mp3(4, id3 = false))
     assert(got.map(_._3) == Some(4 * 1152))
