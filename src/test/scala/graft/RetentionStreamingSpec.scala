@@ -288,6 +288,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming byLabel preserves constant labels, matches batch on uniform data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // site derives from the name -> constant within every (name, host)
+    // group both globally and per window; tier varies within EVERY
+    // (/w/a, h1) window -> dropped everywhere (batch scopes constancy
+    // to the whole frame, streaming to the window — data must agree
+    // in both scopes for the equality half of this test)
+    val rows = Seq(
+      ("/w/a", "h1", "t1", 1000L, 1.0), ("/w/a", "h1", "t2", 4000L, 3.0),
+      ("/w/a", "h2", "t1", 2000L, 5.0),
+      ("/w/a", "h1", "t1", 11000L, 7.0), ("/w/a", "h1", "t2", 14000L, 2.0),
+      ("/w/b", "h1", "t1", 2000L, 10.0))
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"),
+        map(lit("host"), col("host"), lit("tier"), col("tier"),
+          lit("site"), regexp_extract(col("name"), "^/w/(.*)$", 1)).as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), element_at(col("labels"), "host").as("h"),
+        element_at(col("labels"), "site").as("site"),
+        element_at(col("labels"), "tier").as("tier"),
+        col("ts"), col("dval"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4), r.getDouble(5)))
+      .toSet
+    val batch = shape(graft.operators.Aggregations.byLabel(
+      pointDf(rows.toDF("name", "host", "tier", "ts", "dval")),
+      "host", graft.operators.Aggregations.Sum, 10000L,
+      preserveConstantLabels = true))
+    val mem = MemoryStream[(String, String, String, Long, Double)]
+    val q = StreamIngest.windowedAggByLabel(
+        pointDf(mem.toDF().toDF("name", "host", "tier", "ts", "dval")),
+        "host", graft.operators.Aggregations.Sum, 10000L,
+        preserveConstantLabels = true)
+      .writeStream.format("memory").queryName("winlblp_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(3): _*)
+    mem.addData(rows.drop(3): _*)
+    mem.addData(("/w/flush", "h9", "t9", 10000000L, 0.0))
+    q.processAllAvailable()
+    val streamed = shape(spark.table("winlblp_out")
+      .filter(col("name") =!= "/w/flush"))
+    q.stop()
+    // single-valued-where-present labels survive (site), varying ones
+    // drop (tier in the (/w/a, h1) first window); label constancy is
+    // globally uniform here so per-window == whole-frame semantics
+    assert(streamed == batch)
+    assert(streamed.forall(_._3 != null), "site must be preserved")
+    assert(streamed.exists { case (n, h, _, tier, ts, _) =>
+      n == "/w/a" && h == "h1" && ts == 0L && tier.isEmpty },
+      "tier varies within (/w/a, h1) window 0 and must be dropped")
+  }
+
   test("session merge handles in-watermark out-of-order events across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
