@@ -70,12 +70,34 @@ object StreamIngest {
       .select(col("name"), unix_millis(col("window.start")).as("ts"), col("dval"))
 
   /**
+   * Streaming EXACT upper median per (name, window) — the reference's
+   * bucket[n/2] rule (lib/protobuf.cc:135-142), live. The state per
+   * group is the window's value list: bounded by points-per-bucket
+   * (series rate × interval), NOT by stream length — the same holding
+   * cost the batch shuffle pays for a bucket, which is what makes an
+   * exact streaming median legitimate where an exact whole-stream
+   * median would not be. The median itself is a closed-form expression
+   * over the collected list (sort + upper-middle element), evaluated
+   * once per emitted window.
+   */
+  def windowedMedianByName(points: DataFrame, intervalMs: Long,
+                           watermark: String = "10 minutes"): DataFrame =
+    points
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("name"), window(col("event_time"), s"$intervalMs milliseconds"))
+      .agg(collect_list(col("dval")).as("vals"))
+      .select(col("name"), unix_millis(col("window.start")).as("ts"),
+        element_at(array_sort(col("vals")),
+          (size(col("vals")).cast("int") / 2 + 1).cast("int")).as("dval"))
+
+  /**
    * Watermarked tumbling-window aggregation grouped by one label's
    * distinct values — the streaming analog of
-   * [[graft.operators.Aggregations.byLabel]] with
-   * `preserveConstantLabels = false`. (Constant-label preservation
-   * needs a full second pass over the group's label entries — a batch /
-   * compaction concern; exact MEDIAN likewise stays batch-only.)
+   * [[graft.operators.Aggregations.byLabel]], including opt-in
+   * constant-label preservation (see below). Exact MEDIAN has its own
+   * per-name streaming surface ([[windowedMedianByName]]); here the
+   * require keeps the agg set to the partial-aggregable four.
    * Output matches the batch column shape: `name, labels` (the grouped
    * label only), `ts` (bucket start), `dval`. The tumbling window
    * boundary `floor(ts / interval)` is the same bucketing as the batch

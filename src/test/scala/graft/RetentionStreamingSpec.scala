@@ -288,6 +288,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact median per window matches batch byName(Median)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // even and odd bucket sizes, duplicates, negatives — the upper
+    // median bucket[n/2] must match the batch distributed median
+    val rows = Seq(
+      ("/md/a", 1000L, 5.0), ("/md/a", 2000L, 1.0),
+      ("/md/a", 3000L, 9.0), ("/md/a", 4000L, 3.0),   // n=4: sorted(1,3,5,9) -> 5
+      ("/md/a", 11000L, 2.0), ("/md/a", 12000L, 2.0),
+      ("/md/a", 13000L, -7.0),                        // n=3: sorted(-7,2,2) -> 2
+      ("/md/b", 1000L, 4.0))                          // n=1 -> 4
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val batch = graft.operators.Aggregations.byName(
+        pointDf(rows.toDF("name", "ts", "dval")),
+        graft.operators.Aggregations.Median, 10000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.windowedMedianByName(
+        pointDf(mem.toDF().toDF("name", "ts", "dval")), 10000L)
+      .writeStream.format("memory").queryName("med_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(4): _*)
+    mem.addData(rows.drop(4): _*)
+    mem.addData(("/md/flush", 10000000L, 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("med_out")
+      .filter(col("name") =!= "/md/flush")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(streamed == batch)
+    assert(streamed.contains(("/md/a", 0L, 5.0)) &&
+      streamed.contains(("/md/a", 10000L, 2.0)) &&
+      streamed.contains(("/md/b", 0L, 4.0)))
+  }
+
   test("streaming byLabel preserves constant labels, matches batch on uniform data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
