@@ -225,9 +225,20 @@ object AnalyticsEntry {
     // Same natural-key shuffles as t_tfidf; corpus totals ride a 1-row
     // broadcast.
     "t_unigram_nll" -> ((s, dir) => {
+      // One tokenize pass: the exploded rows repartition on tok — the
+      // clustering the tok⋈vocab join needs anyway, so this adds no
+      // shuffle and no new hot-key exposure — and the vocab/total
+      // branches read that same exchange back (exchange/stage reuse).
+      // count(doc_id) (≡ count(1) under the not-null guard) keeps
+      // doc_id referenced in the vocab branch so column pruning cannot
+      // specialize its subtree copy; the explicit guards keep the
+      // join's inferred constraints from doing the same (the Dedup
+      // shared-exchange idiom).
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("tok").isNotNull && col("doc_id").isNotNull)
+        .repartition(col("tok"))
+      val vocab = tok.groupBy("tok").agg(count(col("doc_id")).as("cnt"))
       val tot = vocab.agg(sum("cnt").as("total"))
       tok.join(vocab, "tok").crossJoin(broadcast(tot))
         .withColumn("nll", -log(col("cnt") / col("total")))
@@ -318,9 +329,21 @@ object AnalyticsEntry {
     "t_tfidf" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val tot = d.agg(count(lit(1)).as("nd"))
-      val tf = d.select(col("doc_id"),
+      // One tokenize pass: the exploded rows repartition on (doc_id,
+      // tok) — the clustering BOTH aggregates need, so the tf agg adds
+      // no further exchange — and the df branch reads the same exchange
+      // back (ReusedExchange). The aggregates above the shared exchange
+      // differ (Catalyst rewrites the df branch's count into a
+      // distinct), which is fine: only the cheap post-shuffle
+      // HashAggregates duplicate, never the tokenize. Explicit
+      // not-null guards keep inferred join constraints from
+      // specializing either branch's subtree copy below the exchange
+      // (the Dedup shared-exchange idiom).
+      val tok = d.select(col("doc_id"),
           explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .filter(col("tok").isNotNull && col("doc_id").isNotNull)
+        .repartition(col("doc_id"), col("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val scored = tf.join(dfc, "tok").crossJoin(broadcast(tot))
         .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))

@@ -295,6 +295,17 @@ class PlanAuditSpec extends SparkSpec {
         graft.dedup.Dedup.ngramJaccardPairs(
             spark.read.parquet(s"$sf/documents.parquet"), maxDf = 50L)
           .queryExecution.executedPlan.toString)
+      // text-stats siblings: unigram NLL shares one tokenize exchange
+      // across the vocab/total/join branches; tf-idf shares one across
+      // tf/df (its second scan is the zero-column corpus count, which
+      // reads no data)
+      check("t_unigram_nll", plan("t_unigram_nll"))
+      val tfidf = plan("t_tfidf")
+      assert(tfidf.contains("ReusedExchange"),
+        "t_tfidf plan has no ReusedExchange — the tokenize compiles twice")
+      assert("FileScan parquet".r.findAllIn(tfidf).length == 2 &&
+        tfidf.contains("ReadSchema: struct<>"),
+        "t_tfidf expected 1 tokenize scan + 1 zero-column count scan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
