@@ -107,7 +107,32 @@ object Ann {
           .as(s"b$t")) :+ col(idCol).as(id): _*)
       .withColumn("bucket", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
       .select(id, "bucket")
+      .filter(col(id).isNotNull && col("bucket").isNotNull)
   }
+
+  /** [[lshBucketsId]] materialized through one `bucket`-partitioned
+    * exchange: the hyperplane-signature pass (tables×planes dot
+    * products per vector — the expensive part at corpus scale) runs
+    * once, and every consumer (hot-bucket count, both self-join sides,
+    * the query join) reads the exchange back via exchange/stage reuse.
+    * The bucket clustering is what the band joins need anyway, so this
+    * adds no extra shuffle on the corpus path; the explicit not-null
+    * guards in [[lshBucketsId]] keep inferred join constraints from
+    * specializing any branch's subtree copy (the
+    * [[graft.dedup.Dedup.minhashLshPairs]] idiom). */
+  private def lshBucketsShared(df: DataFrame, hp: Array[Array[Array[Double]]],
+                               idCol: String, vecCol: String, id: String,
+                               maxBucket: Int): DataFrame =
+    // Repartition on BOTH projected columns, not just bucket: the
+    // hot-bucket count branch prunes `id`, and a partitioning that
+    // doesn't reference it would let that branch compile a narrower
+    // (non-reusable) copy of the signature subtree. The band joins add
+    // one ENSURE_REQUIREMENTS exchange of the slim (id, bucket) rows
+    // above — identical on both sides, so it too compiles once.
+    capBuckets(
+      lshBucketsId(df, hp, idCol, vecCol, id)
+        .repartition(col(id), col("bucket")),
+      maxBucket)
 
   /**
    * Skew guard for the bucket joins: rows in buckets larger than
@@ -118,12 +143,17 @@ object Ann {
    * bounded: an over-full bucket's members still meet in the other
    * `tables−1` independent tables unless those overflow too. The
    * default cap is far above any healthy bucket (corpus/2^planes).
+   *
+   * Delegates to [[graft.dedup.Dedup.dropHotKeys]] — a left-outer join
+   * + IsNull filter rather than a broadcast anti-join, because Catalyst
+   * pushes semi/anti joins below RepartitionByExpression and would
+   * split [[lshBucketsShared]]'s one signature exchange into per-branch
+   * copies (re-running the hyperplane pass per consumer). The hot side
+   * is one row per oversized bucket and stays un-hinted, so AQE keeps
+   * the broadcast decision.
    */
-  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame = {
-    val oversized = b.groupBy("bucket").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > maxBucket).select("bucket")
-    b.join(broadcast(oversized), Seq("bucket"), "left_anti")
-  }
+  private def capBuckets(b: DataFrame, maxBucket: Int): DataFrame =
+    graft.dedup.Dedup.dropHotKeys(b, "bucket", maxBucket.toLong)
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               tables: Int = 8, planes: Int = 6, dim: Int = 64,
@@ -133,8 +163,10 @@ object Ann {
     val hp = hyperplanes(tables, planes, dim, seed)
     // id-only band join + dedup, THEN re-attach vectors per distinct
     // (qid, nid) — candidate shuffle volume is O(candidates), not
-    // O(candidates × dim)
-    val cand = capBuckets(lshBucketsId(corpus, hp, idCol, vecCol, "nid"), maxBucket)
+    // O(candidates × dim). The corpus signature pass materializes once
+    // ([[lshBucketsShared]]); the query side stays unrepartitioned —
+    // it is small by contract and broadcasts.
+    val cand = lshBucketsShared(corpus, hp, idCol, vecCol, "nid", maxBucket)
       .join(lshBucketsId(queries, hp, idCol, vecCol, "qid"), "bucket")
       .filter(col("qid") =!= col("nid"))
       .select("qid", "nid")
@@ -515,9 +547,9 @@ object Ann {
     // bare ids and (vector, norm) re-attached per DISTINCT pair for the
     // exact-cosine verify — the minhashLshPairs pattern. Shuffle volume
     // through the join and the dropDuplicates is O(candidates), not
-    // O(candidates × dim).
-    val banded = capBuckets(
-      lshBucketsId(corpus, hp, idCol, vecCol, "id"), maxBucket)
+    // O(candidates × dim). Both self-join sides and the hot-bucket
+    // count read ONE signature exchange ([[lshBucketsShared]]).
+    val banded = lshBucketsShared(corpus, hp, idCol, vecCol, "id", maxBucket)
     val cand = banded.as("a").join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

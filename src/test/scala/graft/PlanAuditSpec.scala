@@ -300,6 +300,19 @@ class PlanAuditSpec extends SparkSpec {
       // tf/df (its second scan is the zero-column corpus count, which
       // reads no data)
       check("t_unigram_nll", plan("t_unigram_nll"))
+      // embedding LSH: the hyperplane-signature explode (the expensive
+      // per-vector pass) compiles once — the hot-bucket count and both
+      // self-join sides read one exchange back. e_lsh_pairs: 1 sig
+      // Generate; e_knn_lsh: 1 for the corpus + 1 for the (separately
+      // filtered) query side.
+      val lshP = plan("e_lsh_pairs")
+      assert(lshP.contains("ReusedExchange") &&
+        "Generate explode".r.findAllIn(lshP).length == 1,
+        "e_lsh_pairs expected a single shared signature pass")
+      val lshK = plan("e_knn_lsh")
+      assert(lshK.contains("ReusedExchange") &&
+        "Generate explode".r.findAllIn(lshK).length == 2,
+        "e_knn_lsh expected one corpus + one query signature pass")
       val tfidf = plan("t_tfidf")
       assert(tfidf.contains("ReusedExchange"),
         "t_tfidf plan has no ReusedExchange — the tokenize compiles twice")
