@@ -456,12 +456,18 @@ object PipelineEntry {
     // est_cnt ≥ cnt with md5-deterministic collisions, so the oracle
     // re-derives the grid and the estimates bit-identically.
     "t_cms" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
+      // One tokenize pass: the per-token counts the top-20 probe side
+      // needs anyway also rebuild the grid (cellsFromCounts is
+      // bit-identical to cells — a cell is the sum of its colliding
+      // tokens' counts), so both branches read the one (tok, cnt)
+      // aggregation exchange back instead of re-reading the corpus.
+      val tokCounts = Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
-      val grid = graft.sketch.CountMin.cells(toks, "tok",
+        .filter(col("tok").isNotNull)
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val grid = graft.sketch.CountMin.cellsFromCounts(tokCounts, "tok", "cnt",
         depth = 4, width = 1024)
-      val probes = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok")).limit(20)
+      val probes = tokCounts.orderBy(col("cnt").desc, col("tok")).limit(20)
       graft.sketch.CountMin.estimate(grid, probes, "tok",
           depth = 4, width = 1024)
         .select(col("tok"), col("cnt"), col("est_cnt"))

@@ -50,6 +50,26 @@ object CountMin {
       .agg(count(lit(1)).as("cell"))
 
   /**
+   * Build the same grid from PRE-AGGREGATED (token, count) rows —
+   * bit-identical to [[cells]] over the expanded stream, since a cell
+   * is just the sum of its colliding tokens' counts. Batch-only
+   * convenience: when a caller already pays a per-token aggregation
+   * (top-k probes, vocabulary stats), deriving the grid from it
+   * tokenizes once and reuses that aggregation's exchange instead of
+   * re-reading the corpus. (Streaming still wants [[cells]] — a
+   * per-token pre-aggregate has unbounded state; the direct grid
+   * aggregation is the bounded one.)
+   */
+  def cellsFromCounts(tokCounts: DataFrame, tokCol: String, cntCol: String,
+                      depth: Int, width: Int): DataFrame =
+    tokCounts.select(col(cntCol).as("__cms_cnt"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), bucket(col(tokCol), r, width).as("col"))): _*))
+          .as("__cms_rc"))
+      .groupBy(col("__cms_rc.r").as("r"), col("__cms_rc.col").as("col"))
+      .agg(sum(col("__cms_cnt")).as("cell"))
+
+  /**
    * Point-estimate the probe tokens' frequencies: est = min over the
    * `depth` rows of the token's cell. The grid is depth×width rows by
    * construction — broadcast it; probes never shuffle.

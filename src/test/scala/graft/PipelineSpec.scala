@@ -404,6 +404,16 @@ class PipelineSpec extends SparkSpec {
         trickyProbes, "tok", depth = 4, width = 65536)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
     assert(estTricky == exact.map { case (t, c) => (t, 7, 9) -> c })
+    // the batch pre-aggregated build is bit-identical to the stream
+    // build: a cell is the sum of its colliding tokens' counts
+    val counts = exact.toSeq.toDF("tok", "cnt")
+    Seq((3, 4), (4, 65536)).foreach { case (d, w) =>
+      val a = CountMin.cells(toks, "tok", d, w)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val b = CountMin.cellsFromCounts(counts, "tok", "cnt", d, w)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(a == b, s"cellsFromCounts diverges from cells at $d x $w")
+    }
   }
 
   test("topCentroids: argmin matches a reference scan, best-first order") {

@@ -313,6 +313,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(lshK.contains("ReusedExchange") &&
         "Generate explode".r.findAllIn(lshK).length == 2,
         "e_knn_lsh expected one corpus + one query signature pass")
+      // t_cms: the grid rebuilds from the probe side's (tok, cnt)
+      // aggregation (cellsFromCounts) — one corpus scan, one tokenize
+      val cms = plan("t_cms")
+      assert(cms.contains("ReusedExchange") &&
+        "FileScan parquet".r.findAllIn(cms).length == 1,
+        "t_cms expected a single tokenize pass shared via the vocab exchange")
       val tfidf = plan("t_tfidf")
       assert(tfidf.contains("ReusedExchange"),
         "t_tfidf plan has no ReusedExchange — the tokenize compiles twice")
