@@ -100,20 +100,31 @@ object Retention {
       .select(col("skey"), col("name"), col("labels"), col("value_type"))
       .dropDuplicates("skey")
     val tagged = withKey.withColumn("__policy", policyIndex(policy, nowMs))
-    val parts = policy.items.zipWithIndex.collect {
-      case (item, i) if item.policy == Keep =>
+    // All verbatim-KEEP items merge into ONE union branch: their rows
+    // pass through unchanged, so a single isin filter yields the same
+    // row multiset as one branch per item but reads the input once
+    // instead of once per rule — at fleet config size (many KEEP
+    // rules, few downsamples) the compaction job's read amplification
+    // is #downsample-items + 1, not #items.
+    val verbatimIdx = policy.items.zipWithIndex.collect {
+      case (item, i) if item.policy == Keep && item.mutations.isEmpty => i }
+    val verbatimPart =
+      if (verbatimIdx.isEmpty) Nil
+      else Seq(tagged
+        .filter(col("__policy").isin(verbatimIdx.map(Integer.valueOf): _*))
+        .select(outCols: _*))
+    val downsamplePart = policy.items.zipWithIndex.collect {
+      case (item, i) if item.policy == Keep && item.mutations.nonEmpty =>
         val subset = tagged.filter(col("__policy") === i).drop("__policy")
-        if (item.mutations.isEmpty)
-          subset.select(outCols: _*) // kept verbatim, full schema
-        else
-          // downsampled points are synthetic doubles: sval/end_ts null
-          item.mutations.foldLeft(subset)((d, m) => m(d))
-            .select(col("skey"), col("ts"), col("dval"))
-            .join(seriesDim, "skey")
-            .withColumn("sval", lit(null).cast("string"))
-            .withColumn("end_ts", lit(null).cast("long"))
-            .select(outCols: _*)
+        // downsampled points are synthetic doubles: sval/end_ts null
+        item.mutations.foldLeft(subset)((d, m) => m(d))
+          .select(col("skey"), col("ts"), col("dval"))
+          .join(seriesDim, "skey")
+          .withColumn("sval", lit(null).cast("string"))
+          .withColumn("end_ts", lit(null).cast("long"))
+          .select(outCols: _*)
     }
+    val parts = verbatimPart ++ downsamplePart
     if (parts.isEmpty)
       withKey.select(outCols: _*).filter(lit(false))
     else parts.reduce(_ unionByName _)
