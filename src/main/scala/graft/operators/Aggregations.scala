@@ -50,26 +50,29 @@ object Aggregations {
     val keys = keyNames :+ "bucket_ts"
     val bucketed = df
       .withColumn("bucket_ts", col("ts") - pmod(col("ts"), lit(intervalMs)))
-    val byVal = bucketed.filter(col("dval").isNotNull)
+    // Null dvals stay IN the value-frequency aggregate (one null group
+    // row per bucket) rather than splitting an all-null-bucket branch
+    // off the raw input: buckets whose dvals are ALL null must still
+    // emit a null-dval row — matching every other aggregator — and the
+    // null group row doubles as that emission, so the whole median is
+    // one scan and one windowed pass. Null rows sort first (asc nulls
+    // first) and contribute 0 to the running count, so the non-null
+    // rank arithmetic is untouched.
+    val byVal = bucketed
       .groupBy((keys :+ "dval").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+    val nn = when(col("dval").isNotNull, col("cnt")).otherwise(lit(0L))
     val ordered = Window.partitionBy(keys.map(col): _*).orderBy(col("dval"))
     val whole = Window.partitionBy(keys.map(col): _*)
-    val medians = byVal
-      .withColumn("cum", sum("cnt").over(ordered))
-      .withColumn("pos", (floor(sum("cnt").over(whole) / 2) + 1))
-      .filter(col("cum") >= col("pos") &&
-        col("cum") - col("cnt") < col("pos"))
+    byVal
+      .withColumn("cum", sum(nn).over(ordered))
+      .withColumn("tot", sum(nn).over(whole))
+      .withColumn("pos", floor(col("tot") / 2) + 1)
+      .filter(
+        (col("dval").isNotNull && col("cum") >= col("pos") &&
+          col("cum") - col("cnt") < col("pos")) ||
+        (col("dval").isNull && col("tot") === 0))
       .select(keys.map(col) :+ col("dval"): _*)
-    // buckets whose dvals are ALL null still emit a null-dval row —
-    // matching every other aggregator (sum/avg/min/max over all-null
-    // groups yield a null row, and so did the array-based median)
-    val nullBuckets = bucketed
-      .groupBy(keys.map(col): _*)
-      .agg(count(col("dval")).as("nn"))
-      .filter(col("nn") === 0)
-      .select(keys.map(col) :+ lit(null).cast("double").as("dval"): _*)
-    medians.unionByName(nullBuckets)
   }
 
   /**

@@ -55,12 +55,16 @@ class AggregationsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq(
       ("/m/x", 1000L, Some(2.0)), ("/m/x", 2000L, Some(4.0)),
-      ("/m/x", 11000L, None), ("/m/x", 12000L, None)) // all-null bucket
+      ("/m/x", 11000L, None), ("/m/x", 12000L, None), // all-null bucket
+      // mixed bucket: ONE non-null + a null — the null group row must
+      // not double-emit alongside the pos=1 median
+      ("/m/x", 21000L, Some(7.0)), ("/m/x", 22000L, None))
       .toDF("name", "ts", "dvalOpt")
       .select(col("name"), col("ts"), col("dvalOpt").as("dval"))
-    val out = Aggregations.byName(df, Aggregations.Median, 10000L)
-      .collect().map(r => (r.getLong(1), Option(r.get(2)))).toMap
-    assert(out == Map(0L -> Some(4.0), 10000L -> None)) // upper median; null row kept
+    val rows = Aggregations.byName(df, Aggregations.Median, 10000L).collect()
+    assert(rows.length == 3, s"expected one row per bucket, got ${rows.toSeq}")
+    val out = rows.map(r => (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out == Map(0L -> Some(4.0), 10000L -> None, 20000L -> Some(7.0)))
   }
 
   test("greedyExact cascade matches the pass-based reference loop") {
