@@ -230,6 +230,12 @@ object PipelineEntry {
     "d_cdc_pairs" -> ((s, dir) =>
       Dedup.cdcSharedChunkPairs(Tables.documents(s, dir),
         window = 4, divisor = 32, minShared = 3, maxDf = 50L)),
+    // Exact duplicate-substring spans: maximal >=8-token runs shared
+    // verbatim across docs — the "cut long repeated substrings"
+    // curation op (boilerplate never crosses a doc-level Jaccard
+    // threshold but its span should still go).
+    "d_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), l = 8)),
     // Embedding near-dup cluster collapse: connected components over
     // the LSH-blocked cosine pairs (never all-pairs), min-id labels.
     "e_dup_groups" -> ((s, dir) =>
@@ -571,6 +577,30 @@ object PipelineEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM cold a JOIN cold b ON a.c = b.c AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
+    "d_dup_spans" -> (T +
+      """, win AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(t) < 8 THEN []::BIGINT[]
+        |   ELSE range(1, len(t)-6) END) AS pos,
+        |  unnest(CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+        |   ELSE [md5(array_to_string(t[i:i+7], ' '))
+        |         for i in range(1, len(t)-6)] END) AS wh
+        | FROM toks),
+        |dup AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM win)
+        | GROUP BY wh HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, pos FROM win
+        | WHERE wh IN (SELECT wh FROM dup)),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
+        |   THEN 0 ELSE 1 END AS brk FROM occ),
+        |isl AS (SELECT doc_id, pos,
+        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        | FROM g)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        | CAST(max(pos)+8 AS BIGINT) AS span_end,
+        | CAST(max(pos)+8-min(pos) AS BIGINT) AS span_tokens,
+        | CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin),
     "p_split" ->
       """SELECT doc_id, bucket,
         | CASE WHEN bucket < 90 THEN 'train'

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -384,5 +385,78 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
+  }
+
+  /**
+   * Exact duplicate-substring spans: maximal runs of ≥ `l` consecutive
+   * tokens that occur verbatim in at least `minDocs` distinct
+   * documents — the "remove long repeated substrings" curation op,
+   * complementary to document-level near-dup detection (a boilerplate
+   * header shared by thousands of otherwise-distinct pages never
+   * crosses a Jaccard threshold, but its span should still be cut).
+   *
+   * Shape: tokenize with positions → md5 of each `l`-token sliding
+   * window (one sort per doc, windows via `lead` — no per-doc arrays)
+   * → window hashes kept if their distinct-doc count is in
+   * [`minDocs`, `maxDf`] (the hot guard: a fleet-wide boilerplate
+   * window in millions of docs is capped by `maxDf`, and
+   * `maxOccurrences` additionally caps within-doc repetition blowups)
+   * → per doc, overlapping/adjacent surviving windows merge into
+   * maximal spans (gaps-and-islands over one more per-doc sort).
+   * Every shuffle is on a natural bounded key (doc id or window
+   * hash); nothing is quadratic in corpus size.
+   *
+   * Output: (idCol, span_start, span_end, span_tokens, n_windows) with
+   * 1-based token positions, `span_end` exclusive.
+   */
+  def duplicateSpans(df: DataFrame, l: Int = 8, minDocs: Long = 2L,
+                     maxDf: Long = Long.MaxValue,
+                     maxOccurrences: Long = Long.MaxValue,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(l >= 2, "window length must be at least 2 tokens")
+    val byPos0 = Window.partitionBy("id").orderBy("pos0")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // Tokens never contain whitespace (TextOps.tokens splits on \s+),
+    // so the space-joined window string is unambiguous and cheap for a
+    // SQL oracle to rebuild. concat_ws skips nulls, so incomplete
+    // windows at doc end would alias shorter ones — the lead(l-1)
+    // not-null predicate drops them in the same window pass.
+    val winParts = (0 until l).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(byPos0))
+    // The 1-based `pos` is derived ABOVE the window stage, not in the
+    // projection below the exchange: the dup-hash branch prunes pos,
+    // and a below-exchange projection that differs per branch kills
+    // exchange reuse. With identical (id, pos0, tok) projections both
+    // consumers read ONE tokenize+shuffle back (the per-branch re-sort
+    // above the reused exchange is executor CPU, not another scan or
+    // shuffle of the token stream).
+    val win = df
+      .select(col(idCol).as("id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .filter(col("id").isNotNull && col("tok").isNotNull)
+      .select(col("id"), col("pos0"),
+        md5(concat_ws(" ", winParts: _*)).as("wh"),
+        lead(col("tok"), l - 1).over(byPos0).isNotNull.as("__full"))
+      .filter(col("__full")).drop("__full")
+    val dup = win.groupBy("wh")
+      .agg(count_distinct(col("id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") >= minDocs && col("df") <= maxDf &&
+        col("occ") <= maxOccurrences)
+      .select("wh")
+    val occ = win.join(dup, "wh")
+      .select(col("id"), (col("pos0") + 1).as("pos"))
+    val prevEnd = max(col("pos") + l)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    occ
+      .withColumn("__brk", when(prevEnd >= col("pos"), 0).otherwise(1))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + l).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_windows"))
   }
 }

@@ -103,6 +103,33 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
+  test("duplicateSpans: maximal shared runs, merged overlaps, guards") {
+    // docs 1/2 share an 10-token boilerplate prefix AND a separate
+    // 8-token tail run; doc 3 is unrelated filler long enough to form
+    // windows of its own
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tail = "one two three four five six seven eight"
+    val df = docs(
+      (1L, s"$boiler mid1a mid1b mid1c $tail"),
+      (2L, s"$boiler mid2a mid2b mid2c mid2d $tail"),
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12"))
+    val out = Dedup.duplicateSpans(df, l = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // boilerplate: 10 tokens → windows at pos 1..3 merge into [1, 11);
+    // tail: 8 tokens → one window each, spans differ by doc offset
+    assert(out == Set(
+      (1L, 1L, 11L, 10L), (1L, 14L, 22L, 8L),
+      (2L, 1L, 11L, 10L), (2L, 15L, 23L, 8L)),
+      s"got $out")
+    // doc-frequency cap drops everything here (both runs are in 2 docs)
+    assert(Dedup.duplicateSpans(df, l = 8, maxDf = 1L).count() == 0)
+    // a window repeated within ONE doc is not a cross-doc duplicate
+    val selfRep = docs((7L, (tail + " ") * 3))
+    assert(Dedup.duplicateSpans(selfRep, l = 8).count() == 0)
+  }
+
   test("minhash LSH surfaces high-jaccard pairs with exact verify") {
     val a = "the quick brown fox jumps over the lazy dog today"
     val b = "the quick brown fox jumps over the lazy dog tonight"

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no blocked dedup/similarity path degenerates to all-pairs") {
     val blocked = Seq("d_ngram_jaccard", "d_minhash_lsh", "d_simhash_pairs",
-      "d_cdc_pairs", "e_lsh_pairs", "t_winnow_pairs", "p_decontam")
+      "d_cdc_pairs", "d_dup_spans", "e_lsh_pairs", "t_winnow_pairs",
+      "p_decontam")
     blocked.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
@@ -278,7 +279,7 @@ class PlanAuditSpec extends SparkSpec {
     // is visible and deterministic; AQE's runtime stage reuse keys on
     // the same canonicalized-subtree equality.
     val reusePaths = Seq("t_winnow_pairs", "d_ngram_jaccard",
-      "d_minhash_lsh", "d_simhash_pairs", "d_cdc_pairs")
+      "d_minhash_lsh", "d_simhash_pairs", "d_cdc_pairs", "d_dup_spans")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       def check(q: String, p: String): Unit = {
