@@ -24,6 +24,36 @@ object PipelineEntry {
       | list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
       | FROM documents) """.stripMargin
 
+  /** Shared oracle CTE chain: duplicate-substring spans (8-token
+    * windows, >=2 distinct docs, gaps-and-islands merge) — mirrors
+    * [[graft.dedup.Dedup.duplicateSpans]](l = 8). Requires the `toks`
+    * CTE ([[T]]) upstream. */
+  private val DupSpansCte =
+    """, win AS (SELECT doc_id,
+      |  unnest(CASE WHEN len(t) < 8 THEN []::BIGINT[]
+      |   ELSE range(1, len(t)-6) END) AS pos,
+      |  unnest(CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+      |   ELSE [md5(array_to_string(t[i:i+7], ' '))
+      |         for i in range(1, len(t)-6)] END) AS wh
+      | FROM toks),
+      |dup AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM win)
+      | GROUP BY wh HAVING count(*) >= 2),
+      |occ AS (SELECT doc_id, pos FROM win
+      | WHERE wh IN (SELECT wh FROM dup)),
+      |g AS (SELECT doc_id, pos,
+      |  CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
+      |   THEN 0 ELSE 1 END AS brk FROM occ),
+      |isl AS (SELECT doc_id, pos,
+      |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      | FROM g),
+      |spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      | CAST(max(pos)+8 AS BIGINT) AS span_end,
+      | CAST(max(pos)+8-min(pos) AS BIGINT) AS span_tokens,
+      | CAST(count(*) AS BIGINT) AS n_windows
+      | FROM isl GROUP BY doc_id, island)
+      |""".stripMargin
+
   /** Shared oracle CTE: distinct 60-bit hashes of word 3-gram shingles. */
   private val ShingleHashCte =
     """, sh AS (SELECT doc_id,
@@ -236,6 +266,12 @@ object PipelineEntry {
     // threshold but its span should still go).
     "d_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(Tables.documents(s, dir), l = 8)),
+    // ...and the cut: every doc minus its duplicate spans (empty
+    // string when fully covered — e.g. exact dup docs).
+    "d_cut_spans" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.cutSpans(d, Dedup.duplicateSpans(d, l = 8))
+    }),
     // Embedding near-dup cluster collapse: connected components over
     // the LSH-blocked cosine pairs (never all-pairs), min-id labels.
     "e_dup_groups" -> ((s, dir) =>
@@ -577,30 +613,20 @@ object PipelineEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM cold a JOIN cold b ON a.c = b.c AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
-    "d_dup_spans" -> (T +
-      """, win AS (SELECT doc_id,
-        |  unnest(CASE WHEN len(t) < 8 THEN []::BIGINT[]
-        |   ELSE range(1, len(t)-6) END) AS pos,
-        |  unnest(CASE WHEN len(t) < 8 THEN []::VARCHAR[]
-        |   ELSE [md5(array_to_string(t[i:i+7], ' '))
-        |         for i in range(1, len(t)-6)] END) AS wh
-        | FROM toks),
-        |dup AS (SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM win)
-        | GROUP BY wh HAVING count(*) >= 2),
-        |occ AS (SELECT doc_id, pos FROM win
-        | WHERE wh IN (SELECT wh FROM dup)),
-        |g AS (SELECT doc_id, pos,
-        |  CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
-        |   THEN 0 ELSE 1 END AS brk FROM occ),
-        |isl AS (SELECT doc_id, pos,
-        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        | FROM g)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        | CAST(max(pos)+8 AS BIGINT) AS span_end,
-        | CAST(max(pos)+8-min(pos) AS BIGINT) AS span_tokens,
-        | CAST(count(*) AS BIGINT) AS n_windows
-        |FROM isl GROUP BY doc_id, island""".stripMargin),
+    "d_dup_spans" -> (T + DupSpansCte +
+      """SELECT doc_id, span_start, span_end, span_tokens, n_windows
+        |FROM spans""".stripMargin),
+    "d_cut_spans" -> (T + DupSpansCte +
+      """, tk AS (SELECT doc_id, unnest(t) AS tok,
+        |  unnest(range(1, len(t)+1)) AS pos FROM toks),
+        |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tk k
+        | WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |  WHERE s.doc_id = k.doc_id
+        |   AND k.pos >= s.span_start AND k.pos < s.span_end)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+        |  AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
     "p_split" ->
       """SELECT doc_id, bucket,
         | CASE WHEN bucket < 90 THEN 'train'

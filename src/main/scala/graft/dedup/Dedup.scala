@@ -459,4 +459,38 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_tokens"),
         col("n_windows"))
   }
+
+  /**
+   * Cut [[duplicateSpans]]-shaped spans out of the text: every doc
+   * keeps its tokens outside all its spans, space-joined in order
+   * (tokenization is whitespace-splitting, so the join is lossless up
+   * to whitespace normalization). Docs with no spans pass through
+   * re-joined; docs entirely covered come back as the empty string.
+   *
+   * Scale shape: one anti join on (doc id, position-range) — the span
+   * side is a few rows per affected doc — then a per-doc rebuild.
+   * The rebuild materializes one doc's surviving tokens as an array,
+   * which is bounded by document length, the same working set any
+   * whole-text operator (canonicalText, resize, chunking) already
+   * holds per row.
+   */
+  def cutSpans(df: DataFrame, spans: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val sp = spans.select(col(idCol).as("__sid"),
+      col("span_start"), col("span_end"))
+    val kept = toks.join(sp,
+      col("id") === col("__sid") &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"),
+      "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok"))).as("clean_text"))
+    df.select(col(idCol))
+      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

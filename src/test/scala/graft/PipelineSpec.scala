@@ -128,6 +128,18 @@ class PipelineSpec extends SparkSpec {
     // a window repeated within ONE doc is not a cross-doc duplicate
     val selfRep = docs((7L, (tail + " ") * 3))
     assert(Dedup.duplicateSpans(selfRep, l = 8).count() == 0)
+    // the cut: shared runs removed, untouched docs pass through intact
+    val clean = Dedup.cutSpans(df, Dedup.duplicateSpans(df, l = 8))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean == Map(
+      1L -> "mid1a mid1b mid1c",
+      2L -> "mid2a mid2b mid2c mid2d",
+      3L -> "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12"))
+    // exact duplicate docs are fully covered -> empty string
+    val twins = docs((1L, boiler), (2L, boiler))
+    val cleanTwins = Dedup.cutSpans(twins, Dedup.duplicateSpans(twins, l = 8))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanTwins == Map(1L -> "", 2L -> ""))
   }
 
   test("minhash LSH surfaces high-jaccard pairs with exact verify") {
