@@ -225,25 +225,26 @@ object AnalyticsEntry {
     // Same natural-key shuffles as t_tfidf; corpus totals ride a 1-row
     // broadcast.
     "t_unigram_nll" -> ((s, dir) => {
-      // One tokenize pass: the exploded rows repartition on tok — the
-      // clustering the tok⋈vocab join needs anyway, so this adds no
-      // shuffle and no new hot-key exposure — and the vocab/total
-      // branches read that same exchange back (exchange/stage reuse).
-      // count(doc_id) (≡ count(1) under the not-null guard) keeps
-      // doc_id referenced in the vocab branch so column pruning cannot
-      // specialize its subtree copy; the explicit guards keep the
-      // join's inferred constraints from doing the same (the Dedup
-      // shared-exchange idiom).
-      val tok = Tables.documents(s, dir)
+      // The t_tfidf shape: ONE tokenize pass materialized through the
+      // (doc_id, tok) term-frequency exchange, which every consumer
+      // (vocab, corpus total, the join stream side) reads back. The
+      // weighted per-doc average (Σ tf·nll / Σ tf) is exact — it just
+      // groups equal occurrences first — and unlike a raw-occurrence
+      // repartition on tok it keeps hot-token exposure bounded: a
+      // stop-word contributes ONE tf row per doc to the tok join, not
+      // its whole occurrence stratum, and the join's exchange stays
+      // ENSURE_REQUIREMENTS so AQE skew mitigation still applies.
+      val tf = Tables.documents(s, dir)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .filter(col("tok").isNotNull && col("doc_id").isNotNull)
-        .repartition(col("tok"))
-      val vocab = tok.groupBy("tok").agg(count(col("doc_id")).as("cnt"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
       val tot = vocab.agg(sum("cnt").as("total"))
-      tok.join(vocab, "tok").crossJoin(broadcast(tot))
+      tf.join(vocab, "tok").crossJoin(broadcast(tot))
         .withColumn("nll", -log(col("cnt") / col("total")))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), round(avg("nll"), 4).as("avg_nll"))
+        .agg(sum("tf").as("n_tok"),
+          round(sum(col("tf") * col("nll")) / sum(col("tf")), 4).as("avg_nll"))
     }),
 
     // Per-event-type z-score outliers. The moment stats are O(#event
@@ -453,11 +454,15 @@ object AnalyticsEntry {
         | FROM documents) WHERE rk <= 20""".stripMargin,
     "t_unigram_nll" -> (T +
       """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        |vocab AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
-        |tot AS (SELECT sum(cnt) AS total FROM vocab)
-        |SELECT doc_id, count(*) AS n_tok,
-        | round(avg(-ln(cnt / (SELECT total FROM tot))), 4) AS avg_nll
-        |FROM tk JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, tok),
+        |vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+        |  FROM tf GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        | round(sum(tf * -ln(cnt / (SELECT total FROM tot))) / sum(tf), 4)
+        |  AS avg_nll
+        |FROM tf JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin),
     "ev_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu,
         |  stddev_pop(value) AS sigma FROM events GROUP BY event_type)

@@ -439,10 +439,18 @@ object Dedup {
         md5(concat_ws(" ", winParts: _*)).as("wh"),
         lead(col("tok"), l - 1).over(byPos0).isNotNull.as("__full"))
       .filter(col("__full")).drop("__full")
-    val dup = win.groupBy("wh")
-      .agg(count_distinct(col("id")).as("df"), count(lit(1)).as("occ"))
+    // Two-level aggregate: per-(hash, doc) occurrence counts first —
+    // the same two-phase shape an exact count_distinct would expand to,
+    // but the intermediate also yields the per-doc maximum, so
+    // maxOccurrences caps WITHIN-doc repetition (its documented
+    // contract) rather than corpus-wide totals (which would wrongly
+    // drop a boilerplate window occurring once in each of many docs —
+    // the operator's primary target).
+    val dup = win.groupBy("wh", "id").agg(count(lit(1)).as("__docOcc"))
+      .groupBy("wh")
+      .agg(count(lit(1)).as("df"), max(col("__docOcc")).as("__maxOcc"))
       .filter(col("df") >= minDocs && col("df") <= maxDf &&
-        col("occ") <= maxOccurrences)
+        col("__maxOcc") <= maxOccurrences)
       .select("wh")
     val occ = win.join(dup, "wh")
       .select(col("id"), (col("pos0") + 1).as("pos"))

@@ -110,16 +110,18 @@ object Ann {
       .filter(col(id).isNotNull && col("bucket").isNotNull)
   }
 
-  /** [[lshBucketsId]] materialized through one `bucket`-partitioned
-    * exchange: the hyperplane-signature pass (tables×planes dot
-    * products per vector — the expensive part at corpus scale) runs
-    * once, and every consumer (hot-bucket count, both self-join sides,
-    * the query join) reads the exchange back via exchange/stage reuse.
-    * The bucket clustering is what the band joins need anyway, so this
-    * adds no extra shuffle on the corpus path; the explicit not-null
-    * guards in [[lshBucketsId]] keep inferred join constraints from
-    * specializing any branch's subtree copy (the
-    * [[graft.dedup.Dedup.minhashLshPairs]] idiom). */
+  /** [[lshBucketsId]] materialized through one shared exchange: the
+    * hyperplane-signature pass (tables×planes dot products per vector
+    * — the expensive part at corpus scale) runs once, and every
+    * consumer (hot-bucket count, both self-join sides, the query join)
+    * reads the exchange back via exchange/stage reuse. The trade is
+    * explicit: because the partitioning keys both projected columns
+    * (see below), the band joins re-exchange the slim (id, bucket)
+    * rows on `bucket` — one extra shuffle of two narrow columns buys
+    * running the signature pass once instead of once per consumer.
+    * The explicit not-null guards in [[lshBucketsId]] keep inferred
+    * join constraints from specializing any branch's subtree copy
+    * (the [[graft.dedup.Dedup.minhashLshPairs]] idiom). */
   private def lshBucketsShared(df: DataFrame, hp: Array[Array[Array[Double]]],
                                idCol: String, vecCol: String, id: String,
                                maxBucket: Int): DataFrame =

@@ -128,6 +128,16 @@ class PipelineSpec extends SparkSpec {
     // a window repeated within ONE doc is not a cross-doc duplicate
     val selfRep = docs((7L, (tail + " ") * 3))
     assert(Dedup.duplicateSpans(selfRep, l = 8).count() == 0)
+    // maxOccurrences caps WITHIN-doc repetition: doc 8 repeats the
+    // shared run 3x (its windows recur >=3x within the doc), doc 9 has
+    // it once — the pair IS a duplicate (df=2) but a within-doc cap of
+    // 2 drops it, while widely-shared-but-unrepeated runs (boiler in
+    // docs 1/2, max per-doc occurrence 1) are untouched by the cap
+    val rep = docs((8L, (tail + " ") * 3), (9L, tail))
+    assert(Dedup.duplicateSpans(rep, l = 8).count() > 0)
+    assert(Dedup.duplicateSpans(rep, l = 8, maxOccurrences = 2L).count() == 0)
+    assert(Dedup.duplicateSpans(df, l = 8, maxOccurrences = 1L)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     // the cut: shared runs removed, untouched docs pass through intact
     val clean = Dedup.cutSpans(df, Dedup.duplicateSpans(df, l = 8))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
