@@ -103,6 +103,14 @@ object Rpc {
       case Requests.Latest(f) => (7L, f, 0L)
       case Requests.StdDev(f) => (1L, f, 0L) // no reference enum; closest
       case Requests.Uniform(f) => (0L, f, 0L)
+      // Engine extensions with NO reference-expressible approximation:
+      // EWMA/anomaly are stateful transforms, not resamplers — mapping
+      // them to AVERAGE would silently change semantics on the far
+      // side. Loud failure beats a MatchError or a wrong decode.
+      case m @ (Requests.Ewma(_) | Requests.Anomaly(_)) =>
+        throw new IllegalArgumentException(
+          s"$m has no reference wire encoding (proto:26-42); " +
+            "strip engine-extension mutations before RPC")
     }
     w.msgField(field) { mw =>
       mw.intField(1, st)

@@ -19,6 +19,14 @@ class RpcSpec extends AnyFunSuite {
     assert(back.aggregations == req.aggregations)
   }
 
+  test("engine-extension mutations fail encode loudly, not as MatchError") {
+    val req = Requests.GetRequest(
+      variable = "/sys/cpu",
+      mutations = Seq(Requests.Ewma(60000L)))
+    val e = intercept[IllegalArgumentException](Rpc.encodeGetRequest(req))
+    assert(e.getMessage.contains("no reference wire encoding"))
+  }
+
   test("WireReader rejects corrupt declared lengths loudly") {
     // field 1, wire type 2 (len-delimited), declared length 200 but only
     // 3 payload bytes present — decoding must fail, never read past end
