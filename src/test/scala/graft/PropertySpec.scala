@@ -123,6 +123,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans matches a brute-force window scan on random near-dup docs") {
+    import spark.implicits._
+    val l = 4
+    // small vocab + shared phrase injections => plenty of genuine
+    // cross-doc window collisions
+    val phrases = Seq("p q r s t", "u v w x y z")
+    def doc(): String = (0 until 30).map { _ =>
+      if (rnd.nextInt(4) == 0) phrases(rnd.nextInt(phrases.size))
+      else s"w${rnd.nextInt(12)}"
+    }.mkString(" ")
+    val rows = (1L to 12L).map(i => (i, doc()))
+    val got = graft.dedup.Dedup.duplicateSpans(rows.toDF("doc_id", "text"), l = l)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // reference: brute-force window hashes + interval merge
+    val toks = rows.map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty) }.toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(l).zipWithIndex.filter(_._1.length == l)
+        .map { case (w, i) => (id, i + 1L, w.mkString(" ")) } }
+    val dupHashes = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = wins.filter(w => dupHashes(w._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, ws) =>
+        val sorted = ws.map(_._2).sorted
+        val spans = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        sorted.foreach { p =>
+          if (spans.nonEmpty && p <= spans.last._2) {
+            val (s0, e0) = spans.remove(spans.length - 1)
+            spans += ((s0, math.max(e0, p + l)))
+          } else spans += ((p, p + l))
+        }
+        spans.map { case (s0, e0) => (id, s0, e0) }
+    }
+    assert(got.toSet == expected.toSet,
+      s"spark=${got.toSet -- expected.toSet} ref=${expected.toSet -- got.toSet}")
+    // invariants: spans never overlap within a doc and are all >= l tokens
+    got.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) => assert(e1 < s2, "overlapping spans")
+        case _ =>
+      }
+      sorted.foreach { case (_, s0, e0) => assert(e0 - s0 >= l) }
+    }
+  }
+
   test("asOfJoin matches the brute-force quadratic definition on random data") {
     import spark.implicits._
     val left = (0 until 200).map(i =>
