@@ -435,6 +435,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "tok")))
       .filter(col("id").isNotNull && col("tok").isNotNull)
+      .repartition(col("id"))
       .select(col("id"), col("pos0"),
         md5(concat_ws(" ", winParts: _*)).as("wh"),
         lead(col("tok"), l - 1).over(byPos0).isNotNull.as("__full"))
@@ -484,16 +485,35 @@ object Dedup {
    */
   def cutSpans(df: DataFrame, spans: DataFrame,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // The token projection mirrors [[duplicateSpans]]' exactly — same
+    // columns (1-based pos stays derived, here inside the join
+    // condition and the post-join select), same not-null guards — so
+    // when the two are composed (the d_cut_spans gate) both plans'
+    // id-clustered exchanges over the exploded tokens unify and the
+    // corpus tokenizes once, not once per op.
     val toks = df.select(col(idCol).as("id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "tok")))
-      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .filter(col("id").isNotNull && col("tok").isNotNull)
+      .repartition(col("id"))
     val sp = spans.select(col(idCol).as("__sid"),
       col("span_start"), col("span_end"))
+    // Left-outer + IsNull rather than a left-anti join: Catalyst
+    // pushes semi/anti joins below RepartitionByExpression, which
+    // would specialize the token subtree and undo the exchange
+    // unification above (the dropHotKeys rationale). Tokens inside a
+    // span match >=1 span row and are all filtered; kept tokens match
+    // none, so the outer join cannot duplicate them even if a caller
+    // passes overlapping spans.
     val kept = toks.join(sp,
       col("id") === col("__sid") &&
-        col("pos") >= col("span_start") && col("pos") < col("span_end"),
-      "left_anti")
-    val rebuilt = kept.groupBy("id")
+        col("pos0") + 1 >= col("span_start") &&
+        col("pos0") + 1 < col("span_end"),
+      "left")
+      .filter(col("__sid").isNull)
+      .drop("__sid", "span_start", "span_end")
+    val rebuilt = kept
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .groupBy("id")
       .agg(concat_ws(" ",
         transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
           _.getField("tok"))).as("clean_text"))
