@@ -444,6 +444,16 @@ object PipelineEntry {
       Ann.pqTopK(Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64),
         emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // IVF-PQ: coarse quantizer (pinned, nlist=16) restricts candidates
+    // to each query's top-2 lists; ADC over the m=8 PQ codes scores
+    // them. The oracle composes the IVF assignment mirror and the PQ
+    // encode/ADC mirror over the shared pinned centroid set.
+    "e_knn_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfPqTopK(Ann.pinnedCentroids(emb, nlist = 16),
+        Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64),
+        emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+    }),
     // IVF index-build balance check: corpus rows per inverted list
     // under the pinned quantizer.
     "e_ivf_stats" -> ((s, dir) => {
@@ -762,6 +772,7 @@ object PipelineEntry {
       """SELECT vec_id AS qid, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "e_knn_pq" -> pqKnnOracle,
+    "e_knn_ivfpq" -> ivfPqKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
@@ -873,6 +884,42 @@ object PipelineEntry {
    * subspace partials in subspace order (`list(d ORDER BY s)`), keeping
    * every float op sequence identical to the Spark side.
    */
+  /** DuckDB mirror of the IVF-PQ gate (nlist=16, nprobe=2, m=8,
+    * ksub=16): the IVF assignment CTEs restrict candidate pairs to
+    * shared probed lists; PQ encode + ADC distances are the
+    * [[pqKnnOracle]] expressions verbatim (the pinned `cent` set
+    * serves both quantizers). */
+  private def ivfPqKnnOracle: String = IvfRankedCte +
+    """,
+      |corpusl AS (SELECT vec_id AS nid, cid AS list_id FROM ranked WHERE cr = 1),
+      |probesl AS (SELECT vec_id AS qid, cid AS list_id
+      | FROM ranked WHERE vec_id < 10 AND cr <= 2),
+      |sub AS (SELECT CAST(t.s AS INT) AS s FROM unnest(range(0, 8)) AS t(s)),
+      |sc AS (SELECT e.vec_id, sub.s, cent.cid,
+      |  2.0 * list_inner_product(e.v[sub.s*8+1 : sub.s*8+8],
+      |                           cent.cv[sub.s*8+1 : sub.s*8+8])
+      |  - list_inner_product(cent.cv[sub.s*8+1 : sub.s*8+8],
+      |                       cent.cv[sub.s*8+1 : sub.s*8+8]) AS score
+      | FROM e CROSS JOIN sub CROSS JOIN cent),
+      |enc AS (SELECT vec_id, s, cid AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY score DESC, cid) AS r FROM sc) WHERE r = 1),
+      |ds AS (SELECT q.vec_id AS qid, x.vec_id AS nid, enc.s,
+      |  list_sum([(q.v[enc.s*8+i] - cent.cv[enc.s*8+i])
+      |           *(q.v[enc.s*8+i] - cent.cv[enc.s*8+i])
+      |            for i in range(1, 9)]) AS d
+      | FROM e q JOIN e x ON q.vec_id < 10 AND q.vec_id <> x.vec_id
+      | JOIN corpusl ON corpusl.nid = x.vec_id
+      | JOIN probesl ON probesl.qid = q.vec_id
+      |  AND probesl.list_id = corpusl.list_id
+      | JOIN enc ON enc.vec_id = x.vec_id
+      | JOIN cent ON cent.cid = enc.code),
+      |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adist
+      |       FROM ds GROUP BY qid, nid),
+      |r AS (SELECT qid, nid, adist,
+      |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
+      |SELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5""".stripMargin
+
   private def pqKnnOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv

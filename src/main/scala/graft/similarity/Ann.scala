@@ -397,14 +397,20 @@ object Ann {
    */
   def pqEncode(codebooks: Array[Array[Array[Double]]], corpus: DataFrame,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("nid"),
+      pqCodeExpr(codebooks, col(vecCol)).as("code"))
+
+  /** The m-subspace PQ code of a vector column (argmin codeword per
+    * subspace slice) — shared by [[pqEncode]] and [[ivfPqTopK]]. */
+  private def pqCodeExpr(codebooks: Array[Array[Array[Double]]],
+                         vec: Column): Column = {
     import graft.functions.VectorOps.topCentroids
     val m = codebooks.length
     val dsub = codebooks.head.head.length
-    corpus.select(col(idCol).as("nid"),
-      array((0 until m).map(s =>
-        topCentroids(slice(col(vecCol), s * dsub + 1, dsub), codebooks(s), 1)
-          .getItem(0)): _*).as("code"))
+    array((0 until m).map(s =>
+      topCentroids(slice(vec, s * dsub + 1, dsub), codebooks(s), 1)
+        .getItem(0)): _*)
   }
 
   /**
@@ -428,6 +434,55 @@ object Ann {
              vecCol: String = "embedding"): DataFrame =
     adcRank(pqEncode(codebooks, corpus, idCol, vecCol),
       adcTables(corpus.sparkSession, codebooks, queries, idCol, vecCol), k)
+
+  /**
+   * IVF-PQ: the production ANN index shape — the coarse quantizer
+   * restricts candidates to each query's `nprobe` inverted lists, and
+   * ADC over the PQ codes scores them, so the search cost is
+   * (nprobe/nlist) of the corpus × m byte-code lookups per candidate,
+   * never a full scan and never raw vectors. Divergence from the
+   * faiss IndexIVFPQ convention, on purpose: codes quantize the RAW
+   * vectors (as [[pqEncode]] does), not the residual against the
+   * coarse centroid — residual encoding couples the two quantizers,
+   * while this form keeps IVF and PQ independently verifiable (and
+   * the oracle SQL composes from the two existing index mirrors).
+   *
+   * Scale shape: the encoded corpus carries (nid, m codes, list_id);
+   * the query side (probe lists × per-query ADC tables) is
+   * O(queries·nprobe) rows of m·ksub doubles — broadcast by
+   * construction. A (qid, nid) pair meets at most once (a corpus row
+   * lives in exactly one list), so no candidate dedup is needed,
+   * unlike the LSH multi-table paths. Returns (qid, nid, adist, rank)
+   * like [[pqTopK]]; queries with no bucket-mates return fewer than
+   * `k` rows — approximate by design.
+   */
+  def ivfPqTopK(centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                corpus: DataFrame, queries: DataFrame, k: Int,
+                nprobe: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val enc = corpus.select(col(idCol).as("nid"),
+      pqCodeExpr(codebooks, col(vecCol)).as("code"),
+      topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+    val probes = queries.select(col(idCol).as("qid"),
+        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
+      .join(adcTables(corpus.sparkSession, codebooks, queries, idCol, vecCol),
+        "qid")
+    // same subspace summation order as adcRank / the oracle
+    val adist = aggregate(
+      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    enc.join(broadcast(probes), "list_id")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+        col("rank"))
+  }
 
   /** Per-query ADC distance tables: dt(s)(c) = Σ_i (q_s(i) −
     * codeword(i))², in element order (bit-identical to the oracle's

@@ -465,6 +465,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: probing every list reproduces pqTopK bit-exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Ann.pinnedCentroids(emb, nlist = 16)
+    val books = Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64)
+    val q = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    // nprobe = nlist → the IVF restriction admits every candidate, so
+    // the ADC ranking must be byte-for-byte the PQ-only ranking
+    assert(rows(Ann.ivfPqTopK(cents, books, emb, q, k = 4, nprobe = 16))
+      == rows(Ann.pqTopK(books, emb, q, k = 4)))
+    // narrow probing returns a subset of pairs with identical distances
+    val narrow = rows(Ann.ivfPqTopK(cents, books, emb, q, k = 4, nprobe = 1))
+    val full = rows(Ann.pqTopK(books, emb, q, k = 4))
+      .map { case (a, b, d, _) => (a, b, d) }
+    narrow.foreach { case (qid, nid, d, _) =>
+      assert(full.contains((qid, nid, d)) ||
+        !full.exists(p => p._1 == qid && p._2 == nid),
+        s"($qid,$nid) adist $d disagrees with the PQ-only ranking") }
+  }
+
   test("topCentroids: argmin matches a reference scan, best-first order") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
