@@ -347,6 +347,62 @@ object Ann {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /**
+   * Materialize the IVF-PQ index: (id, m codes) partitioned by
+   * inverted list — the at-rest production layout. A probe reads
+   * (nprobe/nlist) of the directories and m bytes per vector within
+   * them: the [[ivfMaterialize]] partition pruning and the
+   * [[pqMaterialize]] scan-volume compression composed.
+   */
+  def ivfPqMaterialize(centroids: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]],
+                       corpus: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    import graft.functions.VectorOps.topCentroids
+    corpus.select(col(idCol).as("nid"),
+        pqCodeExpr(codebooks, col(vecCol)).as("code"),
+        topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(path)
+  }
+
+  /**
+   * ADC search over a materialized IVF-PQ index ([[ivfPqMaterialize]]
+   * layout): probe lists become literal partition filters, scoring is
+   * identical to [[ivfPqTopK]] — same quantizers ⇒ bit-identical
+   * results — but only the probed `list_id=` directories' (nid, code)
+   * columns are ever read; raw vectors are never opened.
+   */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         centroids: Array[Array[Double]],
+                         codebooks: Array[Array[Array[Double]]],
+                         queries: DataFrame, k: Int, nprobe: Int = 4,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val probes = queries.select(col(idCol).as("qid"),
+        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
+      .join(adcTables(spark, codebooks, queries, idCol, vecCol), "qid")
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val enc = spark.read.parquet(path)
+      .filter(col("list_id").isin(probedLists: _*))
+      .select(col("nid"), col("code"), col("list_id"))
+    val adist = aggregate(
+      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    enc.join(broadcast(probes), "list_id")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+        col("rank"))
+  }
+
   /** IVF search against caller-provided centroids — assignment and
     * probing identical to [[ivfTopK]]. */
   def ivfTopKWith(centroids: Array[Array[Double]],

@@ -582,6 +582,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("materialized IVF-PQ index: pruned codes-only scan, bit-identical to in-memory") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val cents = Ann.pinnedCentroids(emb, nlist = 8)
+    val books = Ann.pinnedCodebooks(emb, m = 4, ksub = 8, dim = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString + "/idx"
+    Ann.ivfPqMaterialize(cents, books, emb, path)
+    val indexed = Ann.ivfPqSearchIndexed(spark, path, cents, books,
+      queries, k = 3, nprobe = 2)
+    val plan = indexed.queryExecution.executedPlan.toString
+    // probed lists are literal partition filters; the scan reads codes
+    // only — raw vectors never open
+    assert(plan.contains("PartitionFilters: [list_id#") ||
+      plan.contains("list_id IN"),
+      s"probe lists must prune partitions:\n${plan.take(1500)}")
+    assert(plan.contains("ReadSchema: struct<nid:bigint,code:array<int>>"),
+      s"ADC over the index must scan (nid, code) only:\n${plan.take(1500)}")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(indexed) ==
+      rows(Ann.ivfPqTopK(cents, books, emb, queries, k = 3, nprobe = 2)))
+  }
+
   test("langid picks the dominant stopword language, unk below threshold") {
     val df = docs(
       (1L, "the cat and the dog is in a house of wonders"),
