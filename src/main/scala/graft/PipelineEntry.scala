@@ -875,15 +875,6 @@ object PipelineEntry {
       |SELECT cid AS list_id, count(*) AS n_vectors
       |FROM ranked WHERE cr = 1 GROUP BY cid""".stripMargin
 
-  /**
-   * DuckDB mirror of the pinned-codebook PQ gate query (m=8, ksub=16,
-   * dsub=8): codewords are subspace slices of the 16 smallest-id
-   * vectors; encode ranks by the same 2·v·c − |c|² score (DESC, ties
-   * lowest cid) as TopCentroids over the slice; ADC distances sum the
-   * per-element squared differences in element order, then the 8
-   * subspace partials in subspace order (`list(d ORDER BY s)`), keeping
-   * every float op sequence identical to the Spark side.
-   */
   /** DuckDB mirror of the IVF-PQ gate (nlist=16, nprobe=2, m=8,
     * ksub=16): the IVF assignment CTEs restrict candidate pairs to
     * shared probed lists; PQ encode + ADC distances are the
@@ -920,6 +911,15 @@ object PipelineEntry {
       |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
       |SELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5""".stripMargin
 
+  /**
+   * DuckDB mirror of the pinned-codebook PQ gate query (m=8, ksub=16,
+   * dsub=8): codewords are subspace slices of the 16 smallest-id
+   * vectors; encode ranks by the same 2·v·c − |c|² score (DESC, ties
+   * lowest cid) as TopCentroids over the slice; ADC distances sum the
+   * per-element squared differences in element order, then the 8
+   * subspace partials in subspace order (`list(d ORDER BY s)`), keeping
+   * every float op sequence identical to the Spark side.
+   */
   private def pqKnnOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv

@@ -358,13 +358,54 @@ object Ann {
                        codebooks: Array[Array[Array[Double]]],
                        corpus: DataFrame, path: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
-    import graft.functions.VectorOps.topCentroids
-    corpus.select(col(idCol).as("nid"),
-        pqCodeExpr(codebooks, col(vecCol)).as("code"),
-        topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+                       vecCol: String = "embedding"): Unit =
+    ivfPqEncode(centroids, codebooks, corpus, idCol, vecCol)
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(path)
+
+  /** The IVF-PQ index rows — (nid, m codes, list_id) — shared by the
+    * in-memory search and the materialized layout so both score the
+    * identical encoding by construction. */
+  private def ivfPqEncode(centroids: Array[Array[Double]],
+                          codebooks: Array[Array[Array[Double]]],
+                          df: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    df.select(col(idCol).as("nid"),
+      pqCodeExpr(codebooks, col(vecCol)).as("code"),
+      topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+  }
+
+  /** Shared IVF-PQ scoring tail: candidates = encoded rows × each
+    * query's probe lists (a (qid, list_id) broadcast — one row per
+    * probe), then ONE copy of each query's ADC table joins back by
+    * qid and the [[adcRank]] adist/rank/round expressions run
+    * verbatim. Both [[ivfPqTopK]] and [[ivfPqSearchIndexed]] end here,
+    * which is what makes their bit-equality contract structural. */
+  private def adcRankByList(enc: DataFrame, probeLists: DataFrame,
+                            tables: DataFrame, k: Int): DataFrame = {
+    val adist = aggregate(
+      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    enc.join(broadcast(probeLists), "list_id")
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(tables), "qid")
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+        col("rank"))
+  }
+
+  /** Each query's `nprobe` coarse lists: (qid, list_id), one row per
+    * probe. */
+  private def probeListsOf(centroids: Array[Array[Double]],
+                           queries: DataFrame, nprobe: Int,
+                           idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    queries.select(col(idCol).as("qid"),
+      explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
   }
 
   /**
@@ -381,26 +422,16 @@ object Ann {
                          queries: DataFrame, k: Int, nprobe: Int = 4,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorOps.topCentroids
-    val probes = queries.select(col(idCol).as("qid"),
-        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
-      .join(adcTables(spark, codebooks, queries, idCol, vecCol), "qid")
-    val probedLists = probes.select("list_id").distinct()
+    val probeLists = probeListsOf(centroids, queries, nprobe, idCol, vecCol)
+    // list discovery collects the slim pre-join probe projection (the
+    // ivfSearchIndexed idiom) — no ADC tables involved yet
+    val probedIds = probeLists.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     val enc = spark.read.parquet(path)
-      .filter(col("list_id").isin(probedLists: _*))
+      .filter(col("list_id").isin(probedIds: _*))
       .select(col("nid"), col("code"), col("list_id"))
-    val adist = aggregate(
-      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    enc.join(broadcast(probes), "list_id")
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adist", adist)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
-        col("rank"))
+    adcRankByList(enc, probeLists,
+      adcTables(spark, codebooks, queries, idCol, vecCol), k)
   }
 
   /** IVF search against caller-provided centroids — assignment and
@@ -517,28 +548,11 @@ object Ann {
                 corpus: DataFrame, queries: DataFrame, k: Int,
                 nprobe: Int = 4,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorOps.topCentroids
-    val enc = corpus.select(col(idCol).as("nid"),
-      pqCodeExpr(codebooks, col(vecCol)).as("code"),
-      topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
-    val probes = queries.select(col(idCol).as("qid"),
-        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
-      .join(adcTables(corpus.sparkSession, codebooks, queries, idCol, vecCol),
-        "qid")
-    // same subspace summation order as adcRank / the oracle
-    val adist = aggregate(
-      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    enc.join(broadcast(probes), "list_id")
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adist", adist)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
-        col("rank"))
-  }
+                vecCol: String = "embedding"): DataFrame =
+    adcRankByList(
+      ivfPqEncode(centroids, codebooks, corpus, idCol, vecCol),
+      probeListsOf(centroids, queries, nprobe, idCol, vecCol),
+      adcTables(corpus.sparkSession, codebooks, queries, idCol, vecCol), k)
 
   /** Per-query ADC distance tables: dt(s)(c) = Σ_i (q_s(i) −
     * codeword(i))², in element order (bit-identical to the oracle's
