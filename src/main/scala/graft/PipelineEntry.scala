@@ -454,6 +454,17 @@ object PipelineEntry {
         Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64),
         emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
     }),
+    // Residual IVF-PQ (the faiss-IndexIVFPQ scoring convention): codes
+    // quantize residuals against the assigned coarse centroid;
+    // per-(query, probed-list) ADC tables. Codebooks are the pinned
+    // 16 smallest-id vectors' residuals.
+    "e_knn_ivfpq_res" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.pinnedCentroids(emb, nlist = 16)
+      Ann.ivfPqResidualTopK(cents,
+        Ann.pinnedResidualCodebooks(cents, emb, m = 8, ksub = 16, dim = 64),
+        emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
+    }),
     // IVF index-build balance check: corpus rows per inverted list
     // under the pinned quantizer.
     "e_ivf_stats" -> ((s, dir) => {
@@ -773,6 +784,7 @@ object PipelineEntry {
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "e_knn_pq" -> pqKnnOracle,
     "e_knn_ivfpq" -> ivfPqKnnOracle,
+    "e_knn_ivfpq_res" -> ivfPqResKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
@@ -874,6 +886,50 @@ object PipelineEntry {
     """
       |SELECT cid AS list_id, count(*) AS n_vectors
       |FROM ranked WHERE cr = 1 GROUP BY cid""".stripMargin
+
+  /** DuckDB mirror of the RESIDUAL IVF-PQ gate (faiss convention;
+    * nlist=16, nprobe=2, m=8, ksub=16): codewords are subspace slices
+    * of the 16 smallest-id vectors' residuals against their own
+    * assigned centroid; corpus rows encode their residual; each
+    * (query, probed list) pair gets its own ADC table from the query's
+    * residual against that list's centroid. Float-op order matches the
+    * Spark side exactly: residual = (raw double cast) subtraction in
+    * element order, per-element ((q−c)−codeword)² summed ascending,
+    * subspace partials summed in subspace order. */
+  private def ivfPqResKnnOracle: String = IvfRankedCte +
+    """,
+      |rv AS (SELECT r.vec_id, r.cid AS list_id,
+      |  [r.v[i] - c.cv[i] for i in range(1, 65)] AS rv
+      | FROM ranked r JOIN cent c ON c.cid = r.cid WHERE r.cr = 1),
+      |rcb AS (SELECT row_number() OVER (ORDER BY b.vec_id) - 1 AS cid2,
+      |  b.rv AS rcv
+      | FROM (SELECT vec_id, rv FROM rv ORDER BY vec_id LIMIT 16) b),
+      |probesl AS (SELECT vec_id AS qid, cid AS list_id
+      | FROM ranked WHERE vec_id < 10 AND cr <= 2),
+      |sub AS (SELECT CAST(t.s AS INT) AS s FROM unnest(range(0, 8)) AS t(s)),
+      |sc AS (SELECT rv.vec_id, sub.s, rcb.cid2,
+      |  2.0 * list_inner_product(rv.rv[sub.s*8+1 : sub.s*8+8],
+      |                           rcb.rcv[sub.s*8+1 : sub.s*8+8])
+      |  - list_inner_product(rcb.rcv[sub.s*8+1 : sub.s*8+8],
+      |                       rcb.rcv[sub.s*8+1 : sub.s*8+8]) AS score
+      | FROM rv CROSS JOIN sub CROSS JOIN rcb),
+      |enc AS (SELECT vec_id, s, cid2 AS code FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |    ORDER BY score DESC, cid2) AS r FROM sc) WHERE r = 1),
+      |ds AS (SELECT q.vec_id AS qid, x.vec_id AS nid, enc.s,
+      |  list_sum([((q.v[enc.s*8+i] - cl.cv[enc.s*8+i]) - cb.rcv[enc.s*8+i])
+      |           *((q.v[enc.s*8+i] - cl.cv[enc.s*8+i]) - cb.rcv[enc.s*8+i])
+      |            for i in range(1, 9)]) AS d
+      | FROM e q JOIN rv x ON q.vec_id < 10 AND q.vec_id <> x.vec_id
+      | JOIN probesl p ON p.qid = q.vec_id AND p.list_id = x.list_id
+      | JOIN cent cl ON cl.cid = p.list_id
+      | JOIN enc ON enc.vec_id = x.vec_id
+      | JOIN rcb cb ON cb.cid2 = enc.code),
+      |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adist
+      |       FROM ds GROUP BY qid, nid),
+      |r AS (SELECT qid, nid, adist,
+      |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
+      |SELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5""".stripMargin
 
   /** DuckDB mirror of the IVF-PQ gate (nlist=16, nprobe=2, m=8,
     * ksub=16): the IVF assignment CTEs restrict candidate pairs to

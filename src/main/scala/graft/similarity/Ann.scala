@@ -409,6 +409,115 @@ object Ann {
   }
 
   /**
+   * Residual PQ codebooks (the faiss-IVFPQ convention): codewords are
+   * subspace slices of the `ksub` smallest-id vectors' RESIDUALS
+   * against their own assigned coarse centroid. Deterministic like
+   * [[pinnedCodebooks]] — the assignment runs through the same native
+   * TopCentroids expression the search uses, so an external oracle
+   * rebuilds the identical book.
+   */
+  def pinnedResidualCodebooks(centroids: Array[Array[Double]],
+                              corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    import graft.functions.VectorOps.topCentroids
+    val dsub = dim / m
+    val base = corpus.select(col(idCol), col(vecCol),
+        topCentroids(col(vecCol), centroids, 1).getItem(0).as("l"))
+      .orderBy(col(idCol)).limit(ksub)
+      .collect()
+      .map { r =>
+        val v = toDoubles(r.getSeq[Any](1))
+        val c = centroids(r.getInt(2))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    Array.tabulate(m)(s => base.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /**
+   * Residual IVF-PQ top-k — the faiss-IndexIVFPQ scoring convention:
+   * corpus codes quantize each vector's residual against its coarse
+   * centroid, and each query builds one ADC table PER PROBED LIST from
+   * its own residual against that list's centroid. Compared to
+   * [[ivfPqTopK]] (raw-vector codes) the distances better reflect true
+   * L2² near a centroid, at the cost of coupling the quantizers. The
+   * broadcast query side is O(queries·nprobe) tables of m·ksub doubles
+   * — still bounded by the small-query contract; candidates meet once
+   * per pair (one list per corpus row), scoring runs the
+   * [[adcRankByList]] expressions verbatim with the per-list table
+   * joined on (list_id, qid).
+   */
+  def ivfPqResidualTopK(centroids: Array[Array[Double]],
+                        codebooksR: Array[Array[Array[Double]]],
+                        corpus: DataFrame, queries: DataFrame, k: Int,
+                        nprobe: Int = 4,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val cents = typedLit(centroids.map(_.toSeq).toSeq)
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
+      topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+    // residual in double precision, element order — mirrors the oracle's
+    // CAST(... AS DOUBLE[]) subtraction
+    val enc = assigned.select(col("nid"),
+      pqCodeExpr(codebooksR,
+        zip_with(col("v").cast("array<double>"),
+          element_at(cents, col("list_id") + 1), (a, b) => a - b)).as("code"),
+      col("list_id"))
+    val tables = residualAdcTables(corpus.sparkSession, centroids, codebooksR,
+      queries, nprobe, idCol, vecCol)
+    val adist = aggregate(
+      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    enc.join(broadcast(tables), Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adist", adist)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
+        col("rank"))
+  }
+
+  /** Per-(query, probed list) residual ADC tables: dt(s)(c) = Σ_i
+    * ((q − centroid_list)_s(i) − codeword(i))², element order. Probe
+    * lists come from the same native TopCentroids expression as every
+    * other path (collected, not re-derived driver-side); the table set
+    * is O(queries·nprobe)·m·ksub doubles — broadcast-bounded. */
+  private def residualAdcTables(spark: org.apache.spark.sql.SparkSession,
+                                centroids: Array[Array[Double]],
+                                codebooksR: Array[Array[Array[Double]]],
+                                queries: DataFrame, nprobe: Int,
+                                idCol: String, vecCol: String): DataFrame = {
+    val m = codebooksR.length
+    val dsub = codebooksR.head.head.length
+    import graft.functions.VectorOps.topCentroids
+    val qRows = queries.select(col(idCol), col(vecCol),
+        topCentroids(col(vecCol), centroids, nprobe).as("ls"))
+      .collect().flatMap { r =>
+        val qid = r.getAs[Number](0).longValue()
+        val q = toDoubles(r.getSeq[Any](1))
+        r.getSeq[Int](2).map { l =>
+          val c = centroids(l)
+          val dt = Array.tabulate(m, codebooksR.head.length) { (s, cw) =>
+            var d = 0.0
+            var i = 0
+            while (i < dsub) {
+              val t = (q(s * dsub + i) - c(s * dsub + i)) - codebooksR(s)(cw)(i)
+              d += t * t
+              i += 1
+            }
+            d
+          }
+          (l, qid, dt.map(_.toSeq).toSeq)
+        }
+      }.toSeq
+    import spark.implicits._
+    qRows.toDF("list_id", "qid", "dt")
+  }
+
+  /**
    * ADC search over a materialized IVF-PQ index ([[ivfPqMaterialize]]
    * layout): probe lists become literal partition filters, scoring is
    * identical to [[ivfPqTopK]] — same quantizers ⇒ bit-identical

@@ -582,6 +582,33 @@ class PipelineSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("residual IVF-PQ: corpus-sized codebook makes ADC distances exact L2") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val cents = Ann.pinnedCentroids(emb, nlist = 4)
+    // ksub = corpus size: every vector's residual IS a codeword, so its
+    // code reproduces the residual exactly and, because candidates meet
+    // in the corpus row's own list (whose centroid built the query's
+    // table), adist collapses to the TRUE ||q - x||^2 — the property
+    // that makes the residual convention the accurate one near
+    // centroids.
+    val books = Ann.pinnedResidualCodebooks(cents, emb, m = 4, ksub = 40, dim = 8)
+    val got = Ann.ivfPqResidualTopK(cents, books, emb, queries,
+        k = 36, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val byId = vecs.toMap
+    got.foreach { case ((qid, nid), adist) =>
+      val q = byId(qid).map(_.toDouble); val x = byId(nid).map(_.toDouble)
+      val l2 = q.indices.map(i => (q(i) - x(i)) * (q(i) - x(i))).sum
+      assert(math.abs(adist - math.rint(l2 * 1e4) / 1e4) <= 2e-4,
+        s"($qid,$nid): adist $adist != exact L2 $l2")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("materialized IVF-PQ index: pruned codes-only scan, bit-identical to in-memory") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
