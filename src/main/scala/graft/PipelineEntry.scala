@@ -457,12 +457,15 @@ object PipelineEntry {
     // Residual IVF-PQ (the faiss-IndexIVFPQ scoring convention): codes
     // quantize residuals against the assigned coarse centroid;
     // per-(query, probed-list) ADC tables. Codebooks are the pinned
-    // 16 smallest-id vectors' residuals.
+    // residuals of ids 16..31 — DISJOINT from the 16 coarse-centroid
+    // ids, whose residuals are identically zero (self-assignment)
+    // and would make the gate vacuous.
     "e_knn_ivfpq_res" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Ann.pinnedCentroids(emb, nlist = 16)
       Ann.ivfPqResidualTopK(cents,
-        Ann.pinnedResidualCodebooks(cents, emb, m = 8, ksub = 16, dim = 64),
+        Ann.pinnedResidualCodebooks(cents, emb, m = 8, ksub = 16, dim = 64,
+          skip = 16),
         emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
     }),
     // IVF index-build balance check: corpus rows per inverted list
@@ -889,8 +892,9 @@ object PipelineEntry {
 
   /** DuckDB mirror of the RESIDUAL IVF-PQ gate (faiss convention;
     * nlist=16, nprobe=2, m=8, ksub=16): codewords are subspace slices
-    * of the 16 smallest-id vectors' residuals against their own
-    * assigned centroid; corpus rows encode their residual; each
+    * of vectors 16..31's residuals against their own assigned
+    * centroid (ids disjoint from the coarse centroids, whose
+    * residuals are zero by self-assignment); corpus rows encode their residual; each
     * (query, probed list) pair gets its own ADC table from the query's
     * residual against that list's centroid. Float-op order matches the
     * Spark side exactly: residual = (raw double cast) subtraction in
@@ -903,7 +907,8 @@ object PipelineEntry {
       | FROM ranked r JOIN cent c ON c.cid = r.cid WHERE r.cr = 1),
       |rcb AS (SELECT row_number() OVER (ORDER BY b.vec_id) - 1 AS cid2,
       |  b.rv AS rcv
-      | FROM (SELECT vec_id, rv FROM rv ORDER BY vec_id LIMIT 16) b),
+      | FROM (SELECT vec_id, rv FROM rv
+      |       ORDER BY vec_id LIMIT 16 OFFSET 16) b),
       |probesl AS (SELECT vec_id AS qid, cid AS list_id
       | FROM ranked WHERE vec_id < 10 AND cr <= 2),
       |sub AS (SELECT CAST(t.s AS INT) AS s FROM unnest(range(0, 8)) AS t(s)),

@@ -383,13 +383,30 @@ object Ann {
     * verbatim. Both [[ivfPqTopK]] and [[ivfPqSearchIndexed]] end here,
     * which is what makes their bit-equality contract structural. */
   private def adcRankByList(enc: DataFrame, probeLists: DataFrame,
-                            tables: DataFrame, k: Int): DataFrame = {
+                            tables: DataFrame, k: Int): DataFrame =
+    adcScoreTail(
+      enc.join(broadcast(probeLists), "list_id")
+        .join(broadcast(tables), "qid"), k)
+
+  /** THE ADC scoring tail — adist via single-reference zip_with +
+    * aggregate (subspace order identical to the oracle's
+    * `list(d ORDER BY s)`), self-pair filter, per-query rank,
+    * round(4). Every ADC path ([[adcRank]], [[adcRankByList]],
+    * [[ivfPqResidualTopK]]) ends here, so the rank/tie/rounding
+    * convention — the bit-equality contract between in-memory and
+    * indexed searches — lives in exactly one place. Input must carry
+    * (qid, nid, code, dt). */
+  private def adcScoreTail(candidates: DataFrame, k: Int): DataFrame = {
+    // single reference to `code`: an element_at-per-subspace chain
+    // would reference it m times, and CollapseProject then re-inlines
+    // the m TopCentroids encode expressions once PER REFERENCE (the
+    // multi-reference trap documented at TextOps.winnowFromHashes —
+    // measured 8x the encode cost at m=8)
     val adist = aggregate(
       zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    enc.join(broadcast(probeLists), "list_id")
+    candidates
       .filter(col("qid") =!= col("nid"))
-      .join(broadcast(tables), "qid")
       .withColumn("adist", adist)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
@@ -418,15 +435,22 @@ object Ann {
    */
   def pinnedResidualCodebooks(centroids: Array[Array[Double]],
                               corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+                              skip: Int = 0,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     import graft.functions.VectorOps.topCentroids
     val dsub = dim / m
+    // `skip` exists because a vector that is ITSELF a pinned coarse
+    // centroid self-assigns (2v·c − |c|² is uniquely maximized at
+    // c = v) and contributes an all-zero residual codeword; a caller
+    // whose centroids are pinnedCentroids(nlist) should pass
+    // skip = nlist so the codebook base is a DISJOINT id range with
+    // meaningful residuals.
     val base = corpus.select(col(idCol), col(vecCol),
         topCentroids(col(vecCol), centroids, 1).getItem(0).as("l"))
-      .orderBy(col(idCol)).limit(ksub)
-      .collect()
+      .orderBy(col(idCol)).limit(skip + ksub)
+      .collect().drop(skip)
       .map { r =>
         val v = toDoubles(r.getSeq[Any](1))
         val c = centroids(r.getInt(2))
@@ -455,29 +479,36 @@ object Ann {
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorOps.topCentroids
-    val cents = typedLit(centroids.map(_.toSeq).toSeq)
-    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("v"),
-      topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
-    // residual in double precision, element order — mirrors the oracle's
-    // CAST(... AS DOUBLE[]) subtraction
-    val enc = assigned.select(col("nid"),
-      pqCodeExpr(codebooksR,
-        zip_with(col("v").cast("array<double>"),
-          element_at(cents, col("list_id") + 1), (a, b) => a - b)).as("code"),
-      col("list_id"))
-    val tables = residualAdcTables(corpus.sparkSession, centroids, codebooksR,
+    val spark = corpus.sparkSession
+    // Centroids ride a broadcast (list_id, cv) join, not a plan
+    // literal: TopCentroids exists precisely because an inlined
+    // nlist×dim matrix makes the plan/codegen grow with the index size
+    // (VectorOps scaladoc); the join keeps the plan O(1).
+    val centDf = {
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("list_id", "__cv")
+    }
+    // Residual in double precision, element order — mirrors the
+    // oracle's CAST(... AS DOUBLE[]) subtraction. Materialized as its
+    // OWN projection so pqCodeExpr's m subspace references bind an
+    // attribute: CollapseProject keeps a non-cheap multi-referenced
+    // alias, so the dim-element subtraction runs once per row, not m
+    // times (the winnowFromHashes re-inlining trap).
+    val withRes = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("v"),
+        topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+      .join(broadcast(centDf), "list_id")
+      .select(col("nid"), col("list_id"),
+        zip_with(col("v").cast("array<double>"), col("__cv"),
+          (a, b) => a - b).as("__res"))
+    val enc = withRes.select(col("nid"),
+      pqCodeExpr(codebooksR, col("__res")).as("code"), col("list_id"))
+    val tables = residualAdcTables(spark, centroids, codebooksR,
       queries, nprobe, idCol, vecCol)
-    val adist = aggregate(
-      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    enc.join(broadcast(tables), Seq("list_id"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adist", adist)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
-        col("rank"))
+    // the per-list table already pairs (qid, list): candidates form by
+    // one list join, then the shared scoring tail runs verbatim
+    adcScoreTail(enc.join(broadcast(tables), Seq("list_id")), k)
   }
 
   /** Per-(query, probed list) residual ADC tables: dt(s)(c) = Σ_i
@@ -696,26 +727,8 @@ object Ann {
   /** ADC scoring over an encoded corpus (nid, code): m table lookups
     * summed in subspace order, per-partition rank pruning before the
     * final k-merge. */
-  private def adcRank(encoded: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    // single reference to `code`: an element_at-per-subspace chain would
-    // reference it m times, and CollapseProject then re-inlines the m
-    // TopCentroids encode expressions once PER REFERENCE (the same
-    // multi-reference trap documented at TextOps.winnowFromHashes —
-    // measured 8× the encode cost at m=8). zip_with + aggregate keeps
-    // the same left-to-right subspace summation order as the oracle.
-    val adist = aggregate(
-      zip_with(col("dt"), col("code"), (t, c) => element_at(t, c + 1)),
-      lit(0.0), (acc, x) => acc + x)
-    encoded
-      .crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("adist", adist)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("adist"), 4).as("adist"),
-        col("rank"))
-  }
+  private def adcRank(encoded: DataFrame, q: DataFrame, k: Int): DataFrame =
+    adcScoreTail(encoded.crossJoin(broadcast(q)), k)
 
   /**
    * Materialize the PQ index: the [[pqEncode]]d corpus — (nid, `m`
