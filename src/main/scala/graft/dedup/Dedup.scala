@@ -395,8 +395,9 @@ object Dedup {
    * header shared by thousands of otherwise-distinct pages never
    * crosses a Jaccard threshold, but its span should still be cut).
    *
-   * Shape: tokenize with positions → md5 of each `l`-token sliding
-   * window (one sort per doc, windows via `lead` — no per-doc arrays)
+   * Shape: md5 of each `l`-token sliding window, computed map-side
+   * from the token array (the array is one doc's tokens — the same
+   * per-row working set every whole-text operator holds)
    * → window hashes kept if their distinct-doc count is in
    * [`minDocs`, `maxDf`] (the hot guard: a fleet-wide boilerplate
    * window in millions of docs is capped by `maxDf`, and
@@ -415,31 +416,29 @@ object Dedup {
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     require(l >= 2, "window length must be at least 2 tokens")
-    val byPos0 = Window.partitionBy("id").orderBy("pos0")
     val byDoc = Window.partitionBy("id").orderBy("pos")
-    // Tokens never contain whitespace (TextOps.tokens splits on \s+),
-    // so the space-joined window string is unambiguous and cheap for a
-    // SQL oracle to rebuild. concat_ws skips nulls, so incomplete
-    // windows at doc end would alias shorter ones — the lead(l-1)
-    // not-null predicate drops them in the same window pass.
-    val winParts = (0 until l).map(i =>
-      if (i == 0) col("tok") else lead(col("tok"), i).over(byPos0))
-    // The 1-based `pos` is derived ABOVE the window stage, not in the
-    // projection below the exchange: the dup-hash branch prunes pos,
-    // and a below-exchange projection that differs per branch kills
-    // exchange reuse. With identical (id, pos0, tok) projections both
-    // consumers read ONE tokenize+shuffle back (the per-branch re-sort
-    // above the reused exchange is executor CPU, not another scan or
-    // shuffle of the token stream).
+    // Window hashes compute MAP-SIDE from the token array (1-based
+    // slice per start position — tokens never contain whitespace, so
+    // the space-joined window string is unambiguous and cheap for a
+    // SQL oracle to rebuild): no shuffle and no per-doc sort of the
+    // full token stream, which a lead()-window formulation would pay
+    // twice (once per consumer). The token array is materialized as
+    // its own column first — Catalyst re-evaluates nested HOF argument
+    // subtrees per element (the shingleSets note). The one exchange is
+    // the explicit repartition below, keyed on ALL projected columns
+    // so neither consumer's column pruning can specialize its copy of
+    // the hash subtree (the ngramJaccardPairs idiom).
     val win = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(col(idCol).isNotNull && size(col("__toks")) >= l)
       .select(col(idCol).as("id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "tok")))
-      .filter(col("id").isNotNull && col("tok").isNotNull)
-      .repartition(col("id"))
-      .select(col("id"), col("pos0"),
-        md5(concat_ws(" ", winParts: _*)).as("wh"),
-        lead(col("tok"), l - 1).over(byPos0).isNotNull.as("__full"))
-      .filter(col("__full")).drop("__full")
+        posexplode(transform(
+          sequence(lit(1), size(col("__toks")) - l + 1),
+          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(l))))))
+          .as(Seq("p0", "wh")))
+      .select(col("id"), (col("p0") + 1).as("pos"), col("wh"))
+      .filter(col("wh").isNotNull)
+      .repartition(col("id"), col("pos"), col("wh"))
     // Two-level aggregate: per-(hash, doc) occurrence counts first —
     // the same two-phase shape an exact count_distinct would expand to,
     // but the intermediate also yields the per-doc maximum, so
@@ -453,8 +452,7 @@ object Dedup {
       .filter(col("df") >= minDocs && col("df") <= maxDf &&
         col("__maxOcc") <= maxOccurrences)
       .select("wh")
-    val occ = win.join(dup, "wh")
-      .select(col("id"), (col("pos0") + 1).as("pos"))
+    val occ = win.join(dup, "wh").select("id", "pos")
     val prevEnd = max(col("pos") + l)
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
     occ
@@ -485,12 +483,8 @@ object Dedup {
    */
   def cutSpans(df: DataFrame, spans: DataFrame,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // The token projection mirrors [[duplicateSpans]]' exactly — same
-    // columns (1-based pos stays derived, here inside the join
-    // condition and the post-join select), same not-null guards — so
-    // when the two are composed (the d_cut_spans gate) both plans'
-    // id-clustered exchanges over the exploded tokens unify and the
-    // corpus tokenizes once, not once per op.
+    // The id-clustered exchange is what the at-scale span join needs;
+    // planting it explicitly keeps the join's plan stable under AQE.
     val toks = df.select(col(idCol).as("id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "tok")))
       .filter(col("id").isNotNull && col("tok").isNotNull)
