@@ -444,6 +444,19 @@ object PipelineEntry {
       Ann.pqTopK(Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64),
         emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // Refine (faiss IndexRefineFlat): the pinned-codebook PQ stage
+    // over-fetches 20 ADC candidates per query; exact cosine re-ranks
+    // them to the final top-5. Quantization error cannot reorder the
+    // answer — only candidate misses can — so the gate is fully
+    // hash-checked against the composed oracle, no recall hedging.
+    "e_knn_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      Ann.refineTopK(
+        Ann.pqTopK(Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64),
+          emb, q, k = 20),
+        emb, q, k = 5)
+    }),
     // IVF-PQ: coarse quantizer (pinned, nlist=16) restricts candidates
     // to each query's top-2 lists; ADC over the m=8 PQ codes scores
     // them. The oracle composes the IVF assignment mirror and the PQ
@@ -786,6 +799,7 @@ object PipelineEntry {
       """SELECT vec_id AS qid, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "e_knn_pq" -> pqKnnOracle,
+    "e_knn_refine" -> refineKnnOracle,
     "e_knn_ivfpq" -> ivfPqKnnOracle,
     "e_knn_ivfpq_res" -> ivfPqResKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle)
@@ -981,7 +995,30 @@ object PipelineEntry {
    * subspace partials in subspace order (`list(d ORDER BY s)`), keeping
    * every float op sequence identical to the Spark side.
    */
-  private def pqKnnOracle: String =
+  private def pqKnnOracle: String = pqRankedCte +
+    "\nSELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5"
+
+  /** DuckDB mirror of the refine gate (faiss IndexRefineFlat shape):
+    * the PQ/ADC ranking above over-fetches rank ≤ 20 candidates per
+    * query; the exact cosine re-ranks them to the final top-5 — the
+    * same float expressions as the e_knn_brute oracle, restricted to
+    * the candidate set. Fully deterministic: pinned codebooks fix the
+    * candidates, exact arithmetic fixes the ranking. */
+  private def refineKnnOracle: String = pqRankedCte +
+    """,
+      |cand AS (SELECT qid, nid FROM r WHERE rank <= 20),
+      |rr AS (SELECT c.qid, c.nid,
+      |  list_inner_product(q.v, x.v)
+      |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(x.v, x.v))) AS sim
+      | FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e x ON x.vec_id = c.nid),
+      |rf AS (SELECT qid, nid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM rr)
+      |SELECT qid, nid, round(sim, 4) AS sim, rank FROM rf WHERE rank <= 5""".stripMargin
+
+  /** The pinned-codebook PQ/ADC ranking CTE chain shared by
+    * [[pqKnnOracle]] (rank ≤ 5 tail) and [[refineKnnOracle]]
+    * (rank ≤ 20 candidates + exact re-rank). */
+  private def pqRankedCte: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
       | FROM e ORDER BY vec_id LIMIT 16),
@@ -1005,6 +1042,5 @@ object PipelineEntry {
       |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adist
       |       FROM ds GROUP BY qid, nid),
       |r AS (SELECT qid, nid, adist,
-      |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
-      |SELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5""".stripMargin
+      |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)""".stripMargin
 }

@@ -760,6 +760,49 @@ object Ann {
       adcTables(spark, codebooks, queries, idCol, vecCol), k)
 
   /**
+   * Exact re-rank over an ANN stage's candidates (the faiss
+   * IndexRefineFlat pattern, faiss/IndexRefine.h): the first stage
+   * over-fetches cheap approximate candidates (ADC codes, IVF lists,
+   * LSH buckets — any (qid, nid) output of the siblings here), and
+   * this stage pays the exact cosine only on that small set, keeping
+   * the true top `k` per query. Search cost becomes
+   * O(queries · k_fetch · dim) exact work after an O(corpus) code
+   * scan — never the brute-force O(queries · corpus · dim) — while
+   * the FINAL ranking is exact over whatever the first stage recalled
+   * (quantization error cannot reorder the answer, only candidate
+   * misses can).
+   *
+   * Scale shape: candidates are deduped to bare (qid, nid) ids, then
+   * the corpus vectors re-attach per DISTINCT candidate id — the
+   * [[lshPairs]] re-attach pattern; the candidate side is
+   * O(queries·k_fetch) rows of two ids, so AQE broadcasts it into the
+   * corpus join at runtime (un-hinted on purpose: at extreme fan-out
+   * it degrades to a shuffle join on `nid`, never a driver hazard).
+   * Queries broadcast by the same contract as [[bruteTopK]]. Output
+   * (qid, nid, sim, rank) matches [[bruteTopK]]; queries whose true
+   * neighbors were missed by the first stage return what was
+   * recalled.
+   */
+  def refineTopK(candidates: DataFrame, corpus: DataFrame,
+                 queries: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val cand = candidates.select(col("qid"), col("nid"))
+      .dropDuplicates("qid", "nid")
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm(col(vecCol)).as("nn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    cand.join(c, "nid")
+      .join(broadcast(q), "qid")
+      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /**
    * All-pairs near-duplicate detection by embedding cosine ≥
    * `threshold`. Exact variant blocks nothing (quadratic — only for
    * modest corpora / verification); the scale path is [[lshTopK]] with

@@ -190,6 +190,45 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getDouble(2) > 0.99)
   }
 
+  test("refineTopK: full candidate set reproduces bruteTopK bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val emb = (0L until 60L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 4)
+    // with every non-self pair as a candidate, refine IS brute force
+    val cand = q.select($"vec_id".as("qid"))
+      .crossJoin(emb.select($"vec_id".as("nid")))
+      .filter($"qid" =!= $"nid")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(Ann.refineTopK(cand, emb, q, k = 5))
+      == rows(Ann.bruteTopK(emb, q, k = 5)))
+  }
+
+  test("refineTopK over PQ candidates reports exact cosines") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(22)
+    val emb = (0L until 64L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 3)
+    val books = Ann.pinnedCodebooks(emb, m = 4, ksub = 8, dim = 16)
+    val refined = Ann.refineTopK(Ann.pqTopK(books, emb, q, k = 12),
+      emb, q, k = 4).collect()
+    assert(refined.nonEmpty)
+    // every refined sim equals the directly computed exact cosine, and
+    // per-query ranks descend in sim (exact re-rank, not ADC order)
+    val brute = Ann.bruteTopK(emb, q, k = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    refined.foreach { r =>
+      assert(math.abs(brute((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9)
+    }
+    refined.groupBy(_.getLong(0)).values.foreach { g =>
+      val bySim = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(bySim.zip(bySim.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("lsh knn returns a subset consistent with brute force scores") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
