@@ -675,6 +675,33 @@ class PipelineSpec extends SparkSpec {
       rows(Ann.ivfPqTopK(cents, books, emb, queries, k = 3, nprobe = 2)))
   }
 
+  test("production search composition: at-rest IVF-PQ index -> exact refine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val cents = Ann.pinnedCentroids(emb, nlist = 8)
+    val books = Ann.pinnedCodebooks(emb, m = 4, ksub = 8, dim = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_rf").toString + "/idx"
+    Ann.ivfPqMaterialize(cents, books, emb, path)
+    // the full 100 TB read path: candidates come off the pruned
+    // codes-only index scan; the raw vectors open ONLY for the
+    // refine join over the deduped candidate ids
+    val cand = Ann.ivfPqSearchIndexed(spark, path, cents, books,
+      queries, k = 30, nprobe = 8)
+    val refined = Ann.refineTopK(cand, emb, queries, k = 3)
+    // nprobe = nlist probes every list and the 30-of-79 over-fetch
+    // absorbs this codebook's quantization error (k = 12 measurably
+    // does NOT — a true top-3 neighbor drops out, which is the
+    // k_fetch/accuracy dial refine exposes), so the refined result
+    // must equal brute force bit-exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(refined) == rows(Ann.bruteTopK(emb, queries, k = 3)))
+  }
+
   test("langid picks the dominant stopword language, unk below threshold") {
     val df = docs(
       (1L, "the cat and the dog is in a house of wonders"),
