@@ -267,11 +267,10 @@ object PipelineEntry {
     "d_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(Tables.documents(s, dir), l = 8)),
     // ...and the cut: every doc minus its duplicate spans (empty
-    // string when fully covered — e.g. exact dup docs).
-    "d_cut_spans" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      Dedup.cutSpans(d, Dedup.duplicateSpans(d, l = 8))
-    }),
+    // string when fully covered — e.g. exact dup docs). The composed
+    // operator shares ONE tokenize between detect and cut.
+    "d_cut_spans" -> ((s, dir) =>
+      Dedup.cutDuplicateSpans(Tables.documents(s, dir), l = 8)),
     // Embedding near-dup cluster collapse: connected components over
     // the LSH-blocked cosine pairs (never all-pairs), min-id labels.
     "e_dup_groups" -> ((s, dir) =>

@@ -414,7 +414,29 @@ object Dedup {
                      maxDf: Long = Long.MaxValue,
                      maxOccurrences: Long = Long.MaxValue,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text"): DataFrame =
+    spansFromArrays(tokenArrays(df, idCol, textCol), l, minDocs, maxDf,
+        maxOccurrences)
+      .withColumnRenamed("id", idCol)
+
+  /**
+   * The shared (id, __toks) token-array projection the span ops build
+   * on: ONE tokenize, null ids dropped. A null/empty text yields a
+   * null/empty array and rides through — [[spansFromArrays]] drops it
+   * at the `size >= l` filter, [[cutFromArrays]] keeps the doc via its
+   * outer explode.
+   */
+  private def tokenArrays(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
+
+  /** [[duplicateSpans]] over a pre-built [[tokenArrays]] projection —
+    * the seam that lets [[cutDuplicateSpans]] feed BOTH the detect and
+    * the cut sides from one id-partitioned exchange. Returns spans
+    * keyed by the generic `id` column. */
+  private def spansFromArrays(arrays: DataFrame, l: Int, minDocs: Long,
+                              maxDf: Long, maxOccurrences: Long): DataFrame = {
     require(l >= 2, "window length must be at least 2 tokens")
     val byDoc = Window.partitionBy("id").orderBy("pos")
     // Window hashes compute MAP-SIDE from the token array (1-based
@@ -427,17 +449,22 @@ object Dedup {
     // subtrees per element (the shingleSets note). The one exchange is
     // the explicit repartition below, keyed on ALL projected columns
     // so neither consumer's column pruning can specialize its copy of
-    // the hash subtree (the ngramJaccardPairs idiom).
-    val win = df
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .filter(col(idCol).isNotNull && size(col("__toks")) >= l)
-      .select(col(idCol).as("id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("__toks")) - l + 1),
-          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(l))))))
+    // the hash subtree (the ngramJaccardPairs idiom). No wh null-guard
+    // is needed: md5∘concat_ws over the non-null slice is statically
+    // non-nullable, so Catalyst would prune such a filter anyway.
+    // Short/null docs are excluded by the `when` INSIDE the explode
+    // projection, not a Filter: a Filter here would push down through
+    // the caller's shared tokenArrays repartition and specialize this
+    // branch's copy of the scan+tokenize subtree — splitting the one
+    // exchange [[cutDuplicateSpans]] relies on into two corpus scans.
+    val win = arrays
+      .select(col("id"),
+        posexplode(when(size(col("__toks")) >= l, transform(
+            sequence(lit(1), size(col("__toks")) - l + 1),
+            i => md5(concat_ws(" ", slice(col("__toks"), i, lit(l))))))
+          .otherwise(array().cast("array<string>")))
           .as(Seq("p0", "wh")))
       .select(col("id"), (col("p0") + 1).as("pos"), col("wh"))
-      .filter(col("wh").isNotNull)
       .repartition(col("id"), col("pos"), col("wh"))
     // Two-level aggregate: per-(hash, doc) occurrence counts first —
     // the same two-phase shape an exact count_distinct would expand to,
@@ -462,7 +489,7 @@ object Dedup {
       .agg(min("pos").cast("long").as("span_start"),
         (max("pos") + l).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
-      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+      .select(col("id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"),
         col("n_windows"))
   }
@@ -482,37 +509,60 @@ object Dedup {
    * holds per row.
    */
   def cutSpans(df: DataFrame, spans: DataFrame,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // The id-clustered exchange is what the at-scale span join needs;
-    // planting it explicitly keeps the join's plan stable under AQE.
-    val toks = df.select(col(idCol).as("id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "tok")))
-      .filter(col("id").isNotNull && col("tok").isNotNull)
-      .repartition(col("id"))
-    val sp = spans.select(col(idCol).as("__sid"),
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cutFromArrays(
+        tokenArrays(df, idCol, textCol).repartition(col("id")),
+        spans.withColumnRenamed(idCol, "id"))
+      .withColumnRenamed("id", idCol)
+
+  /**
+   * Detect AND cut in one plan — the composed curation pass the
+   * `d_cut_spans` gate runs. Both sides build on ONE id-partitioned
+   * [[tokenArrays]] exchange: the detect branch explodes window hashes
+   * off it, the cut branch explodes tokens off it, and exchange reuse
+   * makes the corpus scan + tokenize happen exactly once (composing
+   * the two public ops instead would pay that heaviest pass twice).
+   */
+  def cutDuplicateSpans(df: DataFrame, l: Int = 8, minDocs: Long = 2L,
+                        maxDf: Long = Long.MaxValue,
+                        maxOccurrences: Long = Long.MaxValue,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val base = tokenArrays(df, idCol, textCol).repartition(col("id"))
+    cutFromArrays(base, spansFromArrays(base, l, minDocs, maxDf, maxOccurrences))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[cutSpans]] over a pre-built, id-clustered [[tokenArrays]]
+    * projection; `spans` is keyed by the generic `id` column. */
+  private def cutFromArrays(arrays: DataFrame, spans: DataFrame): DataFrame = {
+    // Outer explode: a doc whose token array is empty (or null text)
+    // emits one (null, null) row, so every input doc survives the
+    // groupBy — no ids-only rescan + outer join to re-attach missing
+    // docs. The arrays side arrives id-clustered (caller contract),
+    // which serves both the span join and the rebuild groupBy.
+    val toks = arrays.select(col("id"),
+      posexplode_outer(col("__toks")).as(Seq("pos0", "tok")))
+    val sp = spans.select(col("id").as("__sid"),
       col("span_start"), col("span_end"))
-    // Left-outer + IsNull rather than a left-anti join: Catalyst
-    // pushes semi/anti joins below RepartitionByExpression, which
-    // would specialize the token subtree and undo the exchange
-    // unification above (the dropHotKeys rationale). Tokens inside a
-    // span match >=1 span row and are all filtered; kept tokens match
-    // none, so the outer join cannot duplicate them even if a caller
-    // passes overlapping spans.
-    val kept = toks.join(sp,
-      col("id") === col("__sid") &&
-        col("pos0") + 1 >= col("span_start") &&
-        col("pos0") + 1 < col("span_end"),
-      "left")
-      .filter(col("__sid").isNull)
-      .drop("__sid", "span_start", "span_end")
-    val rebuilt = kept
-      .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
+    // Left-outer join + conditional collect rather than a left-anti
+    // join: Catalyst pushes semi/anti joins below
+    // RepartitionByExpression, which would specialize the token
+    // subtree and undo the exchange unification above (the dropHotKeys
+    // rationale). collect_list skips nulls, so only tokens matching NO
+    // span (and not the outer-explode null row) are kept; a cut token
+    // matching several overlapping spans yields several rows, all
+    // null under the `when` — overlap cannot duplicate output.
+    toks.join(sp,
+        col("id") === col("__sid") &&
+          col("pos0") + 1 >= col("span_start") &&
+          col("pos0") + 1 < col("span_end"),
+        "left")
       .groupBy("id")
       .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        transform(array_sort(collect_list(
+            when(col("__sid").isNull && col("tok").isNotNull,
+              struct((col("pos0") + 1).as("pos"), col("tok"))))),
           _.getField("tok"))).as("clean_text"))
-    df.select(col(idCol))
-      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 }

@@ -59,15 +59,27 @@ object Ann {
       norm(col(vecCol)).as("nn"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qn"))
-    val scored = c.crossJoin(broadcast(q))
+    cosScoreTail(c.crossJoin(broadcast(q)), k)
+  }
+
+  /**
+   * The exact-cosine ranking tail shared by [[bruteTopK]] and
+   * [[refineTopK]]: self-pair exclusion, sim = dot/(qn·nn), per-query
+   * row_number ranked by (sim desc, nid asc), top `k`, 4-decimal
+   * rounding. Like [[adcScoreTail]] for the ADC paths, the rank/tie/
+   * rounding convention lives in exactly ONE place — it is the
+   * bit-equality contract between the exact baseline and every
+   * refine/re-rank stage, so a change here moves all of them together.
+   * Input must carry (qid, nid, qvec, nvec, qn, nn).
+   */
+  private def cosScoreTail(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
-    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
-  }
 
   /**
    * Deterministic pseudo-random hyperplanes: `tables × planes × dim`
@@ -778,10 +790,13 @@ object Ann {
    * O(queries·k_fetch) rows of two ids, so AQE broadcasts it into the
    * corpus join at runtime (un-hinted on purpose: at extreme fan-out
    * it degrades to a shuffle join on `nid`, never a driver hazard).
-   * Queries broadcast by the same contract as [[bruteTopK]]. Output
-   * (qid, nid, sim, rank) matches [[bruteTopK]]; queries whose true
-   * neighbors were missed by the first stage return what was
-   * recalled.
+   * The corpus side of that join projects raw (nid, vec) only — the
+   * neighbor norm computes ABOVE the join, so exact O(dim) arithmetic
+   * touches candidate rows, never the full corpus. Queries broadcast
+   * by the same contract as [[bruteTopK]]. Output (qid, nid, sim,
+   * rank) matches [[bruteTopK]] (shared [[cosScoreTail]], self-pairs
+   * excluded there); queries whose true neighbors were missed by the
+   * first stage return what was recalled.
    */
   def refineTopK(candidates: DataFrame, corpus: DataFrame,
                  queries: DataFrame, k: Int,
@@ -789,17 +804,13 @@ object Ann {
                  vecCol: String = "embedding"): DataFrame = {
     val cand = candidates.select(col("qid"), col("nid"))
       .dropDuplicates("qid", "nid")
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
-      norm(col(vecCol)).as("nn"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qn"))
-    cand.join(c, "nid")
-      .join(broadcast(q), "qid")
-      .withColumn("sim", dot(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+    cosScoreTail(
+      cand.join(c, "nid")
+        .withColumn("nn", norm(col("nvec")))
+        .join(broadcast(q), "qid"), k)
   }
 
   /**

@@ -279,7 +279,9 @@ class PlanAuditSpec extends SparkSpec {
     // is visible and deterministic; AQE's runtime stage reuse keys on
     // the same canonicalized-subtree equality.
     val reusePaths = Seq("t_winnow_pairs", "d_ngram_jaccard",
-      "d_minhash_lsh", "d_simhash_pairs", "d_cdc_pairs", "d_dup_spans")
+      "d_minhash_lsh", "d_simhash_pairs", "d_cdc_pairs", "d_dup_spans",
+      // composed detect+cut: BOTH ops off one tokenArrays exchange
+      "d_cut_spans")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       def check(q: String, p: String): Unit = {
