@@ -214,6 +214,18 @@ object PipelineEntry {
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+    // Incremental-crawl near-dup lookup: every 5th doc plays the "new
+    // batch" probing the rest as the held corpus — cross pairs only,
+    // linear in the probe batch (the self-pairing d_minhash_lsh cost
+    // never recurs for an index refresh). The at-rest index round trip
+    // (minhashIndex -> minhashLookup bit-equality, and the streaming
+    // probe) is spec-gated in PipelineSpec.
+    "d_minhash_lookup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.minhashCrossPairs(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    }),
     "d_simhash" -> ((s, dir) =>
       Dedup.simhashSignatures(Tables.documents(s, dir))
         .withColumnRenamed("id", "doc_id")),
@@ -746,6 +758,23 @@ object PipelineEntry {
         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
         | FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "d_minhash_lookup" -> (T + ShingleHashCte +
+      s"""sig AS (SELECT doc_id, s,
+         |  [${Dedup.hashParams(16).map { case (a, b) =>
+              s"list_min([($a*(h%${Dedup.P})+$b)%${Dedup.P} for h in s])"
+            }.mkString(",\n   ")}] AS g
+         | FROM sh),
+        |banded AS (SELECT doc_id, s,
+        |  unnest([md5(b || ':' || array_to_string(g[b*4+1:b*4+4], '_')) for b in range(0, 4)]) AS band
+        | FROM sig),
+        |cand AS (SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+        | FROM banded p JOIN banded c ON p.band = c.band
+        | WHERE p.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        |j AS (SELECT probe_id, corpus_id,
+        |  len(list_intersect(sa.s, sb.s))*1.0
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+        | FROM cand JOIN sh sa ON sa.doc_id = probe_id JOIN sh sb ON sb.doc_id = corpus_id)
+        |SELECT probe_id, corpus_id, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
     "d_dup_groups" -> (DupGroupCtes +
       "\nSELECT doc_id, group_id FROM grp"),
     "p_split_safe" -> (DupGroupCtes + """,

@@ -186,18 +186,12 @@ object Dedup {
     // clustering requirement, so they add no shuffle of the shingle
     // arrays.
     val sets = shingleSets(df, idCol, textCol, n).repartition(col("id"))
-    val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // The band self-join carries ONLY (id, band): candidate shuffle
     // volume is O(candidates), not O(candidates × avg-shingle-set).
     // Shingle arrays are re-attached per DISTINCT candidate pair below
     // — the cdcSharedChunkPairs pattern. Both self-join sides share the
     // band exchange (byte-identical subplans → one ReusedExchange).
-    val banded = sig.select(col("id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat(b.cast("string"), lit(":"),
-            concat_ws("_", transform(slice(col("sig"), b * r + 1, lit(r)),
-              x => x.cast("string"))))))).as("band"))
-      .repartition(col("band"))
+    val banded = bandRows(sets, numHashes, bands).repartition(col("band"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -210,6 +204,152 @@ object Dedup {
           / size(array_union(col("sha"), col("shb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** (id, band) LSH band keys from (id, sh) shingle-set rows: minhash
+    * signature → `bands` md5 band keys, exploded. The shared candidate
+    * generator behind [[minhashLshPairs]] (self-join), the at-rest
+    * [[minhashIndex]], and the [[minhashLookup]] probe side. */
+  private def bandRows(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(concat(b.cast("string"), lit(":"),
+            concat_ws("_", transform(slice(col("sig"), b * r + 1, lit(r)),
+              x => x.cast("string"))))))).as("band"))
+  }
+
+  /**
+   * Near-dup pairs of `probes` AGAINST `corpus` (not within either
+   * side) — the incremental-crawl question "is this new document a
+   * near-dup of anything we already hold", answered without re-pairing
+   * the corpus against itself. Same shingle/minhash/band/verify
+   * pipeline as [[minhashLshPairs]]; the band join is probe×corpus
+   * instead of a self-join, so cost is linear in the probe batch with
+   * the corpus side read once. Output: (probe_id, corpus_id, jaccard ≥
+   * threshold). Ids present on BOTH sides pair with themselves and are
+   * excluded.
+   */
+  def minhashCrossPairs(corpus: DataFrame, probes: DataFrame, n: Int = 3,
+                        numHashes: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    lookupFromSets(
+      shingleSets(corpus, idCol, textCol, n).repartition(col("id")),
+      shingleSets(probes, idCol, textCol, n).repartition(col("id")),
+      numHashes, bands, threshold)
+
+  /**
+   * Materialize the at-rest MinHash/LSH near-dup index under `path`:
+   * `path/sets` = (id, sh) shingle sets, `path/bands` = (id, band) LSH
+   * band keys. Bands derive from the WRITTEN sets (read back, not
+   * recomputed from text), so the two halves cannot disagree and the
+   * corpus tokenizes exactly once. [[minhashLookup]] /
+   * [[minhashLookupStream]] probe it; refreshing after ingest is a
+   * rewrite (or a partition append at fleet scale).
+   */
+  def minhashIndex(df: DataFrame, path: String, n: Int = 3,
+                   numHashes: Int = 16, bands: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    shingleSets(df, idCol, textCol, n)
+      .write.mode("overwrite").parquet(s"$path/sets")
+    val stored = df.sparkSession.read.parquet(s"$path/sets")
+    bandRows(stored, numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /**
+   * Probe a [[minhashIndex]] with a batch of new documents: (probe_id,
+   * corpus_id, jaccard) for every probe near-dup already in the index.
+   * `numHashes`/`bands`/`n` must match the index build (same pinned
+   * hash family — [[hashParams]] is fixed-seed, so equal parameters
+   * reproduce equal bands).
+   */
+  def minhashLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+                    probes: DataFrame, n: Int = 3, numHashes: Int = 16,
+                    bands: Int = 4, threshold: Double = 0.5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lookupFromSets(
+      spark.read.parquet(s"$path/sets"),
+      shingleSets(probes, idCol, textCol, n).repartition(col("id")),
+      numHashes, bands, threshold,
+      corpusBands = Some(spark.read.parquet(s"$path/bands")))
+
+  /**
+   * Streaming probe of a [[minhashIndex]]: a document stream (idCol,
+   * textCol, `tsCol` ms) is checked live against the at-rest corpus —
+   * the near-dup half of the continuous-ingest dedup story
+   * ([[graft.streaming.StreamIngest.dedupStream]] is the exact half).
+   * Stateless per micro-batch except the final
+   * dropDuplicatesWithinWatermark (a pair re-surfacing across batches
+   * within the watermark is emitted once; state is bounded by the
+   * watermark). Index refresh = restart the query against the
+   * rewritten path.
+   */
+  def minhashLookupStream(spark: org.apache.spark.sql.SparkSession,
+                          path: String, probeStream: DataFrame, n: Int = 3,
+                          numHashes: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5, tsCol: String = "ts",
+                          watermark: String = "1 hour",
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val psets = probeStream
+      .withColumn("event_time", timestamp_millis(col(tsCol)))
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("id"), col("event_time"),
+        graft.functions.VectorOps.shingleHash60(col("__toks"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // dedupCandidates = false: a mid-plan dropDuplicates would be a
+    // SECOND stateful operator on the stream (unbounded state, chained
+    // stateful restrictions); a pair surfacing via several bands just
+    // verifies redundantly (≤ bands× on identical arrays) and the ONE
+    // watermarked dedup below emits it once with bounded state.
+    val verified = lookupFromSets(
+      spark.read.parquet(s"$path/sets"), psets,
+      numHashes, bands, threshold,
+      corpusBands = Some(spark.read.parquet(s"$path/bands")),
+      carryCols = Seq("event_time"), dedupCandidates = false)
+    verified
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("probe_id", "corpus_id")
+      .drop("event_time")
+  }
+
+  /**
+   * The shared lookup tail: probe bands × corpus bands candidate join
+   * (ids only — the [[minhashLshPairs]] volume argument), distinct,
+   * then exact-Jaccard verify re-attaching both shingle sets. The
+   * corpus side arrives as at-rest (id, sh) [+ optional pre-built
+   * (id, band)] or is banded here. `carryCols` ride the probe rows
+   * through (streaming event time).
+   */
+  private def lookupFromSets(corpusSets: DataFrame, probeSets: DataFrame,
+                             numHashes: Int, bands: Int, threshold: Double,
+                             corpusBands: Option[DataFrame] = None,
+                             carryCols: Seq[String] = Nil,
+                             dedupCandidates: Boolean = true): DataFrame = {
+    val pb = bandRows(probeSets.select("id", "sh"), numHashes, bands)
+    val cb = corpusBands.getOrElse(bandRows(corpusSets, numHashes, bands))
+    val raw = pb.as("p").join(cb.as("c"),
+        col("p.band") === col("c.band") && col("p.id") =!= col("c.id"))
+      .select(col("p.id").as("probe_id"), col("c.id").as("corpus_id"))
+    val cand =
+      if (dedupCandidates) raw.dropDuplicates("probe_id", "corpus_id") else raw
+    cand
+      .join(probeSets.select(col("id").as("probe_id") +:
+          col("sh").as("sha") +: carryCols.map(col): _*),
+        "probe_id")
+      .join(corpusSets.select(col("id").as("corpus_id"), col("sh").as("shb")),
+        "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("probe_id") +: col("corpus_id") +:
+        round(col("jaccard"), 4).as("jaccard") +: carryCols.map(col): _*)
   }
 
   /** Token-hash array for [[simhashFromHashes]] — materialize this as

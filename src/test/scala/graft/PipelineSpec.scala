@@ -164,6 +164,58 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getLong(0) == 1L)
   }
 
+  test("minhash cross-lookup: probes pair against the corpus, never within a side") {
+    val a = "the quick brown fox jumps over the lazy dog today"
+    val b = "the quick brown fox jumps over the lazy dog tonight"
+    val c = "the quick brown fox jumps over the lazy dog tomorrow"
+    val corpus = docs((1L, a), (3L, "completely different words here entirely"))
+    val probes = docs((2L, b), (4L, c))
+    // probes 2 and 4 are each near-dups of corpus doc 1 AND of each
+    // other — the within-probe pair (2,4) must NOT surface
+    val out = Dedup.minhashCrossPairs(corpus, probes,
+        n = 3, numHashes = 16, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L), (4L, 1L)), s"got $out")
+  }
+
+  test("at-rest minhash index: lookup and stream probe match the in-memory cross pairs") {
+    import spark.implicits._
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words here entirely my friend"))
+    val probes = docs(
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "unrelated filler text with nothing shared at all"))
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString + "/idx"
+    Dedup.minhashIndex(corpus, path, n = 3, numHashes = 16, bands = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = rows(Dedup.minhashCrossPairs(corpus, probes,
+      n = 3, numHashes = 16, bands = 16, threshold = 0.5))
+    assert(expected.map(p => (p._1, p._2)) == Set((2L, 1L)))
+    assert(rows(Dedup.minhashLookup(spark, path, probes,
+      n = 3, numHashes = 16, bands = 16, threshold = 0.5)) == expected)
+    // streaming probe: same docs arrive as a timestamped stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = Dedup.minhashLookupStream(spark, path,
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        n = 3, numHashes = 16, bands = 16, threshold = 0.5,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("mh_lookup_out")
+      .outputMode("append").start()
+    mem.addData((2L, "the quick brown fox jumps over the lazy dog tonight", 1000L),
+      (4L, "unrelated filler text with nothing shared at all", 2000L))
+    q.processAllAvailable()
+    // the same probe re-sent within the watermark emits nothing new
+    mem.addData((2L, "the quick brown fox jumps over the lazy dog tonight", 3000L))
+    q.processAllAvailable()
+    val streamed = rows(spark.table("mh_lookup_out"))
+    q.stop()
+    assert(streamed == expected)
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val df = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
