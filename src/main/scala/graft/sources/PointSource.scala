@@ -73,6 +73,37 @@ object PointSource {
   }
 
   /**
+   * Bucketed at-rest layout — the shuffle-paid-once story for 100 TB.
+   * The series key is materialized and hash-bucketed into `nBuckets`
+   * files at write time (`bucketBy` + `sortBy`), registered as `table`
+   * with data under `path`. Every per-series operator that would
+   * shuffle on the series key — groupBy aggregations, lag/window rate,
+   * series self-joins, joins between two stores bucketed alike — then
+   * starts from a bucket-aligned scan and skips its Exchange entirely:
+   * the biggest shuffle of every per-series query is paid once, at
+   * ingest. `nBuckets` sizes to cluster width (buckets ≳ executor
+   * cores; 32 matches the local harness).
+   *
+   * Bucket metadata lives in the catalog — in-memory per session here,
+   * a persistent metastore in production (the parquet files alone
+   * carry no bucket contract; reference analog: the hash-ring routing
+   * SURVEY §4 maps to partitioning).
+   */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    nBuckets: Int = 32): Unit =
+    Point.withSeriesKey(df)
+      .write.bucketBy(nBuckets, "skey").sortBy("skey", "ts")
+      .option("path", path)
+      .option("parquet.bloom.filter.enabled#name", "true")
+      .format("parquet").mode("overwrite").saveAsTable(table)
+
+  /** Reads a [[writeBucketed]] store; the scan reports its bucket
+    * hash-partitioning on `skey`, which is what lets the planner drop
+    * per-series exchanges (asserted in StoreSpec). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /**
    * Compaction job — the Spark-native replacement for the reference's
    * background compact/split/join cycle (go/.../datastore/datastore.go:
    * 519-557 compactBlock, 354-479 split/join, triggers at 687-705):

@@ -36,6 +36,53 @@ class StoreSpec extends SparkSpec {
     // at-rest layout is what makes the 100 TB scan cheap
   }
 
+  test("bucketed store: per-series aggregation and co-located join skip the shuffle") {
+    val dir = tmpDir()
+    val in = samplePoints()
+    PointSource.writeBucketed(in, "bkt_points", dir, nBuckets = 8)
+    val bkt = PointSource.readBucketed(spark, "bkt_points")
+    // data intact (skey is additive)
+    assert(bkt.count() == in.count())
+    // the shuffle every per-series op pays on a flat store is gone:
+    // the bucket-aligned scan already satisfies groupBy(skey)'s
+    // clustering (AQE off so the static plan verdict is visible)
+    // AQE off so the static plan verdict is visible; auto-broadcast off
+    // because at TEST size the planner prefers broadcasting the tiny
+    // side (and rightly ignores buckets) — the co-located sort-merge
+    // join is the 100 TB shape under audit here
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = bkt.groupBy("skey")
+        .agg(avg("dval").as("dval"), count(lit(1)).as("n"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed per-series agg must not shuffle:\n${aggPlan.take(1500)}")
+      assert(agg.count() > 0)
+      // two stores bucketed alike join on the bucket key with ZERO
+      // exchanges — the co-located join a flat layout can never have.
+      // (Joining on (skey, ts) would still shuffle: co-partitioning
+      // requires ALL join keys by default — the bucket key must BE the
+      // join key, which the per-series-enrichment shape here has.)
+      val dir2 = tmpDir()
+      PointSource.writeBucketed(in.filter(col("dval") > 0), "bkt_points2",
+        dir2, nBuckets = 8)
+      val joined = bkt.join(
+        PointSource.readBucketed(spark, "bkt_points2")
+          .groupBy("skey").agg(max("dval").as("series_max")),
+        Seq("skey"))
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"),
+        s"co-located bucket join must not shuffle:\n${joinPlan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_points")
+      spark.sql("DROP TABLE IF EXISTS bkt_points2")
+    }
+  }
+
   test("compaction coalesces small files, preserves data and layout") {
     val dir = tmpDir()
     val in = samplePoints()
