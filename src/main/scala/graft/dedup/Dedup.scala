@@ -50,10 +50,11 @@ object Dedup {
    * argument subtrees per element — tokenizing inline would be O(n²).
    */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame =
+                          n: Int, carry: Seq[String] = Nil): DataFrame =
     df.withColumn("__toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("id"),
-        graft.functions.VectorOps.shingleHash60(col("__toks"), n).as("sh"))
+      .select(col(idCol).as("id") +:
+        graft.functions.VectorOps.shingleHash60(col("__toks"), n).as("sh") +:
+        carry.map(col): _*)
       .filter(size(col("sh")) > 0)
 
   /**
@@ -175,8 +176,6 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, n: Int = 3, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // sets feeds the signature path AND the two verify joins — four
     // consumers of the tokenize+hash pass. Instead of a `.cache()`
     // (pinned partitions, no unpersist hook), repartition on the
@@ -206,19 +205,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** (id, band) LSH band keys from (id, sh) shingle-set rows: minhash
-    * signature → `bands` md5 band keys, exploded. The shared candidate
-    * generator behind [[minhashLshPairs]] (self-join), the at-rest
-    * [[minhashIndex]], and the [[minhashLookup]] probe side. */
-  private def bandRows(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** (id, band[, carry…]) LSH band keys from (id, sh[, carry…])
+    * shingle-set rows: minhash signature → `bands` md5 band keys,
+    * exploded. The shared candidate generator behind
+    * [[minhashLshPairs]] (self-join), the at-rest [[minhashIndex]],
+    * and the [[minhashLookup]]/[[minhashLookupStream]] probe sides. */
+  private def bandRows(sets: DataFrame, numHashes: Int, bands: Int,
+                       carry: Seq[String] = Nil): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("id"),
+      .select(col("id") +:
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat(b.cast("string"), lit(":"),
             concat_ws("_", transform(slice(col("sig"), b * r + 1, lit(r)),
-              x => x.cast("string"))))))).as("band"))
+              x => x.cast("string"))))))).as("band") +:
+        carry.map(col): _*)
   }
 
   /**
@@ -296,22 +298,26 @@ object Dedup {
                           watermark: String = "1 hour",
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val psets = probeStream
-      .withColumn("event_time", timestamp_millis(col(tsCol)))
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
-      .select(col(idCol).as("id"), col("event_time"),
-        graft.functions.VectorOps.shingleHash60(col("__toks"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // dedupCandidates = false: a mid-plan dropDuplicates would be a
-    // SECOND stateful operator on the stream (unbounded state, chained
-    // stateful restrictions); a pair surfacing via several bands just
-    // verifies redundantly (≤ bands× on identical arrays) and the ONE
-    // watermarked dedup below emits it once with bounded state.
+    // The probe side shares [[shingleSets]] with the index build —
+    // the two MUST produce bit-identical sets or lookups silently
+    // stop matching.
+    val psets = shingleSets(
+      probeStream.withColumn("event_time", timestamp_millis(col(tsCol))),
+      idCol, textCol, n, carry = Seq("event_time"))
+    // Streaming shape: sh + event_time RIDE the probe band rows, so
+    // both joins below are stream-STATIC (bands, then corpus sets) —
+    // stateless per micro-batch. Re-attaching sh by joining back to
+    // psets (the batch shape) would be a stream-STREAM self-join:
+    // unbounded state and stale-row hazards. Likewise no mid-plan
+    // dropDuplicates (a second stateful operator): a pair surfacing
+    // via several bands just verifies redundantly (≤ bands× on
+    // identical micro-batch rows) and the ONE watermarked dedup below
+    // emits it once with watermark-bounded state.
     val verified = lookupFromSets(
       spark.read.parquet(s"$path/sets"), psets,
       numHashes, bands, threshold,
       corpusBands = Some(spark.read.parquet(s"$path/bands")),
-      carryCols = Seq("event_time"), dedupCandidates = false)
+      carryCols = Seq("event_time"), probeCarriesSets = true)
     verified
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("probe_id", "corpus_id")
@@ -319,29 +325,42 @@ object Dedup {
   }
 
   /**
-   * The shared lookup tail: probe bands × corpus bands candidate join
-   * (ids only — the [[minhashLshPairs]] volume argument), distinct,
-   * then exact-Jaccard verify re-attaching both shingle sets. The
-   * corpus side arrives as at-rest (id, sh) [+ optional pre-built
-   * (id, band)] or is banded here. `carryCols` ride the probe rows
-   * through (streaming event time).
+   * The shared lookup tail. Batch shape (`probeCarriesSets = false`):
+   * probe bands × corpus bands candidate join carrying ids only (the
+   * [[minhashLshPairs]] volume argument), distinct, then exact-Jaccard
+   * verify re-attaching both shingle sets per DISTINCT pair. Streaming
+   * shape (`probeCarriesSets = true`): the probe's sh + `carryCols`
+   * ride its band rows instead — the re-attach join back to the probe
+   * side would be a stream-stream self-join (unbounded state), so the
+   * only joins are against the static corpus sides, at the cost of
+   * shingle arrays riding ≤ bands× candidate rows within a
+   * micro-batch. The corpus side arrives as at-rest (id, sh)
+   * [+ optional pre-built (id, band)] or is banded here.
    */
   private def lookupFromSets(corpusSets: DataFrame, probeSets: DataFrame,
                              numHashes: Int, bands: Int, threshold: Double,
                              corpusBands: Option[DataFrame] = None,
                              carryCols: Seq[String] = Nil,
-                             dedupCandidates: Boolean = true): DataFrame = {
-    val pb = bandRows(probeSets.select("id", "sh"), numHashes, bands)
+                             probeCarriesSets: Boolean = false): DataFrame = {
     val cb = corpusBands.getOrElse(bandRows(corpusSets, numHashes, bands))
-    val raw = pb.as("p").join(cb.as("c"),
-        col("p.band") === col("c.band") && col("p.id") =!= col("c.id"))
-      .select(col("p.id").as("probe_id"), col("c.id").as("corpus_id"))
     val cand =
-      if (dedupCandidates) raw.dropDuplicates("probe_id", "corpus_id") else raw
+      if (probeCarriesSets) {
+        val pb = bandRows(probeSets, numHashes, bands, carry = "sh" +: carryCols)
+        pb.as("p").join(cb.as("c"),
+            col("p.band") === col("c.band") && col("p.id") =!= col("c.id"))
+          .select(col("p.id").as("probe_id") +: col("c.id").as("corpus_id") +:
+            col("p.sh").as("sha") +: carryCols.map(c => col("p." + c).as(c)): _*)
+      } else {
+        val pb = bandRows(probeSets.select("id", "sh"), numHashes, bands)
+        pb.as("p").join(cb.as("c"),
+            col("p.band") === col("c.band") && col("p.id") =!= col("c.id"))
+          .select(col("p.id").as("probe_id"), col("c.id").as("corpus_id"))
+          .dropDuplicates("probe_id", "corpus_id")
+          .join(probeSets.select(col("id").as("probe_id") +:
+              col("sh").as("sha") +: carryCols.map(col): _*),
+            "probe_id")
+      }
     cand
-      .join(probeSets.select(col("id").as("probe_id") +:
-          col("sh").as("sha") +: carryCols.map(col): _*),
-        "probe_id")
       .join(corpusSets.select(col("id").as("corpus_id"), col("sh").as("shb")),
         "corpus_id")
       .withColumn("jaccard",

@@ -91,7 +91,15 @@ object PointSource {
    */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     nBuckets: Int = 32): Unit =
+    // Pre-repartition on skey with numPartitions = nBuckets: Spark's
+    // repartition hash and the bucket-id hash are the same
+    // murmur3-mod-n, so each task holds exactly one bucket's rows →
+    // ONE file per bucket. Without it every input task writes its own
+    // file per bucket (P×nBuckets small files at ingest width), and a
+    // multi-file bucket forfeits the sorted-scan path sortBy buys
+    // (per-file order only).
     Point.withSeriesKey(df)
+      .repartition(nBuckets, col("skey"))
       .write.bucketBy(nBuckets, "skey").sortBy("skey", "ts")
       .option("path", path)
       .option("parquet.bloom.filter.enabled#name", "true")

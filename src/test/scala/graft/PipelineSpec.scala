@@ -199,10 +199,19 @@ class PipelineSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, Long)]
-    val q = Dedup.minhashLookupStream(spark, path,
-        mem.toDF().toDF("doc_id", "text", "ts"),
-        n = 3, numHashes = 16, bands = 16, threshold = 0.5,
-        watermark = "10 minutes")
+    val streamDf = Dedup.minhashLookupStream(spark, path,
+      mem.toDF().toDF("doc_id", "text", "ts"),
+      n = 3, numHashes = 16, bands = 16, threshold = 0.5,
+      watermark = "10 minutes")
+    // every join must be stream-STATIC: a stream-stream join (e.g.
+    // re-attaching shingles by joining back to the probe side) keeps
+    // unbounded state and can pair stale probe rows across batches
+    val ssJoins = streamDf.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.isStreaming && j.right.isStreaming => j
+    }
+    assert(ssJoins.isEmpty, "minhashLookupStream plans a stream-stream join")
+    val q = streamDf
       .writeStream.format("memory").queryName("mh_lookup_out")
       .outputMode("append").start()
     mem.addData((2L, "the quick brown fox jumps over the lazy dog tonight", 1000L),

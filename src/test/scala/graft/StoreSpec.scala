@@ -43,13 +43,23 @@ class StoreSpec extends SparkSpec {
     val bkt = PointSource.readBucketed(spark, "bkt_points")
     // data intact (skey is additive)
     assert(bkt.count() == in.count())
+    // exactly one file per bucket (the pre-repartition contract) — a
+    // multi-file bucket is a small-files explosion at ingest width AND
+    // forfeits the sorted-scan path (sortBy order is per-file)
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(dataFiles.length == 8, s"expected 8 bucket files, got ${dataFiles.length}")
     // the shuffle every per-series op pays on a flat store is gone:
     // the bucket-aligned scan already satisfies groupBy(skey)'s
     // clustering (AQE off so the static plan verdict is visible)
     // AQE off so the static plan verdict is visible; auto-broadcast off
     // because at TEST size the planner prefers broadcasting the tiny
     // side (and rightly ignores buckets) — the co-located sort-merge
-    // join is the 100 TB shape under audit here
+    // join is the 100 TB shape under audit here. Prior values restored
+    // verbatim (shared session — hardcoded restores would leak into
+    // later suites).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -76,8 +86,8 @@ class StoreSpec extends SparkSpec {
         s"co-located bucket join must not shuffle:\n${joinPlan.take(1500)}")
       assert(joined.count() > 0)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
       spark.sql("DROP TABLE IF EXISTS bkt_points")
       spark.sql("DROP TABLE IF EXISTS bkt_points2")
     }
