@@ -234,6 +234,18 @@ object PipelineEntry {
     "d_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDist = 3)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
+    // SimHash sibling of d_minhash_lookup: every 5th doc probes the
+    // rest as the held corpus, signature rides the band rows (no
+    // re-attach join at all). At-rest index round trip + streaming
+    // probe spec-gated in PipelineSpec.
+    "d_simhash_lookup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.simhashCrossPairs(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          maxDist = 3)
+        .select(col("probe_id"), col("corpus_id"),
+          col("dist").cast("long").as("dist"))
+    }),
     // Near-dup cluster collapse: connected components over the verified
     // jaccard pairs; every member labeled with its component's min id.
     "d_dup_groups" -> ((s, dir) =>
@@ -799,6 +811,19 @@ object PipelineEntry {
          | FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS dist
          |FROM cand WHERE bit_count(xor(siga, sigb)) <= 3""".stripMargin),
+    "d_simhash_lookup" -> (T + SimhashHsCte +
+      s""", sigs AS ($SimhashSigSelect),
+         |bands AS (SELECT doc_id, sig,
+         |  unnest([CAST(b AS VARCHAR) || ':' ||
+         |          CAST((sig // (CAST(1 AS BIGINT) << (b*15))) % 32768 AS VARCHAR)
+         |          for b in range(0, 4)]) AS band
+         | FROM sigs),
+         |cand AS (SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+         |  p.sig AS sigp, c.sig AS sigc
+         | FROM bands p JOIN bands c ON p.band = c.band
+         | WHERE p.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+         |SELECT probe_id, corpus_id, CAST(bit_count(xor(sigp, sigc)) AS BIGINT) AS dist
+         |FROM cand WHERE bit_count(xor(sigp, sigc)) <= 3""".stripMargin),
     "e_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),

@@ -389,9 +389,11 @@ object Dedup {
 
   /** (doc_id, sig) simhash signatures with the hash pass materialized. */
   def simhashSignatures(df: DataFrame, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame =
+                        textCol: String = "text",
+                        carry: Seq[String] = Nil): DataFrame =
     df.withColumn("__hs", tokenHashes(textCol))
-      .select(col(idCol).as("id"), simhashFromHashes("__hs").as("sig"))
+      .select(col(idCol).as("id") +: simhashFromHashes("__hs").as("sig") +:
+        carry.map(col): _*)
 
   /**
    * Collapse near-duplicate clusters: connected components over a
@@ -482,10 +484,7 @@ object Dedup {
     // that both sides share via exchange/stage reuse — the token-hash +
     // simhash pass runs once, with nothing cached/pinned. (sig rides
     // the 16-byte banded row, so no re-attach join is needed.)
-    val banded = simhashSignatures(df, idCol, textCol)
-      .select(col("id"), col("sig"),
-        explode(expr("transform(sequence(0, 3), b -> " +
-          "concat(b, ':', (sig div shiftleft(1L, b * 15)) % 32768))")).as("band"))
+    val banded = simhashBandRows(simhashSignatures(df, idCol, textCol))
       .repartition(col("band"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -495,6 +494,102 @@ object Dedup {
       .withColumn("dist", expr("bit_count(siga ^ sigb)"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** (id, sig, band[, carry…]) from (id, sig[, carry…]) signature
+    * rows: the 4 × 15-bit pigeonhole band keys of [[simhashPairs]],
+    * shared with the at-rest [[simhashIndex]] and its probe sides. */
+  private def simhashBandRows(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    sigs.select(col("id") +: col("sig") +:
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "concat(b, ':', (sig div shiftleft(1L, b * 15)) % 32768))")).as("band") +:
+      carry.map(col): _*)
+
+  /**
+   * SimHash near-dup pairs of `probes` AGAINST `corpus` — the SimHash
+   * sibling of [[minhashCrossPairs]] (same incremental-crawl shape,
+   * linear in the probe batch). Cheaper still: the 60-bit signature
+   * rides every band row, so the popcount verify needs NO re-attach
+   * join on either side. Output: (probe_id, corpus_id, dist ≤
+   * maxDist); ids present on both sides excluded.
+   */
+  def simhashCrossPairs(corpus: DataFrame, probes: DataFrame,
+                        maxDist: Int = 3, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    simhashLookupFromSigs(
+      simhashBandRows(simhashSignatures(corpus, idCol, textCol)),
+      simhashSignatures(probes, idCol, textCol), maxDist)
+
+  /**
+   * Materialize the at-rest SimHash near-dup index under `path`:
+   * `path/sigs` = (id, sig), `path/bands` = (id, sig, band) — 8 bytes
+   * of signature per doc plus 4 exploded band rows; at any corpus
+   * scale this is the cheapest near-dup index that exists. Bands
+   * derive from the WRITTEN sigs so the halves cannot disagree.
+   */
+  def simhashIndex(df: DataFrame, path: String, idCol: String = "doc_id",
+                   textCol: String = "text"): Unit = {
+    simhashSignatures(df, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    simhashBandRows(df.sparkSession.read.parquet(s"$path/sigs"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Probe a [[simhashIndex]] with a batch of new documents:
+    * (probe_id, corpus_id, dist) per near-dup already held. */
+  def simhashLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+                    probes: DataFrame, maxDist: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    simhashLookupFromSigs(
+      spark.read.parquet(s"$path/bands"),
+      simhashSignatures(probes, idCol, textCol), maxDist)
+
+  /**
+   * Streaming probe of a [[simhashIndex]]: live SimHash near-dup
+   * check of a document stream against the at-rest corpus. All joins
+   * are stream-static (the signature rides the probe band rows); the
+   * one stateful operator is the final watermark-bounded pair dedup —
+   * the same shape as [[minhashLookupStream]].
+   */
+  def simhashLookupStream(spark: org.apache.spark.sql.SparkSession,
+                          path: String, probeStream: DataFrame,
+                          maxDist: Int = 3, tsCol: String = "ts",
+                          watermark: String = "1 hour",
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    // shares simhashSignatures with the index build — bit-identical
+    // signatures or lookups silently stop matching
+    val sigs = simhashSignatures(
+      probeStream.withColumn("event_time", timestamp_millis(col(tsCol))),
+      idCol, textCol, carry = Seq("event_time"))
+    simhashLookupFromSigs(spark.read.parquet(s"$path/bands"), sigs, maxDist,
+        carryCols = Seq("event_time"), dedupCandidates = false)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("probe_id", "corpus_id")
+      .drop("event_time")
+  }
+
+  /** Shared SimHash lookup tail: probe bands × corpus bands on the
+    * band key (signatures riding both sides), popcount verify.
+    * `dedupCandidates = false` on streams — the final watermarked
+    * dedup absorbs band-duplicate candidates instead of a second
+    * stateful operator (the [[lookupFromSets]] rationale). */
+  private def simhashLookupFromSigs(corpusBands: DataFrame, probeSigs: DataFrame,
+                                    maxDist: Int, carryCols: Seq[String] = Nil,
+                                    dedupCandidates: Boolean = true): DataFrame = {
+    val pb = simhashBandRows(probeSigs, carry = carryCols)
+    val raw = pb.as("p").join(corpusBands.as("c"),
+        col("p.band") === col("c.band") && col("p.id") =!= col("c.id"))
+      .select(col("p.id").as("probe_id") +: col("c.id").as("corpus_id") +:
+        col("p.sig").as("sigp") +: col("c.sig").as("sigc") +:
+        carryCols.map(c => col("p." + c).as(c)): _*)
+    val cand =
+      if (dedupCandidates) raw.dropDuplicates("probe_id", "corpus_id") else raw
+    cand
+      .withColumn("dist", expr("bit_count(sigp ^ sigc)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("probe_id") +: col("corpus_id") +: col("dist") +:
+        carryCols.map(col): _*)
   }
 
   /** Content-defined chunks of a string column (native single-pass

@@ -225,6 +225,47 @@ class PipelineSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("at-rest simhash index: lookup and stream probe match the in-memory cross pairs") {
+    import spark.implicits._
+    val corpus = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words here entirely my friend"))
+    val probes = docs(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "unrelated filler text with nothing shared at all"))
+    val path = java.nio.file.Files.createTempDirectory("graft_sh_idx").toString + "/idx"
+    Dedup.simhashIndex(corpus, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = rows(Dedup.simhashCrossPairs(corpus, probes, maxDist = 3))
+    // doc 2 is doc 1 verbatim -> dist 0; the within-probe and
+    // within-corpus pairs never surface
+    assert(expected == Set((2L, 1L, 0)), s"got $expected")
+    assert(rows(Dedup.simhashLookup(spark, path, probes, maxDist = 3)) == expected)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val streamDf = Dedup.simhashLookupStream(spark, path,
+      mem.toDF().toDF("doc_id", "text", "ts"), maxDist = 3,
+      watermark = "10 minutes")
+    val ssJoins = streamDf.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.isStreaming && j.right.isStreaming => j
+    }
+    assert(ssJoins.isEmpty, "simhashLookupStream plans a stream-stream join")
+    val q = streamDf
+      .writeStream.format("memory").queryName("sh_lookup_out")
+      .outputMode("append").start()
+    mem.addData((2L, "alpha beta gamma delta epsilon zeta eta theta", 1000L),
+      (4L, "unrelated filler text with nothing shared at all", 2000L))
+    q.processAllAvailable()
+    mem.addData((2L, "alpha beta gamma delta epsilon zeta eta theta", 3000L))
+    q.processAllAvailable()
+    val streamed = rows(spark.table("sh_lookup_out"))
+    q.stop()
+    assert(streamed == expected)
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val df = docs(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
