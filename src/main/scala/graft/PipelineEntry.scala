@@ -284,6 +284,16 @@ object PipelineEntry {
     "d_cdc_pairs" -> ((s, dir) =>
       Dedup.cdcSharedChunkPairs(Tables.documents(s, dir),
         window = 4, divisor = 32, minShared = 3, maxDf = 50L)),
+    // Chunk-level sibling of d_minhash_lookup: every 5th doc probes
+    // the rest for shared content-defined chunks (sub-document copies
+    // of held docs). maxDf counts CORPUS docs only — boilerplate-ness
+    // is a property of the held side, like the at-rest cdcIndex df.
+    "d_cdc_lookup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.cdcCrossPairs(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        window = 4, divisor = 32, minShared = 3, maxDf = 50L)
+    }),
     // Exact duplicate-substring spans: maximal >=8-token runs shared
     // verbatim across docs — the "cut long repeated substrings"
     // curation op (boilerplate never crosses a doc-level Jaccard
@@ -672,6 +682,15 @@ object PipelineEntry {
         |cold AS (SELECT * FROM ex WHERE c NOT IN (SELECT c FROM hot))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM cold a JOIN cold b ON a.c = b.c AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
+    "d_cdc_lookup" -> (CdcChunksCte +
+      """, ex AS (SELECT DISTINCT doc_id, md5(chunk) AS c FROM chunks),
+        |corpus AS (SELECT * FROM ex WHERE doc_id % 5 <> 0),
+        |probe AS (SELECT * FROM ex WHERE doc_id % 5 = 0),
+        |hot AS (SELECT c FROM corpus GROUP BY c HAVING count(*) > 50),
+        |cold AS (SELECT * FROM corpus WHERE c NOT IN (SELECT c FROM hot))
+        |SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id, count(*) AS shared
+        |FROM probe p JOIN cold c ON p.c = c.c
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     "d_dup_spans" -> (T + DupSpansCte +
       """SELECT doc_id, span_start, span_end, span_tokens, n_windows

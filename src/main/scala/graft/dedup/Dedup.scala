@@ -623,14 +623,7 @@ object Dedup {
     // includes `id` so a boilerplate chunk's stratum spreads across
     // tasks and is dropped before the join's c-clustered exchange;
     // without one, the blocking key is the join's own clustering.
-    val rows = df
-      .select(col(idCol).as("id"),
-        explode(array_distinct(transform(
-          cdcChunks(col(textCol), window, divisor), md5(_)))).as("c"))
-      // explicit not-null guards BELOW the exchange: the self-join
-      // infers them on its branches; without matching filters in the
-      // hot-df branch the subtree copies differ and reuse is lost
-      .filter(col("id").isNotNull && col("c").isNotNull)
+    val rows = chunkRows(df, idCol, textCol, window, divisor)
     val ex =
       if (maxDf == Long.MaxValue) rows.repartition(col("c"))
       else dropHotKeys(rows.repartition(col("id"), col("c")), "c", maxDf)
@@ -640,6 +633,87 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Distinct (id, chunk-md5) rows — the blocking projection shared by
+    * [[cdcSharedChunkPairs]], [[cdcCrossPairs]], and [[cdcIndex]].
+    * Explicit not-null guards stay BELOW the callers' exchanges: the
+    * joins infer them on their branches, and without matching filters
+    * in every branch the subtree copies differ and reuse is lost. */
+  private def chunkRows(df: DataFrame, idCol: String, textCol: String,
+                        window: Int, divisor: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          cdcChunks(col(textCol), window, divisor), md5(_)))).as("c"))
+      .filter(col("id").isNotNull && col("c").isNotNull)
+
+  /**
+   * Chunk-level near-dup pairs of `probes` AGAINST `corpus` — the
+   * sub-document sibling of [[minhashCrossPairs]]: a probe that copies
+   * half of a held document still shares that half's content-defined
+   * chunks verbatim. One equi-join on chunk hash, linear in the probe
+   * batch. The `maxDf` hot-chunk guard counts CORPUS documents only
+   * (boilerplate-ness is a property of the held corpus — the same df
+   * the at-rest [[cdcIndex]] precomputes), so probe-side composition
+   * cannot shift which chunks block. Output: (probe_id, corpus_id,
+   * shared ≥ minShared); shared ids excluded.
+   */
+  def cdcCrossPairs(corpus: DataFrame, probes: DataFrame, window: Int = 4,
+                    divisor: Int = 32, minShared: Int = 2,
+                    maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val cc0 = chunkRows(corpus, idCol, textCol, window, divisor)
+    val cc =
+      if (maxDf == Long.MaxValue) cc0.repartition(col("c"))
+      else dropHotKeys(cc0.repartition(col("id"), col("c")), "c", maxDf)
+    sharedChunkTail(cc, chunkRows(probes, idCol, textCol, window, divisor),
+      minShared)
+  }
+
+  /**
+   * Materialize the at-rest CDC chunk index under `path/chunks`:
+   * (id, c, df) — each document's distinct chunk hashes with the
+   * chunk's corpus document frequency DENORMALIZED onto the row, so a
+   * probe-time `maxDf` guard is a pushed parquet filter instead of an
+   * aggregation over the whole index. One chunk pass, one exchange
+   * (the df aggregation and the re-attach join share it).
+   */
+  def cdcIndex(df: DataFrame, path: String, window: Int = 4,
+               divisor: Int = 32, idCol: String = "doc_id",
+               textCol: String = "text"): Unit = {
+    val ex = chunkRows(df, idCol, textCol, window, divisor)
+      .repartition(col("c"))
+    val dfc = ex.groupBy("c").agg(count(lit(1)).as("df"))
+    ex.join(dfc, "c").select("id", "c", "df")
+      .write.mode("overwrite").parquet(s"$path/chunks")
+  }
+
+  /**
+   * Probe a [[cdcIndex]] with a batch of new documents: (probe_id,
+   * corpus_id, shared) per held document sharing ≥ `minShared`
+   * chunks. `maxDf` filters on the index's precomputed df column —
+   * plan-check: the filter reaches the parquet scan. For a LIVE
+   * probe stream, run this per micro-batch via `foreachBatch`: the
+   * per-pair shared-chunk COUNT is an aggregation, which in append
+   * streaming would wait on the watermark instead of answering now
+   * (the [[minhashLookupStream]]/[[simhashLookupStream]] per-row
+   * verifies have no such step, which is why they stream directly).
+   */
+  def cdcLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+                probes: DataFrame, window: Int = 4, divisor: Int = 32,
+                minShared: Int = 2, maxDf: Long = Long.MaxValue,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    sharedChunkTail(
+      spark.read.parquet(s"$path/chunks").filter(col("df") <= maxDf),
+      chunkRows(probes, idCol, textCol, window, divisor), minShared)
+
+  /** Probe chunks × corpus chunks on the hash, per-pair shared count. */
+  private def sharedChunkTail(corpusChunks: DataFrame, probeChunks: DataFrame,
+                              minShared: Int): DataFrame =
+    probeChunks.as("p").join(corpusChunks.as("c"),
+        col("p.c") === col("c.c") && col("p.id") =!= col("c.id"))
+      .groupBy(col("p.id").as("probe_id"), col("c.id").as("corpus_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
 
   /**
    * Exact duplicate-substring spans: maximal runs of ≥ `l` consecutive

@@ -88,6 +88,31 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("at-rest cdc index: lookup matches in-memory cross pairs, df filter pushes to scan") {
+    val shared = (1 to 12).map(i =>
+      s"Sentence number $i talks about topic-$i with detail level ${i * 7}. ").mkString
+    val corpus = docs(
+      (1L, shared + "unique suffix one two three"),
+      (3L, "nothing in common with the others at all, not one phrase."))
+    val probes = docs(
+      (2L, "a completely different prefix here. " + shared),
+      (4L, "likewise fully distinct probe content, no overlap anywhere."))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rows(Dedup.cdcCrossPairs(corpus, probes, 4, 32, minShared = 2))
+    assert(expected.map(p => (p._1, p._2)) == Set((2L, 1L)), s"got $expected")
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_idx").toString + "/idx"
+    Dedup.cdcIndex(corpus, path, 4, 32)
+    val looked = Dedup.cdcLookup(spark, path, probes, 4, 32, minShared = 2,
+      maxDf = 100L)
+    assert(rows(looked) == expected)
+    // the precomputed-df hot guard is a pushed parquet filter, not an
+    // aggregation over the index
+    val plan = looked.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(df,100)"),
+      s"df guard must reach the index scan:\n${plan.take(1200)}")
+  }
+
   test("exact dedup collapses identical texts, keeps min id") {
     val df = docs((3L, "same text"), (1L, "same text"), (2L, "other"))
     val out = Dedup.exact(df).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
