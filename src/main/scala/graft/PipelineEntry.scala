@@ -112,13 +112,15 @@ object PipelineEntry {
       | FROM toks)
       |""".stripMargin
 
-  /** 60-bit majority-fold simhash signature (mirrors SimHash60). */
+  /** 60-bit majority-fold simhash signature (mirrors SimHash60;
+    * token-less docs excluded like the Spark side's eligibility
+    * filter — they'd all fold to sig 0). */
   private val SimhashSigSelect =
     """SELECT doc_id, CAST(list_sum(
       | [CASE WHEN list_sum([2*((x // (CAST(1 AS BIGINT) << b)) % 2) - 1 for x in h]) > 0
       |   THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
       |  for b in range(0, 60)]) AS BIGINT) AS sig
-      |FROM hs""".stripMargin
+      |FROM hs WHERE len(h) > 0""".stripMargin
 
   /** Shared oracle CTE chain ending in `grp(doc_id, group_id)`: n-gram
     * Jaccard near-dup edges → connected components by min-label

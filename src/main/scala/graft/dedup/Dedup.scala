@@ -391,7 +391,14 @@ object Dedup {
   def simhashSignatures(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
                         carry: Seq[String] = Nil): DataFrame =
+    // Token-less (empty/whitespace) docs are excluded — the same
+    // eligibility rule as the minhash paths' size(sh) > 0. They all
+    // fold to sig 0, so keeping them would (a) claim every empty pair
+    // as a dist-0 near-dup and (b) make the 0-sig bands permanent hot
+    // keys in every banded join — all-empty-pairs is the degenerate
+    // quadratic the banding exists to avoid.
     df.withColumn("__hs", tokenHashes(textCol))
+      .filter(size(col("__hs")) > 0)
       .select(col(idCol).as("id") +: simhashFromHashes("__hs").as("sig") +:
         carry.map(col): _*)
 
@@ -676,12 +683,28 @@ object Dedup {
    * probe-time `maxDf` guard is a pushed parquet filter instead of an
    * aggregation over the whole index. One chunk pass, one exchange
    * (the df aggregation and the re-attach join share it).
+   *
+   * `maxDf` caps what the index even stores: chunks in more than
+   * `maxDf` corpus docs are dropped AT BUILD, with the (id, maxDf∨c)
+   * spread-key guard, so no single task ever holds a boilerplate
+   * chunk's whole stratum — the df re-attach join is then ≤ maxDf rows
+   * per key by construction. The default (unbounded) keeps everything
+   * but concentrates each hot chunk's rows in one join task; set
+   * `maxDf` for any corpus that can contain fleet-wide boilerplate.
+   *
+   * REFRESH IS A FULL REWRITE. df is frozen per build — appending new
+   * docs (the [[minhashIndex]] refresh note does NOT transfer) would
+   * leave stale df on existing rows, so a chunk crossing the hot
+   * threshold across appends would silently keep passing probe-time
+   * `df <=` filters.
    */
   def cdcIndex(df: DataFrame, path: String, window: Int = 4,
-               divisor: Int = 32, idCol: String = "doc_id",
-               textCol: String = "text"): Unit = {
-    val ex = chunkRows(df, idCol, textCol, window, divisor)
-      .repartition(col("c"))
+               divisor: Int = 32, maxDf: Long = Long.MaxValue,
+               idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val rows = chunkRows(df, idCol, textCol, window, divisor)
+    val ex =
+      if (maxDf == Long.MaxValue) rows.repartition(col("c"))
+      else dropHotKeys(rows.repartition(col("id"), col("c")), "c", maxDf)
     val dfc = ex.groupBy("c").agg(count(lit(1)).as("df"))
     ex.join(dfc, "c").select("id", "c", "df")
       .write.mode("overwrite").parquet(s"$path/chunks")

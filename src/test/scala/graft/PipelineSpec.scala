@@ -111,6 +111,12 @@ class PipelineSpec extends SparkSpec {
     val plan = looked.queryExecution.executedPlan.toString
     assert(plan.contains("LessThanOrEqual(df,100)"),
       s"df guard must reach the index scan:\n${plan.take(1200)}")
+    // build-time cap: chunks in more than maxDf corpus docs never
+    // reach the index (hot-safe spread-key build); corpus doc 1's
+    // chunks are unique to it (df=1), so a cap of 0 empties the index
+    val path2 = java.nio.file.Files.createTempDirectory("graft_cdc_idx2").toString + "/idx"
+    Dedup.cdcIndex(corpus, path2, 4, 32, maxDf = 0L)
+    assert(Dedup.cdcLookup(spark, path2, probes, 4, 32, minShared = 1).count() == 0)
   }
 
   test("exact dedup collapses identical texts, keeps min id") {
