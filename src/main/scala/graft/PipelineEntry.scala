@@ -253,6 +253,25 @@ object PipelineEntry {
     "d_dup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))),
+    // Curation-grade collapse: the UNION of three detectors' pairs
+    // (minhash/LSH doc-level, simhash doc-level, CDC sub-document)
+    // feeds one connected-components pass — a cluster merges when ANY
+    // detector links it, the shape real pipelines run because each
+    // detector has misses the others cover. Edges dedup inside
+    // duplicateGroups; cost = the three (already-gated) pair scans +
+    // the CC pass.
+    "d_dup_groups_multi" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.duplicateGroups(
+        Dedup.minhashLshPairs(d, n = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          .select(col("id_a"), col("id_b"))
+          .unionByName(Dedup.simhashPairs(d, maxDist = 3)
+            .select(col("id_a"), col("id_b")))
+          .unionByName(Dedup.cdcSharedChunkPairs(d, window = 4, divisor = 32,
+              minShared = 3, maxDf = 50L)
+            .select(col("id_a"), col("id_b"))))
+    }),
     // Leakage-safe split: bucket by the near-dup GROUP representative,
     // not the document — near-duplicates can never straddle train/val/
     // test (the classic eval-contamination hole p_split's content hash
@@ -810,6 +829,52 @@ object PipelineEntry {
         |SELECT probe_id, corpus_id, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
     "d_dup_groups" -> (DupGroupCtes +
       "\nSELECT doc_id, group_id FROM grp"),
+    "d_dup_groups_multi" -> (
+      T.replaceFirst("WITH ", "WITH RECURSIVE ") + ShingleHashCte +
+      s"""msig AS (SELECT doc_id, s,
+         |  [${Dedup.hashParams(16).map { case (a, b) =>
+              s"list_min([($a*(h%${Dedup.P})+$b)%${Dedup.P} for h in s])"
+            }.mkString(",\n   ")}] AS g
+         | FROM sh),
+        |mbanded AS (SELECT doc_id, s,
+        |  unnest([md5(b || ':' || array_to_string(g[b*4+1:b*4+4], '_')) for b in range(0, 4)]) AS band
+        | FROM msig),
+        |mcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM mbanded a JOIN mbanded b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |mj AS (SELECT id_a, id_b,
+        |  len(list_intersect(sa.s, sb.s))*1.0
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+        | FROM mcand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+        |mpairs AS (SELECT id_a, id_b FROM mj WHERE jac >= 0.5)""".stripMargin +
+      SimhashHsCte +
+      s""", ssigs AS ($SimhashSigSelect),
+         |sbands AS (SELECT doc_id, sig,
+         |  unnest([CAST(b AS VARCHAR) || ':' ||
+         |          CAST((sig // (CAST(1 AS BIGINT) << (b*15))) % 32768 AS VARCHAR)
+         |          for b in range(0, 4)]) AS band
+         | FROM ssigs),
+         |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.sig AS siga, b.sig AS sigb
+         | FROM sbands a JOIN sbands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |spairs AS (SELECT id_a, id_b FROM scand
+         | WHERE bit_count(xor(siga, sigb)) <= 3),
+         |""".stripMargin +
+      CdcChunksCte.replaceFirst("WITH ", "") +
+      """, cex AS (SELECT DISTINCT doc_id, md5(chunk) AS c FROM chunks),
+        |hot AS (SELECT c FROM cex GROUP BY c HAVING count(*) > 50),
+        |cold AS (SELECT * FROM cex WHERE c NOT IN (SELECT c FROM hot)),
+        |cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM cold a JOIN cold b ON a.c = b.c AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2 HAVING count(*) >= 3),
+        |allp AS (SELECT id_a, id_b FROM mpairs
+        |  UNION SELECT id_a, id_b FROM spairs
+        |  UNION SELECT id_a, id_b FROM cpairs),
+        |e AS (SELECT id_a AS a, id_b AS b FROM allp
+        |  UNION SELECT id_b, id_a FROM allp),
+        |reach AS (SELECT DISTINCT a AS n, a AS m FROM e
+        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+        |grp AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n)
+        |SELECT doc_id, group_id FROM grp""".stripMargin),
     "p_split_safe" -> (DupGroupCtes + """,
       |sp AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS gid
       |  FROM documents d LEFT JOIN grp g USING (doc_id))
