@@ -85,7 +85,12 @@ object PipelineEntry {
     * [[graft.functions.CdcChunks]] (window 4, divisor 32): a boundary
     * falls after 1-based code-point position i ≥ 4 iff
     * (cp(i−3)·31³ + cp(i−2)·31² + cp(i−1)·31 + cp(i)) % 32 = 0, and
-    * always after the last character. */
+    * always after the last character. The final-boundary dedup (when
+    * position n is itself a rolling-hash boundary) must be an explicit
+    * DISTINCT over UNION ALL: this CTE is spliced into WITH RECURSIVE
+    * blocks (d_dup_groups_multi), where DuckDB gives a plain UNION
+    * recursive-iteration semantics — no set-dedup — yielding a
+    * spurious empty trailing chunk. */
   private val CdcChunksCte =
     """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
       |           WHERE text IS NOT NULL AND length(text) > 0),
@@ -95,7 +100,9 @@ object PipelineEntry {
       |             + unicode(substr(text, CAST(t.i AS INT)-2, 1))*961
       |             + unicode(substr(text, CAST(t.i AS INT)-1, 1))*31
       |             + unicode(substr(text, CAST(t.i AS INT), 1))) % 32 = 0),
-      |bnd AS (SELECT doc_id, i FROM pos UNION SELECT doc_id, n FROM d),
+      |bnd AS (SELECT DISTINCT doc_id, i FROM
+      |          (SELECT doc_id, i FROM pos
+      |           UNION ALL SELECT doc_id, n FROM d)),
       |ch AS (SELECT doc_id, i AS e,
       |         lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS s
       |       FROM bnd),

@@ -30,16 +30,10 @@ object PointSource {
     val raw0 = spark.read.parquet(s"$sfDir/events.parquet")
     val raw = if (eventTypes.isEmpty) raw0
       else raw0.filter(col("event_type").isin(eventTypes: _*))
-    // The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark only
-    // reads via spark.sql.legacy.parquet.nanosAsLong=true (→ LongType ns).
-    // `div` (integer division) is mandatory: ns magnitudes (~1.7e18)
-    // exceed double's 2^53 exact-integer range, so a float divide would
-    // corrupt low-order milliseconds. DuckDB's epoch_ms truncates the
-    // same way, keeping the oracle bit-identical.
-    val tsMs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
-    }
+    // ts physical type has varied across driver testdata generations
+    // (TIMESTAMP(NANOS)→LongType ns, timestamp[us]→TIMESTAMP_NTZ, or
+    // tz-adjusted TIMESTAMP); Tables.tsToMillis handles all three.
+    val tsMs = Tables.tsToMillis(raw, "ts")
     raw.select(
         concat(lit("/events/"), col("event_type")).as("name"),
         map(lit("user"), col("user_id").cast("string")).as("labels"),

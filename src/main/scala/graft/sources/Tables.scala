@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Plain loaders for the driver's non-point tables. */
 object Tables {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+  import org.apache.spark.sql.Column
+
+  /** Epoch-ms conversion tolerant of every `ts` physical type the driver
+    * has shipped: parquet TIMESTAMP(NANOS) (read as LongType ns under
+    * nanosAsLong), TIMESTAMP_NTZ (plain `timestamp[us]`, no UTC flag —
+    * Spark 4 infers NTZ), and tz-adjusted TIMESTAMP. `div` keeps ns→ms
+    * truncation exact (ns magnitudes exceed double's 2^53); the NTZ→LTZ
+    * cast is a micros-identity because every graft session pins
+    * spark.sql.session.timeZone=UTC, matching DuckDB's epoch_ms on
+    * naive timestamps. */
+  def tsToMillis(df: org.apache.spark.sql.DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType         => expr(s"$name div 1000000")
+      case TimestampNTZType => unix_millis(col(name).cast(TimestampType))
+      case _                => unix_millis(col(name))
+    }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
@@ -15,10 +32,6 @@ object Tables {
     * bit-identical to DuckDB's epoch_ms). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val tsMs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
-      case _ => unix_millis(col("ts"))
-    }
-    raw.withColumn("ts", tsMs)
+    raw.withColumn("ts", tsToMillis(raw, "ts"))
   }
 }
