@@ -74,21 +74,19 @@ object AnalyticsEntry {
           round(sum("value"), 4).as("sum_val"))),
 
     // As-of join: each click gets the latest preceding view of the same
-    // user (inclusive ties, left semantics). Union + one ordered scan —
-    // never an inequality join. Views are pre-aggregated per (user, ts)
-    // so the as-of match is well-defined under timestamp collisions.
+    // user (inclusive ties, left semantics) — the general operator
+    // (operators/AsOf.scala: multi-key, both directions, tolerance).
+    // Views are pre-aggregated per (user, ts) so the as-of match is
+    // well-defined under timestamp collisions.
     "ev_asof" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val views = e.filter(col("event_type") === "view")
-        .groupBy("user_id", "ts").agg(max("value").as("view_val"))
-        .withColumn("view_ts", col("ts"))
+        .groupBy("user_id", "ts").agg(max("value").as("val"))
       val clicks = e.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ts")
-      Sessions.asOfJoin(clicks, views, "user_id", "ts",
-          Seq("view_ts", "view_val"))
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("asof.view_ts").as("view_ts"),
-          col("asof.view_val").as("view_val"))
+      graft.operators.AsOf.asofJoin(clicks, views, Seq("user_id"),
+          rightPrefix = "view_")
+        .select("event_id", "user_id", "ts", "view_ts", "view_val")
     }),
 
     // Ordered funnel (view -> click -> purchase) per user: stage

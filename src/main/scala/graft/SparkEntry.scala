@@ -1,7 +1,7 @@
 package graft
 
 import graft.model.Point
-import graft.operators.{Aggregations, Mutations, Rle}
+import graft.operators.{Aggregations, AsOf, Mutations, Rle}
 import graft.pattern.VariableMatcher
 import graft.sources.PointSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -308,7 +308,33 @@ object SparkEntry {
       unkey(pts(s, dir)
           .filter(VariableMatcher.compile("/events/click{user=*}"))
           .filter(col("ts").between(1704500000000L, 1705500000000L)))
-        .select("name", "usr", "ts", "dval")))
+        .select("name", "usr", "ts", "dval")),
+
+    // ------------------------------------------- temporal joins (AsOf)
+    // Enrich every click with the user's latest purchase at-or-before
+    // it (2 h tolerance) — the trades-to-quotes shape. One shuffle on
+    // the key, no range explosion (operators/AsOf.scala); DuckDB's
+    // native ASOF JOIN is the oracle. The right side pre-aggregates
+    // (usr, ts) so the match is deterministic on both engines.
+    "ts_asof" -> ((s, dir) => {
+      val p = unkey(pts(s, dir))
+      val clicks = p.filter(col("name") === "/events/click")
+        .select("usr", "ts", "dval")
+      val purchases = p.filter(col("name") === "/events/purchase")
+        .groupBy("usr", "ts").agg(max("dval").as("pval"))
+      AsOf.asofJoin(clicks, purchases, Seq("usr"), toleranceMs = 2 * HourMs)
+    }),
+    // Forward direction: the user's next signup at-or-after each error
+    // (24 h tolerance) — time-to-event attachment.
+    "ts_asof_fwd" -> ((s, dir) => {
+      val p = unkey(pts(s, dir))
+      val errors = p.filter(col("name") === "/events/error")
+        .select("usr", "ts", "dval")
+      val signups = p.filter(col("name") === "/events/signup")
+        .groupBy("usr", "ts").agg(max("dval").as("sval"))
+      AsOf.asofJoin(errors, signups, Seq("usr"), direction = AsOf.Forward,
+        toleranceMs = 24 * HourMs)
+    }))
 
   /** DuckDB-equivalent SQL per query (same output column names). */
   def oracleSql: Map[String, String] = {
@@ -478,7 +504,23 @@ object SparkEntry {
       "q_pattern_filter" -> (P +
         """SELECT name, usr, ts, dval FROM pts
           |WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> ''
-          | AND ts BETWEEN 1704500000000 AND 1705500000000""".stripMargin)) ++
+          | AND ts BETWEEN 1704500000000 AND 1705500000000""".stripMargin),
+      "ts_asof" -> (P +
+        """, l AS (SELECT usr, ts, dval FROM pts WHERE name = '/events/click'),
+          |r AS (SELECT usr, ts, max(dval) AS pval FROM pts
+          |      WHERE name = '/events/purchase' GROUP BY usr, ts)
+          |SELECT l.usr, l.ts, l.dval,
+          | CASE WHEN l.ts - r.ts <= 7200000 THEN r.ts END AS ref_ts,
+          | CASE WHEN l.ts - r.ts <= 7200000 THEN r.pval END AS ref_pval
+          |FROM l ASOF LEFT JOIN r ON l.usr = r.usr AND l.ts >= r.ts""".stripMargin),
+      "ts_asof_fwd" -> (P +
+        """, l AS (SELECT usr, ts, dval FROM pts WHERE name = '/events/error'),
+          |r AS (SELECT usr, ts, max(dval) AS sval FROM pts
+          |      WHERE name = '/events/signup' GROUP BY usr, ts)
+          |SELECT l.usr, l.ts, l.dval,
+          | CASE WHEN r.ts - l.ts <= 86400000 THEN r.ts END AS ref_ts,
+          | CASE WHEN r.ts - l.ts <= 86400000 THEN r.sval END AS ref_sval
+          |FROM l ASOF LEFT JOIN r ON l.usr = r.usr AND l.ts <= r.ts""".stripMargin)) ++
       PipelineEntry.oracleSql ++ ApiEntry.oracleSql ++ AnalyticsEntry.oracleSql
   }
 }

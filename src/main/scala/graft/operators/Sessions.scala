@@ -42,37 +42,7 @@ object Sessions {
         .cast("long"))
   }
 
-  /**
-   * As-of join: for each left row, attach the payload of the latest
-   * right row with the same `key` and `right.ts <= left.ts` (inclusive;
-   * null struct when no right row precedes — left-join semantics).
-   *
-   * Implemented as union + ordered scan, NOT a join: both sides are
-   * tagged, unioned, hash-shuffled once on `key`, and scanned in
-   * (ts, side) order carrying the last-seen right payload. A range/
-   * inequality join here would be O(left × right-per-key) and resists
-   * pushdown; the merge form is one exchange and O(1) state per key —
-   * the only as-of shape that survives 100 TB. Right rows sort before
-   * left rows at equal ts, which is what makes `<=` inclusive.
-   *
-   * `payload` columns must exist on the right side; the result keeps
-   * every left column plus an `asof` struct of the payload (null when
-   * no match).
-   */
-  def asOfJoin(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-               payload: Seq[String]): DataFrame = {
-    require(Seq("asof", "__p", "__side").forall(c => !left.columns.contains(c)),
-      "left side must not carry asof/__p/__side columns")
-    val r = right.select(col(key), col(tsCol),
-        struct(payload.map(col): _*).as("__p"))
-      .withColumn("__side", lit(0))
-    val u = left.withColumn("__side", lit(1))
-      .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("asof", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__p", "__side")
-  }
+  // As-of joins live in [[graft.operators.AsOf]] — the general
+  // operator (multi-key, backward/forward, tolerance) built on the
+  // same union + ordered-scan shape this file pioneered.
 }

@@ -174,11 +174,10 @@ class PropertySpec extends SparkSpec {
     val right = (0 until 150).map { i =>
       (s"k${rnd.nextInt(8)}", rnd.nextInt(10000).toLong, rnd.nextDouble()) }
       .distinctBy(r => (r._1, r._2)) // one right row per (key, ts)
-    val got = graft.operators.Sessions.asOfJoin(
+    val got = graft.operators.AsOf.asofJoin(
         left.toDF("event_id", "key", "ts"),
-        right.toDF("key", "ts", "v").withColumn("rts", col("ts")),
-        "key", "ts", Seq("rts", "v"))
-      .select(col("event_id"), col("asof.rts"))
+        right.toDF("key", "ts", "v"), Seq("key"))
+      .select(col("event_id"), col("ref_ts"))
       .collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .toMap

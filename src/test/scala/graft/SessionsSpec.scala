@@ -29,7 +29,7 @@ class SessionsSpec extends SparkSpec {
     assert(got === Set(1L))
   }
 
-  test("asOfJoin: latest right row at or before each left ts, per key") {
+  test("asofJoin: latest right row at or before each left ts, per key") {
     val left = Seq(
       (100L, 1L, 50L),   // before any right row -> null
       (101L, 1L, 150L),  // after r@100 -> 100
@@ -39,9 +39,8 @@ class SessionsSpec extends SparkSpec {
     ).toDF("event_id", "uid", "ts")
     val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0))
       .toDF("uid", "ts", "v")
-      .withColumn("rts", col("ts"))
-    val got = Sessions.asOfJoin(left, right, "uid", "ts", Seq("rts", "v"))
-      .select(col("event_id"), col("asof.rts"), col("asof.v"))
+    val got = graft.operators.AsOf.asofJoin(left, right, Seq("uid"))
+      .select(col("event_id"), col("ref_ts"), col("ref_v"))
       .collect().map(r => (r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1)),
         if (r.isNullAt(2)) None else Some(r.getDouble(2))))
@@ -54,14 +53,14 @@ class SessionsSpec extends SparkSpec {
       (104L, None, None)))
   }
 
-  test("asOfJoin keeps every left column and row (left semantics)") {
+  test("asofJoin keeps every left column and row (left semantics)") {
     val left = Seq((1L, 1L, 5L, "x")).toDF("event_id", "uid", "ts", "extra")
     val right = Seq((9L, 99L, 1.0)).toDF("uid", "ts", "v") // other key
-      .withColumn("rts", col("ts"))
-    val out = Sessions.asOfJoin(left, right, "uid", "ts", Seq("rts", "v"))
-    assert(out.columns.toSet === Set("event_id", "uid", "ts", "extra", "asof"))
+    val out = graft.operators.AsOf.asofJoin(left, right, Seq("uid"))
+    assert(out.columns.toSet ===
+      Set("event_id", "uid", "ts", "extra", "ref_ts", "ref_v"))
     val r = out.collect()
     assert(r.length === 1 && r(0).getAs[String]("extra") === "x"
-      && r(0).isNullAt(r(0).fieldIndex("asof")))
+      && r(0).isNullAt(r(0).fieldIndex("ref_ts")))
   }
 }
