@@ -89,6 +89,28 @@ object AnalyticsEntry {
         .select("event_id", "user_id", "ts", "view_ts", "view_val")
     }),
 
+    // Range join: purchases attributed to the click-session interval
+    // they fall inside (inclusive ends). Bucketed containment join
+    // (operators/RangeJoin.scala) — intervals explode to 24 h buckets,
+    // purchases equi-join on (user, bucket), exact between-filter
+    // inside the joined stream; never a nested-loop range predicate.
+    "ev_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val sessions = Sessions.sessionize(
+          e.filter(col("event_type") === "click"),
+          col("user_id"), col("ts"), SessionGapMs)
+        .groupBy(col("user_id"), col("session"))
+        .agg(min("ts").as("t_start"), max("ts").as("t_end"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.RangeJoin.pointsInIntervals(
+          purchases, sessions, Seq("user_id"), bucketMs = 24L * 3600 * 1000)
+        .groupBy(col("user_id"),
+          col("iv_t_start").as("t_start"), col("iv_t_end").as("t_end"))
+        .agg(count(lit(1)).as("n_purch"),
+          round(sum("value"), 4).as("sum_val"))
+    }),
+
     // Ordered funnel (view -> click -> purchase) per user: stage
     // timestamps via three stacked full-frame windows on the same key —
     // the partitioning survives all three, so ONE shuffle total and no
@@ -377,6 +399,26 @@ object AnalyticsEntry {
         |SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts, v.view_val AS view_val
         |FROM c ASOF LEFT JOIN v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "ev_range_join" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type, value
+         |  FROM events),
+         |g AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > $SessionGapMs
+         |   THEN 1 ELSE 0 END AS nb
+         | FROM e WHERE event_type = 'click'
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (SELECT user_id, ts,
+         |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+         | FROM g),
+         |iv AS (SELECT user_id, session, min(ts) AS t_start, max(ts) AS t_end
+         |       FROM sess GROUP BY user_id, session),
+         |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+         |SELECT p.user_id, iv.t_start, iv.t_end, count(*) AS n_purch,
+         | round(sum(p.value), 4) AS sum_val
+         |FROM p JOIN iv ON p.user_id = iv.user_id
+         |  AND p.ts BETWEEN iv.t_start AND iv.t_end
+         |GROUP BY p.user_id, iv.t_start, iv.t_end""".stripMargin,
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
         |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
