@@ -334,7 +334,22 @@ object SparkEntry {
         .groupBy("usr", "ts").agg(max("dval").as("sval"))
       AsOf.asofJoin(errors, signups, Seq("usr"), direction = AsOf.Forward,
         toleranceMs = 24 * HourMs)
-    }))
+    }),
+
+    // ------------------------------------- sliding-window grid (hopping)
+    // PromQL range-query shape: 6 h window evaluated every hour. Bucket
+    // partials first (shuffled volume = observed buckets), then a
+    // RANGE-frame window rolls 6 partials per emission — raw points are
+    // never window-scanned (Mutations.slidingGrid).
+    "m_sliding_avg" -> ((s, dir) =>
+      unkey(Mutations.slidingGrid(pts(s, dir), 6 * HourMs, HourMs,
+          Aggregations.Average))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"), col("n"))),
+    "m_sliding_max" -> ((s, dir) =>
+      unkey(Mutations.slidingGrid(pts(s, dir), 6 * HourMs, HourMs,
+          Aggregations.Max))
+        .select("name", "usr", "ts", "dval", "n")))
 
   /** DuckDB-equivalent SQL per query (same output column names). */
   def oracleSql: Map[String, String] = {
@@ -520,7 +535,24 @@ object SparkEntry {
           |SELECT l.usr, l.ts, l.dval,
           | CASE WHEN r.ts - l.ts <= 86400000 THEN r.ts END AS ref_ts,
           | CASE WHEN r.ts - l.ts <= 86400000 THEN r.sval END AS ref_sval
-          |FROM l ASOF LEFT JOIN r ON l.usr = r.usr AND l.ts <= r.ts""".stripMargin)) ++
+          |FROM l ASOF LEFT JOIN r ON l.usr = r.usr AND l.ts <= r.ts""".stripMargin),
+      "m_sliding_avg" -> (P +
+        """, part AS (SELECT name, usr, ts - ts % 3600000 AS b,
+          |  sum(dval) AS s, count(*) AS c FROM pts
+          |  GROUP BY name, usr, ts - ts % 3600000)
+          |SELECT name, usr, b AS ts,
+          | round(sum(s) OVER w / sum(c) OVER w, 4) AS dval,
+          | CAST(sum(c) OVER w AS BIGINT) AS n
+          |FROM part WINDOW w AS (PARTITION BY name, usr ORDER BY b
+          | RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+      "m_sliding_max" -> (P +
+        """, part AS (SELECT name, usr, ts - ts % 3600000 AS b,
+          |  max(dval) AS mx, count(*) AS c FROM pts
+          |  GROUP BY name, usr, ts - ts % 3600000)
+          |SELECT name, usr, b AS ts, max(mx) OVER w AS dval,
+          | CAST(sum(c) OVER w AS BIGINT) AS n
+          |FROM part WINDOW w AS (PARTITION BY name, usr ORDER BY b
+          | RANGE BETWEEN 18000000 PRECEDING AND CURRENT ROW)""".stripMargin)) ++
       PipelineEntry.oracleSql ++ ApiEntry.oracleSql ++ AnalyticsEntry.oracleSql
   }
 }

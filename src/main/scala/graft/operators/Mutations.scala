@@ -87,6 +87,54 @@ object Mutations {
   def stddevGrid(df: DataFrame, durationMs: Long): DataFrame =
     bucketed(df, durationMs, coalesce(stddev_pop("dval"), lit(0.0)).as("dval"))
 
+  /**
+   * Sliding-window aggregation on the hop grid (the PromQL range-query
+   * shape, `avg_over_time(m[6h])` evaluated every hour) — beyond the
+   * reference, whose grids are tumbling only. One output row per
+   * (series, hop bucket that has data anywhere in its trailing
+   * window); the row at bucket start `b` aggregates points with
+   * `b − width + hop ≤ ts < b + hop` — the width-long window ENDING
+   * where bucket `b` ends.
+   *
+   * Two-level plan, the only shape that survives wide windows at
+   * scale: points partial-aggregate into hop buckets first (map-side
+   * combine; shuffled volume = observed buckets, not points), then a
+   * per-series RANGE-frame window rolls `width/hop` bucket partials
+   * into each emission. Raw points are never window-scanned, so a
+   * 24×-overlap window costs 24 bucket-partial additions per output
+   * row — not 24 passes over the data. Sparse series stay correct:
+   * the RANGE frame bounds on the bucket VALUE, so missing buckets
+   * simply contribute nothing.
+   *
+   * `widthMs` must be a multiple of `hopMs` (windows align to whole
+   * buckets — the standard hopping-window restriction). MEDIAN is
+   * refused: exact medians cannot partial-aggregate into buckets.
+   */
+  def slidingGrid(df: DataFrame, widthMs: Long, hopMs: Long,
+                  agg: Aggregations.AggType): DataFrame = {
+    require(widthMs > 0 && hopMs > 0 && widthMs % hopMs == 0,
+      s"width $widthMs must be a positive multiple of hop $hopMs")
+    require(agg != Aggregations.Median,
+      "exact median cannot partial-aggregate into hop buckets — " +
+        "use meanGrid-style tumbling buckets or the batch median")
+    val partials = df
+      .groupBy(col("skey"), (col("ts") - pmod(col("ts"), lit(hopMs))).as("b"))
+      .agg(sum("dval").as("__s"), count(lit(1)).as("__c"),
+        min("dval").as("__mn"), max("dval").as("__mx"))
+    val w = Window.partitionBy("skey").orderBy("b")
+      .rangeBetween(-(widthMs - hopMs), 0)
+    val dval = agg match {
+      case Aggregations.Average => sum("__s").over(w) / sum("__c").over(w)
+      case Aggregations.Sum     => sum("__s").over(w)
+      case Aggregations.Min     => min("__mn").over(w)
+      case Aggregations.Max     => max("__mx").over(w)
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+    partials
+      .select(col("skey"), col("b").as("ts"), dval.as("dval"),
+        sum("__c").over(w).as("n"))
+  }
+
   // ------------------------------------------------- exact streaming path
 
   /**

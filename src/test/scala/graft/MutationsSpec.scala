@@ -102,4 +102,31 @@ class MutationsSpec extends SparkSpec {
     val got = Mutations.meanExact(both, 300L).collect()
     assert(got.length === 4)
   }
+
+  test("slidingGrid: trailing window rolls bucket partials, sparse gaps stay correct") {
+    import graft.operators.Aggregations
+    // hop 100, width 300 (3 buckets); buckets 0, 100, 400 observed —
+    // bucket 400's window [200, 500) must NOT see bucket 0/100 (gap)
+    val pts = Seq(0L -> 1.0, 50L -> 3.0, 150L -> 10.0, 420L -> 7.0)
+    val got = Mutations.slidingGrid(keyed(pts), 300L, 100L, Aggregations.Average)
+      .select("ts", "dval", "n").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 2.0, 2L),            // [−200, 100): pts at 0, 50
+      (100L, 14.0 / 3, 3L),     // [−100, 200): 0, 50, 150
+      (400L, 7.0, 1L)))         // [200, 500): only 420 — gap respected
+    val mx = Mutations.slidingGrid(keyed(pts), 300L, 100L, Aggregations.Max)
+      .select("ts", "dval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(mx.toSeq === Seq((0L, 3.0), (100L, 10.0), (400L, 7.0)))
+  }
+
+  test("slidingGrid refuses median and non-multiple widths") {
+    import graft.operators.Aggregations
+    val df = keyed(Seq(0L -> 1.0))
+    intercept[IllegalArgumentException](
+      Mutations.slidingGrid(df, 300L, 100L, Aggregations.Median))
+    intercept[IllegalArgumentException](
+      Mutations.slidingGrid(df, 250L, 100L, Aggregations.Average))
+  }
 }
