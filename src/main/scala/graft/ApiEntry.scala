@@ -123,6 +123,15 @@ object ApiEntry {
       unkey(Mutations.ewma(Point.withSeriesKey(pts(s, dir)), 600000.0))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // Holt level+trend smoothing (τ_level = 10 min, τ_trend = 30 min):
+    // the trend-aware EWMA. Oracle replays the two-variable (l, b)
+    // recurrence by rn chaining with the same float-op order
+    // (Mutations.HoltOp scaladoc), like m_anomaly's (m, s2) chain.
+    "m_holt" -> ((s, dir) =>
+      unkey(Mutations.holt(Point.withSeriesKey(pts(s, dir)),
+          600000.0, 1800000.0))
+        .select(col("name"), col("usr"), col("ts"),
+          round(col("dval"), 4).as("dval"))),
     // EWMA-control-chart anomaly scores (τ = 10 min): each point's
     // z-score against the EWM mean/variance BEFORE it. Oracle replays
     // the two-variable recurrence by rn chaining; rows emit once the
@@ -497,6 +506,35 @@ object ApiEntry {
         | FROM r JOIN n c
         |   ON c.name = r.name AND c.usr = r.usr AND c.rn = r.rn + 1)
         |SELECT name, usr, ts, round(v, 4) AS dval FROM r""".stripMargin,
+    // Holt (l, b) chain: f = l + b·Δt; l' = f + α(x − f);
+    // b' = b + γ((l' − l)/Δt − b). Δt = 0 carries state unchanged
+    // (the events table has no duplicate (series, ts) rows at gate
+    // SFs, so the branch is belt-and-suspenders like HoltOp's).
+    "m_holt" ->
+      """WITH RECURSIVE pts AS (SELECT '/events/' || event_type AS name,
+        |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval
+        | FROM events),
+        |n AS (SELECT name, usr, ts, dval,
+        |  row_number() OVER (PARTITION BY name, usr ORDER BY ts) AS rn
+        | FROM pts),
+        |r AS (
+        | SELECT name, usr, rn, ts, dval AS l, CAST(0.0 AS DOUBLE) AS b
+        | FROM n WHERE rn = 1
+        | UNION ALL
+        | SELECT c.name, c.usr, c.rn, c.ts,
+        |  CASE WHEN c.ts = r.ts THEN r.l ELSE
+        |   (r.l + r.b*(c.ts - r.ts))
+        |    + (1 - exp(-(c.ts - r.ts)/600000.0))
+        |      * (c.dval - (r.l + r.b*(c.ts - r.ts))) END AS l,
+        |  CASE WHEN c.ts = r.ts THEN r.b ELSE
+        |   r.b + (1 - exp(-(c.ts - r.ts)/1800000.0))
+        |    * ((((r.l + r.b*(c.ts - r.ts))
+        |         + (1 - exp(-(c.ts - r.ts)/600000.0))
+        |           * (c.dval - (r.l + r.b*(c.ts - r.ts)))) - r.l)
+        |        / (c.ts - r.ts) - r.b) END AS b
+        | FROM r JOIN n c
+        |   ON c.name = r.name AND c.usr = r.usr AND c.rn = r.rn + 1)
+        |SELECT name, usr, ts, round(l, 4) AS dval FROM r""".stripMargin,
     // Recursive replay of Anomaly.step: state (m, s2) chained by rn;
     // z uses the previous row's state. Same float-op order as the
     // Scala step (exp() recomputed per use is bit-stable).

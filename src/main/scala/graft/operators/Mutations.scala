@@ -382,6 +382,49 @@ object Mutations {
   def ewma(df: DataFrame, tauMs: Double): DataFrame =
     perSeries(df)(() => new EwmaOp(tauMs))
 
+  /**
+   * Holt double-exponential smoothing (level + trend) for
+   * irregularly-sampled series — the trend-aware upgrade of [[EwmaOp]]:
+   * where EWMA lags a ramp by construction, Holt's forecast term
+   * `l + b·Δt` extrapolates the current slope before blending the new
+   * observation in. Time-constant gains (`α = 1 − exp(−Δt/τ_level)`,
+   * `γ = 1 − exp(−Δt/τ_trend)`) keep it sampling-rate invariant, and a
+   * long gap drives both gains to 1: the smoother re-anchors at the
+   * new value instead of extrapolating a stale trend across the gap.
+   *
+   * Per point: `f = l + b·Δt; l' = f + α·(x − f);
+   * b' = b + γ·((l' − l)/Δt − b)`; emits the smoothed level `l'`.
+   * First point emits itself (l = x, b = 0). A duplicate timestamp
+   * (Δt = 0) leaves the state untouched and re-emits the level — the
+   * trend update would divide by zero, and α = 0 means the observation
+   * contributes nothing anyway. The float-op ORDER mirrors the m_holt
+   * recursive-CTE oracle exactly.
+   */
+  final class HoltOp(tauLevelMs: Double, tauTrendMs: Double) extends StreamOp {
+    private var l = 0.0; private var b = 0.0
+    private var prevTs = 0L; private var first = true
+    def feed(ts: Long, x: Double): Seq[(Long, Double)] = {
+      if (first) { l = x; b = 0.0; first = false }
+      else {
+        val dt = (ts - prevTs).toDouble
+        if (dt > 0) {
+          val a = 1.0 - math.exp(-dt / tauLevelMs)
+          val g = 1.0 - math.exp(-dt / tauTrendMs)
+          val f = l + b * dt
+          val lNew = f + a * (x - f)
+          b = b + g * ((lNew - l) / dt - b)
+          l = lNew
+        }
+      }
+      prevTs = ts
+      List((ts, l))
+    }
+    def flush(): Seq[(Long, Double)] = Nil
+  }
+
+  def holt(df: DataFrame, tauLevelMs: Double, tauTrendMs: Double): DataFrame =
+    perSeries(df)(() => new HoltOp(tauLevelMs, tauTrendMs))
+
   /** Batch adapter over [[Anomaly.step]]: emits each point's z-score
     * (as `dval`) against the EWM mean/variance before it. */
   final class EwmZscoreOp(tauMs: Double) extends StreamOp {

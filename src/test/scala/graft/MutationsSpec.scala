@@ -121,6 +121,34 @@ class MutationsSpec extends SparkSpec {
     assert(mx.toSeq === Seq((0L, 3.0), (100L, 10.0), (400L, 7.0)))
   }
 
+  test("Holt: constant series is a fixed point; a wide gap re-anchors") {
+    val c = collectTsVal(Mutations.holt(
+      keyed(Seq(0L -> 5.0, 100L -> 5.0, 250L -> 5.0)), 1000.0, 3000.0))
+    c.foreach { case (_, v) => assert(v === 5.0) }
+    // gap of 1000·τ: α,γ ≈ 1 — the smoother forgets the old level
+    val g = collectTsVal(Mutations.holt(
+      keyed(Seq(0L -> 0.0, 100L -> 0.0, 1000000L -> 42.0)), 1000.0, 3000.0))
+    assert(math.abs(g.last._2 - 42.0) < 1e-9)
+  }
+
+  test("Holt tracks a ramp closer than EWMA (the trend term's whole point)") {
+    val ramp = (0 to 20).map(i => (i * 100L, i * 10.0))
+    val hv = collectTsVal(Mutations.holt(keyed(ramp), 300.0, 300.0)).last._2
+    val ev = collectTsVal(Mutations.ewma(keyed(ramp), 300.0)).last._2
+    val actual = ramp.last._2
+    assert(math.abs(hv - actual) < math.abs(ev - actual),
+      s"holt=$hv ewma=$ev actual=$actual")
+  }
+
+  test("Holt duplicate timestamp leaves state untouched and re-emits the level") {
+    val op = new Mutations.HoltOp(1000.0, 3000.0)
+    op.feed(0L, 1.0)
+    val l1 = op.feed(100L, 2.0).head._2
+    val dup = op.feed(100L, 99.0).head._2 // wild duplicate: no state change
+    assert(dup === l1)
+    assert(!op.feed(200L, 2.0).head._2.isNaN) // and the chain continues
+  }
+
   test("slidingGrid refuses median and non-multiple widths") {
     import graft.operators.Aggregations
     val df = keyed(Seq(0L -> 1.0))
