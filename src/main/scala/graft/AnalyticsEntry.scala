@@ -111,6 +111,27 @@ object AnalyticsEntry {
           round(sum("value"), 4).as("sum_val"))
     }),
 
+    // Interval overlap join: click-session spans × view-session spans
+    // of the same user that intersect, with the overlap length. Each
+    // pair emits exactly once (kept only in the first bucket both
+    // spans cover); the exact overlap predicate filters the bucket
+    // over-approximation (operators/RangeJoin.intervalOverlapJoin).
+    "ev_overlap_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def spans(t: String) = Sessions.sessionize(
+          e.filter(col("event_type") === t),
+          col("user_id"), col("ts"), SessionGapMs)
+        .groupBy(col("user_id"), col("session"))
+        .agg(min("ts").as("t_start"), max("ts").as("t_end"))
+        .drop("session")
+      graft.operators.RangeJoin.intervalOverlapJoin(
+          spans("click"), spans("view"), Seq("user_id"),
+          bucketMs = 24L * 3600 * 1000)
+        .withColumn("overlap_ms",
+          least(col("t_end"), col("b_t_end")) -
+            greatest(col("t_start"), col("b_t_start")))
+    }),
+
     // Ordered funnel (view -> click -> purchase) per user: stage
     // timestamps via three stacked full-frame windows on the same key —
     // the partitioning survives all three, so ONE shuffle total and no
@@ -419,6 +440,34 @@ object AnalyticsEntry {
          |FROM p JOIN iv ON p.user_id = iv.user_id
          |  AND p.ts BETWEEN iv.t_start AND iv.t_end
          |GROUP BY p.user_id, iv.t_start, iv.t_end""".stripMargin,
+    "ev_overlap_join" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
+         |gc AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > $SessionGapMs
+         |   THEN 1 ELSE 0 END AS nb
+         | FROM e WHERE event_type = 'click'
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sc AS (SELECT user_id, ts,
+         |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM gc),
+         |ivc AS (SELECT user_id, session, min(ts) AS t_start, max(ts) AS t_end
+         |        FROM sc GROUP BY user_id, session),
+         |gv AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > $SessionGapMs
+         |   THEN 1 ELSE 0 END AS nb
+         | FROM e WHERE event_type = 'view'
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sv AS (SELECT user_id, ts,
+         |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session FROM gv),
+         |ivv AS (SELECT user_id, session, min(ts) AS t_start, max(ts) AS t_end
+         |        FROM sv GROUP BY user_id, session)
+         |SELECT ivc.user_id, ivc.t_start, ivc.t_end,
+         | ivv.t_start AS b_t_start, ivv.t_end AS b_t_end,
+         | least(ivc.t_end, ivv.t_end) - greatest(ivc.t_start, ivv.t_start)
+         |   AS overlap_ms
+         |FROM ivc JOIN ivv ON ivc.user_id = ivv.user_id
+         | AND ivc.t_start <= ivv.t_end AND ivv.t_start <= ivc.t_end""".stripMargin,
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
         |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)

@@ -73,4 +73,51 @@ object RangeJoin {
         col(s"$intervalPrefix$startCol"), col(s"$intervalPrefix$endCol")))
       .drop("__bucket")
   }
+
+  /**
+   * Interval×interval overlap join: pairs of `a`/`b` rows with equal
+   * keys whose spans intersect (`a.start <= b.end AND b.start <=
+   * a.end`, ends inclusive) — span-vs-span attribution (which outages
+   * overlapped which deploys; which sessions overlapped which
+   * campaigns).
+   *
+   * Same bucketed decomposition as [[pointsInIntervals]], plus the
+   * standard exactly-once trick for the side that now ALSO fans out:
+   * two intervals can share many buckets, so the join would emit one
+   * row per shared bucket — instead each candidate pair is KEPT only
+   * in the FIRST bucket both sides cover
+   * (`bucket == max(floor(a.start), floor(b.start))`), which exists
+   * for every truly overlapping pair and is unique by construction.
+   * Bucket co-occurrence over-approximates overlap (two spans can
+   * share a bucket without touching), so the exact predicate still
+   * filters the joined stream. No dedup pass, no nested loop.
+   */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+                          bucketMs: Long,
+                          startCol: String = "t_start",
+                          endCol: String = "t_end",
+                          bPrefix: String = "b_"): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    def exploded(df: DataFrame, prefix: String) = {
+      val payload = df.columns.filterNot(keys.contains).toSeq
+      df.filter(col(startCol) <= col(endCol))
+        .select(keys.map(col) ++ payload.map(c =>
+          col(c).as(s"$prefix$c")): _*)
+        .withColumn("__bucket", explode(sequence(
+          col(s"$prefix$startCol") - pmod(col(s"$prefix$startCol"), lit(bucketMs)),
+          col(s"$prefix$endCol") - pmod(col(s"$prefix$endCol"), lit(bucketMs)),
+          lit(bucketMs))))
+    }
+    // `a` keeps bare column names (its payload prefix is empty);
+    // callers with colliding schemas set bPrefix to separate them.
+    val ae = exploded(a, "")
+    val be = exploded(b, bPrefix)
+    ae.join(be, (keys :+ "__bucket").toSeq)
+      .filter(col("__bucket") === greatest(
+        col(startCol) - pmod(col(startCol), lit(bucketMs)),
+        col(s"$bPrefix$startCol") - pmod(col(s"$bPrefix$startCol"), lit(bucketMs))))
+      .filter(col(startCol) <= col(s"$bPrefix$endCol") &&
+        col(s"$bPrefix$startCol") <= col(endCol))
+      .drop("__bucket")
+  }
 }

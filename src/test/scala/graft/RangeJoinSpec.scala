@@ -56,6 +56,32 @@ class RangeJoinSpec extends SparkSpec {
       s"keyless range join must stay an equi-join on buckets:\n$plan")
   }
 
+  test("overlap join: inclusive-end intersection, exactly once per pair, keys respected") {
+    val a = Seq(
+      ("u1", "a1", 0L, 1000L),   // spans 11 buckets at bucketMs=100
+      ("u1", "a2", 2000L, 2100L),
+      ("u2", "a3", 0L, 1000L)
+    ).toDF("k", "tag", "t_start", "t_end")
+    val b = Seq(
+      ("u1", "b1", 500L, 1500L),  // overlaps a1 across 6 shared buckets
+      ("u1", "b2", 1000L, 1200L), // touches a1 exactly at its end (inclusive)
+      ("u1", "b3", 1101L, 1999L), // gap: overlaps nothing
+      ("u3", "b4", 0L, 5000L)     // wrong key
+    ).toDF("k", "tag", "t_start", "t_end")
+    val out = RangeJoin.intervalOverlapJoin(a, b, Seq("k"), bucketMs = 100L)
+      .select("k", "tag", "b_tag")
+      .as[(String, String, String)].collect().sorted
+    // a1×b1 must appear ONCE despite 6 shared buckets
+    assert(out.toSeq === Seq(("u1", "a1", "b1"), ("u1", "a1", "b2")))
+  }
+
+  test("overlap join: bucket co-occurrence without true overlap is filtered") {
+    val a = Seq(("u1", "a", 0L, 10L)).toDF("k", "tag", "t_start", "t_end")
+    val b = Seq(("u1", "b", 90L, 95L)).toDF("k", "tag", "t_start", "t_end")
+    // same 100ms bucket, disjoint spans
+    assert(RangeJoin.intervalOverlapJoin(a, b, Seq("k"), 100L).count() === 0)
+  }
+
   test("gate-shape plan: equi-join only, no nested loop") {
     val plan = RangeJoin.pointsInIntervals(
         pointsDf, intervalsDf, Seq("k"), bucketMs = 100L)
