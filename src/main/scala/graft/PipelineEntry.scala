@@ -549,6 +549,15 @@ object PipelineEntry {
       Ann.ivfListStats(Ann.pinnedCentroids(emb, nlist = 16), emb)
         .select(col("list_id").cast("long").as("list_id"), col("n_vectors"))
     }),
+    // Cluster-stratified sample: <= 5 exemplars per inverted list under
+    // the pinned quantizer, ranked by a deterministic md5 draw — the
+    // diversity-aware curation primitive (caps every embedding-space
+    // region instead of reproducing corpus skew like a uniform sample).
+    "e_cluster_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.clusterSample(Ann.pinnedCentroids(emb, nlist = 16), emb,
+        perList = 5)
+    }),
     // Winnowing-fingerprint candidate pairs: docs sharing >= 3 selected
     // fingerprints (Schleimer winnowing guarantees shared substrings of
     // the window length surface here) — the plagiarism-style dedup pass.
@@ -948,7 +957,8 @@ object PipelineEntry {
     "e_knn_refine" -> refineKnnOracle,
     "e_knn_ivfpq" -> ivfPqKnnOracle,
     "e_knn_ivfpq_res" -> ivfPqResKnnOracle,
-    "e_ivf_stats" -> ivfStatsOracle)
+    "e_ivf_stats" -> ivfStatsOracle,
+    "e_cluster_sample" -> clusterSampleOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
@@ -1049,6 +1059,16 @@ object PipelineEntry {
     """
       |SELECT cid AS list_id, count(*) AS n_vectors
       |FROM ranked WHERE cr = 1 GROUP BY cid""".stripMargin
+
+  private def clusterSampleOracle: String = IvfRankedCte +
+    """,
+      |asg AS (SELECT vec_id, cid AS list_id FROM ranked WHERE cr = 1),
+      |rk AS (SELECT vec_id, list_id,
+      |  row_number() OVER (PARTITION BY list_id
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rank
+      | FROM asg)
+      |SELECT vec_id, list_id, CAST(rank AS BIGINT) AS rank
+      |FROM rk WHERE rank <= 5""".stripMargin
 
   /** DuckDB mirror of the RESIDUAL IVF-PQ gate (faiss convention;
     * nlist=16, nprobe=2, m=8, ksub=16): codewords are subspace slices

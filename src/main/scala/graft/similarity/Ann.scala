@@ -291,6 +291,43 @@ object Ann {
       .map(r => toDoubles(r.getSeq[Any](1)))
 
   /**
+   * Cluster-stratified sample: assign every vector to its nearest
+   * centroid, keep the `perList` best-ranked rows of EACH cluster —
+   * the diversity-aware curation primitive. A uniform sample of a
+   * skewed corpus reproduces the skew; stratifying by embedding
+   * cluster caps every region of the embedding space at `perList`
+   * exemplars, which is how a training-data pipeline thins
+   * over-represented content without starving the tail.
+   *
+   * `rank` orders WITHIN a cluster, ASCENDING (it is projected as a
+   * value, so encode direction in the value — negate a quality score
+   * to keep the best): the default (md5 of the id) is a deterministic
+   * pseudo-random draw reproducible by an external oracle.
+   * Plan: one codegen'd nearest-centroid map pass
+   * ([[graft.functions.VectorOps.topCentroids]], centroids ride the
+   * closure O(nlist·dim)), one shuffle on list_id for the per-cluster
+   * window — rank cost is per-cluster, never global.
+   */
+  def clusterSample(centroids: Array[Array[Double]], corpus: DataFrame,
+                    perList: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    rank: Option[Column] = None): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    require(perList > 0, "perList must be positive")
+    val ord = rank.getOrElse(md5(col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("list_id").orderBy(col("__ord"), col(idCol))
+    corpus
+      .select(col(idCol), ord.as("__ord"),
+        topCentroids(col(vecCol), centroids, 1).getItem(0)
+          .cast("long").as("list_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perList)
+      .drop("__ord")
+  }
+
+  /**
    * IVF index-build statistics: corpus rows per inverted list. At scale
    * this is the materialization step — the corpus gets written
    * partitioned/bucketed by `list_id` so probes read only their lists —

@@ -835,6 +835,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows(refined) == rows(Ann.bruteTopK(emb, queries, k = 3)))
   }
 
+  test("clusterSample caps every cluster and honors a custom quality rank") {
+    import spark.implicits._
+    // two well-separated clusters on a 2d axis; quality = vec_id so the
+    // HIGHEST ids win under a descending custom rank
+    val rows = (0 until 10).map(i => (i.toLong, Seq(1.0f, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong, Seq(0.0f, 1.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = graft.similarity.Ann.clusterSample(cents, emb, perList = 3,
+        rank = Some(org.apache.spark.sql.functions.col("vec_id") * -1L))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got(0L) === Seq(7L, 8L, 9L))   // top-3 ids of cluster 0
+    assert(got(1L) === Seq(17L, 18L, 19L))
+    // default deterministic draw: same call twice = same sample
+    val a = graft.similarity.Ann.clusterSample(cents, emb, perList = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.similarity.Ann.clusterSample(cents, emb, perList = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b && a.size === 8)
+  }
+
   test("langid picks the dominant stopword language, unk below threshold") {
     val df = docs(
       (1L, "the cat and the dog is in a house of wonders"),
