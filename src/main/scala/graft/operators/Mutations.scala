@@ -91,10 +91,13 @@ object Mutations {
    * Sliding-window aggregation on the hop grid (the PromQL range-query
    * shape, `avg_over_time(m[6h])` evaluated every hour) — beyond the
    * reference, whose grids are tumbling only. One output row per
-   * (series, hop bucket that has data anywhere in its trailing
-   * window); the row at bucket start `b` aggregates points with
+   * (series, OBSERVED hop bucket — a bucket emits iff it has points of
+   * its own); the row at bucket start `b` aggregates points with
    * `b − width + hop ≤ ts < b + hop` — the width-long window ENDING
-   * where bucket `b` ends.
+   * where bucket `b` ends. (The streaming twin
+   * [[graft.streaming.StreamIngest.windowedSlidingMeanByName]] emits
+   * every covering window instead — the PromQL-complete grid; on
+   * data dense at hop granularity the two emission sets coincide.)
    *
    * Two-level plan, the only shape that survives wide windows at
    * scale: points partial-aggregate into hop buckets first (map-side

@@ -70,6 +70,32 @@ object StreamIngest {
       .select(col("name"), unix_millis(col("window.start")).as("ts"), col("dval"))
 
   /**
+   * Watermarked SLIDING (hopping) window mean per name — the streaming
+   * twin of [[graft.operators.Mutations.slidingGrid]] (PromQL
+   * range-query shape: a `widthMs` window evaluated every `hopMs`).
+   * Structured Streaming's native sliding `window()` assigns each
+   * point to its `width/hop` covering windows with bounded per-window
+   * state. Output `ts` is the window's END-aligned hop-bucket start
+   * (`window.end − hop`), matching the batch emission timestamp.
+   * EMISSION-SET DIVERGENCE from batch (documented there): streaming
+   * emits every window containing a point; batch emits only at
+   * observed hop buckets — identical on data dense at hop granularity.
+   */
+  def windowedSlidingMeanByName(points: DataFrame, widthMs: Long, hopMs: Long,
+                                watermark: String = "10 minutes"): DataFrame = {
+    require(widthMs > 0 && hopMs > 0 && widthMs % hopMs == 0,
+      s"width $widthMs must be a positive multiple of hop $hopMs")
+    points
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+      .groupBy(col("name"),
+        window(col("event_time"), s"$widthMs milliseconds", s"$hopMs milliseconds"))
+      .agg(avg("dval").as("dval"), count(lit(1)).as("n"))
+      .select(col("name"),
+        (unix_millis(col("window.end")) - hopMs).as("ts"), col("dval"), col("n"))
+  }
+
+  /**
    * Streaming EXACT upper median per (name, window) — the reference's
    * bucket[n/2] rule (lib/protobuf.cc:135-142), live. The state per
    * group is the window's value list: bounded by points-per-bucket

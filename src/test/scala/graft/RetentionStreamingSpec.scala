@@ -245,6 +245,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding-window mean matches batch slidingGrid on dense data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // dense at hop granularity (every 10 s bucket has a point) so the
+    // batch and streaming emission sets coincide (see scaladoc)
+    val rows = (0 until 12).map(i => ("/sl/a", i * 10000L + 500L, i.toDouble))
+    def pointDf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val batch = graft.operators.Mutations.slidingGrid(
+        graft.model.Point.withSeriesKey(pointDf(rows.toDF("name", "ts", "dval"))),
+        widthMs = 30000L, hopMs = 10000L, graft.operators.Aggregations.Average)
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(col("skey"), "^([^{]+)", 1)
+          .as("name"), col("ts"), col("dval"), col("n"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.windowedSlidingMeanByName(
+        pointDf(mem.toDF().toDF("name", "ts", "dval")), 30000L, 10000L)
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(7): _*)
+    mem.addData(rows.drop(7): _*)
+    mem.addData(("/sl/flush", 100000000L, 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("slide_out")
+      .filter(col("name") =!= "/sl/flush")
+      // batch emits only at observed buckets; drop streaming's extra
+      // leading/trailing partial windows whose end-bucket is unobserved
+      .filter(col("ts") >= 0L && col("ts") <= rows.map(_._2).max)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming byLabel windowed agg matches batch byLabel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
