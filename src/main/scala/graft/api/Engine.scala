@@ -60,6 +60,19 @@ object Requests {
   case class Anomaly(tau: Long) extends MutationSpec {
     def apply(df: DataFrame): DataFrame = Mutations.ewmZscore(df, tau.toDouble)
   }
+  /** Engine extension: Holt level+trend smoothing (taus in ms). */
+  case class Holt(tauLevel: Long, tauTrend: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame =
+      Mutations.holt(df, tauLevel.toDouble, tauTrend.toDouble)
+  }
+  /** Engine extension: sliding-window grid (PromQL range-query shape);
+    * output keeps the (skey, ts, dval) mutation contract. */
+  case class Sliding(width: Long, hop: Long,
+                     agg: Aggregations.AggType = Aggregations.Average)
+      extends MutationSpec {
+    def apply(df: DataFrame): DataFrame =
+      Mutations.slidingGrid(df, width, hop, agg).drop("n")
+  }
 
   /** Cross-stream aggregation (StreamAggregation,
     * lib/openinstrument.proto:54-70): one output series per variable

@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  *   get <variable> [rate|rate_signed|delta] [interpolate=<dur>]
  *       [mean=<dur>] [min=<dur>] [max=<dur>] [latest=<dur>]
- *       [ewma=<dur>] [anomaly=<dur>]
+ *       [ewma=<dur>] [anomaly=<dur>] [holt=<dur>:<dur>]
+ *       [sliding=<width>:<hop>]
  *       [aggregate=<label>|name ...] [agg=avg|sum|min|max|median]
  *       [interval=<dur>] [max_variables=N] [max_values=N]
  *       [auto_rate] [independent]
@@ -91,6 +92,20 @@ object Cli {
         case (_, Some(("stddev", d))) => muts :+= Requests.StdDev(parseDuration(d))
         case (_, Some(("ewma", d))) => muts :+= Requests.Ewma(parseDuration(d))
         case (_, Some(("anomaly", d))) => muts :+= Requests.Anomaly(parseDuration(d))
+        case (_, Some(("holt", d))) => d.split(":", 2) match {
+          case Array(tl, tt) =>
+            muts :+= Requests.Holt(parseDuration(tl), parseDuration(tt))
+          case _ => throw new IllegalArgumentException(
+            s"holt wants <tau_level>:<tau_trend>, got: $d")
+        }
+        // sliding=<width>:<hop> — window agg picked by the CURRENT agg=
+        // value (avg default), like aggregate= flags
+        case (_, Some(("sliding", d))) => d.split(":", 2) match {
+          case Array(w, h) =>
+            muts :+= Requests.Sliding(parseDuration(w), parseDuration(h), aggType)
+          case _ => throw new IllegalArgumentException(
+            s"sliding wants <width>:<hop>, got: $d")
+        }
         case (_, Some(("agg", t))) =>
           aggType = t match {
             case "avg" => Aggregations.Average

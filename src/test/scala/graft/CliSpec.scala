@@ -32,6 +32,19 @@ class CliSpec extends SparkSpec {
       graft.api.Requests.Ewma(600000L), graft.api.Requests.Anomaly(3600000L)))
   }
 
+  test("get args: holt and sliding mutations parse (sliding takes the current agg)") {
+    val req = Cli.parseGet("/sys/cpu",
+      Seq("holt=10m:30m", "agg=max", "sliding=6h:1h"))
+    assert(req.mutations == Seq(
+      graft.api.Requests.Holt(600000L, 1800000L),
+      graft.api.Requests.Sliding(21600000L, 3600000L,
+        graft.operators.Aggregations.Max)))
+    intercept[IllegalArgumentException](
+      Cli.parseGet("/sys/cpu", Seq("holt=10m")))
+    intercept[IllegalArgumentException](
+      Cli.parseGet("/sys/cpu", Seq("sliding=6h")))
+  }
+
   test("get args: repeated aggregates, auto_rate, independent") {
     val req = Cli.parseGet("/sys/cpu", Seq(
       "mean=5m", "max=5m", "independent", "auto_rate",
