@@ -336,6 +336,65 @@ object SparkEntry {
         toleranceMs = 24 * HourMs)
     }),
 
+    // ------------------------------ PromQL-parity composition queries
+    // Per-series daily trend: least-squares slope (per hour) of dval
+    // over each series-day — deriv()/predict_linear's underlying fit.
+    // covar_pop/var_pop spelled explicitly so Spark and DuckDB walk
+    // the identical float path; constant-x days yield null.
+    "m_trend" -> ((s, dir) => {
+      val dayMs = 24L * HourMs
+      val x = pmod(col("ts"), lit(dayMs)) / 3600000.0 // hours into the day
+      unkey(pts(s, dir))
+        .groupBy(col("name"), col("usr"),
+          (col("ts") - pmod(col("ts"), lit(dayMs))).as("bts"))
+        .agg(count(lit(1)).as("n"),
+          covar_pop(x, col("dval")).as("cv"), var_pop(x).as("vr"))
+        .select(col("name"), col("usr"), col("bts").as("ts"), col("n"),
+          round(when(col("vr") > 0, col("cv") / col("vr")), 4).as("slope"))
+    }),
+    // Counter increase() per series-hour: the sum of positive deltas,
+    // with counter-reset protection (negative deltas contribute 0, as
+    // PromQL clamps resets). Each delta is attributed to the LATER
+    // point's bucket. One window + one shuffle, both on the series key.
+    "m_increase" -> ((s, dir) => {
+      val w = Window.partitionBy("skey").orderBy("ts")
+      unkey(pts(s, dir)
+          .withColumn("d", col("dval") - lag("dval", 1).over(w))
+          .filter(col("d").isNotNull)
+          .withColumn("d", greatest(col("d"), lit(0.0))))
+        .groupBy(col("name"), col("usr"),
+          (col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"))
+        .agg(round(sum("d"), 4).as("increase"), count(lit(1)).as("n"))
+    }),
+    // histogram_quantile(0.9): p90 per (name, hour) interpolated from
+    // 100-wide value bins — the PromQL estimator over at-rest bin
+    // counts (agg_heatmap's shape). Continuous rank r = 0.9·total;
+    // the first bin whose running count reaches r interpolates
+    // linearly within its width. Two shuffles: bin counts, then a
+    // per-(name, hour) cumulative window over ≤ #bins rows.
+    "agg_hist_quantile" -> ((s, dir) => {
+      val q = 0.9
+      val bins = unkey(pts(s, dir))
+        .groupBy(col("name"),
+          (col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"),
+          (floor(col("dval") / 100) * 100).cast("double").as("lo"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("name", "ts").orderBy("lo")
+      val cum = bins
+        .withColumn("cum", sum("cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("cnt").over(
+          Window.partitionBy("name", "ts")))
+        .withColumn("r", col("total") * q)
+      cum.filter(col("cum") >= col("r") &&
+          (col("cum") - col("cnt")) < col("r"))
+        .select(col("name"), col("ts"),
+          round(col("lo") +
+            (col("r") - (col("cum") - col("cnt"))) / col("cnt") * 100.0, 4)
+            .as("p90"),
+          col("total").as("n"))
+    }),
+
     // ------------------------------------- sliding-window grid (hopping)
     // PromQL range-query shape: 6 h window evaluated every hour. Bucket
     // partials first (shuffled volume = observed buckets), then a
@@ -520,6 +579,32 @@ object SparkEntry {
         """SELECT name, usr, ts, dval FROM pts
           |WHERE name = '/events/click' AND usr IS NOT NULL AND usr <> ''
           | AND ts BETWEEN 1704500000000 AND 1705500000000""".stripMargin),
+      "m_trend" -> (P +
+        """SELECT name, usr, ts - ts % 86400000 AS ts, count(*) AS n,
+          | round(CASE WHEN var_pop((ts % 86400000)/3600000.0) > 0
+          |  THEN covar_pop((ts % 86400000)/3600000.0, dval)
+          |       / var_pop((ts % 86400000)/3600000.0) END, 4) AS slope
+          |FROM pts GROUP BY name, usr, ts - ts % 86400000""".stripMargin),
+      "m_increase" -> (P +
+        """, dd AS (SELECT name, usr, ts, dval - lag(dval) OVER w AS d
+          |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+          |SELECT name, usr, ts - ts % 3600000 AS ts,
+          | round(sum(greatest(d, 0)), 4) AS increase, count(*) AS n
+          |FROM dd WHERE d IS NOT NULL
+          |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "agg_hist_quantile" -> (P +
+        """, bins AS (SELECT name, ts - ts % 3600000 AS ts,
+          |   CAST(floor(dval/100)*100 AS DOUBLE) AS lo, count(*) AS cnt
+          |  FROM pts GROUP BY 1, 2, 3),
+          |c AS (SELECT name, ts, lo, cnt,
+          |  sum(cnt) OVER (PARTITION BY name, ts ORDER BY lo
+          |    ROWS UNBOUNDED PRECEDING) AS cum,
+          |  sum(cnt) OVER (PARTITION BY name, ts) AS total
+          | FROM bins)
+          |SELECT name, ts,
+          | round(lo + (total*0.9 - (cum - cnt)) / cnt * 100.0, 4) AS p90,
+          | CAST(total AS BIGINT) AS n
+          |FROM c WHERE cum >= total*0.9 AND (cum - cnt) < total*0.9""".stripMargin),
       "ts_asof" -> (P +
         """, l AS (SELECT usr, ts, dval FROM pts WHERE name = '/events/click'),
           |r AS (SELECT usr, ts, max(dval) AS pval FROM pts
