@@ -322,6 +322,16 @@ object PipelineEntry {
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
         window = 4, divisor = 32, minShared = 3, maxDf = 50L)
     }),
+    // Winnow-fingerprint sibling of d_cdc_lookup: every 5th doc probes
+    // the held corpus for shared winnowing fingerprints (local-edit-
+    // robust sub-document copies — the plagiarism-sketch detector;
+    // completes the cross/index/lookup trio for the fourth family).
+    "t_winnow_lookup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.winnowCrossPairs(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        k = 3, w = 4, minShared = 3, maxDf = 50L)
+    }),
     // Exact duplicate-substring spans: maximal >=8-token runs shared
     // verbatim across docs — the "cut long repeated substrings"
     // curation op (boilerplate never crosses a doc-level Jaccard
@@ -659,6 +669,15 @@ object PipelineEntry {
         |cold AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
         |FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
+    "t_winnow_lookup" -> (T + WinnowCte +
+      """, ex AS (SELECT doc_id, unnest(list_distinct(f)) AS c FROM w),
+        |corpus AS (SELECT * FROM ex WHERE doc_id % 5 <> 0),
+        |probe AS (SELECT * FROM ex WHERE doc_id % 5 = 0),
+        |hot AS (SELECT c FROM corpus GROUP BY c HAVING count(*) > 50),
+        |cold AS (SELECT * FROM corpus WHERE c NOT IN (SELECT c FROM hot))
+        |SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id, count(*) AS shared
+        |FROM probe p JOIN cold c ON p.c = c.c
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin),
     "t_vocab" -> (T +
       """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)

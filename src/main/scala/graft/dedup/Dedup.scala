@@ -738,6 +738,78 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
 
+  // ----------------------------------------------------- winnow family
+
+  /** Distinct (id, c) winnowing fingerprints — the blocking projection
+    * of the winnow detector family, fingerprint column named `c` so
+    * the shared-key tail, hot-df guard, and index layout are the cdc
+    * machinery verbatim. Each array stage is materialized as its own
+    * column ([[graft.text.TextOps.winnowFromHashes]] perf note: a
+    * nested argument re-evaluates per window — O(n²·w)). */
+  private def fpRows(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, w: Int): DataFrame =
+    df.withColumn("__toks", graft.text.TextOps.tokens(col(textCol)))
+      .withColumn("__sh", graft.text.TextOps.shingles(col("__toks"), k))
+      .withColumn("__hs", transform(col("__sh"),
+        s => graft.text.TextOps.h60(s)))
+      .select(col(idCol).as("id"),
+        explode(graft.text.TextOps.winnowFromHashes(col("__hs"), w)).as("c"))
+      .filter(col("id").isNotNull && col("c").isNotNull)
+
+  /**
+   * Winnow-fingerprint near-dup pairs of `probes` AGAINST `corpus` —
+   * the plagiarism-sketch sibling of [[cdcCrossPairs]] (winnowing
+   * guarantees any shared substring of the guarantee length surfaces
+   * a shared fingerprint, where CDC needs the copy to span chunk
+   * boundaries verbatim). One equi-join on fingerprint, linear in the
+   * probe batch; `maxDf` counts CORPUS docs only, so probe-side
+   * composition cannot shift which fingerprints block.
+   */
+  def winnowCrossPairs(corpus: DataFrame, probes: DataFrame, k: Int = 3,
+                       w: Int = 4, minShared: Int = 2,
+                       maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val cc0 = fpRows(corpus, idCol, textCol, k, w)
+    val cc =
+      if (maxDf == Long.MaxValue) cc0.repartition(col("c"))
+      else dropHotKeys(cc0.repartition(col("id"), col("c")), "c", maxDf)
+    sharedChunkTail(cc, fpRows(probes, idCol, textCol, k, w), minShared)
+  }
+
+  /**
+   * Materialize the at-rest winnow-fingerprint index under
+   * `path/fps`: (id, c, df) with the corpus document frequency
+   * denormalized per row — identical layout and maxDf-at-build
+   * semantics as [[cdcIndex]], including its REFRESH IS A FULL
+   * REWRITE caveat (df is frozen per build).
+   */
+  def winnowIndex(df: DataFrame, path: String, k: Int = 3, w: Int = 4,
+                  maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+                  textCol: String = "text"): Unit = {
+    val rows = fpRows(df, idCol, textCol, k, w)
+    val ex =
+      if (maxDf == Long.MaxValue) rows.repartition(col("c"))
+      else dropHotKeys(rows.repartition(col("id"), col("c")), "c", maxDf)
+    val dfc = ex.groupBy("c").agg(count(lit(1)).as("df"))
+    ex.join(dfc, "c").select("id", "c", "df")
+      .write.mode("overwrite").parquet(s"$path/fps")
+  }
+
+  /**
+   * Probe a [[winnowIndex]] with a batch of new documents:
+   * (probe_id, corpus_id, shared ≥ minShared). `maxDf` filters the
+   * index's precomputed df — a pushed parquet filter. Live probes run
+   * per micro-batch via `foreachBatch`, as with [[cdcLookup]] (the
+   * shared-count aggregation is why this one doesn't stream directly).
+   */
+  def winnowLookup(spark: org.apache.spark.sql.SparkSession, path: String,
+                   probes: DataFrame, k: Int = 3, w: Int = 4,
+                   minShared: Int = 2, maxDf: Long = Long.MaxValue,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    sharedChunkTail(
+      spark.read.parquet(s"$path/fps").filter(col("df") <= maxDf),
+      fpRows(probes, idCol, textCol, k, w), minShared)
+
   /**
    * Exact duplicate-substring spans: maximal runs of ≥ `l` consecutive
    * tokens that occur verbatim in at least `minDocs` distinct

@@ -119,6 +119,32 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.cdcLookup(spark, path2, probes, 4, 32, minShared = 1).count() == 0)
   }
 
+  test("at-rest winnow index: lookup matches in-memory cross pairs, df filter pushes") {
+    val shared = (1 to 12).map(i =>
+      s"sentence number $i talks about topic-$i with detail level ${i * 7}").mkString(" ")
+    val corpus = docs(
+      (1L, shared + " unique suffix one two three"),
+      (3L, "nothing in common with the others at all not one phrase here"))
+    val probes = docs(
+      (2L, "a completely different prefix here " + shared),
+      (4L, "likewise fully distinct probe content no overlap anywhere truly"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = rows(Dedup.winnowCrossPairs(corpus, probes, minShared = 2))
+    assert(expected.map(p => (p._1, p._2)) == Set((2L, 1L)), s"got $expected")
+    val path = java.nio.file.Files.createTempDirectory("graft_win_idx").toString + "/idx"
+    Dedup.winnowIndex(corpus, path)
+    val looked = Dedup.winnowLookup(spark, path, probes, minShared = 2,
+      maxDf = 100L)
+    assert(rows(looked) == expected)
+    val plan = looked.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(df,100)"),
+      s"df guard must reach the index scan:\n${plan.take(1200)}")
+    val path2 = java.nio.file.Files.createTempDirectory("graft_win_idx2").toString + "/idx"
+    Dedup.winnowIndex(corpus, path2, maxDf = 0L)
+    assert(Dedup.winnowLookup(spark, path2, probes, minShared = 1).count() == 0)
+  }
+
   test("exact dedup collapses identical texts, keeps min id") {
     val df = docs((3L, "same text"), (1L, "same text"), (2L, "other"))
     val out = Dedup.exact(df).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
