@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   test("no blocked dedup/similarity path degenerates to all-pairs") {
     val blocked = Seq("d_ngram_jaccard", "d_minhash_lsh", "d_minhash_lookup",
       "d_simhash_pairs", "d_simhash_lookup", "d_cdc_pairs", "d_cdc_lookup",
-      "d_dup_spans", "e_lsh_pairs", "t_winnow_pairs", "p_decontam")
+      "d_dup_spans", "e_lsh_pairs", "t_winnow_pairs", "t_winnow_lookup",
+      "p_decontam")
     blocked.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
@@ -60,6 +61,36 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("p_decontam")
     assert(p.contains("BroadcastExchange"),
       "benchmark side must broadcast (it is small by construction)")
+  }
+
+  test("as-of gates plan join-free (union + one ordered window, no range join)") {
+    Seq("ts_asof", "ts_asof_fwd", "ev_asof").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"),
+        s"$q must not plan any join — the as-of shape is a window scan:\n$p")
+    }
+  }
+
+  test("range/overlap join gates stay bucketed equi-joins, never nested loops") {
+    Seq("ev_range_join", "ev_overlap_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q range predicate must ride the bucket equi-join:\n$p")
+    }
+  }
+
+  test("sliding grids aggregate partials before the window (no raw-point window scan)") {
+    Seq("m_sliding_avg", "m_sliding_max").foreach { q =>
+      val p = plan(q)
+      // partial aggregation (map-side combine) must appear BELOW the
+      // window: the window operates on bucket partials, not points
+      assert(p.contains("HashAggregate") && p.contains("Window"),
+        s"$q expected bucket partial agg + window:\n$p")
+      val winIdx = p.indexOf("Window")
+      assert(p.indexOf("HashAggregate", winIdx) > 0,
+        s"$q window must sit above the bucket aggregation:\n$p")
+    }
   }
 
   test("time-range scan pushes the ts filter into parquet") {
