@@ -366,6 +366,18 @@ object SparkEntry {
           (col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"))
         .agg(round(sum("d"), 4).as("increase"), count(lit(1)).as("n"))
     }),
+    // Counter resets() per series-hour: how often the counter went
+    // backwards — the monitor-the-monitoring query PromQL pairs with
+    // increase(). Same window+grid shape as m_increase.
+    "m_resets" -> ((s, dir) => {
+      val w = Window.partitionBy("skey").orderBy("ts")
+      unkey(pts(s, dir)
+          .withColumn("d", col("dval") - lag("dval", 1).over(w))
+          .filter(col("d").isNotNull))
+        .groupBy(col("name"), col("usr"),
+          (col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"))
+        .agg(count(when(col("d") < 0, 1)).as("resets"), count(lit(1)).as("n"))
+    }),
     // histogram_quantile(0.9): p90 per (name, hour) interpolated from
     // 100-wide value bins — the PromQL estimator over at-rest bin
     // counts (agg_heatmap's shape). Continuous rank r = 0.9·total;
@@ -590,6 +602,13 @@ object SparkEntry {
           |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
           |SELECT name, usr, ts - ts % 3600000 AS ts,
           | round(sum(greatest(d, 0)), 4) AS increase, count(*) AS n
+          |FROM dd WHERE d IS NOT NULL
+          |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_resets" -> (P +
+        """, dd AS (SELECT name, usr, ts, dval - lag(dval) OVER w AS d
+          |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+          |SELECT name, usr, ts - ts % 3600000 AS ts,
+          | count(CASE WHEN d < 0 THEN 1 END) AS resets, count(*) AS n
           |FROM dd WHERE d IS NOT NULL
           |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
       "agg_hist_quantile" -> (P +

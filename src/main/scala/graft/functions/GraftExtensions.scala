@@ -53,6 +53,15 @@ object GraftFunctions {
         val params = graft.dedup.Dedup.hashParams(foldableInt(children(1), "k"))
         MinHashSignature(children.head,
           params.map(_._1).toArray, params.map(_._2).toArray)
+      }),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "cdc_chunks(text, window, divisor) takes 3 arguments " +
+            "(window/divisor literal ints)")
+        CdcChunks(children.head, foldableInt(children(1), "window"),
+          foldableInt(children(2), "divisor"))
       }))
 
   private def foldableInt(e: Expression, name: String): Int = {

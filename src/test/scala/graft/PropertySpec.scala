@@ -246,5 +246,13 @@ class PropertySpec extends SparkSpec {
     val mh = spark.sql("SELECT minhash_signature(array(1L, 2L, 3L), 4)")
       .head().getSeq[Long](0)
     assert(mh.length == 4 && mh.forall(_ >= 0))
+    // cdc_chunks from SQL must equal the Column-API chunker exactly
+    val sql = spark.sql("SELECT cdc_chunks('hello world of rolling hashes', 4, 32)")
+      .head().getSeq[String](0)
+    val api = spark.range(1)
+      .select(graft.dedup.Dedup.cdcChunks(
+        org.apache.spark.sql.functions.lit("hello world of rolling hashes"), 4, 32))
+      .head().getSeq[String](0)
+    assert(sql == api && sql.mkString == "hello world of rolling hashes")
   }
 }
