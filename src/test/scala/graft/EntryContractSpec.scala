@@ -46,4 +46,39 @@ class EntryContractSpec extends AnyFunSuite {
       assert(n.matches("^[a-z0-9_]+$"), s"bad query name: $n")
     }
   }
+
+  /** CTE names REVIEWED to tolerate recursive-iteration UNION
+    * semantics: duplicate edges cannot change a min-label connected
+    * component (`e`/`ed`/`allp`), and `reach`/`r` are the intended
+    * recursive CTEs. Everything else relying on plain UNION for
+    * dedup under a RECURSIVE header is the round-8 d_dup_groups_multi
+    * bug class (DuckDB gives EVERY plain-UNION CTE in a RECURSIVE
+    * block iteration semantics — `SELECT 1 UNION SELECT 1` yields two
+    * rows there): use `SELECT DISTINCT ... UNION ALL` instead. */
+  private val reviewedRecursiveUnionCtes = Set("e", "ed", "allp", "reach", "r")
+
+  test("oracle SQL: no unreviewed plain UNION inside a WITH RECURSIVE block") {
+    val ctePat = """(?s)(\w+) AS \(""".r
+    for ((name, sql) <- SparkEntry.oracleSql if sql.contains("RECURSIVE")) {
+      ctePat.findAllMatchIn(sql).foreach { m =>
+        val cte = m.group(1)
+        // balance parens forward from the open to extract the body
+        var depth = 1; var i = m.end
+        while (depth > 0 && i < sql.length) {
+          sql.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val body = sql.substring(m.end, i - 1)
+        val plainUnion = """UNION(?!\s+ALL)""".r.findFirstIn(body).isDefined
+        assert(!plainUnion || reviewedRecursiveUnionCtes.contains(cte),
+          s"oracle $name: CTE '$cte' uses plain UNION under WITH RECURSIVE — " +
+            "no set-dedup there; use SELECT DISTINCT over UNION ALL or add " +
+            "the CTE to reviewedRecursiveUnionCtes after review")
+      }
+    }
+  }
 }
