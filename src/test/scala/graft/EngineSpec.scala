@@ -41,6 +41,20 @@ class EngineSpec extends SparkSpec {
     assert(byName("/sys/mem") == 9.0)
   }
 
+  test("get: holt and sliding mutations chain through the request pipeline") {
+    // holt on a constant series is the identity (level fixed point), so
+    // the chained sliding window must see the raw values
+    val out = Engine.get(twoSeries(), Requests.GetRequest(
+      variable = "/sys/cpu{host=b}",
+      mutations = Seq(Requests.Holt(1000L, 3000L),
+        Requests.Sliding(2000L, 1000L, Aggregations.Max))))
+    val vals = out.select("ts", "dval").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // host=b points: (1000, 2.0), (2000, 2.0) -> holt keeps 2.0; sliding
+    // max (width 2s, hop 1s) emits at observed buckets 1000, 2000
+    assert(vals == Seq((1000L, 2.0), (2000L, 2.0)))
+  }
+
   test("get: autoRate rates only RATE-tagged series") {
     import spark.implicits._
     val mixed = Seq(
