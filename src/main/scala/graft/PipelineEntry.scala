@@ -220,6 +220,12 @@ object PipelineEntry {
       Dedup.canonical(Tables.documents(s, dir))),
     "d_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5)),
+    // Asymmetric containment (|A∩B|/|A|): a short doc pasted into a
+    // long one scores ~1 where Jaccard stays near |A|/|B| — the
+    // sub-document-duplication measure. Either direction >= 0.8.
+    "d_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), n = 3,
+        threshold = 0.8)),
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
@@ -829,6 +835,15 @@ object PipelineEntry {
         |  inter*1.0/(len(sa.s)+len(sb.s)-inter) AS jac
         | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "d_containment" -> (T + ShingleHashCte +
+      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |c AS (SELECT id_a, id_b,
+        |  inter*1.0/len(sa.s) AS ca, inter*1.0/len(sb.s) AS cb
+        | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, round(ca, 4) AS cont_a, round(cb, 4) AS cont_b
+        |FROM c WHERE greatest(ca, cb) >= 0.8""".stripMargin),
     "d_minhash_lsh" -> (T + ShingleHashCte +
       s"""sig AS (SELECT doc_id, s,
          |  [${Dedup.hashParams(16).map { case (a, b) =>

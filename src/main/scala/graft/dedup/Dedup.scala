@@ -70,29 +70,69 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxDf: Long = Long.MaxValue): DataFrame = {
-    // The blocking rows feed both sides of the self-join (and, under
-    // maxDf, the hot-shingle aggregation). A `.cache()` here would pin
-    // partitions for the caller's session lifetime with no unpersist
-    // hook; instead an explicit repartition plants ONE exchange that
-    // every consumer's subplan shares byte-identically, so exchange/
-    // stage reuse evaluates the tokenize+hash subtree exactly once and
-    // nothing stays pinned. Without a hot guard the exchange key is the
-    // blocking key itself (the self-join needs that clustering anyway —
-    // a single shuffle total); with maxDf the key set includes `id` so
-    // a hot shingle's stratum spreads across tasks and the anti-join
-    // drops it BEFORE the join's s-clustered exchange.
-    //
-    // The per-doc set size rides each exploded blocking row (one int
-    // per row) instead of joining a (id → sz) side back in afterwards:
-    // that side would be one row per document — O(corpus) — which is
-    // broadcast-unsafe at scale, and even un-hinted would cost two
-    // extra shuffle joins. `sz` is the FULL set size, captured before
-    // the hot-shingle anti-join, so Jaccard stays exact for surfaced
-    // pairs even when blocking drops hot shingles. (All three partition
-    // columns appear in the repartition expression so column pruning
-    // cannot specialize any branch's copy of the subtree below the
-    // exchange — byte-identical children are what reuse keys on.)
+                        maxDf: Long = Long.MaxValue): DataFrame =
+    shingleBlockedCounts(df, n, idCol, textCol, maxDf)
+      .withColumn("jaccard",
+        col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /**
+   * n-gram CONTAINMENT near-dup pairs — the asymmetric companion of
+   * [[ngramJaccardPairs]]: `cont_a = |A∩B| / |A|` ("how much of A is
+   * inside B"). A short document pasted into a long one scores
+   * containment ≈ 1 while its Jaccard stays near |A|/|B| — the
+   * sub-document-duplication measure Jaccard structurally misses.
+   * Emits pairs where EITHER direction reaches `threshold`, with both
+   * directional scores.
+   *
+   * Same shingle blocking and `maxDf` hot guard as the Jaccard path —
+   * and the same blocking caveat applies doubly here: a pair sharing
+   * ONLY ultra-common shingles is missed, and containment-heavy pairs
+   * with tiny Jaccard still collide on their shared (uncommon)
+   * shingles, so blocking recall does not depend on Jaccard.
+   */
+  def ngramContainmentPairs(df: DataFrame, n: Int = 3,
+                            threshold: Double = 0.8,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            maxDf: Long = Long.MaxValue): DataFrame =
+    shingleBlockedCounts(df, n, idCol, textCol, maxDf)
+      .withColumn("cont_a", col("inter") / col("sza").cast("double"))
+      .withColumn("cont_b", col("inter") / col("szb").cast("double"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a"), 4).as("cont_a"),
+        round(col("cont_b"), 4).as("cont_b"))
+
+  /** Shared-shingle blocked pair counts: (id_a < id_b, inter, sza,
+    * szb) for every pair sharing ≥ 1 surviving blocking shingle — the
+    * common core of [[ngramJaccardPairs]] and [[ngramContainmentPairs]].
+    *
+    * The blocking rows feed both sides of the self-join (and, under
+    * maxDf, the hot-shingle aggregation). A `.cache()` here would pin
+    * partitions for the caller's session lifetime with no unpersist
+    * hook; instead an explicit repartition plants ONE exchange that
+    * every consumer's subplan shares byte-identically, so exchange/
+    * stage reuse evaluates the tokenize+hash subtree exactly once and
+    * nothing stays pinned. Without a hot guard the exchange key is the
+    * blocking key itself (the self-join needs that clustering anyway —
+    * a single shuffle total); with maxDf the key set includes `id` so
+    * a hot shingle's stratum spreads across tasks and the anti-join
+    * drops it BEFORE the join's s-clustered exchange.
+    *
+    * The per-doc set size rides each exploded blocking row (one int
+    * per row) instead of joining a (id → sz) side back in afterwards:
+    * that side would be one row per document — O(corpus) — which is
+    * broadcast-unsafe at scale, and even un-hinted would cost two
+    * extra shuffle joins. `sz` is the FULL set size, captured before
+    * the hot-shingle anti-join, so the scores stay exact for surfaced
+    * pairs even when blocking drops hot shingles. (All three partition
+    * columns appear in the repartition expression so column pruning
+    * cannot specialize any branch's copy of the subtree below the
+    * exchange — byte-identical children are what reuse keys on.)
+    */
+  private def shingleBlockedCounts(df: DataFrame, n: Int, idCol: String,
+                                   textCol: String, maxDf: Long): DataFrame = {
     val rows = shingleSets(df, idCol, textCol, n)
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
       // explicit not-null guards BELOW the exchange: the self-join
@@ -108,10 +148,6 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"),
         first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
-      .withColumn("jaccard",
-        col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /**

@@ -151,6 +151,25 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("containment catches the pasted-subdocument pair that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val long = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen " + short +
+      " seventeen eighteen nineteen twenty twentyone twentytwo twentythree"
+    val df = docs((1L, short), (2L, long),
+      (3L, "completely unrelated text with nothing shared at all here"))
+    // jaccard at 0.5 misses: |A∩B|/|A∪B| is small
+    assert(Dedup.ngramJaccardPairs(df, n = 3, threshold = 0.5).count() === 0)
+    val out = Dedup.ngramContainmentPairs(df, n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 1)
+    val (a, b, ca, cb) = out.head
+    assert((a, b) === ((1L, 2L)))
+    assert(ca === 1.0, "every shingle of the short doc is inside the long one")
+    assert(cb < 0.5, "the long doc is mostly NOT the short one")
+  }
+
   test("ngram jaccard finds the planted near-dup pair only") {
     val a = "the quick brown fox jumps over the lazy dog today"
     val b = "the quick brown fox jumps over the lazy dog tonight"
