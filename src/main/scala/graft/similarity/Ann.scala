@@ -364,6 +364,34 @@ object Ann {
   }
 
   /**
+   * Append new vectors to a materialized IVF index — the incremental
+   * ingest path. List assignment is a pure function of the FROZEN
+   * quantizer, so appended rows land in exactly the partitions a full
+   * rebuild would put them in and searches stay bit-identical to a
+   * from-scratch build; this index family has no per-row corpus
+   * statistic that can go stale (unlike [[graft.dedup.Dedup.cdcIndex]]'s
+   * denormalized df, whose refresh must be a full rewrite). Pass the
+   * SAME centroids the index was built with — mixing quantizers
+   * silently splits lists (callers should persist centroids alongside
+   * the index).
+   *
+   * Append-mode partitioned write: only the touched `list_id=`
+   * directories gain files; existing data is never rewritten. The
+   * per-list balance check ([[ivfListStats]]) is the signal for when
+   * accumulated appends warrant retraining.
+   */
+  def ivfAppend(centroids: Array[Array[Double]], newVectors: DataFrame,
+                path: String,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): Unit = {
+    import graft.functions.VectorOps.topCentroids
+    newVectors.select(col(idCol), col(vecCol),
+        topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("append").parquet(path)
+  }
+
+  /**
    * Search a materialized IVF index ([[ivfMaterialize]] layout). The
    * query set's probe lists are collected to literal partition filters
    * (bounded by queries × nprobe — the same small-query contract as the

@@ -777,6 +777,27 @@ class PipelineSpec extends SparkSpec {
     assert(got == direct)
   }
 
+  test("IVF append: incremental build searches bit-identical to a full rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val emb = (0L until 90L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val cents = Ann.pinnedCentroids(emb, nlist = 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // full build
+    val full = java.nio.file.Files.createTempDirectory("graft_ivf_f").toString + "/idx"
+    Ann.ivfMaterialize(cents, emb, full)
+    // half build + append of the other half, same frozen quantizer
+    val inc = java.nio.file.Files.createTempDirectory("graft_ivf_i").toString + "/idx"
+    Ann.ivfMaterialize(cents, emb.filter($"vec_id" < 45), inc)
+    Ann.ivfAppend(cents, emb.filter($"vec_id" >= 45), inc)
+    val a = rows(Ann.ivfSearchIndexed(spark, full, cents, queries, k = 3, nprobe = 2))
+    val b = rows(Ann.ivfSearchIndexed(spark, inc, cents, queries, k = 3, nprobe = 2))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("materialized PQ index: codes-only scan, bit-identical to in-memory ADC") {
     import spark.implicits._
     val rnd = new scala.util.Random(29)
