@@ -192,6 +192,34 @@ object PipelineEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(50)),
 
+    // Corpus drift: which tokens drive the distribution shift between
+    // two source halves — the train/serve-skew question. Per-token
+    // KL(A||B) contribution under add-one smoothing over the union
+    // vocab, top 20. ONE conditional-count groupBy (no per-group scans,
+    // no join); the three totals ride a 1-row broadcast (schema-bounded
+    // — never a global single-partition window over the vocab); top-20
+    // plans as TakeOrdered.
+    "t_drift" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("grp",
+          when(substring(col("source"), 4, 10).cast("int") < 10, "a")
+            .otherwise("b"))
+      val counts = d
+        .select(col("grp"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(when(col("grp") === "a", 1)).as("ca"),
+          count(when(col("grp") === "b", 1)).as("cb"))
+      val totals = counts.agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).as("v"))
+      val pa = (col("ca") + 1.0) / (col("na") + col("v"))
+      val pb = (col("cb") + 1.0) / (col("nb") + col("v"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("tok"), col("ca"), col("cb"),
+          round(pa * log(pa / pb), 6).as("kl"))
+        .orderBy(col("kl").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Composite curation pass — the query a training-data user actually
     // runs: keep documents that score >= 0.3 quality, are identified
     // English, AND are their exact-dup group's keeper. The keeper flag
@@ -689,6 +717,21 @@ object PipelineEntry {
       """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
         |FROM x GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
+    "t_drift" ->
+      """WITH tk AS (SELECT
+        |  CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS grp,
+        |  unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                     x -> len(x) > 0)) AS tok
+        | FROM documents),
+        |c AS (SELECT tok,
+        |  count(CASE WHEN grp = 'a' THEN 1 END) AS ca,
+        |  count(CASE WHEN grp = 'b' THEN 1 END) AS cb
+        | FROM tk GROUP BY tok),
+        |t2 AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM c)
+        |SELECT tok, ca, cb,
+        | round((ca+1.0)/(na+v) * ln(((ca+1.0)/(na+v)) / ((cb+1.0)/(nb+v))), 6)
+        |   AS kl
+        |FROM c, t2 ORDER BY kl DESC, tok LIMIT 20""".stripMargin,
     "t_cms" -> (T +
       """, tk AS (SELECT unnest(t) AS tok FROM toks),
         |h AS (SELECT tok, rr.r,
