@@ -63,9 +63,20 @@ object AsOf {
                toleranceMs: Long = Long.MaxValue,
                rightPrefix: String = "ref_"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equality key")
+    keys.foreach { k =>
+      require(left.columns.contains(k) && right.columns.contains(k),
+        s"join key $k must exist on both sides")
+    }
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
     require(payloadCols.contains(rightTsCol),
       s"right side must carry its timestamp column $rightTsCol")
+    val internal = Seq("__ts", "__lrow", "__rrow", "__side", "__match", "__ok")
+    require(!left.columns.exists(internal.contains),
+      s"left side must not carry ${internal.mkString("/")} columns")
+    val attached = payloadCols.map(rightPrefix + _)
+    require(!left.columns.exists(attached.contains),
+      s"left side already has a ${rightPrefix}* column the join would " +
+        s"attach: ${left.columns.toSet & attached.toSet}")
 
     // One struct column carries the whole right payload through the
     // window, so `last(ignoreNulls)` tracks every attached column in a

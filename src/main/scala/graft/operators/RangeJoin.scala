@@ -56,6 +56,12 @@ object RangeJoin {
                         intervalPrefix: String = "iv_"): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
     val payload = intervals.columns.filterNot(keys.contains).toSeq
+    require(payload.contains(startCol) && payload.contains(endCol),
+      s"intervals must carry non-key $startCol/$endCol columns")
+    val attached = payload.map(intervalPrefix + _) :+ "__bucket"
+    require(!points.columns.exists(attached.contains),
+      s"points already carry a column the join would attach: " +
+        s"${points.columns.toSet & attached.toSet}")
     val iv = intervals
       .filter(col(startCol) <= col(endCol))
       .select(keys.map(col) ++ payload.map(c =>
@@ -98,6 +104,13 @@ object RangeJoin {
                           endCol: String = "t_end",
                           bPrefix: String = "b_"): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
+    require(bPrefix.nonEmpty, "bPrefix must be non-empty — the a side " +
+      "keeps bare names, so an empty b prefix would collide")
+    val bAttached = b.columns.filterNot(keys.contains).map(bPrefix + _)
+      .toSet + "__bucket"
+    require(!a.columns.exists(bAttached.contains),
+      s"a side already carries a column the join would attach: " +
+        s"${a.columns.toSet & bAttached}")
     def exploded(df: DataFrame, prefix: String) = {
       val payload = df.columns.filterNot(keys.contains).toSeq
       df.filter(col(startCol) <= col(endCol))

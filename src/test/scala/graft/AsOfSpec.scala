@@ -64,6 +64,17 @@ class AsOfSpec extends SparkSpec {
     assert(row === Row("a", "x", 10L, 1.0, 5L, 7.0, "meta"))
   }
 
+  test("column-collision and missing-key guards refuse loudly") {
+    intercept[IllegalArgumentException]( // left already has ref_ts
+      AsOf.asofJoin(leftDf.withColumnRenamed("v", "ref_ts"), rightDf, Seq("k")))
+    intercept[IllegalArgumentException]( // internal scratch column
+      AsOf.asofJoin(leftDf.withColumnRenamed("v", "__ts"), rightDf, Seq("k")))
+    intercept[IllegalArgumentException]( // key absent on the right
+      AsOf.asofJoin(leftDf, rightDf.withColumnRenamed("k", "kk"), Seq("k")))
+    intercept[IllegalArgumentException]( // no keys at all
+      AsOf.asofJoin(leftDf, rightDf, Seq.empty))
+  }
+
   test("plan: no join operator, exactly one shuffle on the keys") {
     val plan = AsOf.asofJoin(leftDf, rightDf, Seq("k"))
       .queryExecution.executedPlan.toString

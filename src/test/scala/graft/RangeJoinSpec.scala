@@ -82,6 +82,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.intervalOverlapJoin(a, b, Seq("k"), 100L).count() === 0)
   }
 
+  test("collision guards refuse loudly instead of silently shadowing columns") {
+    intercept[IllegalArgumentException]( // points already carry iv_tag
+      RangeJoin.pointsInIntervals(
+        pointsDf.withColumnRenamed("v", "iv_tag"), intervalsDf, Seq("k"), 100L))
+    intercept[IllegalArgumentException]( // empty b prefix would collide
+      RangeJoin.intervalOverlapJoin(intervalsDf, intervalsDf, Seq("k"), 100L,
+        bPrefix = ""))
+    intercept[IllegalArgumentException]( // a already carries b_tag
+      RangeJoin.intervalOverlapJoin(
+        intervalsDf.withColumnRenamed("tag", "b_tag"), intervalsDf,
+        Seq("k"), 100L))
+  }
+
   test("gate-shape plan: equi-join only, no nested loop") {
     val plan = RangeJoin.pointsInIntervals(
         pointsDf, intervalsDf, Seq("k"), bucketMs = 100L)
