@@ -407,6 +407,20 @@ object SparkEntry {
           col("total").as("n"))
     }),
 
+    // Nearest direction (pandas merge_asof convention: closer side
+    // wins, backward wins ties) — each error attached to the NEAREST
+    // view of the same user within 1 h. Both sides pre-aggregated per
+    // (usr, ts) so matches are deterministic. One exchange, two sorts.
+    "ts_asof_near" -> ((s, dir) => {
+      val p = unkey(pts(s, dir))
+      val errors = p.filter(col("name") === "/events/error")
+        .groupBy("usr", "ts").agg(max("dval").as("dval"))
+      val views = p.filter(col("name") === "/events/view")
+        .groupBy("usr", "ts").agg(max("dval").as("vval"))
+      AsOf.asofJoin(errors, views, Seq("usr"), direction = AsOf.Nearest,
+        toleranceMs = HourMs)
+    }),
+
     // ------------------------------------- sliding-window grid (hopping)
     // PromQL range-query shape: 6 h window evaluated every hour. Bucket
     // partials first (shuffled volume = observed buckets), then a
@@ -640,6 +654,25 @@ object SparkEntry {
           | CASE WHEN r.ts - l.ts <= 86400000 THEN r.ts END AS ref_ts,
           | CASE WHEN r.ts - l.ts <= 86400000 THEN r.sval END AS ref_sval
           |FROM l ASOF LEFT JOIN r ON l.usr = r.usr AND l.ts <= r.ts""".stripMargin),
+      "ts_asof_near" -> (P +
+        """, l AS (SELECT usr, ts, max(dval) AS dval FROM pts
+          |       WHERE name = '/events/error' GROUP BY usr, ts),
+          |r AS (SELECT usr, ts, max(dval) AS vval FROM pts
+          |      WHERE name = '/events/view' GROUP BY usr, ts),
+          |b AS (SELECT l.usr, l.ts, l.dval, r.ts AS bts, r.vval AS bval
+          |      FROM l ASOF LEFT JOIN r ON l.usr = r.usr AND l.ts >= r.ts),
+          |f AS (SELECT l.usr, l.ts, r.ts AS fts, r.vval AS fval
+          |      FROM l ASOF LEFT JOIN r ON l.usr = r.usr AND l.ts <= r.ts),
+          |j AS (SELECT b.usr, b.ts, b.dval, bts, bval, fts, fval,
+          |  (bts IS NOT NULL AND b.ts - bts <= 3600000) AS bok,
+          |  (fts IS NOT NULL AND fts - b.ts <= 3600000) AS fok
+          | FROM b JOIN f ON b.usr = f.usr AND b.ts = f.ts)
+          |SELECT usr, ts, dval,
+          | CASE WHEN bok AND (NOT fok OR (ts - bts) <= (fts - ts)) THEN bts
+          |      WHEN fok THEN fts END AS ref_ts,
+          | CASE WHEN bok AND (NOT fok OR (ts - bts) <= (fts - ts)) THEN bval
+          |      WHEN fok THEN fval END AS ref_vval
+          |FROM j""".stripMargin),
       "m_sliding_avg" -> (P +
         """, part AS (SELECT name, usr, ts - ts % 3600000 AS b,
           |  sum(dval) AS s, count(*) AS c FROM pts

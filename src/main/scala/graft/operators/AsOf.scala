@@ -44,6 +44,10 @@ object AsOf {
   case object Backward extends Direction
   /** Match the earliest right row with `rts >= ts`. */
   case object Forward extends Direction
+  /** Match whichever of the backward/forward candidates is closer in
+    * time (backward wins exact ties — the pandas `merge_asof`
+    * convention). Usually paired with a finite `toleranceMs`. */
+  case object Nearest extends Direction
 
   /**
    * @param left        rows to enrich (all columns preserved)
@@ -70,7 +74,8 @@ object AsOf {
     val payloadCols = right.columns.filterNot(keys.contains).toSeq
     require(payloadCols.contains(rightTsCol),
       s"right side must carry its timestamp column $rightTsCol")
-    val internal = Seq("__ts", "__lrow", "__rrow", "__side", "__match", "__ok")
+    val internal = Seq("__ts", "__lrow", "__rrow", "__side", "__match",
+      "__mb", "__mf", "__ok")
     require(!left.columns.exists(internal.contains),
       s"left side must not carry ${internal.mkString("/")} columns")
     val attached = payloadCols.map(rightPrefix + _)
@@ -98,21 +103,37 @@ object AsOf {
 
     // Backward: ascending ts, right-before-left at equal ts, running
     // last. Forward is the mirror image — descending ts, so "last seen"
-    // is the earliest right row at-or-after.
-    val ord: Seq[Column] = direction match {
-      case Backward => Seq(col("__ts").asc, col("__side").desc)
-      case Forward  => Seq(col("__ts").desc, col("__side").desc)
-    }
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    // is the earliest right row at-or-after. Nearest evaluates BOTH
+    // windows over the one union: same partitioning, so Spark plans a
+    // single exchange with two sorts — not two shuffles.
+    def spec(ord: Column*) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = spec(col("__ts").asc, col("__side").desc)
+    val wF = spec(col("__ts").desc, col("__side").desc)
+    val u = l.unionByName(r)
 
-    val matched = l.unionByName(r)
-      .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
+    def near(m: Column): Column = abs(col("__ts") - m.getField(rightTsCol))
+    def inTol(m: Column): Column = m.isNotNull && near(m) <= toleranceMs
+    val matched = (direction match {
+      case Backward =>
+        u.withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(wB))
+      case Forward =>
+        u.withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(wF))
+      case Nearest =>
+        val mb = last(col("__rrow"), ignoreNulls = true).over(wB)
+        val mf = last(col("__rrow"), ignoreNulls = true).over(wF)
+        // backward wins ties; tolerance folds into the choice so a
+        // too-far backward candidate cannot mask an in-range forward one
+        u.withColumn("__mb", mb).withColumn("__mf", mf)
+          .withColumn("__match",
+            when(inTol(col("__mb")) &&
+                (!inTol(col("__mf")) || near(col("__mb")) <= near(col("__mf"))),
+              col("__mb"))
+              .when(inTol(col("__mf")), col("__mf")))
+    }).filter(col("__side") === 0)
 
-    val dist = abs(col("__ts") - col("__match").getField(rightTsCol))
-    val gated = matched.withColumn("__ok",
-      col("__match").isNotNull && dist <= toleranceMs)
+    val gated = matched.withColumn("__ok", inTol(col("__match")))
     val leftOut = left.columns.toSeq.map(c => col("__lrow").getField(c).as(c))
     val rightOut = payloadCols.map(c =>
       when(col("__ok"), col("__match").getField(c)).as(s"$rightPrefix$c"))

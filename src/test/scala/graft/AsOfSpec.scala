@@ -56,6 +56,25 @@ class AsOfSpec extends SparkSpec {
     assert(m(("u1", 300L)) === ((None, None)))             // nothing after
   }
 
+  test("nearest: closer side wins, backward wins ties, tolerance folds into choice") {
+    val leftN = Seq(("u1", 140L, 1.0), ("u1", 150L, 2.0), ("u1", 260L, 3.0))
+      .toDF("k", "ts", "v")
+    val rightN = Seq(("u1", 100L, 1.0), ("u1", 200L, 2.0)).toDF("k", "ts", "rv")
+    val m = collectAsof(
+      AsOf.asofJoin(leftN, rightN, Seq("k"), direction = AsOf.Nearest)
+        .select("k", "ts", "v", "ref_ts", "ref_rv"))
+    assert(m(("u1", 140L))._1 === Some(100L)) // 40 back vs 60 fwd
+    assert(m(("u1", 150L))._1 === Some(100L)) // exact tie: backward wins
+    assert(m(("u1", 260L))._1 === Some(200L)) // only backward exists
+    // tolerance: a too-far backward candidate must not mask an in-range
+    // forward one
+    val m2 = collectAsof(
+      AsOf.asofJoin(Seq(("u1", 190L, 9.0)).toDF("k", "ts", "v"), rightN,
+          Seq("k"), direction = AsOf.Nearest, toleranceMs = 15L)
+        .select("k", "ts", "v", "ref_ts", "ref_rv"))
+    assert(m2(("u1", 190L))._1 === Some(200L)) // back is 90 away, fwd 10
+  }
+
   test("multi-column keys and multi-column payload ride the struct") {
     val l = Seq(("a", "x", 10L, 1.0)).toDF("k1", "k2", "ts", "v")
     val r = Seq(("a", "x", 5L, 7.0, "meta"), ("a", "y", 6L, 8.0, "other"))

@@ -64,7 +64,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("as-of gates plan join-free (union + one ordered window, no range join)") {
-    Seq("ts_asof", "ts_asof_fwd", "ev_asof").foreach { q =>
+    Seq("ts_asof", "ts_asof_fwd", "ts_asof_near", "ev_asof").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Join"),
         s"$q must not plan any join — the as-of shape is a window scan:\n$p")
