@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
  * convention). If the right side carries several rows with one
  * (keys, ts), which of them wins is tie-broken by the window's stable
  * sort only — pre-aggregate the right side when that matters.
+ *
+ * STREAMING: for a stream-static enrichment (live points against a
+ * held lookup table), run this per micro-batch via `foreachBatch` with
+ * the stream as `left` — the unbounded-preceding window is not
+ * append-streamable directly (same composition note as
+ * [[graft.dedup.Dedup.cdcLookup]]).
  */
 object AsOf {
 
