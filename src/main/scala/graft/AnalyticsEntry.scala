@@ -111,6 +111,32 @@ object AnalyticsEntry {
           round(sum("value"), 4).as("sum_val"))
     }),
 
+    // Linear multi-touch attribution: every distinct view instant in
+    // the 24 h before a purchase shares that purchase's amount
+    // equally — RangeJoin (purchase lookback windows as intervals)
+    // composed with a per-purchase count window. One bucketed
+    // equi-join + one window, both on the user/purchase keys.
+    "ev_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val intervals = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("pts"))
+        .agg(max("value").as("amount"))
+        .select(col("user_id"), col("pts"), col("amount"),
+          (col("pts") - 24L * 3600 * 1000).as("t_start"),
+          col("pts").as("t_end"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts")).distinct()
+      val touched = graft.operators.RangeJoin.pointsInIntervals(
+        views, intervals, Seq("user_id"), bucketMs = 24L * 3600 * 1000,
+        tsCol = "vts")
+      val w = Window.partitionBy("user_id", "iv_pts")
+      touched
+        .withColumn("credit",
+          round(col("iv_amount") / count(lit(1)).over(w), 4))
+        .select(col("user_id"), col("vts"), col("iv_pts").as("pts"),
+          col("credit"))
+    }),
+
     // Interval overlap join: click-session spans × view-session spans
     // of the same user that intersect, with the overlap length. Each
     // pair emits exactly once (kept only in the first bucket both
@@ -440,6 +466,19 @@ object AnalyticsEntry {
          |FROM p JOIN iv ON p.user_id = iv.user_id
          |  AND p.ts BETWEEN iv.t_start AND iv.t_end
          |GROUP BY p.user_id, iv.t_start, iv.t_end""".stripMargin,
+    "ev_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type, value
+        |  FROM events),
+        |p AS (SELECT user_id, ts AS pts, max(value) AS amount FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |v AS (SELECT DISTINCT user_id, ts AS vts FROM e
+        |      WHERE event_type = 'view'),
+        |t AS (SELECT v.user_id, v.vts, p.pts, p.amount
+        |      FROM v JOIN p ON v.user_id = p.user_id
+        |       AND v.vts BETWEEN p.pts - 86400000 AND p.pts)
+        |SELECT user_id, vts, pts,
+        | round(amount / count(*) OVER (PARTITION BY user_id, pts), 4) AS credit
+        |FROM t""".stripMargin,
     "ev_overlap_join" ->
       s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
          |gc AS (SELECT user_id, ts,
