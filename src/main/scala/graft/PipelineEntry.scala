@@ -146,6 +146,17 @@ object PipelineEntry {
         |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
         |grp AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n)""".stripMargin)
 
+  /** Shared quality-score select (mirrors TextOps.qualityScore);
+    * reused by t_quality and t_quality_norm. Requires the `toks` CTE. */
+  private lazy val QualitySelect: String =
+    s"""SELECT doc_id, round(greatest(0.0,
+       |  least(len(t)/100.0, 1.0)*0.5
+       |  + (${langScoreSql(TextOps.EnStopwords)})*0.5
+       |  - (CASE WHEN len(text)=0 THEN 0.0
+       |     ELSE len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text) END)
+       |  ), 4) AS quality
+       |FROM toks""".stripMargin
+
   private def langScoreSql(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString("[", ",", "]")
     s"CASE WHEN len(t)=0 THEN 0.0 ELSE len(list_filter(t, x -> list_contains($lst, x)))*1.0/len(t) END"
@@ -163,6 +174,20 @@ object PipelineEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         round(TextOps.qualityScore(col("text")), 4).as("quality"))),
+    // Per-source quality equalization: percent-rank within each source
+    // — a global quality threshold over raw scores silently starves
+    // whole sources whose scorer calibration differs; ranking within
+    // the source first is the standard fix. Rank on the ROUNDED score
+    // (both engines rank identical values), deterministic via the
+    // doc_id tiebreak.
+    "t_quality_norm" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityScore(col("text")), 4).as("quality"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+    }),
     "t_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -672,14 +697,15 @@ object PipelineEntry {
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
         | len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
         |FROM toks""".stripMargin),
-    "t_quality" -> (T +
-      s"""SELECT doc_id, round(greatest(0.0,
-         |  least(len(t)/100.0, 1.0)*0.5
-         |  + (${langScoreSql(TextOps.EnStopwords)})*0.5
-         |  - (CASE WHEN len(text)=0 THEN 0.0
-         |     ELSE len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text) END)
-         |  ), 4) AS quality
-         |FROM toks""".stripMargin),
+    "t_quality" -> (T + QualitySelect),
+    "t_quality_norm" -> (T +
+      s""", q AS ($QualitySelect),
+         |qq AS (SELECT q.doc_id, d.source, q.quality
+         |       FROM q JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, quality,
+         | round(percent_rank() OVER (PARTITION BY source
+         |   ORDER BY quality, doc_id), 6) AS pr
+         |FROM qq""".stripMargin),
     "t_langid" -> (T +
       s""", sc AS (SELECT doc_id,
          | ${TextOps.LangStopwords.map { case (l, ws) =>
