@@ -421,6 +421,23 @@ object PipelineEntry {
         .withColumn("split",
           when(col("bucket") < 90, "train")
             .when(col("bucket") < 95, "val").otherwise("test"))),
+    // Export sharding balance check: deterministic md5 shard
+    // assignment (16 shards) with per-shard doc/token/char totals —
+    // the stats a training-export writer emits to prove its shards
+    // are load-balanced before a trainer fans out over them. One
+    // map-side assignment + one 16-group aggregation.
+    "p_shards" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          (conv(substring(md5(concat(lit("s#"),
+              col("doc_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 16).as("shard"),
+          size(TextOps.tokens(col("text"))).as("ntok"),
+          length(col("text")).as("nch"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").cast("long").as("n_tokens"),
+          sum("nch").cast("long").as("n_chars"))),
     // Deterministic weighted Bernoulli sampler — the stage that
     // actually APPLIES the curation weights: keep doc iff
     // u(doc) < min(rate · mix_w / cluster_size, 1), where u is a 48-bit
@@ -844,6 +861,16 @@ object PipelineEntry {
         |FROM (SELECT doc_id,
         |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket
         | FROM documents)""".stripMargin,
+    "p_shards" -> (T +
+      """, sh2 AS (SELECT
+        |  CAST(('0x' || substr(md5('s#' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) % 16 AS shard,
+        |  len(t) AS ntok, len(text) AS nch
+        | FROM toks)
+        |SELECT shard, count(*) AS n_docs,
+        | CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        | CAST(sum(nch) AS BIGINT) AS n_chars
+        |FROM sh2 GROUP BY shard""".stripMargin),
     "p_wsample" ->
       """WITH s AS (SELECT source, count(*) AS n_src FROM documents
         |  GROUP BY source),
