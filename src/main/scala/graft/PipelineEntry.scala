@@ -279,6 +279,12 @@ object PipelineEntry {
     "d_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(Tables.documents(s, dir), n = 3,
         threshold = 0.8)),
+    // Corpus-boilerplate fraction per doc: of its DISTINCT 3-gram
+    // shingles, how many occur in >= 1 other document. Linear (two
+    // aggregations), never a pair join — the filterable repetition
+    // signal at corpus scales where pairwise detection is hopeless.
+    "d_dupgram_frac" -> ((s, dir) =>
+      Dedup.dupNgramFraction(Tables.documents(s, dir), n = 3)),
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
@@ -940,6 +946,14 @@ object PipelineEntry {
         | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(ca, 4) AS cont_a, round(cb, 4) AS cont_b
         |FROM c WHERE greatest(ca, cb) >= 0.8""".stripMargin),
+    "d_dupgram_frac" -> (T + ShingleHashCte +
+      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |dfc AS (SELECT g, count(*) AS df FROM ex GROUP BY g)
+        |SELECT ex.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)*1.0/count(*), 4) AS dup_frac
+        |FROM ex JOIN dfc USING (g) GROUP BY ex.doc_id""".stripMargin),
     "d_minhash_lsh" -> (T + ShingleHashCte +
       s"""sig AS (SELECT doc_id, s,
          |  [${Dedup.hashParams(16).map { case (a, b) =>

@@ -104,6 +104,41 @@ object Dedup {
         round(col("cont_a"), 4).as("cont_a"),
         round(col("cont_b"), 4).as("cont_b"))
 
+  /**
+   * Per-document duplicate-n-gram fraction — the cross-document
+   * repetition signal (RefinedWeb-style): of a document's DISTINCT
+   * word n-gram shingles, what fraction also occurs in at least one
+   * OTHER document. Unlike the pairwise detectors this never forms
+   * pairs — it answers "how much of this doc is boilerplate shared
+   * with the corpus" in two aggregations, so it stays linear where
+   * the pair set would explode quadratically.
+   *
+   * Shape: one spread-key exchange over the exploded (id, sz, shingle)
+   * rows feeds both the per-shingle document-frequency aggregate
+   * (map-side combinable) and the probe side of the join back — all
+   * three columns ride the repartition expression so column pruning
+   * cannot specialize either branch's subtree and the tokenize+hash
+   * pass compiles once (same posture as [[shingleBlockedCounts]]).
+   * The df side is one row per shingle post-aggregate, so the left
+   * join cannot duplicate rows; a hot (stopword) shingle skews only
+   * its join partition, which AQE skew-split handles. The per-doc
+   * re-aggregation is the second and final shuffle.
+   */
+  def dupNgramFraction(df: DataFrame, n: Int = 3, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val rows = shingleSets(df, idCol, textCol, n)
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .filter(col("id").isNotNull && col("s").isNotNull)
+    val ex = rows.repartition(col("id"), col("sz"), col("s"))
+    val dfc = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+    ex.join(dfc, Seq("s"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(first(col("sz")).as("n_shingles"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup") / col("n_shingles").cast("double"), 4))
+  }
+
   /** Shared-shingle blocked pair counts: (id_a < id_b, inter, sza,
     * szb) for every pair sharing ≥ 1 surviving blocking shingle — the
     * common core of [[ngramJaccardPairs]] and [[ngramContainmentPairs]].

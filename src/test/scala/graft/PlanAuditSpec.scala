@@ -312,7 +312,10 @@ class PlanAuditSpec extends SparkSpec {
     val reusePaths = Seq("t_winnow_pairs", "d_ngram_jaccard",
       "d_minhash_lsh", "d_simhash_pairs", "d_cdc_pairs", "d_dup_spans",
       // composed detect+cut: BOTH ops off one tokenArrays exchange
-      "d_cut_spans")
+      "d_cut_spans",
+      // dup-n-gram fraction: df aggregate + join probe read one
+      // spread-key exchange; the shingle pass compiles once
+      "d_dupgram_frac")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       def check(q: String, p: String): Unit = {
