@@ -378,6 +378,50 @@ object SparkEntry {
           (col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"))
         .agg(count(when(col("d") < 0, 1)).as("resets"), count(lit(1)).as("n"))
     }),
+    // Counter changes() per series-hour: how often the value changed
+    // at all (PromQL changes() — resets() counts only the backward
+    // moves). Same window+grid shape as m_increase/m_resets.
+    "m_changes" -> ((s, dir) => {
+      val w = Window.partitionBy("skey").orderBy("ts")
+      unkey(pts(s, dir)
+          .withColumn("d", col("dval") - lag("dval", 1).over(w))
+          .filter(col("d").isNotNull))
+        .groupBy(col("name"), col("usr"),
+          (col("ts") - pmod(col("ts"), lit(HourMs))).as("ts"))
+        .agg(count(when(col("d") =!= 0, 1)).as("changes"),
+          count(lit(1)).as("n"))
+    }),
+    // irate() per series-hour: the instantaneous rate from the LAST
+    // TWO samples of each bucket (PromQL's spike-sensitive sibling of
+    // rate()), with counter-reset protection: a backward move uses the
+    // raw last value as the delta, as PromQL does. One row_number
+    // window + one grid aggregation on the same (series, bucket) key —
+    // a single shuffle, and the rn <= 2 filter lets WindowGroupLimit
+    // prune each group to its top rows below the exchange. dval rides
+    // the sort as a deterministic tie-break for duplicate timestamps;
+    // single-point buckets and zero-dt pairs drop (no rate exists).
+    "m_irate" -> ((s, dir) => {
+      val p = pts(s, dir)
+        .withColumn("bts", col("ts") - pmod(col("ts"), lit(HourMs)))
+      val w = Window.partitionBy("skey", "bts")
+        .orderBy(col("ts").desc, col("dval").desc)
+      unkey(p.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+          // aggregate on the window's own (skey, bucket) clustering —
+          // grouping by the regexp-derived (name, usr) instead would
+          // force a second exchange Catalyst cannot prove redundant
+          .groupBy(col("skey"), col("bts").as("ts"))
+          .agg(
+            max(when(col("rn") === 1, col("ts"))).as("t1"),
+            max(when(col("rn") === 1, col("dval"))).as("v1"),
+            max(when(col("rn") === 2, col("ts"))).as("t2"),
+            max(when(col("rn") === 2, col("dval"))).as("v2"))
+          .filter(col("t2").isNotNull && col("t1") > col("t2")))
+        .select(col("name"), col("usr"), col("ts"),
+          round(
+            when(col("v1") < col("v2"), col("v1"))
+              .otherwise(col("v1") - col("v2")) /
+              ((col("t1") - col("t2")) / 1000.0), 4).as("irate"))
+    }),
     // histogram_quantile(0.9): p90 per (name, hour) interpolated from
     // 100-wide value bins — the PromQL estimator over at-rest bin
     // counts (agg_heatmap's shape). Continuous rank r = 0.9·total;
@@ -625,6 +669,28 @@ object SparkEntry {
           | count(CASE WHEN d < 0 THEN 1 END) AS resets, count(*) AS n
           |FROM dd WHERE d IS NOT NULL
           |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_changes" -> (P +
+        """, dd AS (SELECT name, usr, ts, dval - lag(dval) OVER w AS d
+          |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+          |SELECT name, usr, ts - ts % 3600000 AS ts,
+          | count(CASE WHEN d <> 0 THEN 1 END) AS changes, count(*) AS n
+          |FROM dd WHERE d IS NOT NULL
+          |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_irate" -> (P +
+        """, rk AS (SELECT name, usr, ts - ts % 3600000 AS bts, ts, dval,
+          |   row_number() OVER (PARTITION BY name, usr, ts - ts % 3600000
+          |     ORDER BY ts DESC, dval DESC) AS rn
+          |  FROM pts),
+          |two AS (SELECT name, usr, bts,
+          |   max(CASE WHEN rn = 1 THEN ts END) AS t1,
+          |   max(CASE WHEN rn = 1 THEN dval END) AS v1,
+          |   max(CASE WHEN rn = 2 THEN ts END) AS t2,
+          |   max(CASE WHEN rn = 2 THEN dval END) AS v2
+          |  FROM rk WHERE rn <= 2 GROUP BY 1, 2, 3)
+          |SELECT name, usr, bts AS ts,
+          | round((CASE WHEN v1 < v2 THEN v1 ELSE v1 - v2 END)
+          |       / ((t1 - t2) / 1000.0), 4) AS irate
+          |FROM two WHERE t2 IS NOT NULL AND t1 > t2""".stripMargin),
       "agg_hist_quantile" -> (P +
         """, bins AS (SELECT name, ts - ts % 3600000 AS ts,
           |   CAST(floor(dval/100)*100 AS DOUBLE) AS lo, count(*) AS cnt

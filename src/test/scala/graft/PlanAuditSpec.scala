@@ -184,6 +184,19 @@ class PlanAuditSpec extends SparkSpec {
       s"t_repetition plan degenerated to all-pairs:\n${p.take(1500)}")
   }
 
+  test("m_irate prunes to the bucket tail below its single shuffle") {
+    // rn <= 2 over (skey, bucket) must become a WindowGroupLimit (only
+    // each bucket's last two samples survive the map side), and the
+    // follow-on grid aggregation must reuse the window's clustering —
+    // one hash exchange total.
+    val p = plan("m_irate")
+    assert(p.contains("WindowGroupLimit"),
+      s"m_irate must prune buckets to their top-2 map-side:\n${p.take(1500)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"m_irate expected exactly 1 shuffle, got $shuffles:\n${p.take(1500)}")
+  }
+
   test("t_topk_lang rank filter is pushed below the shuffle (WindowGroupLimit)") {
     val p = plan("t_topk_lang")
     assert(p.contains("WindowGroupLimit"),
