@@ -587,6 +587,13 @@ object PipelineEntry {
       Ann.ivfTopKWith(Ann.pinnedCentroids(emb, nlist = 16),
         emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
     }),
+    // SQ8 top-k: per-vector symmetric int8 quantization; scales cancel
+    // in quantized cosine so the whole search runs on the integer
+    // codes (1 byte/dim at rest). Deterministic codes → hash-gated.
+    "e_knn_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     // PQ/ADC top-k over PINNED deterministic codebooks (m=8 subspaces,
     // ksub=16 codewords from the 16 smallest vec_ids): corpus scanned
     // as m-byte codes only, queries exact, distances via per-query
@@ -1097,6 +1104,24 @@ object PipelineEntry {
     "e_knn_ivf_trained" ->
       """SELECT vec_id AS qid, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "e_knn_sq8" ->
+      """WITH sc AS (SELECT vec_id,
+        |  list_max([abs(x::DOUBLE) for x in embedding])/127.0 AS s
+        | FROM embeddings),
+        |cd AS (SELECT e.vec_id,
+        |  CASE WHEN s > 0
+        |   THEN [floor(x::DOUBLE / s + 0.5) for x in embedding]
+        |   ELSE [0.0 for x in embedding] END AS c
+        | FROM embeddings e JOIN sc USING (vec_id)),
+        |n AS (SELECT vec_id, c,
+        |  sqrt(list_inner_product(c, c)) AS nrm FROM cd),
+        |p AS (SELECT q.vec_id AS qid, b.vec_id AS nid,
+        |  list_inner_product(q.c, b.c) / (q.nrm * b.nrm) AS sim
+        | FROM n q, n b WHERE q.vec_id < 10 AND b.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        | FROM p)
+        |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin,
     "e_knn_pq" -> pqKnnOracle,
     "e_knn_refine" -> refineKnnOracle,
     "e_knn_ivfpq" -> ivfPqKnnOracle,

@@ -82,6 +82,45 @@ object Ann {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
 
   /**
+   * Per-vector symmetric int8 scalar quantization (SQ8) — the classic
+   * 4× memory cut sitting between exact floats and PQ's 32×:
+   * `code_i = round(v_i / s)` with `s = max|v_i| / 127`, stored as
+   * `array<tinyint>` plus one double scale. Rounding is spelled as
+   * `floor(x + 0.5)` so the oracle replays the identical arithmetic
+   * rather than an engine rounding mode; an all-zero vector (s = 0)
+   * codes to all zeros.
+   */
+  def sq8Codes(df: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val s = array_max(transform(v, x => abs(x))) / 127.0
+    df.select(col(idCol).as("id"), s.as("scale"),
+      when(s > 0, transform(v, x => floor(x / s + lit(0.5)).cast("tinyint")))
+        .otherwise(transform(v, _ => lit(0).cast("tinyint"))).as("codes"))
+  }
+
+  /**
+   * SQ8 top-k: cosine over the int8 codes. Quantized cosine needs no
+   * dequantization at all — the per-vector scales cancel, so
+   * `sim = Σ qa·qb / (‖qa‖·‖qb‖)` over the raw codes: the corpus scan
+   * touches 1 byte/dim at rest (vs 4 for floats), the integer sums are
+   * exact in both engines, and the ranking tail is the shared
+   * [[cosScoreTail]] contract (same tie-break, same rounding) — which
+   * is what lets the gate hash-check an "approximate" index: the
+   * approximation is in the CODES, not in any float-order slack.
+   */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def prep(df: DataFrame, p: String) = {
+      val d = sq8Codes(df, idCol, vecCol)
+        .withColumn("dv", transform(col("codes"), x => x.cast("double")))
+      d.select(col("id").as(s"${p}id"), col("dv").as(s"${p}vec"),
+        norm(col("dv")).as(s"${p}n"))
+    }
+    cosScoreTail(prep(corpus, "n").crossJoin(broadcast(prep(queries, "q"))), k)
+  }
+
+  /**
    * Deterministic pseudo-random hyperplanes: `tables × planes × dim`
    * coefficients from a fixed-seed generator. Shipped inside the
    * [[graft.functions.LshSignature]] expression as a reference object

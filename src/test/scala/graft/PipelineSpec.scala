@@ -384,6 +384,29 @@ class PipelineSpec extends SparkSpec {
       == rows(Ann.bruteTopK(emb, q, k = 5)))
   }
 
+  test("sq8 codes honor the round(v/s) contract and sq8TopK tracks brute recall") {
+    import spark.implicits._
+    // hand-checkable vector: s = 1/127, codes = round(127·v/max|v|)
+    val one = Seq((0L, Array(1.0f, -0.5f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Ann.sq8Codes(one).collect()(0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 127.0) < 1e-12)
+    assert(r.getSeq[Byte](2) == Seq[Byte](127, -63, 32, 0))
+    // codes stay in the int8 range on random data, and quantized top-k
+    // recalls nearly all exact neighbors (SQ8's error is ~0.4% of max)
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 64L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val codes = Ann.sq8Codes(emb).collect()
+    assert(codes.forall(_.getSeq[Byte](2).forall(b => b >= -127 && b <= 127)))
+    val q = emb.filter($"vec_id" < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = ids(Ann.sq8TopK(emb, q, k = 5))
+      .intersect(ids(Ann.bruteTopK(emb, q, k = 5)))
+    assert(overlap.size >= 20, s"sq8 recall too low: ${overlap.size}/25")
+  }
+
   test("refineTopK over PQ candidates reports exact cosines") {
     import spark.implicits._
     val rnd = new scala.util.Random(22)
