@@ -217,6 +217,27 @@ object PipelineEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(50)),
 
+    // Zipf fit over the vocabulary head: least-squares slope of
+    // ln(freq) on ln(rank) for the top-1000 tokens — the one-number
+    // naturalness check (natural language ≈ −1; synthetic/templated
+    // corpora drift off it). The head is selected distributed
+    // (TakeOrderedAndProject top-k — the vocabulary is never globally
+    // sorted), and the rank window + regression run over ≤1000 rows.
+    "t_zipf" -> ((s, dir) => {
+      val top = Tables.documents(s, dir)
+        .withColumn("tok", explode(TextOps.tokens(col("text"))))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(1000)
+      val lr = log(col("rank")).cast("double")
+      top
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(covar_pop(lr, log(col("n"))) / var_pop(lr), 4)
+            .as("zipf_slope"))
+    }),
+
     // Corpus drift: which tokens drive the distribution shift between
     // two source halves — the train/serve-skew question. Per-token
     // KL(A||B) contribution under add-one smoothing over the union
@@ -587,6 +608,26 @@ object PipelineEntry {
       Ann.ivfTopKWith(Ann.pinnedCentroids(emb, nlist = 16),
         emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
     }),
+    // Per-label embedding geometry: centroid norm + inertia (mean
+    // squared distance to the centroid) — the cluster-quality /
+    // class-separability profile. Uses inertia = E‖v‖² − ‖c‖² so ONE
+    // exploded map-side-combinable pass covers the centroid and a
+    // plain per-label agg covers E‖v‖²; no second data pass, no
+    // centroid join back to vectors. Both sides are O(#labels) rows.
+    "e_label_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dims = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("m"))
+      val cnorm = dims.groupBy("label").agg(sum(col("m") * col("m")).as("c2"))
+      emb.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          avg(Ann.dot(col("embedding"), col("embedding"))).as("msq"))
+        .join(cnorm, Seq("label"))
+        .select(col("label"), col("n"),
+          round(sqrt(col("c2")), 4).as("centroid_norm"),
+          round(col("msq") - col("c2"), 4).as("inertia"))
+    }),
     // SQ8 top-k: per-vector symmetric int8 quantization; scales cancel
     // in quantized cosine so the whole search runs on the integer
     // codes (1 byte/dim at rest). Deterministic codes → hash-gated.
@@ -773,6 +814,16 @@ object PipelineEntry {
       """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
         |FROM x GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
+    "t_zipf" -> (T +
+      """, x AS (SELECT unnest(t) AS tok FROM toks),
+        |tc AS (SELECT tok, count(*) AS n FROM x GROUP BY tok),
+        |top AS (SELECT tok, n FROM tc ORDER BY n DESC, tok LIMIT 1000),
+        |rk AS (SELECT n,
+        |  row_number() OVER (ORDER BY n DESC, tok) AS rank FROM top)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        | round(covar_pop(ln(rank), ln(n)) / var_pop(ln(rank)), 4)
+        |   AS zipf_slope
+        |FROM rk""".stripMargin),
     "t_drift" ->
       """WITH tk AS (SELECT
         |  CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a' ELSE 'b' END AS grp,
@@ -1104,6 +1155,19 @@ object PipelineEntry {
     "e_knn_ivf_trained" ->
       """SELECT vec_id AS qid, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "e_label_stats" ->
+      """WITH d AS (SELECT label, CAST(t.i AS INT) AS pos,
+        |             embedding[CAST(t.i AS INT)]::DOUBLE AS v
+        |           FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)),
+        |dm AS (SELECT label, pos, avg(v) AS m FROM d GROUP BY 1, 2),
+        |c AS (SELECT label, sum(m*m) AS c2 FROM dm GROUP BY 1),
+        |st AS (SELECT label, count(*) AS n,
+        |         avg(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                CAST(embedding AS DOUBLE[]))) AS msq
+        |       FROM embeddings GROUP BY 1)
+        |SELECT st.label, n, round(sqrt(c2), 4) AS centroid_norm,
+        |       round(msq - c2, 4) AS inertia
+        |FROM st JOIN c USING (label)""".stripMargin,
     "e_knn_sq8" ->
       """WITH sc AS (SELECT vec_id,
         |  list_max([abs(x::DOUBLE) for x in embedding])/127.0 AS s

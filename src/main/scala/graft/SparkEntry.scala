@@ -235,6 +235,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select("name", "ts", "vbin", "n")),
 
+    // Hierarchical rollup: per-(metric, series), per-metric, and
+    // grand-total stats in ONE pass via grouping sets (ROLLUP) —
+    // Spark's Expand feeds one shuffle with map-side partials instead
+    // of three separate aggregation jobs over the same scan. The
+    // grouping level rides grouping_id() so the three levels stay
+    // distinguishable after the null-fill.
+    "agg_rollup" -> ((s, dir) =>
+      unkey(pts(s, dir))
+        .rollup(col("name"), col("usr"))
+        .agg(count(lit(1)).as("n"), round(sum("dval"), 4).as("total"),
+          grouping_id().as("lvl"))),
+
     // Cross-metric Pearson correlation on the aligned hour grid:
     // meanGrid per REQUESTED name, equi-join on the grid timestamp,
     // corr per name pair. The name set is part of the request (the
@@ -691,6 +703,10 @@ object SparkEntry {
           | round((CASE WHEN v1 < v2 THEN v1 ELSE v1 - v2 END)
           |       / ((t1 - t2) / 1000.0), 4) AS irate
           |FROM two WHERE t2 IS NOT NULL AND t1 > t2""".stripMargin),
+      "agg_rollup" -> (P +
+        """SELECT name, usr, count(*) AS n, round(sum(dval), 4) AS total,
+          | GROUPING(name, usr) AS lvl
+          |FROM pts GROUP BY ROLLUP (name, usr)""".stripMargin),
       "agg_hist_quantile" -> (P +
         """, bins AS (SELECT name, ts - ts % 3600000 AS ts,
           |   CAST(floor(dval/100)*100 AS DOUBLE) AS lo, count(*) AS cnt
