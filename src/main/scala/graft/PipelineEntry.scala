@@ -635,6 +635,14 @@ object PipelineEntry {
       val emb = Tables.embeddings(s, dir)
       Ann.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // IVF-SQ8 (faiss IndexIVFScalarQuantizer shape): pinned coarse
+    // quantizer restricts candidates; scoring runs on int8 codes.
+    // Both stages deterministic → hash-gated end to end.
+    "e_knn_ivfsq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.ivfSq8TopK(Ann.pinnedCentroids(emb, nlist = 16),
+        emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+    }),
     // PQ/ADC top-k over PINNED deterministic codebooks (m=8 subspaces,
     // ksub=16 codewords from the 16 smallest vec_ids): corpus scanned
     // as m-byte codes only, queries exact, distances via per-query
@@ -1186,6 +1194,7 @@ object PipelineEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
         | FROM p)
         |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin,
+    "e_knn_ivfsq" -> ivfSq8KnnOracle,
     "e_knn_pq" -> pqKnnOracle,
     "e_knn_refine" -> refineKnnOracle,
     "e_knn_ivfpq" -> ivfPqKnnOracle,
@@ -1286,6 +1295,31 @@ object PipelineEntry {
       | FROM probes JOIN corpus USING (list_id) WHERE qid <> nid),
       |r AS (SELECT qid, nid, sim,
       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+      |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of the IVF-SQ8 gate: pinned-quantizer lists on the
+    * raw vectors, scale-free quantized cosine over the floor(x/s+0.5)
+    * codes within probed lists. */
+  private def ivfSq8KnnOracle: String = IvfRankedCte +
+    """,
+      |sc AS (SELECT vec_id, list_max([abs(x) for x in v])/127.0 AS s FROM e),
+      |cd AS (SELECT e.vec_id, CASE WHEN s > 0
+      |   THEN [floor(x / s + 0.5) for x in v]
+      |   ELSE [0.0 for x in v] END AS c
+      | FROM e JOIN sc USING (vec_id)),
+      |qn AS (SELECT vec_id, c, sqrt(list_inner_product(c, c)) AS nrm FROM cd),
+      |corpus AS (SELECT r.vec_id AS nid, qn.c AS nv, qn.nrm AS nn,
+      |    r.cid AS list_id
+      | FROM ranked r JOIN qn ON qn.vec_id = r.vec_id WHERE r.cr = 1),
+      |probes AS (SELECT r.vec_id AS qid, qn.c AS qv, qn.nrm AS q_n,
+      |    r.cid AS list_id
+      | FROM ranked r JOIN qn ON qn.vec_id = r.vec_id
+      | WHERE r.vec_id < 10 AND r.cr <= 4),
+      |s AS (SELECT qid, nid, list_inner_product(qv, nv) / (q_n * nn) AS sim
+      | FROM probes JOIN corpus USING (list_id) WHERE qid <> nid),
+      |r AS (SELECT qid, nid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      | FROM s)
       |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
 
   private def ivfStatsOracle: String = IvfRankedCte +

@@ -91,12 +91,21 @@ object Ann {
    * codes to all zeros.
    */
   def sq8Codes(df: DataFrame, idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val s = array_max(transform(v, x => abs(x))) / 127.0
-    df.select(col(idCol).as("id"), s.as("scale"),
-      when(s > 0, transform(v, x => floor(x / s + lit(0.5)).cast("tinyint")))
-        .otherwise(transform(v, _ => lit(0).cast("tinyint"))).as("codes"))
+               vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("id"), sq8ScaleExpr(col(vecCol)).as("scale"),
+      sq8CodeExpr(col(vecCol)).as("codes"))
+
+  private def sq8ScaleExpr(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127.0
+
+  /** The SQ8 code array for one vector column — shared by
+    * [[sq8Codes]], [[sq8TopK]] and [[ivfSq8TopK]] so every path
+    * quantizes identically. */
+  private def sq8CodeExpr(vec: Column): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val s = sq8ScaleExpr(vec)
+    when(s > 0, transform(v, x => floor(x / s + lit(0.5)).cast("tinyint")))
+      .otherwise(transform(v, _ => lit(0).cast("tinyint")))
   }
 
   /**
@@ -710,6 +719,32 @@ object Ann {
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+  }
+
+  /**
+   * IVF-SQ8 (the faiss IndexIVFScalarQuantizer shape): coarse-quantizer
+   * candidate restriction with SQ8 codes inside the lists. List
+   * assignment and probing run on the RAW vectors (same contract as
+   * [[ivfTopKWith]]); candidate scoring is the scale-free quantized
+   * cosine of [[sq8TopK]] over the integer codes. The composition is
+   * the production memory story: a probe reads nprobe/nlist of the
+   * index and 1 byte/dim within it. A corpus row lives in exactly one
+   * list, so no (qid, nid) pair can join twice — the rank tail needs
+   * no dedup.
+   */
+  def ivfSq8TopK(centroids: Array[Array[Double]],
+                 corpus: DataFrame, queries: DataFrame, k: Int,
+                 nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    def codesD(vec: Column) = transform(sq8CodeExpr(vec), x => x.cast("double"))
+    val c = corpus.select(col(idCol).as("nid"), codesD(col(vecCol)).as("nvec"),
+        topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+      .withColumn("nn", norm(col("nvec")))
+    val q = queries.select(col(idCol).as("qid"), codesD(col(vecCol)).as("qvec"),
+        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
+      .withColumn("qn", norm(col("qvec")))
+    cosScoreTail(c.join(q, "list_id"), k)
   }
 
   // ----------------------------------------------------------------- PQ

@@ -407,6 +407,21 @@ class PipelineSpec extends SparkSpec {
     assert(overlap.size >= 20, s"sq8 recall too low: ${overlap.size}/25")
   }
 
+  test("ivfSq8TopK with nprobe = nlist is bit-identical to sq8TopK") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(24)
+    val emb = (0L until 48L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 4)
+    val cents = Ann.pinnedCentroids(emb, nlist = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // probing every list removes the candidate restriction entirely —
+    // the quantized ranking must match the flat SQ8 search exactly
+    assert(rows(Ann.ivfSq8TopK(cents, emb, q, k = 5, nprobe = 4))
+      == rows(Ann.sq8TopK(emb, q, k = 5)))
+  }
+
   test("refineTopK over PQ candidates reports exact cosines") {
     import spark.implicits._
     val rnd = new scala.util.Random(22)
