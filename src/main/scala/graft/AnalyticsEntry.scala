@@ -182,6 +182,24 @@ object AnalyticsEntry {
             .when(col("t_view").isNotNull, 1).otherwise(0).cast("long"))
     }),
 
+    // First-order Markov transition matrix over event types: each
+    // user's journey orders by (ts, event_id) — event_id breaks
+    // duplicate-ts ties deterministically — and every adjacent pair
+    // counts toward (prev -> next). Probabilities normalize per
+    // prev_type over the matrix ITSELF (O(#types²) rows), never the
+    // event stream: one user-key window shuffle, one tiny agg, one
+    // bounded window.
+    "ev_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum("n").over(Window.partitionBy("prev_type")), 4))
+    }),
+
     // Rolling 24h activity per event: RANGE-frame window (value-based
     // bounds, not row counts) on the user_id shuffle — the per-entity
     // rate-limit / burst-detection shape.
@@ -521,6 +539,16 @@ object AnalyticsEntry {
         |      WHEN min(t_click) IS NOT NULL THEN 2
         |      WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "ev_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS prev_type
+        | FROM events),
+        |m AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        | FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+        |FROM m""".stripMargin,
     "ev_rolling" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts, value FROM events)
         |SELECT event_id, user_id, ts,
