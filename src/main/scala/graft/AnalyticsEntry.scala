@@ -182,6 +182,20 @@ object AnalyticsEntry {
             .when(col("t_view").isNotNull, 1).otherwise(0).cast("long"))
     }),
 
+    // Semi-structured payload extraction: the JSON `props` column
+    // parsed IN the engine (codegen'd JSON path, no UDF), typed, and
+    // aggregated per event type — the schema-on-read shape every event
+    // pipeline needs for payloads that never got promoted to columns.
+    // One map-side parse + one bounded groupBy; at scale the parse
+    // rides the scan and shuffles only (type, partial-agg) rows.
+    "ev_props_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), round(avg("k"), 4).as("avg_k"))),
+
     // First-order Markov transition matrix over event types: each
     // user's journey orders by (ts, event_id) — event_id breaks
     // duplicate-ts ties deterministically — and every adjacent pair
@@ -539,6 +553,12 @@ object AnalyticsEntry {
         |      WHEN min(t_click) IS NOT NULL THEN 2
         |      WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "ev_props_agg" ->
+      """WITH k AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n, count(k) AS n_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
+        |FROM k GROUP BY event_type""".stripMargin,
     "ev_transitions" ->
       """WITH o AS (SELECT user_id, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id
