@@ -155,6 +155,27 @@ object SparkEntry {
             round(expr("percentile(dval, 0.95)"), 4).as("p95")))
         .select("name", "usr", "ts", "p50", "p95")),
 
+    // Robust spread: median absolute deviation per series-hour — the
+    // outlier-immune twin of m_stddev_grid (one wild point saturates a
+    // stddev control chart; MAD shrugs it off). Exact two-pass shape:
+    // per-bucket medians, joined back on the SAME (series, bucket) key
+    // the points already shuffled on, then the median of |x − med| —
+    // the join and second aggregation reuse that clustering, so the
+    // plan pays two point-shuffles total and every group stays one
+    // bounded series-hour.
+    "m_mad_grid" -> ((s, dir) => {
+      val p = pts(s, dir)
+        .withColumn("bts", col("ts") - pmod(col("ts"), lit(HourMs)))
+      val med = p.groupBy("skey", "bts")
+        .agg(expr("percentile(dval, 0.5)").as("med"), count(lit(1)).as("n"))
+      unkey(p.join(med, Seq("skey", "bts"))
+          .groupBy(col("skey"), col("bts").as("ts"))
+          .agg(first(col("n")).as("n"),
+            round(first(col("med")), 4).as("med"),
+            round(expr("percentile(abs(dval - med), 0.5)"), 4).as("mad")))
+        .select("name", "usr", "ts", "n", "med", "mad")
+    }),
+
     // Dense-grid LOCF gap fill: every series rendered onto a complete
     // hour grid between its first and last bucket, missing hours
     // carrying the last observed value forward — the dashboard
@@ -681,6 +702,15 @@ object SparkEntry {
           | count(CASE WHEN d < 0 THEN 1 END) AS resets, count(*) AS n
           |FROM dd WHERE d IS NOT NULL
           |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_mad_grid" -> (P +
+        """, g AS (SELECT name, usr, ts - ts % 3600000 AS bts, dval FROM pts),
+          |med AS (SELECT name, usr, bts, quantile_cont(dval, 0.5) AS med,
+          |   count(*) AS n FROM g GROUP BY 1, 2, 3)
+          |SELECT m.name, m.usr, m.bts AS ts, m.n AS n,
+          | round(m.med, 4) AS med,
+          | round(quantile_cont(abs(g.dval - m.med), 0.5), 4) AS mad
+          |FROM g JOIN med m USING (name, usr, bts)
+          |GROUP BY m.name, m.usr, m.bts, m.n, m.med""".stripMargin),
       "m_changes" -> (P +
         """, dd AS (SELECT name, usr, ts, dval - lag(dval) OVER w AS d
           |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
