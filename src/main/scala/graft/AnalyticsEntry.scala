@@ -346,6 +346,48 @@ object AnalyticsEntry {
           round(sum(col("tf") * col("nll")) / sum(col("tf")), 4).as("avg_nll"))
     }),
 
+    // Bigram-LM surprisal per doc: mean −ln P(b|a) over adjacent token
+    // pairs, P = corpus bigram count / prefix count — the next step up
+    // from t_unigram_nll's quality filter (catches word-salad text
+    // whose unigrams look fine). Bigrams materialize MAP-SIDE from the
+    // token array (element_at pairs — no self-join, no posexplode
+    // matching); the per-doc tf grouping then bounds hot-bigram
+    // exposure in the count joins exactly like t_unigram_nll's tf
+    // shape, and both count sides aggregate before joining so AQE
+    // keeps the build-side choice.
+    "t_bigram_nll" -> ((s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(__t)-1),
+            |  i -> struct(element_at(__t, i) AS a,
+            |              element_at(__t, i+1) AS b))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("doc_id").isNotNull)
+      val tf = bi.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+      val cab = tf.groupBy("a", "b").agg(sum("tf").as("cnt_ab"))
+      val ca = cab.groupBy("a").agg(sum("cnt_ab").as("cnt_a"))
+      tf.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+        .withColumn("nll", -log(col("cnt_ab") / col("cnt_a")))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_big"),
+          round(sum(col("tf") * col("nll")) / sum(col("tf")), 4).as("avg_nll"))
+    }),
+
+    // The 100 TB quantile path: approx_percentile (Greenwald-Khanna
+    // partials, map-side combinable) — the mergeable twin of
+    // ev_quantiles' exact interpolation, which cannot partial-
+    // aggregate. Sketch estimates have no bit-exact oracle →
+    // deliberately rows-only, like p_profile_approx; the exact sibling
+    // keeps the hash gate.
+    "ev_quantiles_approx" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("p90"),
+          expr("approx_percentile(value, 0.99, 1000)").as("p99"))),
+
     // Per-event-type z-score outliers. The moment stats are O(#event
     // types) rows — a genuinely broadcast-safe build side at any corpus
     // size (contrast with the corpus-sized keep-lists this engine
@@ -553,6 +595,17 @@ object AnalyticsEntry {
         |      WHEN min(t_click) IS NOT NULL THEN 2
         |      WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
         |FROM s3 GROUP BY user_id""".stripMargin,
+    "t_bigram_nll" -> (T +
+      """, x AS (SELECT doc_id, t[CAST(r.i AS INT)] AS a,
+        |    t[CAST(r.i AS INT) + 1] AS b
+        |  FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |tf AS (SELECT doc_id, a, b, count(*) AS tf FROM x GROUP BY 1, 2, 3),
+        |cab AS (SELECT a, b, sum(tf) AS cnt_ab FROM tf GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(cnt_ab) AS cnt_a FROM cab GROUP BY 1)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_big,
+        | round(sum(tf * -ln(cnt_ab * 1.0 / cnt_a)) / sum(tf), 4) AS avg_nll
+        |FROM tf JOIN cab USING (a, b) JOIN ca USING (a)
+        |GROUP BY doc_id""".stripMargin),
     "ev_props_agg" ->
       """WITH k AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

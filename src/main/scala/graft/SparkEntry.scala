@@ -155,6 +155,17 @@ object SparkEntry {
             round(expr("percentile(dval, 0.95)"), 4).as("p95")))
         .select("name", "usr", "ts", "p50", "p95")),
 
+    // Hour-of-day seasonal profile per metric: the diurnal baseline a
+    // dashboard draws under "today" and an anomaly detector subtracts
+    // before thresholding. One map-side-combinable groupBy to
+    // O(#names × 24) rows.
+    "m_seasonal" -> ((s, dir) =>
+      unkey(pts(s, dir))
+        .groupBy(col("name"),
+          (pmod(col("ts"), lit(24L * HourMs)) / HourMs).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"), round(avg("dval"), 4).as("avg_val"),
+          round(stddev_pop("dval"), 4).as("sd_val"))),
+
     // Robust spread: median absolute deviation per series-hour — the
     // outlier-immune twin of m_stddev_grid (one wild point saturates a
     // stddev control chart; MAD shrugs it off). Exact two-pass shape:
@@ -702,6 +713,11 @@ object SparkEntry {
           | count(CASE WHEN d < 0 THEN 1 END) AS resets, count(*) AS n
           |FROM dd WHERE d IS NOT NULL
           |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      "m_seasonal" -> (P +
+        """SELECT name, (ts % 86400000) // 3600000 AS hod, count(*) AS n,
+          | round(avg(dval), 4) AS avg_val,
+          | round(stddev_pop(dval), 4) AS sd_val
+          |FROM pts GROUP BY 1, 2""".stripMargin),
       "m_mad_grid" -> (P +
         """, g AS (SELECT name, usr, ts - ts % 3600000 AS bts, dval FROM pts),
           |med AS (SELECT name, usr, bts, quantile_cont(dval, 0.5) AS med,
