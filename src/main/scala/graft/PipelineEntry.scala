@@ -217,6 +217,30 @@ object PipelineEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(50)),
 
+    // Vocabulary coverage curve: what fraction of all token
+    // occurrences the top-k vocabulary covers, at k = 10/100/1000 —
+    // the tokenizer-budget planning number (how big must a vocab be
+    // before <unk> is rare). Head selected distributed (TakeOrdered),
+    // cumulative mass via one window over ≤1000 rows; the corpus total
+    // rides a 1-row broadcast.
+    "t_vocab_coverage" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .withColumn("tok", explode(TextOps.tokens(col("text"))))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = vocab.agg(sum("n").as("total"))
+      val top = vocab.orderBy(col("n").desc, col("tok")).limit(1000)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+        .withColumn("cum", sum("n").over(
+          Window.orderBy(col("n").desc, col("tok"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      top.filter(col("rank").isin(10, 100, 1000))
+        .crossJoin(broadcast(tot))
+        .select(col("rank").cast("long").as("k"),
+          col("cum").as("n_covered"),
+          round(col("cum") / col("total"), 4).as("coverage"))
+    }),
+
     // Zipf fit over the vocabulary head: least-squares slope of
     // ln(freq) on ln(rank) for the top-1000 tokens — the one-number
     // naturalness check (natural language ≈ −1; synthetic/templated
@@ -526,6 +550,30 @@ object PipelineEntry {
         .select(col("source"), col("doc_id"), col("n_tok"), col("cum"))
     }),
 
+    // Deterministic epoch shuffle: every doc gets a stable global
+    // shuffle index — reproducible training order, re-derivable on any
+    // re-run (md5("e1#" + id) order). row_number over one global sort
+    // would serialize the corpus through a single window task; instead
+    // the p_budget two-phase shape: the leading 2 hex chars of the
+    // ordering hash split the order into 256 contiguous ranges whose
+    // ranks run in parallel, and the O(256) range offsets come back by
+    // broadcast. Output identical to the global window at any scale.
+    "p_shuffle" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("h", md5(concat(lit("e1#"), col("doc_id"))))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val offsets = d.groupBy("bkt").agg(count(lit(1)).as("part"))
+        .withColumn("off", coalesce(
+          sum("part").over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      d.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("idx", col("off") - 1 +
+          row_number().over(Window.partitionBy("bkt").orderBy("h", "doc_id")))
+        .select(col("doc_id"), col("source"), col("idx"))
+    }),
+
     // GPT-style sequence packing: concatenate token streams per source
     // shard in doc_id order, slice into 512-token bins; each doc
     // records its shard-local token offset and first/last bin. Packing
@@ -822,6 +870,17 @@ object PipelineEntry {
       """, x AS (SELECT doc_id, unnest(t) AS tok FROM toks)
         |SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
         |FROM x GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
+    "t_vocab_coverage" -> (T +
+      """, x AS (SELECT unnest(t) AS tok FROM toks),
+        |vc AS (SELECT tok, count(*) AS n FROM x GROUP BY tok),
+        |tt AS (SELECT sum(n) AS total FROM vc),
+        |top AS (SELECT tok, n FROM vc ORDER BY n DESC, tok LIMIT 1000),
+        |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank,
+        |  sum(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM top)
+        |SELECT CAST(rank AS BIGINT) AS k, CAST(cum AS BIGINT) AS n_covered,
+        | round(cum * 1.0 / total, 4) AS coverage
+        |FROM rk, tt WHERE rank IN (10, 100, 1000)""".stripMargin),
     "t_zipf" -> (T +
       """, x AS (SELECT unnest(t) AS tok FROM toks),
         |tc AS (SELECT tok, count(*) AS n FROM x GROUP BY tok),
@@ -969,6 +1028,11 @@ object PipelineEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         | FROM tk)
         |SELECT source, doc_id, n_tok, cum FROM c WHERE cum <= 800""".stripMargin,
+    "p_shuffle" ->
+      """SELECT doc_id, source,
+        | row_number() OVER (
+        |   ORDER BY md5('e1#' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS idx
+        |FROM documents""".stripMargin,
     "p_pack" ->
       """WITH tk AS (SELECT source, doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
