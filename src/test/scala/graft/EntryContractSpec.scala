@@ -14,7 +14,7 @@ class EntryContractSpec extends AnyFunSuite {
     * outputs no external engine reproduces bit-wise (DuckDB's HLL ≠
     * Spark's), downgraded to the driver's rows-only check on purpose.
     * Every entry here needs an exact hash-gated sibling. */
-  private val rowsOnlyQueries = Set("p_profile_approx")
+  private val rowsOnlyQueries = Set("p_profile_approx", "ev_quantiles_approx")
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
