@@ -747,6 +747,50 @@ object Ann {
     cosScoreTail(c.join(q, "list_id"), k)
   }
 
+  /**
+   * Materialize the IVF-SQ8 index: (nid, int8 codes) partitioned by
+   * inverted list — the at-rest layout. A probe prunes to
+   * nprobe/nlist `list_id=` directories before any task is scheduled
+   * and reads 1 byte/dim within them; the raw float vectors are never
+   * opened at search time.
+   */
+  def ivfSq8Materialize(centroids: Array[Array[Double]], corpus: DataFrame,
+                        path: String, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
+    import graft.functions.VectorOps.topCentroids
+    corpus.select(col(idCol).as("nid"), sq8CodeExpr(col(vecCol)).as("codes"),
+        topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id").mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Search a materialized IVF-SQ8 index ([[ivfSq8Materialize]]
+   * layout): probe lists collect to literal partition filters (bounded
+   * by queries × nprobe, the small-query contract), candidates join on
+   * list_id and score exactly like [[ivfSq8TopK]] — bit-identical
+   * results for the same quantizer (PipelineSpec).
+   */
+  def ivfSq8SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          centroids: Array[Array[Double]],
+                          queries: DataFrame, k: Int, nprobe: Int = 4,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    def codesD(c: Column) = transform(c, x => x.cast("double"))
+    val q = queries.select(col(idCol).as("qid"),
+        codesD(sq8CodeExpr(col(vecCol))).as("qvec"),
+        explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
+      .withColumn("qn", norm(col("qvec")))
+    val probed = q.select("list_id").distinct().collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(path)
+      .filter(col("list_id").isin(probed: _*))
+      .select(col("nid"), codesD(col("codes")).as("nvec"), col("list_id"))
+      .withColumn("nn", norm(col("nvec")))
+    cosScoreTail(c.join(q, "list_id"), k)
+  }
+
   // ----------------------------------------------------------------- PQ
 
   /**

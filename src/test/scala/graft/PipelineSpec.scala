@@ -422,6 +422,25 @@ class PipelineSpec extends SparkSpec {
       == rows(Ann.sq8TopK(emb, q, k = 5)))
   }
 
+  test("materialized IVF-SQ8 search is bit-identical to the in-memory path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(25)
+    val emb = (0L until 48L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 4)
+    val cents = Ann.pinnedCentroids(emb, nlist = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq8").toString
+    Ann.ivfSq8Materialize(cents, emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val indexed = Ann.ivfSq8SearchIndexed(spark, dir, cents, q, k = 5, nprobe = 2)
+    // the scan must carry the probe lists as partition filters
+    val scan = indexed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("list_id"),
+      s"indexed IVF-SQ8 scan is not partition-pruned:\n${scan.take(1200)}")
+    assert(rows(indexed) == rows(Ann.ivfSq8TopK(cents, emb, q, k = 5, nprobe = 2)))
+  }
+
   test("refineTopK over PQ candidates reports exact cosines") {
     import spark.implicits._
     val rnd = new scala.util.Random(22)
