@@ -123,6 +123,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("p_shuffle's two-phase index is a bijection matching the global sort") {
+    import spark.implicits._
+    // arbitrary ids with gaps, shuffled input order, awkward partitioning
+    val ids = rnd.shuffle((0L until 400L).map(_ * 7 + 3).toVector)
+    val docs = ids.map(i => (i, s"src${i % 5}", s"text $i"))
+      .toDF("doc_id", "source", "text").repartition(7)
+    val dir = java.nio.file.Files.createTempDirectory("pshuf").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineEntry.queries("p_shuffle")(spark, dir).collect()
+    // bijection: indices are exactly 0..n-1
+    assert(out.map(_.getLong(2)).sorted.toSeq == (0L until 400L).toSeq)
+    // and equal to the serializing single-window definition
+    val expect = out.map(r => r.getLong(0) ->
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"e1#${r.getLong(0)}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).toSeq
+      .sortBy { case (id, h) => (h, id) }.map(_._1).zipWithIndex.toMap
+    out.foreach(r => assert(r.getLong(2) == expect(r.getLong(0)).toLong))
+  }
+
   test("duplicateSpans matches a brute-force window scan on random near-dup docs") {
     import spark.implicits._
     val l = 4
