@@ -165,6 +165,42 @@ object Multimodal {
           Some((img.getWidth, img.getHeight, 1, gridFeature(img)))
       } catch { case _: Exception => None }
     }
+
+    /** 64-bit average hash (aHash): bilinear resample to 8×8, mean
+      * ITU-601 luminance threshold, one bit per pixel (row-major,
+      * bit i = pixel i ≥ mean). The classic perceptual signature —
+      * stable under rescale/re-encode, 64 bits per image. Integer
+      * luminance (×1000/1000) keeps the threshold float-free and
+      * platform-deterministic. */
+    private[multimodal] def aHash64(img: java.awt.image.BufferedImage): Long = {
+      import java.awt.RenderingHints
+      import java.awt.image.BufferedImage
+      val s = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val g = s.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 8, 8, null)
+      } finally g.dispose()
+      val lum = new Array[Int](64)
+      var i = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val rgb = s.getRGB(x, y)
+          lum(i) = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      val mean = lum.sum / 64
+      var bits = 0L
+      i = 0
+      while (i < 64) { if (lum(i) >= mean) bits |= (1L << i); i += 1 }
+      bits
+    }
   }
 
   /**
@@ -494,6 +530,33 @@ object Multimodal {
             if (mod == "image" || mod == "video") w else null,
             if (mod == "image" || mod == "video") h else null,
             f, feat)
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /**
+   * Perceptual image signatures: (item_id, ahash) for every image row
+   * whose bytes REALLY decode — no fake hashes for stub fallbacks, so
+   * the column means what it says. 64-bit aHash pairs by Hamming
+   * distance downstream exactly like a simhash signature (the banded
+   * pigeonhole of [[graft.dedup.Dedup.simhashPairs]] applies unchanged
+   * to any 64-bit column) — this is the image-side entry into the
+   * near-dup machinery. Partition-local decode, one long per image.
+   */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(StructType(Seq(
+        StructField("item_id", LongType, nullable = false),
+        StructField("ahash", LongType, nullable = false))))
+    media.filter(col("modality") === "image")
+      .select("item_id", "content")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte]
+                      else r.getAs[Array[Byte]](1)
+          ImageDecoder.readImage(bytes)
+            .map(img => Row(r.getLong(0), ImageDecoder.aHash64(img)))
         }
       }(enc)
       .toDF()

@@ -527,6 +527,34 @@ class PipelineSpec extends SparkSpec {
     assert(fitBox(10000, 10, 64, 64) == ((64, 1)))   // floor clamps to 1px
   }
 
+  test("imageAHash: stable under re-encode/rescale, far for different content") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def png(w: Int, h: Int, f: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, f(x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val grad: (Int, Int) => Int = (x, _) => (x * 255 / 199) * 0x010101
+    val media = Seq(
+      (1L, "image", png(200, 100, grad)),
+      (2L, "image", png(100, 50, (x, y) => grad(x * 2, y))), // same scene, half size
+      (3L, "image", png(200, 100, (x, y) => grad(199 - x, y))), // mirrored gradient
+      (4L, "image", "junk".getBytes("UTF-8")), // undecodable -> dropped
+      (5L, "audio", png(8, 8, grad))) // non-image -> dropped
+      .toDF("item_id", "modality", "content")
+    val h = Multimodal.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h.keySet == Set(1L, 2L, 3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a rescaled copy hashes within a few bits; mirrored content is far
+    assert(ham(h(1L), h(2L)) <= 4, s"rescale moved ${ham(h(1L), h(2L))} bits")
+    assert(ham(h(1L), h(3L)) >= 16, s"mirror only ${ham(h(1L), h(3L))} bits away")
+  }
+
   test("resizeToFit: REAL resample for parseable images, stub for the rest") {
     import spark.implicits._
     import graft.multimodal.Multimodal
