@@ -563,6 +563,37 @@ object Multimodal {
   }
 
   /**
+   * Image near-dup pairs by banded perceptual hash: the
+   * [[graft.dedup.Dedup.simhashPairs]] pigeonhole applied to
+   * [[imageAHash]] signatures — 4 disjoint 16-bit bands, so any pair
+   * within Hamming distance ≤ 3 shares at least one band verbatim
+   * (guarantee holds for maxDist < 4; larger maxDist trades recall).
+   * Candidates join on (band index, band value) only — never all
+   * pairs — then the exact popcount filter runs on the candidate set.
+   * The decode pass sits under the join's band exchange, which both
+   * self-join sides share (byte-identical subtrees → one exchange),
+   * so every image decodes once.
+   */
+  def imageNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sigs = imageAHash(media)
+    val banded = sigs.select(col("item_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        concat(lit(s"$b:"),
+          shiftrightunsigned(col("ahash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).cast("string"))): _*))
+        .as("band"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.item_id") < col("b.item_id"))
+      .select(col("a.item_id").as("id_a"), col("b.item_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
+  /**
    * Deterministic sample "media" table fabricated from the documents
    * table (text bytes stand in for blobs): exercises the full binary
    * plumbing without real media.

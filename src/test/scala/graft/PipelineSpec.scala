@@ -555,6 +555,32 @@ class PipelineSpec extends SparkSpec {
     assert(ham(h(1L), h(3L)) >= 16, s"mirror only ${ham(h(1L), h(3L))} bits away")
   }
 
+  test("imageNearDupPairs: banded aHash finds the tweaked copy, not the stranger") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    def png(w: Int, h: Int, f: (Int, Int) => Int) = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, f(x, y))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val grad: (Int, Int) => Int = (x, _) => (x * 255 / 199) * 0x010101
+    val media = Seq(
+      (1L, "image", png(200, 100, grad)),
+      // same scene with a small bright patch — a few pixels of the 8×8
+      (2L, "image", png(200, 100, (x, y) =>
+        if (x < 12 && y < 12) 0xFFFFFF else grad(x, y))),
+      (3L, "image", png(200, 100, (x, y) => grad(199 - x, y)))) // mirrored
+      .toDF("item_id", "modality", "content")
+    val pairs = Multimodal.imageNearDupPairs(media, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"tweaked copy not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"mirrored stranger matched: $pairs")
+  }
+
   test("resizeToFit: REAL resample for parseable images, stub for the rest") {
     import spark.implicits._
     import graft.multimodal.Multimodal
