@@ -89,6 +89,30 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // TPC-H Q3-shape shipping-priority query: date-windowed orders ×
+    // late-shipped lineitems, revenue per order, top 10. Anchors the
+    // optimizer story the metrics queries don't: BOTH date predicates
+    // push to their parquet scans (row-group pruning), the join sees
+    // pre-filtered sides (AQE picks the build side), and the top-10 is
+    // TakeOrderedAndProject — per-partition heads, never a global
+    // sort. Revenue rounds BEFORE ordering so the cutoff is
+    // float-stable; o_orderkey breaks ties deterministically.
+    "q3_shipping" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp_ntz")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") > cut)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") < cut)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("odate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
     // ------------------------------------- per-stream mutations (§2.1)
     "m_rate" -> ((s, dir) =>
       unkey(Mutations.rate(pts(s, dir), perSecond = true))
@@ -545,6 +569,16 @@ object SparkEntry {
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name""".stripMargin,
+      "q3_shipping" ->
+        """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+          | o_orderpriority,
+          | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+          | count(*) AS n_items
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+          |  AND o_orderdate < TIMESTAMP '1998-06-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
       "m_rate" -> (P +
         """SELECT name, usr, ts, dval FROM (
           | SELECT name, usr, ts,
