@@ -335,6 +335,39 @@ object Dedup {
   }
 
   /**
+   * Append new documents to a materialized [[minhashIndex]] — the
+   * incremental-crawl ingest path, the text-side twin of
+   * [[graft.similarity.Ann.ivfAppend]]. Shingle sets and band keys are
+   * pure per-document functions of the text and the fixed-seed hash
+   * family — this layout carries NO corpus statistic (contrast
+   * [[cdcIndex]]/[[winnowIndex]], whose denormalized df freezes at
+   * build and makes refresh a full rewrite) — so appended rows land
+   * exactly where a full rebuild would put them and subsequent lookups
+   * are bit-identical to a from-scratch index (DedupSpec asserts it).
+   * Parameters must match the build. New sets stage under
+   * `path/staging-sets` so the band half derives from the WRITTEN rows
+   * (the [[minhashIndex]] invariant: the halves cannot disagree, one
+   * tokenize total); both halves then extend via parquet append — only
+   * new files appear, existing data is never rewritten.
+   */
+  def minhashAppend(df: DataFrame, path: String, n: Int = 3,
+                    numHashes: Int = 16, bands: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    val staged = s"$path/staging-sets"
+    shingleSets(df, idCol, textCol, n)
+      .write.mode("overwrite").parquet(staged)
+    val stored = spark.read.parquet(staged)
+    stored.write.mode("append").parquet(s"$path/sets")
+    bandRows(stored, numHashes, bands)
+      .write.mode("append").parquet(s"$path/bands")
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /**
    * Probe a [[minhashIndex]] with a batch of new documents: (probe_id,
    * corpus_id, jaccard) for every probe near-dup already in the index.
    * `numHashes`/`bands`/`n` must match the index build (same pinned
@@ -611,6 +644,25 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/sigs")
     simhashBandRows(df.sparkSession.read.parquet(s"$path/sigs"))
       .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Append new documents to a materialized [[simhashIndex]] — same
+    * contract and staging shape as [[minhashAppend]]: signatures are
+    * corpus-independent, so append ≡ full rebuild for every lookup. */
+  def simhashAppend(df: DataFrame, path: String,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): Unit = {
+    val spark = df.sparkSession
+    val staged = s"$path/staging-sigs"
+    simhashSignatures(df, idCol, textCol)
+      .write.mode("overwrite").parquet(staged)
+    val stored = spark.read.parquet(staged)
+    stored.write.mode("append").parquet(s"$path/sigs")
+    simhashBandRows(stored)
+      .write.mode("append").parquet(s"$path/bands")
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(staged), true)
   }
 
   /** Probe a [[simhashIndex]] with a batch of new documents:

@@ -254,6 +254,34 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((2L, 1L), (4L, 1L)), s"got $out")
   }
 
+  test("index append lands identically to a full rebuild (minhash + simhash)") {
+    val a = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words here entirely my friend"))
+    val b = docs(
+      (5L, "the quick brown fox jumps over the lazy dog tomorrow"),
+      (7L, "yet another unrelated pile of words to index later"))
+    val probes = docs((2L, "the quick brown fox jumps over the lazy dog tonight"))
+    val base = java.nio.file.Files.createTempDirectory("graft_app").toString
+    Dedup.minhashIndex(a, s"$base/mh_inc", n = 3, numHashes = 16, bands = 16)
+    Dedup.minhashAppend(b, s"$base/mh_inc", n = 3, numHashes = 16, bands = 16)
+    Dedup.minhashIndex(a.unionByName(b), s"$base/mh_full",
+      n = 3, numHashes = 16, bands = 16)
+    def mh(p: String) = Dedup.minhashLookup(spark, p, probes,
+        n = 3, numHashes = 16, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh(s"$base/mh_inc") == mh(s"$base/mh_full"))
+    // the appended near-dup is actually findable through the index
+    assert(mh(s"$base/mh_inc").map(_._2).contains(5L))
+    Dedup.simhashIndex(a, s"$base/sh_inc")
+    Dedup.simhashAppend(b, s"$base/sh_inc")
+    Dedup.simhashIndex(a.unionByName(b), s"$base/sh_full")
+    def sh(p: String) = Dedup.simhashLookup(spark, p, probes, maxDist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    assert(sh(s"$base/sh_inc") == sh(s"$base/sh_full"))
+    assert(sh(s"$base/sh_inc").map(_._2).contains(5L))
+  }
+
   test("at-rest minhash index: lookup and stream probe match the in-memory cross pairs") {
     import spark.implicits._
     val corpus = docs(
