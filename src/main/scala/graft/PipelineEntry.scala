@@ -324,6 +324,18 @@ object PipelineEntry {
     "d_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(Tables.documents(s, dir), n = 3,
         threshold = 0.8)),
+    // Per-source dedup observability: docs, distinct contents, dup
+    // rate — the first dashboard a curation run reads (which source is
+    // feeding the pipeline copies). count_distinct over md5 — one
+    // shuffle, map-side partials on the hash.
+    "d_dup_rate" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text"))).as("n_unique"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_unique") / col("n_docs"), 4))),
+
     // Corpus-boilerplate fraction per doc: of its DISTINCT 3-gram
     // shingles, how many occur in >= 1 other document. Linear (two
     // aggregations), never a pair join — the filterable repetition
@@ -1076,6 +1088,12 @@ object PipelineEntry {
         | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(ca, 4) AS cont_a, round(cb, 4) AS cont_b
         |FROM c WHERE greatest(ca, cb) >= 0.8""".stripMargin),
+    "d_dup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        | count(DISTINCT md5(text)) AS n_unique,
+        | round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
+        |   AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
     "d_dupgram_frac" -> (T + ShingleHashCte +
       """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
         |dfc AS (SELECT g, count(*) AS df FROM ex GROUP BY g)
