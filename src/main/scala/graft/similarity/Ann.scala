@@ -791,6 +791,49 @@ object Ann {
     cosScoreTail(c.join(q, "list_id"), k)
   }
 
+  /**
+   * Dominant principal direction of the (optionally mean-centered)
+   * embedding set by distributed power iteration — the embedding-space
+   * analysis primitive (whitening, dominant-bias probes, ABTT-style
+   * "remove the top direction" postprocessing all start here). Each
+   * iteration is ONE map-side-combinable aggregation: per-row
+   * contributions (x·v)·x explode to (dim position, partial) rows — a
+   * dim-row shuffle regardless of corpus size — and the driver only
+   * ever holds O(dim) state. The current vector ships as a plan
+   * literal (O(dim), rebuilt per iteration), the row dot runs in the
+   * codegen'd [[dot]] expression, and the sign normalizes to
+   * largest-|component|-positive so re-runs and mirrored data agree.
+   * Fixed `iters` (no convergence test) keeps run shape deterministic.
+   */
+  def powerIteration(corpus: DataFrame, dim: Int, iters: Int = 10,
+                     center: Boolean = true,
+                     vecCol: String = "embedding"): Array[Double] = {
+    val base = corpus.select(
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val mean: Array[Double] =
+      if (!center) Array.fill(dim)(0.0)
+      else base.select(posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("p").agg(avg("x").as("m"))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    val meanLit = array(mean.map(lit): _*)
+    val centered =
+      if (!center) base
+      else base.select(zip_with(col("v"), meanLit, (a, b) => a - b).as("v"))
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    (0 until iters).foreach { _ =>
+      val vLit = array(v.map(lit): _*)
+      val next = centered
+        .select(col("v"), dot(col("v"), vLit).as("s"))
+        .select(posexplode(expr("transform(v, xi -> xi * s)")).as(Seq("p", "c")))
+        .groupBy("p").agg(sum("c").as("c"))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+      val nrm = math.sqrt(next.map(x => x * x).sum)
+      if (nrm > 0) v = next.map(_ / nrm)
+    }
+    val k = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(k) < 0) v.map(-_) else v
+  }
+
   // ----------------------------------------------------------------- PQ
 
   /**

@@ -469,6 +469,26 @@ class PipelineSpec extends SparkSpec {
     assert(rows(indexed) == rows(Ann.ivfSq8TopK(cents, emb, q, k = 5, nprobe = 2)))
   }
 
+  test("powerIteration recovers a planted dominant direction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(26)
+    val dim = 16
+    val d = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val dn = { val n = math.sqrt(d.map(x => x * x).sum); d.map(_ / n) }
+    // x = t·d + small noise, t ~ N(0, 4); dominant variance is along d
+    val emb = (0L until 200L).map { i =>
+      val t = rnd.nextGaussian() * 2.0
+      (i, Array.tabulate(dim)(j =>
+        (t * dn(j) + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val v = Ann.powerIteration(emb, dim, iters = 12)
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    val cos = v.zip(dn).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.97, s"recovered direction off: |cos|=$cos")
+    // deterministic sign convention: largest-|component| is positive
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
+  }
+
   test("refineTopK over PQ candidates reports exact cosines") {
     import spark.implicits._
     val rnd = new scala.util.Random(22)
