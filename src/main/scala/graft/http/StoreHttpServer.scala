@@ -255,6 +255,9 @@ object StoreHttpServer {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata parquet may flag timestamps isAdjustedToUTC=false; read them
+      // as plain TIMESTAMP (session tz is UTC) so unix_millis & friends resolve
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
