@@ -766,6 +766,14 @@ object PipelineEntry {
       Ann.clusterSample(Ann.pinnedCentroids(emb, nlist = 16), emb,
         perList = 5)
     }),
+    // SemDeDup semantic dedup: pinned-quantizer clusters, drop any
+    // vector with a lower-id same-cluster neighbor at cosine >= 0.35
+    // — pairwise comparison never crosses a cluster boundary, so the
+    // quadratic is bounded per list (nlist is the scale knob).
+    "e_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.semDedup(Ann.pinnedCentroids(emb, nlist = 16), emb, tau = 0.35)
+    }),
     // Winnowing-fingerprint candidate pairs: docs sharing >= 3 selected
     // fingerprints (Schleimer winnowing guarantees shared substrings of
     // the window length surface here) — the plagiarism-style dedup pass.
@@ -1282,7 +1290,8 @@ object PipelineEntry {
     "e_knn_ivfpq" -> ivfPqKnnOracle,
     "e_knn_ivfpq_res" -> ivfPqResKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle,
-    "e_cluster_sample" -> clusterSampleOracle)
+    "e_cluster_sample" -> clusterSampleOracle,
+    "e_semdedup" -> semDedupOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
@@ -1408,6 +1417,25 @@ object PipelineEntry {
     """
       |SELECT cid AS list_id, count(*) AS n_vectors
       |FROM ranked WHERE cr = 1 GROUP BY cid""".stripMargin
+
+  /** DuckDB mirror of the SemDeDup gate: pinned-quantizer cluster
+    * assignment (same tie-break as every IVF oracle), then one EXISTS
+    * per row — removed iff a lower-id same-cluster neighbor sits at
+    * cosine >= 0.35, cosine spelled with the identical
+    * dot/(sqrt·sqrt) float shape the Spark side evaluates. */
+  private def semDedupOracle: String = IvfRankedCte +
+    """,
+      |asg AS (SELECT vec_id, v, cid AS list_id FROM ranked WHERE cr = 1),
+      |rem AS (SELECT DISTINCT b.vec_id
+      | FROM asg a JOIN asg b
+      |   ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      | WHERE list_inner_product(a.v, b.v)
+      |   / (sqrt(list_inner_product(a.v, a.v))
+      |      * sqrt(list_inner_product(b.v, b.v))) >= 0.35),
+      |flagged AS (SELECT asg.vec_id, CAST(asg.list_id AS BIGINT) AS list_id,
+      |  (rem.vec_id IS NULL) AS keep
+      | FROM asg LEFT JOIN rem ON rem.vec_id = asg.vec_id)
+      |SELECT vec_id, list_id, keep FROM flagged""".stripMargin
 
   private def clusterSampleOracle: String = IvfRankedCte +
     """,

@@ -376,6 +376,54 @@ object Ann {
   }
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the corpus with the coarse quantizer,
+   * then inside each cluster drop every vector that has a LOWER-id
+   * neighbor at cosine ≥ `tau` — the earliest exemplar of every
+   * semantic-duplicate neighborhood survives. The removal rule is
+   * deliberately non-transitive ("∃ lower-id same-cluster neighbor at
+   * ≥ tau", nothing about CHAINS of removed rows): it is a pure
+   * per-pair predicate an external oracle can replay with one EXISTS,
+   * and it never under-removes relative to the paper's
+   * one-per-neighborhood policy.
+   *
+   * Scale shape: pairwise work never crosses clusters, so the
+   * quadratic is corpus²/nlist per cluster in expectation — nlist is
+   * the knob (the paper runs 50k clusters over 5B embeddings). The
+   * assignment is one codegen'd map pass (centroids ride the closure,
+   * O(nlist·dim)); the `repartition(list_id)` exchange below is
+   * materialized ONCE and read by both self-join sides (exchange
+   * reuse, plan-audited) and by the keep-flag join's left side.
+   * Output: (vec_id, list_id, keep) for every corpus row.
+   */
+  def semDedup(centroids: Array[Array[Double]], corpus: DataFrame,
+               tau: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        topCentroids(col(vecCol), centroids, 1).getItem(0)
+          .cast("long").as("list_id"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("vec_id").isNotNull && col("list_id").isNotNull)
+      .repartition(col("list_id"))
+    val a = assigned.select(col("list_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val removed = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__rm", lit(true))
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        not(coalesce(col("__rm"), lit(false))).as("keep"))
+  }
+
+  /**
    * IVF index-build statistics: corpus rows per inverted list. At scale
    * this is the materialization step — the corpus gets written
    * partitioned/bucketed by `list_id` so probes read only their lists —

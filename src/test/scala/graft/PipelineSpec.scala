@@ -1082,6 +1082,28 @@ class PipelineSpec extends SparkSpec {
     assert(a === b && a.size === 8)
   }
 
+  test("semDedup drops lower-id-shadowed near-dups within clusters only") {
+    import spark.implicits._
+    // cluster 0 (x-axis): 0 and 2 are near-identical (cos ~ 0.9998),
+    // 4 is at ~45 degrees in-plane (cos ~ 0.71 < tau to both).
+    // cluster 1 (y-axis): 1 alone. 6 duplicates 0 but would land in
+    // cluster 0 too — its removal must come from the same-cluster rule.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.02f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.9f)),
+      (6L, Seq(0.99f, 0.01f))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val got = graft.similarity.Ann.semDedup(cents, emb, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(0L), "lowest id of its neighborhood survives")
+    assert(got(1L), "solo cluster member survives")
+    assert(!got(2L), "near-dup of lower id 0 is removed")
+    assert(got(4L), "sub-threshold cluster-mate survives")
+    assert(!got(6L), "near-dup of 0 within cluster 0 is removed")
+  }
+
   test("langid picks the dominant stopword language, unk below threshold") {
     val df = docs(
       (1L, "the cat and the dog is in a house of wonders"),

@@ -315,6 +315,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("e_semdedup: one corpus scan, list_id exchange reused by both join sides") {
+    // The assignment pass (nearest-centroid map) materializes through
+    // ONE repartition(list_id) exchange; the within-cluster self-join
+    // reads it twice via reuse, and no cross-cluster all-pairs shape
+    // may appear. AQE off for a deterministic static-reuse verdict.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("e_semdedup")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"e_semdedup pairwise work must stay within clusters:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"e_semdedup assignment pass is compiling more than once:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("shared-subtree dedup paths compute their tokenize pass once (ReusedExchange)") {
     // The expensive text pass (tokenize/shingle/winnow/chunk+md5) must
     // materialize through ONE exchange that the hot-df branch and both
