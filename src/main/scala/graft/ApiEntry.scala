@@ -167,6 +167,14 @@ object ApiEntry {
           unkey(Mutations.maxExact(k, H)).withColumn("op", lit("max")))
         .select(col("name"), col("usr"), col("op"), col("ts"), col("dval"))
     }),
+    // Time-bucketed LTTB downsample (Steinarsson 2013): anchor first
+    // point, per 7-day bucket keep the point maximizing the triangle
+    // area against the previous selection and the NEXT bucket's
+    // centroid, last bucket keeps the endpoint. dval passes through
+    // untouched (selection only), so the gate hash is float-exact.
+    "m_lttb" -> ((s, dir) =>
+      unkey(Mutations.lttb(Point.withSeriesKey(pts(s, dir)), 604800000L))
+        .select(col("name"), col("usr"), col("ts"), col("dval"))),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
     "mm_features" -> ((s, dir) =>
@@ -594,6 +602,62 @@ object ApiEntry {
         |SELECT r.name, r.usr, r.ts, round(r.s / r.c, 4) AS dval
         |FROM r JOIN mx ON mx.name = r.name AND mx.usr = r.usr
         |  AND r.rn = mx.mrn""".stripMargin,
+    // Recursive replay of LttbOp: candidates are every point after the
+    // series anchor, bucketed by floor(ts / 7d) and indexed densely;
+    // the recursion walks bucket indexes carrying the previously
+    // selected point, arg-maxing the same |cross-product| area with a
+    // NOT EXISTS (strictly-better) pair test — ties to earliest ts —
+    // and the last bucket contributes its last point. Centroid sums
+    // replay the op's feed order (list_sum over ts-ordered lists);
+    // dval is selection-only so the hash is float-exact.
+    "m_lttb" ->
+      """WITH RECURSIVE pts AS (SELECT '/events/' || event_type AS name,
+        |  CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval
+        | FROM events),
+        |anchor AS (SELECT name, usr, ts, dval FROM
+        | (SELECT name, usr, ts, dval,
+        |   row_number() OVER (PARTITION BY name, usr ORDER BY ts) AS rn
+        |  FROM pts) WHERE rn = 1),
+        |cand AS (SELECT p.name, p.usr, p.ts, p.dval,
+        |  p.ts // 604800000 AS bk
+        | FROM pts p JOIN anchor a ON a.name = p.name AND a.usr = p.usr
+        | WHERE p.ts > a.ts),
+        |cb AS (SELECT name, usr, bk,
+        |  dense_rank() OVER (PARTITION BY name, usr ORDER BY bk) AS bi
+        | FROM (SELECT DISTINCT name, usr, bk FROM cand)),
+        |cwb AS (SELECT c.name, c.usr, c.ts, c.dval, cb.bi,
+        |  (c.ts = max(c.ts) OVER (PARTITION BY c.name, c.usr, cb.bi))
+        |    AS last_in_bucket
+        | FROM cand c JOIN cb ON cb.name = c.name AND cb.usr = c.usr
+        |   AND cb.bk = c.bk),
+        |cent AS (SELECT name, usr, bi,
+        |  CAST(list_sum(list(ts ORDER BY ts)) AS DOUBLE) / count(*) AS ax,
+        |  list_sum(list(dval ORDER BY ts)) / count(*) AS ay
+        | FROM cwb GROUP BY 1, 2, 3),
+        |r AS (
+        | SELECT a.name, a.usr, CAST(0 AS BIGINT) AS bi,
+        |  a.ts AS sel_ts, a.dval AS sel_v
+        | FROM anchor a
+        | UNION ALL
+        | SELECT r.name, r.usr, c.bi, c.ts, c.dval
+        | FROM r JOIN cwb c
+        |   ON c.name = r.name AND c.usr = r.usr AND c.bi = r.bi + 1
+        | LEFT JOIN cent x
+        |   ON x.name = c.name AND x.usr = c.usr AND x.bi = c.bi + 1
+        | WHERE (x.ax IS NULL AND c.last_in_bucket)
+        |    OR (x.ax IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM cwb c2
+        |      WHERE c2.name = c.name AND c2.usr = c.usr AND c2.bi = c.bi
+        |        AND (abs((r.sel_ts - x.ax) * (c2.dval - r.sel_v)
+        |               - (r.sel_ts - c2.ts) * (x.ay - r.sel_v))
+        |             > abs((r.sel_ts - x.ax) * (c.dval - r.sel_v)
+        |               - (r.sel_ts - c.ts) * (x.ay - r.sel_v))
+        |          OR (abs((r.sel_ts - x.ax) * (c2.dval - r.sel_v)
+        |               - (r.sel_ts - c2.ts) * (x.ay - r.sel_v))
+        |             = abs((r.sel_ts - x.ax) * (c.dval - r.sel_v)
+        |               - (r.sel_ts - c.ts) * (x.ay - r.sel_v))
+        |             AND c2.ts < c.ts)))))
+        |SELECT name, usr, sel_ts AS ts, sel_v AS dval FROM r""".stripMargin,
     // Recursive replay of ExtremumOp (mutations.go:139-191), min and
     // max in one chain: window anchors depend only on timestamps, so
     // both extrema ride the same recursion; a row at-or-past

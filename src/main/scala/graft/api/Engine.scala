@@ -65,6 +65,11 @@ object Requests {
     def apply(df: DataFrame): DataFrame =
       Mutations.holt(df, tauLevel.toDouble, tauTrend.toDouble)
   }
+  /** Engine extension: time-bucketed LTTB downsample (visually
+    * dominant point per `bucket` ms — see [[Mutations.LttbOp]]). */
+  case class Lttb(bucket: Long) extends MutationSpec {
+    def apply(df: DataFrame): DataFrame = Mutations.lttb(df, bucket)
+  }
   /** Engine extension: sliding-window grid (PromQL range-query shape);
     * output keeps the (skey, ts, dval) mutation contract. */
   case class Sliding(width: Long, hop: Long,

@@ -92,6 +92,7 @@ object Cli {
         case (_, Some(("stddev", d))) => muts :+= Requests.StdDev(parseDuration(d))
         case (_, Some(("ewma", d))) => muts :+= Requests.Ewma(parseDuration(d))
         case (_, Some(("anomaly", d))) => muts :+= Requests.Anomaly(parseDuration(d))
+        case (_, Some(("lttb", d))) => muts :+= Requests.Lttb(parseDuration(d))
         case (_, Some(("holt", d))) => d.split(":", 2) match {
           case Array(tl, tt) =>
             muts :+= Requests.Holt(parseDuration(tl), parseDuration(tt))

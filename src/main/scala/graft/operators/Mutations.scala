@@ -367,6 +367,80 @@ object Mutations {
     def flush(): Seq[(Long, Double)] = Nil
   }
 
+  /**
+   * Time-bucketed LTTB (Largest-Triangle-Three-Buckets, Steinarsson
+   * 2013) downsampling — the standard visualization downsampler
+   * (Grafana/M3 lineage; beyond-reference, the natural companion to
+   * the retention engine's downsample step). Classic LTTB fixes the
+   * OUTPUT count; the streaming variant here fixes the BUCKET WIDTH,
+   * which is the form that composes with a time-series store's
+   * retention tiers ("keep 1 point per week after 90 days" — but the
+   * visually dominant point, not a blind mean).
+   *
+   * Exact rule, replayable by an external oracle:
+   *  - the first point of a series is always emitted (the anchor);
+   *  - every later point falls in bucket `floor(ts / bucketMs)`; for
+   *    each non-empty bucket EXCEPT the last, the selected point
+   *    maximizes the triangle area between the PREVIOUSLY SELECTED
+   *    point and the NEXT non-empty bucket's centroid
+   *    (mean ts, mean value — values summed in ts order); area ties
+   *    break to the earliest ts;
+   *  - the LAST non-empty bucket emits the series' last point
+   *    (classic LTTB keeps the endpoint).
+   *
+   * O(two buckets) state per series: a bucket is only finalized once
+   * the following bucket is complete (one-bucket lookahead for the
+   * centroid), which is exactly the `perSeries` sorted-stream shape.
+   */
+  final class LttbOp(bucketMs: Long) extends StreamOp {
+    require(bucketMs > 0, "bucketMs must be positive")
+    private var first = true
+    private var px = 0.0; private var py = 0.0 // previously selected point
+    private val NoBucket = Long.MinValue
+    private var curB = NoBucket
+    private var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    private var nxtB = NoBucket
+    private var nxt = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    private def select(cand: Seq[(Long, Double)],
+                       ax: Double, ay: Double): (Long, Double) = {
+      var best = cand.head
+      var bestArea = -1.0
+      cand.foreach { case (ts, v) =>
+        val area = math.abs((px - ax) * (v - py) - (px - ts) * (ay - py))
+        if (area > bestArea) { bestArea = area; best = (ts, v) }
+      }
+      best
+    }
+    private def finalizeCur(): (Long, Double) = {
+      var sumTs = 0L; var sumV = 0.0
+      nxt.foreach { case (ts, v) => sumTs += ts; sumV += v }
+      val sel = select(cur.toSeq, sumTs.toDouble / nxt.length, sumV / nxt.length)
+      px = sel._1.toDouble; py = sel._2
+      sel
+    }
+    def feed(ts: Long, v: Double): Seq[(Long, Double)] = {
+      if (first) {
+        first = false; px = ts.toDouble; py = v
+        return List((ts, v))
+      }
+      val b = Math.floorDiv(ts, bucketMs)
+      if (curB == NoBucket) { curB = b; cur += ((ts, v)); Nil }
+      else if (b == curB) { cur += ((ts, v)); Nil }
+      else if (nxtB == NoBucket || b == nxtB) { nxtB = b; nxt += ((ts, v)); Nil }
+      else {
+        val out = finalizeCur()
+        cur = nxt; curB = nxtB
+        nxt = scala.collection.mutable.ArrayBuffer((ts, v)); nxtB = b
+        List(out)
+      }
+    }
+    def flush(): Seq[(Long, Double)] = {
+      if (curB == NoBucket) Nil // anchor-only series
+      else if (nxtB == NoBucket) List(cur.last) // single trailing bucket
+      else List(finalizeCur(), nxt.last)
+    }
+  }
+
   def meanExact(df: DataFrame, durationMs: Long): DataFrame =
     perSeries(df)(() => new MeanOp(durationMs))
 
@@ -384,6 +458,9 @@ object Mutations {
 
   def ewma(df: DataFrame, tauMs: Double): DataFrame =
     perSeries(df)(() => new EwmaOp(tauMs))
+
+  def lttb(df: DataFrame, bucketMs: Long): DataFrame =
+    perSeries(df)(() => new LttbOp(bucketMs))
 
   /**
    * Holt double-exponential smoothing (level + trend) for

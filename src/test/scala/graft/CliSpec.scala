@@ -32,6 +32,11 @@ class CliSpec extends SparkSpec {
       graft.api.Requests.Ewma(600000L), graft.api.Requests.Anomaly(3600000L)))
   }
 
+  test("get args: lttb downsample mutation parses with a duration bucket") {
+    assert(Cli.parseGet("/sys/cpu", Seq("lttb=1d")).mutations ==
+      Seq(graft.api.Requests.Lttb(86400000L)))
+  }
+
   test("get args: holt and sliding mutations parse (sliding takes the current agg)") {
     val req = Cli.parseGet("/sys/cpu",
       Seq("holt=10m:30m", "agg=max", "sliding=6h:1h"))

@@ -24,6 +24,26 @@ class MutationsSpec extends SparkSpec {
 
   def keyed(pts: Seq[(Long, Double)]) = Point.withSeriesKey(series(pts))
 
+  test("LTTB(10) golden: anchor, per-bucket max-area vs next centroid, endpoint") {
+    // anchor (1,0); bucket 1 = {(12,1),(14,10),(18,2)} with next
+    // centroid (25,4): areas |−24v+4(ts−1)| = 20/188/20 → (14,10);
+    // bucket 2 = {(25,4)} sole candidate; bucket 3 last → endpoint.
+    val pts = Seq(1L -> 0.0, 12L -> 1.0, 14L -> 10.0, 18L -> 2.0,
+      25L -> 4.0, 33L -> 7.0)
+    assert(collectTsVal(Mutations.lttb(keyed(pts), 10L)) ===
+      Seq(1L -> 0.0, 14L -> 10.0, 25L -> 4.0, 33L -> 7.0))
+  }
+
+  test("LTTB(10): equal areas tie to the earliest ts; anchor-only passes through") {
+    // px=(0,0), next centroid (20,0): area = 20·|v| → (11,3) and
+    // (12,-3) tie at 60; earliest wins.
+    val pts = Seq(0L -> 0.0, 11L -> 3.0, 12L -> -3.0, 20L -> 0.0)
+    assert(collectTsVal(Mutations.lttb(keyed(pts), 10L)) ===
+      Seq(0L -> 0.0, 11L -> 3.0, 20L -> 0.0))
+    assert(collectTsVal(Mutations.lttb(keyed(Seq(7L -> 42.0)), 10L)) ===
+      Seq(7L -> 42.0))
+  }
+
   test("Mean(300) golden: buckets anchored at first input ts, emitted at last ts") {
     val got = collectTsVal(Mutations.meanExact(keyed(uniform), 300L))
     assert(got === Seq(300L -> 70.0, 540L -> 162.0))
