@@ -401,6 +401,17 @@ object PipelineEntry {
               minShared = 3, maxDf = 50L)
             .select(col("id_a"), col("id_b"))))
     }),
+    // Keep-best dedup collapse: every near-dup group keeps its
+    // highest-quality member (rounded score, ties to lowest id) —
+    // the curation policy real pipelines run instead of keep-lowest-id.
+    "d_keep_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.keepBest(
+        Dedup.duplicateGroups(
+          Dedup.ngramJaccardPairs(d, n = 3, threshold = 0.5)),
+        d.select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 4).as("quality")))
+    }),
     // Leakage-safe split: bucket by the near-dup GROUP representative,
     // not the document — near-duplicates can never straddle train/val/
     // test (the classic eval-contamination hole p_split's content hash
@@ -1145,6 +1156,23 @@ object PipelineEntry {
         |SELECT probe_id, corpus_id, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
     "d_dup_groups" -> (DupGroupCtes +
       "\nSELECT doc_id, group_id FROM grp"),
+    // keep-best: near-dup groups joined to the rounded quality score,
+    // winner = max(quality) with ties to the lowest doc_id. (Window
+    // argmax here; the Spark side is a max(struct) aggregate — same
+    // total order because the score is rounded identically first.)
+    "d_keep_best" -> (DupGroupCtes +
+      s""",
+         |q AS ($QualitySelect),
+         |m AS (SELECT g.group_id, g.doc_id, q.quality
+         |  FROM grp g JOIN q USING (doc_id)),
+         |rk AS (SELECT group_id, doc_id, quality,
+         |  row_number() OVER (PARTITION BY group_id
+         |    ORDER BY quality DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY group_id) AS n_members
+         | FROM m)
+         |SELECT group_id, doc_id AS keep_id, quality AS keep_quality,
+         |  n_members
+         |FROM rk WHERE rn = 1""".stripMargin),
     "d_dup_groups_multi" -> (
       T.replaceFirst("WITH ", "WITH RECURSIVE ") + ShingleHashCte +
       s"""msig AS (SELECT doc_id, s,

@@ -36,6 +36,32 @@ object Dedup {
   def canonicalText(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  /**
+   * Keep-best collapse: for every duplicate group, the member with the
+   * HIGHEST quality survives (ties break to the lowest id) — the
+   * production curation policy. [[exact]]/[[canonical]]/
+   * [[duplicateGroups]] keep the lowest id, which is arbitrary; when a
+   * document appears N times across crawls, real pipelines keep the
+   * best-scored copy and drop the rest.
+   *
+   * `groups` is any (idCol, groupCol) membership table (e.g.
+   * [[duplicateGroups]] output); `quality` maps idCol → `qualityCol`.
+   * The winner is an ordinary map-side-combinable `max(struct(q,-id))`
+   * aggregate — no window, no per-group materialization — and the
+   * membership join is un-hinted so AQE broadcasts whichever side is
+   * actually small (dup membership is corpus-sized in the worst case).
+   */
+  def keepBest(groups: DataFrame, quality: DataFrame,
+               idCol: String = "doc_id", groupCol: String = "group_id",
+               qualityCol: String = "quality"): DataFrame =
+    groups.join(quality, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(max(struct(col(qualityCol).as("q"),
+          (-col(idCol)).as("nid"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col(groupCol), (-col("b.nid")).cast("long").as("keep_id"),
+        col("b.q").as("keep_quality"), col("n_members"))
+
   /** Exact dedup on the canonical form — same single-shuffle shape as
     * [[exact]], keyed on md5(canonicalText). */
   def canonical(df: DataFrame, idCol: String = "doc_id",

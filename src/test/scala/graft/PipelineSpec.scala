@@ -14,6 +14,19 @@ class PipelineSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("keepBest keeps the max-quality member, ties to the lowest id") {
+    import spark.implicits._
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "group_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (9L, 0.5))
+      .toDF("doc_id", "quality")
+    val got = graft.dedup.Dedup.keepBest(groups, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // group 1: 2 and 3 tie at 0.9 -> lowest id 2; group 7: tie -> 7
+    assert(got === Set((1L, 2L, 0.9, 3L), (7L, 7L, 0.5, 2L)))
+  }
+
   test("p_split_safe: near-dup group members never straddle splits") {
     val df = SparkEntry.queries("p_split_safe")(spark, "/root/testdata/sf0.001")
     val leaked = df.groupBy("gid")
