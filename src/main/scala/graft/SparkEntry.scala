@@ -22,6 +22,8 @@ object SparkEntry {
     * correlation request names its metrics, which is what bounds the
     * per-timestamp pair fan-out (|set|², not fleet-wide #names²). */
   val CorrNames: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  /** Hour-unit lags for the cross-correlation gate (±2 h). */
+  val XcorrLags: Seq[Long] = Seq(-2L, -1L, 0L, 1L, 2L)
 
   /** The m_alert rule in the reference's config.txt syntax, parsed at
     * query build ([[graft.config.StoreConfig]]) — the alert evaluator
@@ -323,6 +325,27 @@ object SparkEntry {
       a.join(b, col("ts") === col("ts_b") && col("name_a") < col("name_b"))
         .groupBy("name_a", "name_b")
         .agg(count(lit(1)).as("n"), (round(corr(col("va"), col("vb")), 4) + 0.0).as("r"))
+    }),
+
+    // Lagged cross-correlation between metric pairs: corr(a(t), b(t+L))
+    // for L in ±2 h of hourly grid — the lead/lag detector ("errors
+    // rise one hour after clicks") the plain agg_corr cannot see.
+    // Shape: the tiny hourly grid (names × hours, agg'd first) is what
+    // explodes ×5 lags and joins — never the raw points; one grid agg
+    // shuffle + one equi-join on the shifted bucket.
+    "agg_xcorr" -> ((s, dir) => {
+      val scoped = Point.withSeriesKey(
+        graft.sources.PointSource.events(s, dir, CorrNames))
+      val g = Aggregations.byName(scoped, Aggregations.Average, HourMs)
+      val a = g.select(col("name").as("name_a"), col("ts"), col("dval").as("va"))
+        .withColumn("lag", explode(array(XcorrLags.map(l => lit(l)): _*)))
+      val b = g.select(col("name").as("name_b"), col("ts").as("ts_b"),
+        col("dval").as("vb"))
+      a.join(b, col("ts_b") === col("ts") + col("lag") * HourMs &&
+          col("name_a") < col("name_b"))
+        .groupBy("name_a", "name_b", "lag")
+        .agg(count(lit(1)).as("n"),
+          (round(corr(col("va"), col("vb")), 4) + 0.0).as("r"))
     }),
 
     // Top-20 series by total load — "which streams are the heaviest".
@@ -693,6 +716,17 @@ object SparkEntry {
           | round(corr(a.v, b.v), 4) + 0.0 AS r
           |FROM g a JOIN g b USING (ts) WHERE a.name < b.name
           |GROUP BY 1, 2""".stripMargin),
+      "agg_xcorr" -> (P +
+        s""", g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
+          |  FROM pts
+          |  WHERE name IN (${CorrNames.map(n => s"'/events/$n'").mkString(", ")})
+          |  GROUP BY 1, 2),
+          |l AS (SELECT CAST(unnest([${XcorrLags.mkString(", ")}]) AS BIGINT) AS lag)
+          |SELECT a.name AS name_a, b.name AS name_b, l.lag, count(*) AS n,
+          | round(corr(a.v, b.v), 4) + 0.0 AS r
+          |FROM g a CROSS JOIN l
+          |JOIN g b ON b.ts = a.ts + l.lag * 3600000 AND a.name < b.name
+          |GROUP BY 1, 2, 3""".stripMargin),
       "q_top_series" -> (P +
         """SELECT name, usr, n, total FROM (
           | SELECT name, usr, count(*) AS n, round(sum(dval), 4) AS total
