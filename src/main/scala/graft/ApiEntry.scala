@@ -97,6 +97,14 @@ object ApiEntry {
           Mutations.resampleUniform(Point.withSeriesKey(pts(s, dir)), H)), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // Gorilla XOR block codec roundtrip: decode(encode(points)) must be
+    // the raw point set bit-for-bit (dvals pass through the double-bits
+    // XOR path untouched — no rounding anywhere), so the oracle is the
+    // identity SELECT over pts. Daily blocks at gate scale.
+    "gor_roundtrip" -> ((s, dir) =>
+      unkey(graft.codec.Gorilla.decode(graft.codec.Gorilla.encode(
+          Point.withSeriesKey(pts(s, dir)), blockMs = 86400000L)))
+        .select(col("name"), col("usr"), col("ts"), col("dval"))),
     // Go Interpolate (mutations.go:87-137). The sequential skip rule
     // reduces to "consume the first point of each H-bucket", so the
     // whole op is SQL-expressible (see oracle below).
@@ -734,6 +742,9 @@ object ApiEntry {
     "m_uniform" -> UniformOracleSql,
     // identity on the complete uniform grid -> same oracle
     "rle_roundtrip" -> UniformOracleSql,
+    // lossless roundtrip over raw points: identity select
+    "gor_roundtrip" ->
+      (P + "SELECT name, usr, ts, dval FROM pts"),
     "agg_preserve" -> (P +
       """SELECT name, usr, substr(name, 9) AS site,
         | ts - ts % 3600000 AS ts, round(sum(dval), 4) AS dval
