@@ -59,6 +59,30 @@ object AnalyticsEntry {
       | list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
       | FROM documents) """.stripMargin
 
+  /** Unigram-LM surprisal per document (shared by t_unigram_nll and
+    * t_ppl_bucket). The t_tfidf shape: ONE tokenize pass materialized
+    * through the (doc_id, tok) term-frequency exchange, which every
+    * consumer (vocab, corpus total, the join stream side) reads back.
+    * The weighted per-doc average (Σ tf·nll / Σ tf) is exact — it just
+    * groups equal occurrences first — and unlike a raw-occurrence
+    * repartition on tok it keeps hot-token exposure bounded: a
+    * stop-word contributes ONE tf row per doc to the tok join, not its
+    * whole occurrence stratum, and the join's exchange stays
+    * ENSURE_REQUIREMENTS so AQE skew mitigation still applies. */
+  private def unigramNll(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull && col("doc_id").isNotNull)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+    val tot = vocab.agg(sum("cnt").as("total"))
+    tf.join(vocab, "tok").crossJoin(broadcast(tot))
+      .withColumn("nll", -log(col("cnt") / col("total")))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        round(sum(col("tf") * col("nll")) / sum(col("tf")), 4).as("avg_nll"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -------------------------------------------------- event sequences
     // Gap-based sessionization + per-session stats. One shuffle total:
@@ -323,27 +347,24 @@ object AnalyticsEntry {
     // filter (high = out-of-distribution/noise, low = repetitive).
     // Same natural-key shuffles as t_tfidf; corpus totals ride a 1-row
     // broadcast.
-    "t_unigram_nll" -> ((s, dir) => {
-      // The t_tfidf shape: ONE tokenize pass materialized through the
-      // (doc_id, tok) term-frequency exchange, which every consumer
-      // (vocab, corpus total, the join stream side) reads back. The
-      // weighted per-doc average (Σ tf·nll / Σ tf) is exact — it just
-      // groups equal occurrences first — and unlike a raw-occurrence
-      // repartition on tok it keeps hot-token exposure bounded: a
-      // stop-word contributes ONE tf row per doc to the tok join, not
-      // its whole occurrence stratum, and the join's exchange stays
-      // ENSURE_REQUIREMENTS so AQE skew mitigation still applies.
-      val tf = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-        .filter(col("tok").isNotNull && col("doc_id").isNotNull)
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
-      val tot = vocab.agg(sum("cnt").as("total"))
-      tf.join(vocab, "tok").crossJoin(broadcast(tot))
-        .withColumn("nll", -log(col("cnt") / col("total")))
-        .groupBy("doc_id")
-        .agg(sum("tf").as("n_tok"),
-          round(sum(col("tf") * col("nll")) / sum(col("tf")), 4).as("avg_nll"))
+    "t_unigram_nll" -> ((s, dir) => unigramNll(s, dir)),
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): documents
+    // split into head/middle/tail TERCILES of LM surprisal WITHIN each
+    // language — the language-local cut is the point (a global
+    // threshold would dump whole low-resource languages into "tail").
+    // Terciles are ntile(3) over the (rounded avg_nll, doc_id) total
+    // order, so both engines rank identically; the per-language window
+    // adds one shuffle on lang over the already-reduced per-doc rows.
+    "t_ppl_bucket" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+      unigramNll(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+        .withColumn("tercile", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("avg_nll"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
     }),
 
     // Bigram-LM surprisal per doc: mean −ln P(b|a) over adjacent token
@@ -692,6 +713,27 @@ object AnalyticsEntry {
         | round(sum(tf * -ln(cnt / (SELECT total FROM tot))) / sum(tf), 4)
         |  AS avg_nll
         |FROM tf JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin),
+    // CCNet terciles: same nll CTEs, ntile(3) within language over the
+    // (rounded avg_nll, doc_id) total order
+    "t_ppl_bucket" -> (T +
+      """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, tok),
+        |vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+        |  FROM tf GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        |nll AS (SELECT doc_id,
+        |  round(sum(tf * -ln(cnt / (SELECT total FROM tot))) / sum(tf), 4)
+        |   AS avg_nll
+        | FROM tf JOIN vocab USING (tok) GROUP BY doc_id),
+        |t3 AS (SELECT n.doc_id, d.lang, n.avg_nll,
+        |  ntile(3) OVER (PARTITION BY d.lang
+        |    ORDER BY n.avg_nll, n.doc_id) AS tercile
+        | FROM nll n JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, avg_nll,
+        | CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |  ELSE 'tail' END AS bucket
+        |FROM t3""".stripMargin),
     "ev_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu,
         |  stddev_pop(value) AS sigma FROM events GROUP BY event_type)

@@ -777,6 +777,13 @@ object PipelineEntry {
       Ann.clusterSample(Ann.pinnedCentroids(emb, nlist = 16), emb,
         perList = 5)
     }),
+    // Embedding outlier scores: per-cluster z-score of the squared
+    // distance to the assigned centroid — the mislabeled/garbage-vector
+    // curation signal, normalized within each embedding-space region.
+    "e_emb_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.embOutliers(Ann.pinnedCentroids(emb, nlist = 16), emb)
+    }),
     // SemDeDup semantic dedup: pinned-quantizer clusters, drop any
     // vector with a lower-id same-cluster neighbor at cosine >= 0.35
     // — pairwise comparison never crosses a cluster boundary, so the
@@ -1319,7 +1326,8 @@ object PipelineEntry {
     "e_knn_ivfpq_res" -> ivfPqResKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle,
     "e_cluster_sample" -> clusterSampleOracle,
-    "e_semdedup" -> semDedupOracle)
+    "e_semdedup" -> semDedupOracle,
+    "e_emb_outliers" -> embOutliersOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
@@ -1464,6 +1472,25 @@ object PipelineEntry {
       |  (rem.vec_id IS NULL) AS keep
       | FROM asg LEFT JOIN rem ON rem.vec_id = asg.vec_id)
       |SELECT vec_id, list_id, keep FROM flagged""".stripMargin
+
+  /** DuckDB mirror of the embedding-outlier gate: same pinned-quantizer
+    * assignment, d2 = (v·v − 2·v·c) + c·c in the identical float-op
+    * order, z against the per-cluster population moments. */
+  private def embOutliersOracle: String = IvfRankedCte +
+    """,
+      |asg AS (SELECT r.vec_id, r.v, r.cid AS list_id, c.cv
+      | FROM ranked r JOIN cent c ON c.cid = r.cid WHERE r.cr = 1),
+      |d AS (SELECT vec_id, list_id,
+      |  (list_inner_product(v, v) - 2.0 * list_inner_product(v, cv))
+      |    + list_inner_product(cv, cv) AS d2
+      | FROM asg),
+      |s AS (SELECT vec_id, list_id, d2,
+      |  avg(d2) OVER (PARTITION BY list_id) AS mu,
+      |  stddev_pop(d2) OVER (PARTITION BY list_id) AS sd
+      | FROM d)
+      |SELECT vec_id, CAST(list_id AS BIGINT) AS list_id,
+      |  round((d2 - mu) / sd, 4) + 0.0 AS z
+      |FROM s""".stripMargin
 
   private def clusterSampleOracle: String = IvfRankedCte +
     """,

@@ -424,6 +424,43 @@ object Ann {
   }
 
   /**
+   * Embedding outlier scores: squared distance to the assigned
+   * centroid, z-scored WITHIN each cluster — the curation signal for
+   * mislabeled/garbage vectors (a point far from its own region is
+   * suspect even when the corpus-global distance looks ordinary;
+   * per-cluster normalization is what makes dense and sparse regions
+   * comparable). Emits every row's score; thresholding is the
+   * caller's policy.
+   *
+   * Shape: one codegen'd assignment pass, a broadcast of the
+   * O(nlist·dim) centroid table (schema-bounded), and ONE shuffle on
+   * list_id for the per-cluster window — d2 never leaves the row, and
+   * no second pass over the data computes the moments.
+   */
+  def embOutliers(centroids: Array[Array[Double]], corpus: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "cv")
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      topCentroids(col(vecCol), centroids, 1).getItem(0)
+        .cast("long").as("list_id"))
+    val w = Window.partitionBy("list_id")
+    assigned.join(broadcast(centDf), Seq("list_id"))
+      .withColumn("d2",
+        dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv")))
+      .withColumn("z",
+        round((col("d2") - avg(col("d2")).over(w))
+          / stddev_pop(col("d2")).over(w), 4) + 0.0)
+      .select(col("vec_id"), col("list_id"), col("z"))
+  }
+
+  /**
    * IVF index-build statistics: corpus rows per inverted list. At scale
    * this is the materialization step — the corpus gets written
    * partitioned/bucketed by `list_id` so probes read only their lists —

@@ -315,6 +315,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("agg_xcorr: the hourly grid aggregates once — one raw-events scan") {
+    // Only the tiny (names × hours) grid may explode across lags and
+    // join; the raw scan must compile once (ReusedExchange) with the
+    // name scope pushed to parquet.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("agg_xcorr")
+      assert(p.contains("ReusedExchange"),
+        s"agg_xcorr grid is scanning raw events twice:\n$p")
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"agg_xcorr expected 1 events scan, got $scans")
+      assert(p.contains("PushedFilters: [In(event_type"),
+        "agg_xcorr name scope must reach the parquet scan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("gor_roundtrip runs in the one-shuffle per-series shape") {
+    // (m_lttb shares perSeries' InternalRow RDD bridge, whose shuffle
+    // sits below the ExistingRDD scan — not visible to this audit; the
+    // bridge shape itself is asserted for the family via m_mean_exact's
+    // runtime behavior and the perSeries implementation.)
+    val p = plan("gor_roundtrip")
+    val n = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(n == 1, s"gor_roundtrip expected exactly 1 shuffle exchange, got $n:\n$p")
+  }
+
+  test("d_keep_best: argmax is an aggregate, not a window") {
+    val p = plan("d_keep_best")
+    assert(!p.contains("Window"),
+      s"d_keep_best winner must be a max(struct) aggregate, not a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d_keep_best has an all-pairs join:\n$p")
+  }
+
   test("e_semdedup: one corpus scan, list_id exchange reused by both join sides") {
     // The assignment pass (nearest-centroid map) materializes through
     // ONE repartition(list_id) exchange; the within-cluster self-join
