@@ -106,6 +106,51 @@ object PointSource {
     spark.table(table)
 
   /**
+   * Gorilla value-block tier — the cold-storage layout for NUMERIC
+   * series (the reference's encoded value stream analog,
+   * lib/protobuf.cc EncodeValueStream; here the VLDB'15 XOR format via
+   * [[graft.codec.Gorilla]]). Each (series, UTC day) collapses to one
+   * (skey, block_ts, n, blob) row, date-partitioned with a bloom
+   * filter on `skey`: a time-range scan prunes whole days BEFORE any
+   * decompression, and an exact-series lookup skips files on the
+   * bloom. String payloads (`sval`) and typed metadata do not ride
+   * this tier — it is the ~10× smaller numeric mirror the hot Parquet
+   * tier ages into, not a replacement for it.
+   *
+   * Input must carry (skey, ts, dval) — [[graft.model.Point
+   * .withSeriesKey]] upstream keeps the key injective.
+   */
+  def writeGorilla(df: DataFrame, path: String,
+                   blockMs: Long = 86400000L): Unit =
+    graft.codec.Gorilla.encode(df, blockMs)
+      .withColumn("date", to_date(timestamp_millis(col("block_ts"))))
+      .write
+      .option("parquet.bloom.filter.enabled#skey", "true")
+      .partitionBy("date")
+      .mode("overwrite")
+      .parquet(path)
+
+  /**
+   * Reads a [[writeGorilla]] tier back to (skey, ts, dval) points.
+   * `minTs`/`maxTs` (ms, half-open) drive DATE PARTITION pruning on
+   * the block grain before decode — only surviving blobs decompress —
+   * then the exact per-point bound applies post-decode (a block
+   * straddling the range boundary decodes and trims).
+   */
+  def readGorilla(spark: SparkSession, path: String,
+                  minTs: Option[Long] = None,
+                  maxTs: Option[Long] = None): DataFrame = {
+    val blocks0 = spark.read.parquet(path)
+    val blocks1 = minTs.fold(blocks0)(t => blocks0.filter(
+      col("date") >= to_date(timestamp_millis(lit(t)))))
+    val blocks = maxTs.fold(blocks1)(t => blocks1.filter(
+      col("date") <= to_date(timestamp_millis(lit(t)))))
+    val pts0 = graft.codec.Gorilla.decode(blocks)
+    val pts1 = minTs.fold(pts0)(t => pts0.filter(col("ts") >= t))
+    maxTs.fold(pts1)(t => pts1.filter(col("ts") < t))
+  }
+
+  /**
    * Compaction job — the Spark-native replacement for the reference's
    * background compact/split/join cycle (go/.../datastore/datastore.go:
    * 519-557 compactBlock, 354-479 split/join, triggers at 687-705):

@@ -104,12 +104,14 @@ object Rpc {
       case Requests.StdDev(f) => (1L, f, 0L) // no reference enum; closest
       case Requests.Uniform(f) => (0L, f, 0L)
       // Engine extensions with NO reference-expressible approximation:
-      // EWMA/anomaly are stateful transforms, not resamplers — mapping
-      // them to AVERAGE would silently change semantics on the far
-      // side. Loud failure beats a MatchError or a wrong decode.
-      case m @ (Requests.Ewma(_) | Requests.Anomaly(_)) =>
+      // EWMA/anomaly/Holt/sliding/LTTB are stateful transforms or
+      // selectors, not resamplers — mapping them to AVERAGE would
+      // silently change semantics on the far side. The catch-all keeps
+      // this a loud failure (not a MatchError) for every future
+      // extension too.
+      case other =>
         throw new IllegalArgumentException(
-          s"$m has no reference wire encoding (proto:26-42); " +
+          s"$other has no reference wire encoding (proto:26-42); " +
             "strip engine-extension mutations before RPC")
     }
     w.msgField(field) { mw =>

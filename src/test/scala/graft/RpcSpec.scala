@@ -25,6 +25,14 @@ class RpcSpec extends AnyFunSuite {
       mutations = Seq(Requests.Ewma(60000L)))
     val e = intercept[IllegalArgumentException](Rpc.encodeGetRequest(req))
     assert(e.getMessage.contains("no reference wire encoding"))
+    // later extensions (Holt/Sliding/Lttb) must hit the same loud path,
+    // not a MatchError from an exhausted pattern
+    Seq(Requests.Holt(60000L, 120000L), Requests.Lttb(86400000L),
+      Requests.Sliding(3600000L, 600000L)).foreach { m =>
+      val ex = intercept[IllegalArgumentException](Rpc.encodeGetRequest(
+        Requests.GetRequest(variable = "/sys/cpu", mutations = Seq(m))))
+      assert(ex.getMessage.contains("no reference wire encoding"), m.toString)
+    }
   }
 
   test("WireReader rejects corrupt declared lengths loudly") {

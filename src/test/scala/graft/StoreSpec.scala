@@ -23,6 +23,28 @@ class StoreSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("gorilla tier: lossless round-trip and date-partition pruning before decode") {
+    val dir = tmpDir()
+    val in = graft.model.Point.withSeriesKey(samplePoints())
+      .select(col("skey"), col("ts"), col("dval"))
+    PointSource.writeGorilla(in, dir)
+    // full read = original points, bit-for-bit
+    val out = PointSource.readGorilla(spark, dir)
+    assert(out.count() == in.count())
+    val h = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(sum(hash(col("skey"), col("ts"), col("dval")))).head().getLong(0)
+    assert(h(out) == h(in))
+    // time-range read prunes day partitions BEFORE decompression and
+    // trims exactly at the point bound afterwards
+    val lo = 1704500000000L
+    val ranged = PointSource.readGorilla(spark, dir, minTs = Some(lo))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(date"), plan.take(2000))
+    assert(ranged.count() == in.filter(col("ts") >= lo).count())
+    assert(ranged.agg(min("ts")).head().getLong(0) >= lo)
+  }
+
   test("store layout pushes name equality and ts range into the parquet scan") {
     val dir = tmpDir()
     PointSource.write(samplePoints(), dir)
