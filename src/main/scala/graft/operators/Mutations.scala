@@ -439,7 +439,29 @@ object Mutations {
       else if (nxtB == NoBucket) List(cur.last) // single trailing bucket
       else List(finalizeCur(), nxt.last)
     }
+    /** Serializable state snapshot — lets the streaming step
+      * ([[graft.streaming.StreamIngest.lttbStep]]) run the LITERAL
+      * batch state machine across micro-batches (bit-identical by
+      * construction, like Anomaly.step). */
+    def snapshot: LttbSnap = LttbSnap(first, px, py,
+      curB, cur.map(_._1).toSeq, cur.map(_._2).toSeq,
+      nxtB, nxt.map(_._1).toSeq, nxt.map(_._2).toSeq)
+    def restore(s: LttbSnap): this.type = {
+      first = s.first; px = s.px; py = s.py
+      curB = s.curB
+      cur = scala.collection.mutable.ArrayBuffer(s.curTs.zip(s.curVs): _*)
+      nxtB = s.nxtB
+      nxt = scala.collection.mutable.ArrayBuffer(s.nxtTs.zip(s.nxtVs): _*)
+      this
+    }
   }
+
+  /** Per-series LTTB state between micro-batches: the anchor/previous
+    * selection plus the two in-flight bucket buffers (bounded by
+    * points-per-bucket, the op's documented O(two buckets) state). */
+  final case class LttbSnap(first: Boolean, px: Double, py: Double,
+      curB: Long, curTs: Seq[Long], curVs: Seq[Double],
+      nxtB: Long, nxtTs: Seq[Long], nxtVs: Seq[Double])
 
   def meanExact(df: DataFrame, durationMs: Long): DataFrame =
     perSeries(df)(() => new MeanOp(durationMs))

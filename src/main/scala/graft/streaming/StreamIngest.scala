@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.model.Point
+import graft.operators.Mutations
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
@@ -613,6 +614,72 @@ object StreamIngest {
       .groupByKey(_.skey)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         anomalyStep(tauMs, idleTimeoutMs))
+  }
+
+  // ------------------------------------------------- stateful LTTB
+
+  /**
+   * One flatMapGroupsWithState step of streaming LTTB downsampling:
+   * in-batch points of one series feed the LITERAL batch state machine
+   * ([[graft.operators.Mutations.LttbOp]], restored from its snapshot),
+   * so disorder confined to a batch and every selection rule are
+   * bit-identical to batch by construction. A bucket emits once the
+   * NEXT bucket completes — the op's own lookahead — and the trailing
+   * buckets emit when the idle timeout fires (the streaming stand-in
+   * for end-of-series flush; state is removed with them). Out-of-order
+   * points ACROSS batches that land behind the current bucket would
+   * violate the op's sorted-input contract and are dropped, like
+   * [[rateStream]]'s monotonicity guard.
+   */
+  def lttbStep(bucketMs: Long, idleTimeoutMs: Long = 0L)(
+      key: String, rows: Iterator[InPoint],
+      state: GroupState[Mutations.LttbSnap]): Iterator[OutPoint] = {
+    if (state.hasTimedOut) {
+      val op = new Mutations.LttbOp(bucketMs).restore(state.get)
+      state.remove()
+      return op.flush().iterator.map { case (t, v) => OutPoint(key, t, v) }
+    }
+    val op = new Mutations.LttbOp(bucketMs)
+    state.getOption.foreach(op.restore)
+    // sorted-input contract within the batch; cross-batch stragglers
+    // behind the in-flight buckets are dropped (guard below)
+    var minOk = state.getOption.map { s =>
+      // buffers dominate; the anchor/selection ts covers the
+      // just-anchored case where both buffers are still empty
+      Seq(if (s.first) Long.MinValue else s.px.toLong,
+        s.curTs.lastOption.getOrElse(Long.MinValue),
+        s.nxtTs.lastOption.getOrElse(Long.MinValue)).max
+    }.getOrElse(Long.MinValue)
+    val out = List.newBuilder[OutPoint]
+    rows.toSeq.sortBy(_.ts).foreach { p =>
+      if (p.ts >= minOk) {
+        minOk = p.ts
+        op.feed(p.ts, p.dval).foreach { case (t, v) =>
+          out += OutPoint(key, t, v)
+        }
+      }
+    }
+    state.update(op.snapshot)
+    if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+    out.result().iterator
+  }
+
+  /** Streaming LTTB downsample; same wrapper/eviction contract as
+    * [[uniformResampleStream]] (idle series flush + evict via timeout;
+    * a revived series re-anchors like a new one). */
+  def lttbStream(points: DataFrame, bucketMs: Long,
+                 idleTimeoutMs: Long = 3600000L): Dataset[OutPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    Point.withSeriesKey(points)
+      .select(col("skey"), col("ts"), col("dval"))
+      .as[InPoint]
+      .groupByKey(_.skey)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        lttbStep(bucketMs, idleTimeoutMs))
   }
 
   def uniformResampleStream(points: DataFrame, intervalMs: Long,

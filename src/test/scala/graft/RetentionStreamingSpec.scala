@@ -138,6 +138,71 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming LTTB matches the batch op across micro-batches, flush on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 4 buckets of 10s with distinct shapes; the MutationsSpec golden
+    // family, long enough that batch emits two selections pre-flush
+    val raw = Seq(1L -> 0.0, 12L -> 1.0, 14L -> 10.0, 18L -> 2.0,
+      25L -> 4.0, 27L -> 6.0, 33L -> 7.0, 38L -> 3.0, 45L -> 9.0)
+      .map { case (t, v) => (t * 1000, v) }
+    val op = new Mutations.LttbOp(10000L)
+    val fed = raw.flatMap { case (t, v) => op.feed(t, v) } // pre-flush emissions
+    val flushed = op.flush()
+
+    val pts = raw.map { case (t, v) => StreamIngest.InPoint("/s{h=1}", t, v) }
+    val mem = MemoryStream[StreamIngest.InPoint]
+    val src = mem.toDF()
+      .select(col("skey").as("name"),
+        map().cast("map<string,string>").as("labels"),
+        lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"), lit(null).cast("long").as("end_ts"))
+    val q = StreamIngest.lttbStream(src, 10000L, idleTimeoutMs = 0L)
+      .writeStream.format("memory").queryName("lttb_out")
+      .outputMode("append").start()
+    mem.addData(pts.take(5))
+    q.processAllAvailable()
+    mem.addData(pts.drop(5))
+    q.processAllAvailable()
+    val streamed = spark.table("lttb_out")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    q.stop()
+    assert(streamed == fed.sortBy(_._1),
+      "pre-flush streaming emissions must equal the batch op's feed outputs")
+
+    // timeout path: restore the final snapshot, fire the timeout, and
+    // the trailing buckets must flush exactly like batch flush()
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val op2 = new Mutations.LttbOp(10000L)
+    raw.foreach { case (t, v) => op2.feed(t, v) }
+    val st = TestGroupState.create[Mutations.LttbSnap](
+      Optional.of(op2.snapshot), GroupStateTimeout.ProcessingTimeTimeout(),
+      1L, Optional.of(java.lang.Long.valueOf(0L)), hasTimedOut = true)
+    val out = StreamIngest.lttbStep(10000L, idleTimeoutMs = 1000L)(
+      "/s{h=1}", Iterator.empty, st).toList
+    assert(out.map(o => (o.ts, o.dval)) == flushed.toList)
+    assert(st.isRemoved)
+  }
+
+  test("streaming LTTB drops cross-batch stragglers behind the in-flight buckets") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val op = new Mutations.LttbOp(10000L)
+    Seq(1000L -> 0.0, 12000L -> 1.0, 25000L -> 4.0).foreach {
+      case (t, v) => op.feed(t, v) }
+    val st = TestGroupState.create[Mutations.LttbSnap](
+      Optional.of(op.snapshot), GroupStateTimeout.NoTimeout(), 0L,
+      Optional.empty(), hasTimedOut = false)
+    // 5000 is behind the buffered 25000: dropped, state's buffers keep
+    // their shape (no emission either — bucket 1 still awaits bucket 2's
+    // completion)
+    val out = StreamIngest.lttbStep(10000L)(
+      "/s", Iterator(StreamIngest.InPoint("/s", 5000L, 99.0)), st).toList
+    assert(out.isEmpty)
+    assert(st.get.curTs == Seq(12000L) && st.get.nxtTs == Seq(25000L))
+  }
+
   test("streaming anomaly z-scores are bit-equal to batch on random data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
