@@ -443,6 +443,38 @@ object SparkEntry {
         .select(col("name"), col("usr"), col("bts").as("ts"), col("n"),
           round(when(col("vr") > 0, col("cv") / col("vr")), 4).as("slope"))
     }),
+    // predict_linear() parity: extrapolate each series-day's
+    // least-squares fit one hour past the day end — pred = ȳ +
+    // slope·(25 − x̄) in day-hour units. Same one-shuffle grid agg as
+    // m_trend (covar/var/avg ride one map-side-combinable pass).
+    "m_predict" -> ((s, dir) => {
+      val dayMs = 24L * HourMs
+      val x = pmod(col("ts"), lit(dayMs)) / 3600000.0
+      unkey(pts(s, dir))
+        .groupBy(col("name"), col("usr"),
+          (col("ts") - pmod(col("ts"), lit(dayMs))).as("bts"))
+        .agg(count(lit(1)).as("n"),
+          covar_pop(x, col("dval")).as("cv"), var_pop(x).as("vr"),
+          avg(x).as("mx"), avg(col("dval")).as("my"))
+        .select(col("name"), col("usr"), col("bts").as("ts"), col("n"),
+          round(when(col("vr") > 0,
+            col("my") + (col("cv") / col("vr")) * (lit(25.0) - col("mx"))),
+            4).as("pred"))
+    }),
+    // absent()-style gap episodes: intervals where a series reported
+    // nothing for > 3 days — the data-loss/scrape-outage detector. One
+    // lag window on the series key; emission is the episode, not a
+    // per-grid-slot absence flag (bounded output at any idle duration).
+    "m_absence" -> ((s, dir) => {
+      val w = Window.partitionBy("skey").orderBy("ts")
+      unkey(pts(s, dir)
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .filter(col("prev_ts").isNotNull &&
+            col("ts") - col("prev_ts") > 259200000L))
+        .select(col("name"), col("usr"), col("prev_ts").as("gap_start"),
+          col("ts").as("gap_end"),
+          (col("ts") - col("prev_ts")).as("gap_ms"))
+    }),
     // Counter increase() per series-hour: the sum of positive deltas,
     // with counter-reset protection (negative deltas contribute 0, as
     // PromQL clamps resets). Each delta is attributed to the LATER
@@ -767,6 +799,20 @@ object SparkEntry {
           |  THEN covar_pop((ts % 86400000)/3600000.0, dval)
           |       / var_pop((ts % 86400000)/3600000.0) END, 4) AS slope
           |FROM pts GROUP BY name, usr, ts - ts % 86400000""".stripMargin),
+      "m_predict" -> (P +
+        """SELECT name, usr, ts - ts % 86400000 AS ts, count(*) AS n,
+          | round(CASE WHEN var_pop((ts % 86400000)/3600000.0) > 0
+          |  THEN avg(dval)
+          |   + (covar_pop((ts % 86400000)/3600000.0, dval)
+          |      / var_pop((ts % 86400000)/3600000.0))
+          |     * (25.0 - avg((ts % 86400000)/3600000.0)) END, 4) AS pred
+          |FROM pts GROUP BY name, usr, ts - ts % 86400000""".stripMargin),
+      "m_absence" -> (P +
+        """, g AS (SELECT name, usr, ts, lag(ts) OVER w AS prev_ts
+          |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))
+          |SELECT name, usr, prev_ts AS gap_start, ts AS gap_end,
+          | ts - prev_ts AS gap_ms
+          |FROM g WHERE prev_ts IS NOT NULL AND ts - prev_ts > 259200000""".stripMargin),
       "m_increase" -> (P +
         """, dd AS (SELECT name, usr, ts, dval - lag(dval) OVER w AS d
           |  FROM pts WINDOW w AS (PARTITION BY name, usr ORDER BY ts))

@@ -40,6 +40,40 @@ class GorillaSpec extends SparkSpec {
       s"expected real compression, got ${blob.length} bytes for $n points")
   }
 
+  test("block codec: 200 random blocks roundtrip (specials, jitter, bursts)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(300)
+      var t = rnd.nextLong() % (1L << 41) // epoch-ms magnitudes, ± allowed
+      val ts = new Array[Long](n)
+      val vs = new Array[Double](n)
+      (0 until n).foreach { i =>
+        // mixed cadence: dense bursts, regular, and huge gaps
+        t += (rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(5).toLong           // dup/near-dup ts
+          case 1 => 60000L                          // regular minute
+          case 2 => rnd.nextInt(2049).toLong        // in-bucket jitter
+          case _ => rnd.nextLong() % (1L << 35) max 1L // day+-scale jump
+        })
+        ts(i) = t
+        vs(i) = rnd.nextInt(6) match {
+          case 0 => 0.0
+          case 1 => -0.0
+          case 2 => Double.NaN
+          case 3 => if (rnd.nextBoolean()) Double.PositiveInfinity
+                    else Double.NegativeInfinity
+          case 4 => rnd.nextInt(100).toDouble        // repeats / small ints
+          case _ => java.lang.Double.longBitsToDouble(rnd.nextLong())
+        }
+      }
+      val blob = Gorilla.encodeBlock(ts, vs, n)
+      val (t2, v2) = Gorilla.decodeBlock(blob, n)
+      assert(t2.toSeq == ts.toSeq)
+      assert(v2.map(java.lang.Double.doubleToRawLongBits).toSeq ==
+        vs.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    }
+  }
+
   test("encode/decode DataFrames: per-series blocks, lossless, block split by time") {
     val pts = series(Seq(0L -> 1.0, 60000L -> 2.0, 120000L -> 2.0,
       86400000L -> 5.0, 86460000L -> 6.0))
