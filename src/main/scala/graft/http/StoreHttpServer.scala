@@ -27,7 +27,10 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
                       retention: graft.retention.Retention.Policy =
                         graft.retention.Retention.Policy(Nil),
                       argv: Seq[String] = Nil,
-                      cppMutationSemantics: Boolean = false) {
+                      cppMutationSemantics: Boolean = false,
+                      tier: String = "parquet") {
+  require(tier == "parquet" || tier == "gorilla",
+    s"unknown store tier '$tier' (parquet | gorilla)")
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // Off the accept/dispatch thread: a slow Spark query must not block
@@ -38,7 +41,11 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
 
   def boundPort: Int = server.getAddress.getPort
 
-  private def points(): DataFrame = PointSource.read(spark, storeDir)
+  // The cold Gorilla tier serves the same read surface (get/list);
+  // /add rejects on it (see the handler) — the cold tier is read-only.
+  private def points(): DataFrame =
+    if (tier == "gorilla") PointSource.readGorillaPoints(spark, storeDir)
+    else PointSource.read(spark, storeDir)
 
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
     val b64 = Base64.getEncoder.encode(body)
@@ -145,6 +152,10 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
 
   server.createContext("/add", handler { bytes =>
     import spark.implicits._
+    // the cold tier is read-only: a per-point block rewrite would be
+    // pathological write amplification — appends belong to the hot
+    // Parquet store that later ages into blocks
+    require(tier == "parquet", "/add is not served by the gorilla tier")
     val streams = Rpc.decodeAddRequest(bytes)
     val rows = streams.flatMap { s =>
       s.values.map { case (ts, dv, sv, ets) =>
@@ -267,7 +278,9 @@ object StoreHttpServer {
       argv = args.toSeq,
       // --mutation_semantics=cpp -> one stream per mutation (C++ servers)
       cppMutationSemantics =
-        opts.get("mutation_semantics").contains("cpp")).start()
+        opts.get("mutation_semantics").contains("cpp"),
+      // --tier=gorilla serves get/list from a writeGorilla cold tier
+      tier = opts.getOrElse("tier", "parquet")).start()
     println(s"LISTENING=${s.boundPort}")
     Thread.currentThread().join()
   }

@@ -151,6 +151,32 @@ object PointSource {
   }
 
   /**
+   * Reconstructs CANONICAL points from a [[writeGorilla]] tier, so the
+   * whole Engine/HTTP query surface runs unchanged against the cold
+   * tier: `skey` is the reference's text form (`/name{k=v,…}`) and
+   * parses back losslessly via [[graft.model.Variable.parse]];
+   * `sval`/`end_ts` are null by tier contract (numeric blocks only)
+   * and `value_type` reports GAUGE.
+   */
+  def readGorillaPoints(spark: SparkSession, path: String,
+                        minTs: Option[Long] = None,
+                        maxTs: Option[Long] = None): DataFrame = {
+    val parseKey = udf { (k: String) =>
+      val v = graft.model.Variable.parse(k)
+      (v.name, v.labels)
+    }
+    readGorilla(spark, path, minTs, maxTs)
+      .withColumn("__v", parseKey(col("skey")))
+      .select(
+        col("__v._1").as("name"),
+        col("__v._2").as("labels"),
+        lit("GAUGE").as("value_type"),
+        col("ts"), col("dval"),
+        lit(null).cast("string").as("sval"),
+        lit(null).cast("long").as("end_ts"))
+  }
+
+  /**
    * Compaction job — the Spark-native replacement for the reference's
    * background compact/split/join cycle (go/.../datastore/datastore.go:
    * 519-557 compactBlock, 354-479 split/join, triggers at 687-705):

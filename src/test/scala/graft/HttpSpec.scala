@@ -98,6 +98,34 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("gorilla tier serves /get and /list; /add rejects read-only") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gor").toString + "/g"
+    // hot points -> cold tier, then the SAME wire surface reads it
+    val pts = graft.model.Point.withSeriesKey(series(
+        Seq(1000L -> 10.0, 2000L -> 30.0, 3000L -> 60.0),
+        name = "/http/cold", labels = Map("host" -> "a")))
+      .select(col("skey"), col("ts"), col("dval"))
+    graft.sources.PointSource.writeGorilla(pts, dir)
+    val srv = new StoreHttpServer(spark, dir, port = 0,
+      nowMs = () => 100000L, tier = "gorilla").start()
+    try {
+      val getBody = Rpc.encodeGetRequest(Requests.GetRequest(
+        "/http/cold{host=a}", mutations = Seq(Requests.Rate())))
+      val (gok, gerr, streams) =
+        Rpc.decodeGetResponse(post(srv.boundPort, "/get", getBody))
+      assert(gok, gerr.toString)
+      assert(streams.head.variable.labels("host") == "a")
+      assert(streams.head.values.map(v => (v._1, v._2.get)) ==
+        Seq((2000L, 20.0), (3000L, 30.0)))
+      val addBody = Rpc.encodeAddRequest(Seq(Rpc.Stream(
+        Variable("/http/cold", Map("host" -> "a"), Variable.Gauge),
+        Seq((5000L, Some(1.0), None, None)))))
+      val (code, _) = postRaw(srv.boundPort, "/add", addBody)
+      assert(code == 500, s"/add on the cold tier must reject, got $code")
+    } finally srv.stop()
+  }
+
   test("/get_config round-trips StoreConfig; /status serves HTML") {
     import graft.retention.Retention
     val store = java.nio.file.Files.createTempDirectory("graft_http3").toString + "/s"
