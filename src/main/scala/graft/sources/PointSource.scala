@@ -207,4 +207,68 @@ object PointSource {
     fs.rename(s, p)
     fs.delete(old, true)
   }
+
+  /**
+   * Tier-aging job: moves every hot date partition strictly older than
+   * `olderThanMs` into the Gorilla cold tier, then drops those
+   * partitions from the hot store — the background companion of
+   * [[compact]] that completes the hot→cold lifecycle
+   * ([[writeGorilla]]'s "ages into" contract; reference analog: the
+   * datastore's background compact cycle, go/.../datastore.go:519-557,
+   * except the output is the compressed value tier, not a rewrite).
+   *
+   * The cutoff is a whole-day boundary (a block never straddles
+   * tiers); numeric points move, string-valued points (null dval, not
+   * representable in value blocks) STAY in the hot store — dropping a
+   * date partition therefore requires it to carry no svals, else that
+   * date is rewritten in place with only its sval rows. Cold append
+   * uses dynamic partition overwrite on the moved dates: re-running
+   * after a crash between the cold write and the hot delete is
+   * idempotent, never duplicating blocks.
+   */
+  def ageIntoGorilla(spark: SparkSession, hotPath: String, coldPath: String,
+                     olderThanMs: Long, nowMs: Long,
+                     blockMs: Long = 86400000L): Seq[String] = {
+    val cutoffDay = java.time.Instant
+      .ofEpochMilli(nowMs - olderThanMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val hot = spark.read.parquet(hotPath)
+    // dates are drawn from the NUMERIC doomed rows: a date already
+    // reduced to its sval residue has nothing left to move and must
+    // not re-select on the next run (idempotence)
+    val numericDoomed = hot.filter(col("date") < cutoffDay &&
+      col("dval").isNotNull)
+    val dates = numericDoomed.select(col("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // O(#days) driver rows
+    if (dates.isEmpty) return Nil
+    val numeric = graft.model.Point.withSeriesKey(numericDoomed)
+      .select(col("skey"), col("ts"), col("dval"))
+    // per-date idempotent append: overwrite ONLY the moved dates
+    graft.codec.Gorilla.encode(numeric, blockMs)
+      .withColumn("date", to_date(timestamp_millis(col("block_ts"))))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.bloom.filter.enabled#skey", "true")
+      .partitionBy("date")
+      .mode("overwrite")
+      .parquet(coldPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    dates.foreach { d =>
+      val part = new org.apache.hadoop.fs.Path(s"$hotPath/date=$d")
+      val svals = hot.filter(col("date") === d && col("dval").isNull)
+      if (svals.isEmpty) fs.delete(part, true)
+      else {
+        // keep the date's string-valued rows hot: rewrite in place
+        // (stage OUTSIDE the store dir — a crash must not leave a
+        // stray dir the partition discovery would misparse)
+        val staged = new org.apache.hadoop.fs.Path(
+          s"${hotPath.stripSuffix("/")}.svalstage/date=$d")
+        svals.drop("date").write.mode("overwrite").parquet(staged.toString)
+        fs.delete(part, true)
+        fs.rename(staged, part)
+      }
+    }
+    dates
+  }
 }

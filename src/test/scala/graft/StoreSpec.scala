@@ -45,6 +45,36 @@ class StoreSpec extends SparkSpec {
     assert(ranged.agg(min("ts")).head().getLong(0) >= lo)
   }
 
+  test("ageIntoGorilla moves whole old days cold, keeps svals hot, idempotent") {
+    val hot = tmpDir(); val cold = tmpDir()
+    // 3 days of numeric points + one sval point on day 1
+    val day = 86400000L
+    val base = series(Seq(0L -> 1.0, 1000L -> 2.0, day -> 3.0,
+      day + 1000L -> 4.0, 2 * day -> 5.0))
+    val withSval = base.unionByName(
+      series(Seq(day + 2000L -> 0.0)).withColumn("dval",
+        lit(null).cast("double")).withColumn("sval", lit("payload")))
+    PointSource.write(withSval, hot)
+    val now = 2 * day + 2000L
+    // cutoff instant lands inside day 2 => whole days 0 and 1 move,
+    // day 2 (which contains the cutoff) stays hot
+    val moved = PointSource.ageIntoGorilla(spark, hot, cold,
+      olderThanMs = 1000L, nowMs = now)
+    assert(moved == Seq("1970-01-01", "1970-01-02"))
+    // cold tier serves the moved numeric points
+    val coldPts = collectTsVal(PointSource.readGorilla(spark, cold))
+    assert(coldPts == Seq(0L -> 1.0, 1000L -> 2.0, day -> 3.0,
+      day + 1000L -> 4.0))
+    // hot keeps day 2 and day 1's sval row only
+    val hotLeft = PointSource.read(spark, hot)
+    assert(collectTsVal(hotLeft.filter(col("dval").isNotNull)) ==
+      Seq(2 * day -> 5.0))
+    assert(hotLeft.filter(col("sval") === "payload").count() == 1)
+    // re-run: nothing else to move, cold unchanged (idempotent)
+    assert(PointSource.ageIntoGorilla(spark, hot, cold, 1000L, now).isEmpty)
+    assert(collectTsVal(PointSource.readGorilla(spark, cold)) == coldPts)
+  }
+
   test("store layout pushes name equality and ts range into the parquet scan") {
     val dir = tmpDir()
     PointSource.write(samplePoints(), dir)
