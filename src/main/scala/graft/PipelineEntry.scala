@@ -308,6 +308,35 @@ object PipelineEntry {
         .filter(col("quality") >= 0.3 && col("lang_pred") === "en")
     }),
 
+    // Cross-modal curation: the text gates (quality, language) AND the
+    // embedding gates (SemDeDup keep, outlier |z| ≤ 2.5) in ONE pass —
+    // the composition a real pipeline ships. Embeddings cover only part
+    // of the corpus at scale (sf0.1: 2k of 5k docs), so the embedding
+    // side joins LEFT and a doc without a vector passes those gates
+    // vacuously; every flag rides the row for auditability.
+    "p_curate_emb" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.pinnedCentroids(emb, nlist = 16)
+      val text = Tables.documents(s, dir).select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 4).as("quality"),
+          TextOps.langId(col("text")).as("lang_pred"))
+        .withColumn("text_keep",
+          col("quality") >= 0.3 && col("lang_pred") === "en")
+      val sem = Ann.semDedup(cents, emb, tau = 0.35)
+        .select(col("vec_id").as("doc_id"), col("keep").as("sem_keep"))
+      val outl = Ann.embOutliers(cents, emb)
+        .select(col("vec_id").as("doc_id"),
+          (abs(col("z")) <= 2.5).as("z_ok"))
+      text.join(sem, Seq("doc_id"), "left")
+        .join(outl, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"), col("lang_pred"),
+          col("text_keep"),
+          coalesce(col("sem_keep"), lit(true)).as("sem_keep"),
+          coalesce(col("z_ok"), lit(true)).as("z_ok"))
+        .withColumn("keep",
+          col("text_keep") && col("sem_keep") && col("z_ok"))
+    }),
+
     // ------------------------------------------------------ deduplication
     "d_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables.documents(s, dir))),
@@ -989,6 +1018,57 @@ object PipelineEntry {
          |SELECT q.doc_id, q.quality, lang.lang_pred
          |FROM q JOIN lang USING (doc_id) JOIN k ON k.doc_id = q.doc_id
          |WHERE q.quality >= 0.3 AND lang.lang_pred = 'en'""".stripMargin),
+    // cross-modal curation: text gates from the p_curate CTEs, embedding
+    // gates from the semdedup/outlier CTEs (same pinned quantizer);
+    // docs without a vector pass the embedding gates vacuously
+    "p_curate_emb" -> (T + IvfRankedCte.replaceFirst("WITH ", ", ") +
+      s""",
+         |sc AS (SELECT doc_id,
+         | ${TextOps.LangStopwords.map { case (l, ws) =>
+             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
+         | FROM toks),
+         |lang AS (SELECT doc_id, CASE
+         | ${TextOps.LangStopwords.map { case (l, _) =>
+             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
+           }.mkString(" ")}
+         | ELSE 'unk' END AS lang_pred FROM sc),
+         |q AS (SELECT doc_id, round(greatest(0.0,
+         |  least(len(t)/100.0, 1.0)*0.5
+         |  + (${langScoreSql(TextOps.EnStopwords)})*0.5
+         |  - (CASE WHEN len(text)=0 THEN 0.0
+         |     ELSE len(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))*1.0/len(text) END)
+         |  ), 4) AS quality FROM toks),
+         |asg AS (SELECT r.vec_id, r.v, r.cid AS list_id, c.cv
+         | FROM ranked r JOIN cent c ON c.cid = r.cid WHERE r.cr = 1),
+         |rem AS (SELECT DISTINCT b.vec_id
+         | FROM asg a JOIN asg b
+         |   ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+         | WHERE list_inner_product(a.v, b.v)
+         |   / (sqrt(list_inner_product(a.v, a.v))
+         |      * sqrt(list_inner_product(b.v, b.v))) >= 0.35),
+         |dz AS (SELECT vec_id, list_id,
+         |  (list_inner_product(v, v) - 2.0 * list_inner_product(v, cv))
+         |    + list_inner_product(cv, cv) AS d2
+         | FROM asg),
+         |zz AS (SELECT vec_id,
+         |  round((d2 - avg(d2) OVER (PARTITION BY list_id))
+         |    / stddev_pop(d2) OVER (PARTITION BY list_id), 4) + 0.0 AS z
+         | FROM dz)
+         |SELECT q.doc_id, q.quality, lang.lang_pred,
+         | (q.quality >= 0.3 AND lang.lang_pred = 'en') AS text_keep,
+         | (CASE WHEN a2.vec_id IS NULL THEN true
+         |       ELSE rem.vec_id IS NULL END) AS sem_keep,
+         | (CASE WHEN zz.vec_id IS NULL THEN true
+         |       ELSE abs(zz.z) <= 2.5 END) AS z_ok,
+         | ((q.quality >= 0.3 AND lang.lang_pred = 'en')
+         |  AND (CASE WHEN a2.vec_id IS NULL THEN true
+         |       ELSE rem.vec_id IS NULL END)
+         |  AND (CASE WHEN zz.vec_id IS NULL THEN true
+         |       ELSE abs(zz.z) <= 2.5 END)) AS keep
+         |FROM q JOIN lang USING (doc_id)
+         |LEFT JOIN asg a2 ON a2.vec_id = q.doc_id
+         |LEFT JOIN rem ON rem.vec_id = q.doc_id
+         |LEFT JOIN zz ON zz.vec_id = q.doc_id""".stripMargin),
     "d_cdc_chunks" -> (CdcChunksCte +
       """SELECT doc_id, idx, CAST(length(chunk) AS BIGINT) AS clen,
         | md5(chunk) AS chash

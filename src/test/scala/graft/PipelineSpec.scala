@@ -14,6 +14,19 @@ class PipelineSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("p_curate_emb: docs without a vector pass the embedding gates vacuously") {
+    // sf0.1 has 5000 docs but only 2000 embeddings — the left-join
+    // contract: every doc appears once, and any doc_id beyond the
+    // embedding range has sem_keep = z_ok = true
+    val out = PipelineEntry.queries("p_curate_emb")(
+      spark, "/root/testdata/sf0.1")
+    val rows = out.filter(col("doc_id") >= 2000)
+    assert(out.count() == 5000)
+    assert(rows.filter(!col("sem_keep") || !col("z_ok")).count() == 0)
+    // and the embedding gates really bite for covered docs
+    assert(out.filter(col("doc_id") < 2000 && !col("sem_keep")).count() > 0)
+  }
+
   test("keepBest keeps the max-quality member, ties to the lowest id") {
     import spark.implicits._
     val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
