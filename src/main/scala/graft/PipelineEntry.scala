@@ -196,6 +196,42 @@ object PipelineEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextOps.docFingerprint(col("text")).as("fp"))),
+    // Memorization-risk score: the fraction of a doc's distinct 3-gram
+    // shingles that also appear in at least one OTHER doc — high means
+    // the doc is mostly assembled from corpus-shared phrasing (eval-
+    // leak / templated-content signal). Same (doc_id, shingle)-distinct
+    // blocking rows as the Jaccard dedup family: a hot boilerplate
+    // shingle contributes ONE row per doc to the df join, never its
+    // occurrence stratum.
+    "t_memorization" -> ((s, dir) => {
+      val ex = Tables.documents(s, dir)
+        .withColumn("__toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(graft.functions.VectorOps.shingleHash60(col("__toks"), 3))
+            .as("g"))
+        .filter(col("doc_id").isNotNull && col("g").isNotNull)
+      val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      ex.join(df, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") > 1, 1)).as("n_shared"))
+        .withColumn("frac",
+          round(col("n_shared") / col("n_shingles").cast("double"), 4))
+    }),
+    // First BPE iteration, literally: the corpus-wide counts of
+    // adjacent CHARACTER pairs within words — the merge-candidate
+    // table a byte-pair tokenizer trainer starts from. Pairs
+    // materialize map-side from the token array (no self-join), one
+    // shuffle for the count, TakeOrdered top-20.
+    "t_bpe_merges" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("tok", explode(TextOps.tokens(col("text"))))
+        .withColumn("pair", explode(expr(
+          "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))")))
+        .filter(char_length(col("pair")) === 2)
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)),
     // Each array stage materialized as a column: nested array exprs
     // re-evaluate their argument subtree per element (O(n²) otherwise).
     "t_winnow" -> ((s, dir) =>
@@ -911,6 +947,23 @@ object PipelineEntry {
            }.mkString(" ")}
          | ELSE 'unk' END AS lang_pred
          |FROM sc""".stripMargin),
+    // memorization: distinct 3-gram shingle sets (the dedup family's
+    // CTE), df per shingle, per-doc shared fraction
+    "t_memorization" -> (T + ShingleHashCte +
+      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY g)
+        |SELECT doc_id, count(*) AS n_shingles,
+        | count(CASE WHEN df > 1 THEN 1 END) AS n_shared,
+        | round(count(CASE WHEN df > 1 THEN 1 END) * 1.0 / count(*), 4)
+        |  AS frac
+        |FROM ex JOIN df USING (g) GROUP BY doc_id""".stripMargin),
+    // first BPE iteration: adjacent char-pair counts within words
+    "t_bpe_merges" -> (T +
+      """, tk AS (SELECT unnest(t) AS tok FROM toks),
+        |pairs AS (SELECT unnest([tok[i:i+1] for i in range(1, len(tok))]) AS pair
+        | FROM tk WHERE len(tok) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
     "t_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
