@@ -842,6 +842,11 @@ object PipelineEntry {
       Ann.clusterSample(Ann.pinnedCentroids(emb, nlist = 16), emb,
         perList = 5)
     }),
+    // Linear probe: nearest-class-centroid classification of every
+    // vector — the closed-form "are these embeddings any good"
+    // diagnostic, per-row so the confusion structure is queryable.
+    "e_centroid_probe" -> ((s, dir) =>
+      Ann.centroidProbe(Tables.embeddings(s, dir))),
     // Embedding outlier scores: per-cluster z-score of the squared
     // distance to the assigned centroid — the mislabeled/garbage-vector
     // curation signal, normalized within each embedding-space region.
@@ -1460,7 +1465,8 @@ object PipelineEntry {
     "e_ivf_stats" -> ivfStatsOracle,
     "e_cluster_sample" -> clusterSampleOracle,
     "e_semdedup" -> semDedupOracle,
-    "e_emb_outliers" -> embOutliersOracle)
+    "e_emb_outliers" -> embOutliersOracle,
+    "e_centroid_probe" -> centroidProbeOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
@@ -1605,6 +1611,27 @@ object PipelineEntry {
       |  (rem.vec_id IS NULL) AS keep
       | FROM asg LEFT JOIN rem ON rem.vec_id = asg.vec_id)
       |SELECT vec_id, list_id, keep FROM flagged""".stripMargin
+
+  /** DuckDB mirror of the linear probe: element-wise label-mean
+    * centroids, nearest by the same 2·v·c − c·c argmax with the
+    * ascending-label tie-break topCentroids applies by index order. */
+  private def centroidProbeOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ux AS (SELECT label, i, avg(v[i]) AS m
+      | FROM e, range(1, 65) r(i) GROUP BY label, i),
+      |cent AS (SELECT label AS clabel, list(m ORDER BY i) AS cv
+      | FROM ux GROUP BY label),
+      |scored AS (SELECT e.vec_id, e.label, c.clabel,
+      |  2.0 * list_inner_product(e.v, c.cv)
+      |    - list_inner_product(c.cv, c.cv) AS score
+      | FROM e CROSS JOIN cent c),
+      |ranked AS (SELECT vec_id, label, clabel,
+      |  row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY score DESC, clabel) AS rn
+      | FROM scored)
+      |SELECT vec_id, label, clabel AS pred, (clabel = label) AS correct
+      |FROM ranked WHERE rn = 1""".stripMargin
 
   /** DuckDB mirror of the embedding-outlier gate: same pinned-quantizer
     * assignment, d2 = (v·v − 2·v·c) + c·c in the identical float-op

@@ -424,6 +424,43 @@ object Ann {
   }
 
   /**
+   * Nearest-class-centroid linear probe (Rocchio / nearest-mean
+   * classifier): classify every vector to the closest label centroid
+   * and report correctness — the closed-form embedding-quality
+   * diagnostic (a space where class centroids separate the labels is
+   * a space worth training on; no iterative fit, so an external
+   * oracle replays it exactly). Centroids are element-wise label
+   * means computed DISTRIBUTED (posexplode → (label, dim) avg, one
+   * map-side-combinable shuffle bounded by labels × dim), collected
+   * O(k·dim) to the driver, and classification reuses the codegen'd
+   * [[graft.functions.VectorOps.topCentroids]] map pass (same
+   * 2·v·c − c·c argmax and index-order tie-break as the IVF family).
+   * Output: (vec_id, label, pred, correct) per vector.
+   */
+  def centroidProbe(corpus: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorOps.topCentroids
+    val rows = corpus
+      .select(col(labelCol).cast("long").as("lbl"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("lbl", "i").agg(avg(col("x").cast("double")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val labels = rows.map(_._1).distinct.sorted
+    val cents = labels.map { l =>
+      rows.filter(_._1 == l).sortBy(_._2).map(_._3)
+    }
+    val predLabel = element_at(
+      array(labels.map(lit): _*),
+      topCentroids(col(vecCol), cents, 1).getItem(0) + 1)
+    corpus
+      .select(col(idCol).as("vec_id"), col(labelCol).cast("long").as("label"),
+        predLabel.as("pred"))
+      .withColumn("correct", col("pred") === col("label"))
+  }
+
+  /**
    * Embedding outlier scores: squared distance to the assigned
    * centroid, z-scored WITHIN each cluster — the curation signal for
    * mislabeled/garbage vectors (a point far from its own region is

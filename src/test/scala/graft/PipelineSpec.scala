@@ -1108,6 +1108,20 @@ class PipelineSpec extends SparkSpec {
     assert(a === b && a.size === 8)
   }
 
+  test("centroidProbe is perfect on separable clusters, reports misses") {
+    import spark.implicits._
+    // two tight clusters on the axes + one planted mislabel
+    val emb = (
+      (0 until 5).map(i => (i.toLong, Seq(1.0f, 0.1f * i), 0)) ++
+      (5 until 10).map(i => (i.toLong, Seq(0.1f * (i - 5), 1.0f), 1)) :+
+      ((10L, Seq(1.0f, 0.0f), 1))).toDF("vec_id", "embedding", "label")
+    val got = graft.similarity.Ann.centroidProbe(emb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    (0 until 5).foreach(i => assert(got(i.toLong) == (0L, true)))
+    (5 until 10).foreach(i => assert(got(i.toLong) == (1L, true)))
+    assert(got(10L) == (0L, false), "planted mislabel must surface as a miss")
+  }
+
   test("semDedup drops lower-id-shadowed near-dups within clusters only") {
     import spark.implicits._
     // cluster 0 (x-axis): 0 and 2 are near-identical (cos ~ 0.9998),
