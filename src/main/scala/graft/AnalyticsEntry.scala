@@ -97,6 +97,23 @@ object AnalyticsEntry {
           min("ts").as("t_start"), max("ts").as("t_end"),
           round(sum("value"), 4).as("sum_val"))),
 
+    // Top session paths: the event-type sequence of every session (gap
+    // sessionization), counted corpus-wide — the "what do users
+    // actually do" product-analytics staple. Path assembly is one
+    // per-session collect bounded by session length (sort_array over a
+    // (ts, event_id) struct keeps the order total), then a count
+    // shuffle on the path string and a TakeOrdered head.
+    "ev_top_paths" -> ((s, dir) =>
+      Sessions.sessionize(Tables.events(s, dir),
+          col("user_id"), col("ts"), SessionGapMs)
+        .groupBy(col("user_id"), col("session"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), "->").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)),
+
     // As-of join: each click gets the latest preceding view of the same
     // user (inclusive ties, left semantics) — the general operator
     // (operators/AsOf.scala: multi-key, both directions, tolerance).
@@ -532,6 +549,22 @@ object AnalyticsEntry {
          |SELECT user_id, session, count(*) AS n_events,
          | min(ts) AS t_start, max(ts) AS t_end, round(sum(value), 4) AS sum_val
          |FROM sess GROUP BY user_id, session""".stripMargin,
+    "ev_top_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts
+         |  FROM events),
+         |g AS (SELECT user_id, event_id, event_type, ts,
+         |  CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > $SessionGapMs
+         |   THEN 1 ELSE 0 END AS nb
+         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (SELECT user_id, event_id, event_type, ts,
+         |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+         | FROM g),
+         |paths AS (SELECT user_id, session,
+         |  string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+         | FROM sess GROUP BY user_id, session)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths
+         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "ev_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts, event_type,
         |  value FROM events),
