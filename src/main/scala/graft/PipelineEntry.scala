@@ -204,12 +204,19 @@ object PipelineEntry {
     // shingle contributes ONE row per doc to the df join, never its
     // occurrence stratum.
     "t_memorization" -> ((s, dir) => {
+      // the t_winnow_pairs materialization: ONE tokenize+shingle pass
+      // through a spread-key (doc_id, g) exchange that both the df
+      // aggregate and the join probe side read back (ReusedExchange,
+      // plan-audited) — and a hot shingle's stratum spreads across
+      // tasks instead of funneling through one
+      val parts = s.sessionState.conf.numShufflePartitions
       val ex = Tables.documents(s, dir)
         .withColumn("__toks", TextOps.tokens(col("text")))
         .select(col("doc_id"),
           explode(graft.functions.VectorOps.shingleHash60(col("__toks"), 3))
             .as("g"))
         .filter(col("doc_id").isNotNull && col("g").isNotNull)
+        .repartition(parts, col("doc_id"), col("g"))
       val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
       ex.join(df, Seq("g"))
         .groupBy("doc_id")

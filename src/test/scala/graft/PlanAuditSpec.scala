@@ -350,6 +350,17 @@ class PlanAuditSpec extends SparkSpec {
       s"d_keep_best has an all-pairs join:\n$p")
   }
 
+  test("t_memorization: one tokenize pass through a reused spread-key exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("t_memorization")
+      assert(p.contains("ReusedExchange"),
+        s"t_memorization shingle pass is compiling twice:\n$p")
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"t_memorization expected 1 documents scan, got $scans")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("e_semdedup: one corpus scan, list_id exchange reused by both join sides") {
     // The assignment pass (nearest-centroid map) materializes through
     // ONE repartition(list_id) exchange; the within-cluster self-join
