@@ -365,6 +365,21 @@ object AnalyticsEntry {
     // Same natural-key shuffles as t_tfidf; corpus totals ride a 1-row
     // broadcast.
     "t_unigram_nll" -> ((s, dir) => unigramNll(s, dir)),
+    // Curriculum schedule: deterministic shard assignment (md5, like
+    // p_split — re-crawl-stable) + easy-first rank within each shard by
+    // LM surprisal — the data-ordering pass curriculum training wants,
+    // reproducible run-to-run. Ranks are per-shard windows over the
+    // already-reduced per-doc rows (8 shards ⇒ 8 parallel rank chains,
+    // never one global sort).
+    "p_curriculum" -> ((s, dir) => {
+      val shard = conv(substring(md5(concat(lit("c#"),
+        col("doc_id"))), 1, 4), 16, 10).cast("long") % 8
+      val w = Window.partitionBy("shard").orderBy(col("avg_nll"), col("doc_id"))
+      unigramNll(s, dir)
+        .withColumn("shard", shard)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("rank"), col("avg_nll"))
+    }),
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): documents
     // split into head/middle/tail TERCILES of LM surprisal WITHIN each
     // language — the language-local cut is the point (a global
@@ -746,6 +761,27 @@ object AnalyticsEntry {
         | round(sum(tf * -ln(cnt / (SELECT total FROM tot))) / sum(tf), 4)
         |  AS avg_nll
         |FROM tf JOIN vocab USING (tok) GROUP BY doc_id""".stripMargin),
+    // curriculum: md5 shard + easy-first per-shard rank over the nll CTEs
+    "p_curriculum" -> (T +
+      """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tk GROUP BY doc_id, tok),
+        |vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt
+        |  FROM tf GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        |nll AS (SELECT doc_id,
+        |  round(sum(tf * -ln(cnt / (SELECT total FROM tot))) / sum(tf), 4)
+        |   AS avg_nll
+        | FROM tf JOIN vocab USING (tok) GROUP BY doc_id),
+        |sh AS (SELECT doc_id, avg_nll,
+        |  CAST(CAST('0x' || substr(md5('c#' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |       AS BIGINT) % 8 AS BIGINT) AS shard
+        | FROM nll)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard
+        |   ORDER BY avg_nll, doc_id) AS BIGINT) AS rank,
+        | avg_nll
+        |FROM sh""".stripMargin),
     // CCNet terciles: same nll CTEs, ntile(3) within language over the
     // (rounded avg_nll, doc_id) total order
     "t_ppl_bucket" -> (T +

@@ -849,6 +849,17 @@ object PipelineEntry {
       Ann.clusterSample(Ann.pinnedCentroids(emb, nlist = 16), emb,
         perList = 5)
     }),
+    // JL random-projection top-k: exact cosine ranking in the 16-dim
+    // projected space (4× cheaper per distance, distances preserved
+    // within (1±ε)) — the dimensionality-cut scale path beside the
+    // sign-bit LSH family. Brute within projected space is the gate
+    // shape; production composes with the IVF/LSH blockers.
+    "e_knn_rp" -> ((s, dir) => {
+      val proj = Ann.randomProject(Tables.embeddings(s, dir), k = 16,
+        seed = 7L)
+      Ann.bruteTopK(proj, proj.filter(col("vec_id") < 10), k = 5,
+        vecCol = "p")
+    }),
     // Linear probe: nearest-class-centroid classification of every
     // vector — the closed-form "are these embeddings any good"
     // diagnostic, per-row so the confusion structure is queryable.
@@ -1473,7 +1484,8 @@ object PipelineEntry {
     "e_cluster_sample" -> clusterSampleOracle,
     "e_semdedup" -> semDedupOracle,
     "e_emb_outliers" -> embOutliersOracle,
-    "e_centroid_probe" -> centroidProbeOracle)
+    "e_centroid_probe" -> centroidProbeOracle,
+    "e_knn_rp" -> rpKnnOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
@@ -1618,6 +1630,27 @@ object PipelineEntry {
       |  (rem.vec_id IS NULL) AS keep
       | FROM asg LEFT JOIN rem ON rem.vec_id = asg.vec_id)
       |SELECT vec_id, list_id, keep FROM flagged""".stripMargin
+
+  /** DuckDB mirror of the JL projection gate: the same fixed-seed
+    * gaussian planes interpolated into the SQL, p_i = v·plane_i, then
+    * the exact cosine/rank/rounding tail over the projected vectors. */
+  private def rpKnnOracle: String = {
+    val planes = Ann.hyperplanes(1, 16, 64, seed = 7L)(0)
+    val proj = planes.map(p =>
+      s"list_inner_product(v, ${p.mkString("[", ",", "]")})")
+      .mkString("[", ",\n  ", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pr AS (SELECT vec_id, $proj AS p FROM e),
+       |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |  list_inner_product(q.p, n.p)
+       |   / (sqrt(list_inner_product(q.p, q.p))
+       |      * sqrt(list_inner_product(n.p, n.p))) AS sim
+       | FROM pr q JOIN pr n ON q.vec_id < 10 AND q.vec_id <> n.vec_id),
+       |r AS (SELECT qid, nid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+       | FROM s)
+       |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
+  }
 
   /** DuckDB mirror of the linear probe: element-wise label-mean
     * centroids, nearest by the same 2·v·c − c·c argmax with the

@@ -143,6 +143,24 @@ object Ann {
     Array.fill(tables, planes, dim)(rnd.nextGaussian())
   }
 
+  /**
+   * Johnson–Lindenstrauss random projection: `k` REAL coordinates
+   * `p_i = v · plane_i` against fixed-seed gaussian planes — the
+   * distance-preserving (1±ε) dimensionality cut, where the LSH path
+   * keeps only the sign bits. Use as a 4× (k=16, dim=64) cheaper
+   * pre-rank / at-rest representation whose cosine still tracks the
+   * original space. One codegen'd map pass (planes ride the closure);
+   * seed-deterministic, so an external oracle rebuilds the identical
+   * projection. Output: (idCol, `p` array<double>) + carried columns.
+   */
+  def randomProject(df: DataFrame, k: Int, seed: Long, dim: Int = 64,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(1, k, dim, seed)(0)
+    df.select(col(idCol),
+      array(planes.map(p => dot(col(vecCol), lit(p))): _*).as("p"))
+  }
+
   /** Sign-bit signature of `vec` against one table's planes (fused
     * native pass; bit i = sign of vec·planes(i)). */
   private def signature(vec: Column, tplanes: Array[Array[Double]]): Column =

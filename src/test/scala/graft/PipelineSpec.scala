@@ -1108,6 +1108,37 @@ class PipelineSpec extends SparkSpec {
     assert(a === b && a.size === 8)
   }
 
+  test("randomProject: deterministic; planted-cluster neighbors survive projection") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val proj = graft.similarity.Ann.randomProject(emb, k = 16, seed = 7L)
+    // same seed twice = identical projection
+    val a = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = graft.similarity.Ann.randomProject(emb, k = 16, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b)
+    // JL contract where neighborhoods actually exist: 4 tight planted
+    // clusters in 64-dim — projected top-3 must stay within-cluster.
+    // (The driver's synthetic embeddings are near-uniform — max cosine
+    // 0.49 — so ranking there is noise for ANY distance-preserving
+    // sketch; structure is what JL preserves.)
+    import spark.implicits._
+    val planted = (0 until 20).map { i =>
+      val cl = i % 4
+      val v = Array.fill(64)(0.0f)
+      v(cl * 16) = 1.0f
+      v(cl * 16 + 1) = 0.02f * (i / 4) // small within-cluster spread
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val pp = graft.similarity.Ann.randomProject(planted, k = 16, seed = 7L)
+    val top3 = graft.similarity.Ann.bruteTopK(pp, pp, k = 3, vecCol = "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top3.nonEmpty)
+    top3.foreach { case (q, n) =>
+      assert(q % 4 == n % 4,
+        s"projected neighbor $n of $q crossed clusters")
+    }
+  }
+
   test("centroidProbe is perfect on separable clusters, reports misses") {
     import spark.implicits._
     // two tight clusters on the axes + one planted mislabel
