@@ -548,6 +548,18 @@ object PipelineEntry {
     // operator shares ONE tokenize between detect and cut.
     "d_cut_spans" -> ((s, dir) =>
       Dedup.cutDuplicateSpans(Tables.documents(s, dir), l = 8)),
+    // Boilerplate-segment strip: line-level dedup re-expressed as
+    // fixed-width token segments (this corpus has no hard newlines) —
+    // corpus-wide segment df, drop df ≥ 5, rebuild in order.
+    "d_boiler_strip" -> ((s, dir) =>
+      Dedup.stripBoilerplateSegments(Tables.documents(s, dir),
+        width = 4, maxDf = 5L)),
+    // Surgical benchmark decontamination: spans of train docs that
+    // leak any 8-token window of the benchmark slice (src1) are CUT,
+    // not the whole doc (p_decontam is the flag-only sibling).
+    "p_decontam_cut" -> ((s, dir) =>
+      Dedup.cutContaminatedSpans(Tables.documents(s, dir),
+        col("source") === "src1", l = 8)),
     // Embedding near-dup cluster collapse: connected components over
     // the LSH-blocked cosine pairs (never all-pairs), min-id labels.
     "e_dup_groups" -> ((s, dir) =>
@@ -704,6 +716,10 @@ object PipelineEntry {
       val emb = Tables.embeddings(s, dir)
       Ann.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // Greedy k-center coreset: the diversity sampler — k − 1 linear
+    // passes, centers ride the plan as a k·dim literal, arg-max via
+    // TakeOrderedAndProject (no shuffle, no cache).
+    "e_kcenter" -> ((s, dir) => Ann.kCenter(Tables.embeddings(s, dir), k = 8)),
     // Exact all-pairs: the recall oracle for e_lsh_pairs (quadratic —
     // verification-scale only; the 100 TB dedup path is e_lsh_pairs).
     "e_cos_pairs" -> ((s, dir) =>
@@ -1168,6 +1184,80 @@ object PipelineEntry {
     "d_dup_spans" -> (T + DupSpansCte +
       """SELECT doc_id, span_start, span_end, span_tokens, n_windows
         |FROM spans""".stripMargin),
+    "d_boiler_strip" -> (T +
+      """, seg AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(t) = 0 THEN []::BIGINT[]
+        |   ELSE range(0, CAST(ceil(len(t)/4.0) AS BIGINT)) END) AS seg_idx,
+        |  unnest(CASE WHEN len(t) = 0 THEN []::VARCHAR[]
+        |   ELSE [array_to_string(t[CAST(g*4+1 AS INT):CAST(g*4+4 AS INT)], ' ')
+        |         for g in range(0, CAST(ceil(len(t)/4.0) AS BIGINT))] END) AS seg
+        | FROM toks),
+        |hot AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM seg)
+        | GROUP BY seg HAVING count(*) >= 5),
+        |m AS (SELECT s.doc_id, s.seg_idx, s.seg, h.seg IS NOT NULL AS is_hot
+        | FROM seg s LEFT JOIN hot h ON s.seg = h.seg),
+        |a AS (SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_hot THEN seg END, ' '
+        |    ORDER BY seg_idx), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_seg,
+        |  CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        | FROM m GROUP BY doc_id)
+        |SELECT doc_id, clean_text, n_seg, n_dropped FROM a""".stripMargin),
+    "p_decontam_cut" -> (T +
+      """, win AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(t) < 8 THEN []::BIGINT[]
+        |   ELSE range(1, len(t)-6) END) AS pos,
+        |  unnest(CASE WHEN len(t) < 8 THEN []::VARCHAR[]
+        |   ELSE [md5(array_to_string(t[i:i+7], ' '))
+        |         for i in range(1, len(t)-6)] END) AS wh
+        | FROM toks),
+        |bh AS (SELECT DISTINCT w.wh FROM win w JOIN documents d USING (doc_id)
+        | WHERE d.source = 'src1'),
+        |occ AS (SELECT w.doc_id, w.pos FROM win w JOIN documents d USING (doc_id)
+        | WHERE d.source <> 'src1' AND w.wh IN (SELECT wh FROM bh)),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= pos
+        |   THEN 0 ELSE 1 END AS brk FROM occ),
+        |isl AS (SELECT doc_id, pos,
+        |  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM g),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos)+8 AS span_end
+        | FROM isl GROUP BY doc_id, island),
+        |tk AS (SELECT doc_id, unnest(t) AS tok,
+        |  unnest(range(1, len(t)+1)) AS pos FROM toks),
+        |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tk k
+        | WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |  WHERE s.doc_id = k.doc_id
+        |   AND k.pos >= s.span_start AND k.pos < s.span_end)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        | FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.source <> 'src1'""".stripMargin),
+    "e_kcenter" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, list_inner_product(v, v) AS nn FROM e),
+        |pd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |  na.nn + nb.nn - 2*list_inner_product(a.v, b.v) AS d2
+        | FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        | JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id),
+        |seed AS (SELECT min(vec_id) AS s FROM e),
+        |sel(step, ids) AS (
+        |  SELECT CAST(1 AS BIGINT), [s] FROM seed
+        |  UNION ALL
+        |  SELECT step + 1, list_append(ids, (
+        |    SELECT p.ib FROM pd p
+        |    WHERE list_contains(sel.ids, p.ia)
+        |      AND NOT list_contains(sel.ids, p.ib)
+        |    GROUP BY p.ib
+        |    ORDER BY min(p.d2) DESC, p.ib
+        |    LIMIT 1))
+        |  FROM sel WHERE step < 8)
+        |SELECT CAST(t.o AS BIGINT) AS sel_rank,
+        | CAST(ids[CAST(t.o AS INT)] AS BIGINT) AS vec_id
+        |FROM (SELECT ids FROM sel WHERE step = 8) s,
+        | unnest(range(1, 9)) AS t(o)""".stripMargin,
     "d_cut_spans" -> (T + DupSpansCte +
       """, tk AS (SELECT doc_id, unnest(t) AS tok,
         |  unnest(range(1, len(t)+1)) AS pos FROM toks),

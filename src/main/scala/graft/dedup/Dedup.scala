@@ -1137,4 +1137,144 @@ object Dedup {
               struct((col("pos0") + 1).as("pos"), col("tok"))))),
           _.getField("tok"))).as("clean_text"))
   }
+
+  /**
+   * Boilerplate-segment removal — the line-level dedup pass of
+   * CCNet/RefinedWeb-style curation (headers, footers, navigation
+   * chrome repeated verbatim across a crawl), re-expressed over
+   * corpora without hard newlines: each document splits into
+   * consecutive `width`-token segments, every distinct segment's
+   * document frequency is counted corpus-wide, segments appearing in
+   * ≥ `maxDf` documents are dropped, and the survivors re-join in
+   * order (empty string when everything was boilerplate).
+   *
+   * Scale shape: one segment exchange for the df count (two-phase:
+   * distinct (segment, doc) then count — the exact-count_distinct
+   * expansion), then the hot-segment set joins back BROADCAST — by
+   * definition it holds only segments recurring in ≥ maxDf documents,
+   * a set bounded by corpus boilerplate (≪ corpus) the same way the
+   * winnowing hot-fingerprint and CDC hot-chunk guards are. The
+   * rebuild is a per-doc sort of its own segments, bounded by
+   * document length.
+   */
+  def stripBoilerplateSegments(df: DataFrame, width: Int = 4,
+                               maxDf: Long = 5L,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    require(width >= 1, "segment width must be at least 1 token")
+    // Empty/null-text docs have no segments and are simply absent from
+    // the output (inner semantics — the oracle mirrors this).
+    val segs = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
+        posexplode(when(size(col("__toks")) > 0, transform(
+            sequence(lit(0),
+              ceil(size(col("__toks")) / lit(width.toDouble)).cast("long") - 1),
+            g => concat_ws(" ",
+              slice(col("__toks"), (g * width + 1).cast("int"), lit(width)))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("seg_idx", "seg")))
+      // explicit not-null guards BELOW the exchange: the hot-df join
+      // infers them on its build side; with matching filters already
+      // present the inferred copies are subsumed and both branches'
+      // subtrees stay byte-identical (the shingleBlockedCounts note)
+      .filter(col("id").isNotNull && col("seg").isNotNull)
+      // spread-key repartition on ALL projected columns (the
+      // ngramJaccardPairs idiom): the hot-df branch and the rebuild
+      // join read ONE copy of the scan+tokenize+segment subtree via
+      // exchange reuse — column pruning can't specialize either copy
+      // because every column is a partitioning input.
+      .repartition(col("id"), col("seg_idx"), col("seg"))
+    val hot = segs.select("seg", "id").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDf)
+      .select(col("seg"), lit(true).as("__hot"))
+    segs.join(broadcast(hot), Seq("seg"), "left")
+      .groupBy("id")
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(
+            when(col("__hot").isNull, struct(col("seg_idx"), col("seg"))))),
+          _.getField("seg"))).as("clean_text"),
+        count(lit(1)).as("n_seg"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_seg"),
+        col("n_dropped"))
+  }
+
+  /**
+   * Benchmark decontamination by SPAN CUT: every `l`-token window of a
+   * non-benchmark document that appears verbatim anywhere in the
+   * benchmark slice (`isBench` rows) marks a contaminated region;
+   * overlapping windows merge into maximal spans, and the spans are
+   * cut out of the text (Lee et al.-style surgical decontamination —
+   * the doc survives minus the leaked passage, where the flag-only
+   * `p_decontam` variant would drop it whole).
+   *
+   * Returns (idCol, clean_text) for every NON-benchmark document;
+   * untouched docs pass through whitespace-normalized.
+   *
+   * Scale shape: ONE corpus scan + tokenize feeds the window-hash
+   * branch and the rebuild branch through a single id-keyed exchange
+   * (the [[cutDuplicateSpans]] idiom — bench/train row routing is
+   * `when`-projected, never a Filter, so predicate pushdown cannot
+   * split the exchange; plan-audited). The benchmark window-hash set
+   * joins BROADCAST — eval suites are fixed-size and tiny relative to
+   * any training corpus (the `p_decontam` argument).
+   */
+  def cutContaminatedSpans(df: DataFrame, isBench: Column, l: Int = 8,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(l >= 2, "window length must be at least 2 tokens")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"),
+        isBench.as("__bench"))
+      .repartition(col("id"))
+    val win = base.select(col("id"), col("__bench"),
+        posexplode(when(size(col("__toks")) >= l, transform(
+            sequence(lit(1), size(col("__toks")) - l + 1),
+            i => md5(concat_ws(" ", slice(col("__toks"), i, lit(l))))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("p0", "wh")))
+      .select(col("id"), col("__bench"), (col("p0") + 1).as("pos"), col("wh"))
+    // bench/train routing via null join keys (nulls never equi-match),
+    // NOT Filters — a Filter would push below the base repartition and
+    // specialize that consumer's copy of the scan+tokenize subtree.
+    val benchH = win.select(when(col("__bench"), col("wh")).as("wh"))
+      .distinct()
+    val occ = win
+      .select(col("id"), col("pos"), when(!col("__bench"), col("wh")).as("wh"))
+      .join(broadcast(benchH), "wh")
+      .select("id", "pos")
+    val prevEnd = max(col("pos") + l)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = occ
+      .withColumn("__brk", when(prevEnd >= col("pos"), 0).otherwise(1))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + l).cast("long").as("span_end"))
+      .select(col("id").as("__sid"), col("span_start"), col("span_end"))
+    // Rebuild (the cutFromArrays shape) with __bench carried through
+    // the aggregate: the bench-row drop happens on an AGGREGATED
+    // column, which predicate pushdown cannot move below the groupBy —
+    // the shared exchange stays whole. Benchmark docs' wasted rebuild
+    // is bounded by the (tiny) benchmark slice.
+    base.select(col("id"), col("__bench"),
+        posexplode_outer(col("__toks")).as(Seq("pos0", "tok")))
+      .join(spans,
+        col("id") === col("__sid") &&
+          col("pos0") + 1 >= col("span_start") &&
+          col("pos0") + 1 < col("span_end"),
+        "left")
+      .groupBy("id")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(
+              when(col("__sid").isNull && col("tok").isNotNull,
+                struct((col("pos0") + 1).as("pos"), col("tok"))))),
+            _.getField("tok"))).as("clean_text"),
+        first(col("__bench")).as("__b"))
+      .filter(!col("__b"))
+      .select(col("id").as(idCol), col("clean_text"))
+  }
 }

@@ -1234,4 +1234,65 @@ object Ann {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /**
+   * Greedy k-center (farthest-point) coreset selection — the diversity
+   * sampler of embedding-space data curation: starting from the
+   * minimum-id vector, repeatedly pick the point farthest (squared
+   * euclidean) from everything already selected (ties break to the
+   * lowest id). The k selected ids are a 2-approximation of the
+   * optimal k-center cover, the standard seed set for diverse
+   * fine-tuning subsets and coreset-based active learning.
+   *
+   * Scale shape: k − 1 linear passes; each pass evaluates min-distance
+   * to the ≤ k chosen centers from a PLAN LITERAL (k·dim doubles — no
+   * join, no shuffle) and takes the arg-max via TakeOrderedAndProject
+   * (per-partition top-1, driver merges one row per partition). No
+   * lineage growth round-over-round: every pass recomputes from the
+   * k-bounded literal, so nothing is cached or checkpointed. Driver
+   * state is k rows — the same O(k·dim) bound as the IVF/PQ codebook
+   * collects.
+   */
+  def kCenter(df: DataFrame, k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seed = e.orderBy("vec_id").limit(1)
+      .as[(Long, Array[Double])].collect()
+    require(seed.nonEmpty, "kCenter needs a non-empty corpus")
+    val centers = scala.collection.mutable.ArrayBuffer(seed(0))
+    while (centers.size < k) {
+      val cLit = array(centers.toSeq.map { case (_, cv) =>
+        array(cv.toSeq.map(lit): _*)
+      }: _*)
+      val minD2 = aggregate(
+        transform(cLit, c => aggregate(
+          zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0d), (a, x) => a + x)),
+        lit(Double.MaxValue), (a, d) => least(a, d))
+      // selected ids are excluded explicitly (a k-bounded literal, not
+      // just "their distance is 0") so duplicate-heavy corpora with
+      // fewer than k distinct points still terminate
+      val chosen = centers.toSeq.map(_._1)
+      val next = e
+        .filter(!col("vec_id").isin(chosen: _*))
+        .select(col("vec_id"), col("v"), minD2.as("d2"))
+        .orderBy(col("d2").desc, col("vec_id"))
+        .limit(1)
+        .select("vec_id", "v")
+        .as[(Long, Array[Double])].collect()
+      if (next.isEmpty) {
+        return centers.toSeq.zipWithIndex
+          .map { case ((id, _), i) => (i + 1L, id) }
+          .toDF("sel_rank", "vec_id")
+      }
+      centers += next(0)
+    }
+    centers.toSeq.zipWithIndex
+      .map { case ((id, _), i) => (i + 1L, id) }
+      .toDF("sel_rank", "vec_id")
+  }
 }

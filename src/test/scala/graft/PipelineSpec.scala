@@ -1184,4 +1184,58 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "unk"))
   }
+
+  test("stripBoilerplateSegments drops only corpus-hot segments, keeps order") {
+    // "nav bar" (width 2) appears in 3 docs -> hot at maxDf = 3;
+    // every other segment is unique. Doc 4 is pure boilerplate ->
+    // empty rebuild; doc 5 is empty -> absent (no segments).
+    val df = docs(
+      (1L, "nav bar alpha beta gamma delta"),
+      (2L, "nav bar epsilon zeta"),
+      (3L, "theta iota nav bar"),
+      (4L, "nav bar"),
+      (5L, ""))
+    val out = Dedup.stripBoilerplateSegments(df, width = 2, maxDf = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "empty doc has no segments")
+    assert(out(1L) == (("alpha beta gamma delta", 3L, 1L)))
+    assert(out(2L) == (("epsilon zeta", 2L, 1L)))
+    // doc 3's segments are "theta iota" / "nav bar" (segment grid is
+    // positional): the trailing "nav bar" IS a hot segment and goes
+    assert(out(3L) == (("theta iota", 2L, 1L)))
+    assert(out(4L) == (("", 1L, 1L)))
+  }
+
+  test("cutContaminatedSpans cuts the leaked window, keeps everything else") {
+    // doc 10 is the benchmark; doc 1 embeds its 4-token run verbatim
+    // mid-document; doc 2 is clean. l = 4.
+    val df = spark.createDataFrame(Seq(
+      (10L, "secret eval question four", "bench"),
+      (1L, "intro words here secret eval question four outro tail", "train"),
+      (2L, "totally unrelated training text", "train")))
+      .toDF("doc_id", "text", "kind")
+    val out = Dedup.cutContaminatedSpans(df, col("kind") === "bench", l = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L), "benchmark docs never appear")
+    assert(out(1L) == "intro words here outro tail")
+    assert(out(2L) == "totally unrelated training text")
+  }
+
+  test("kCenter: greedy farthest-point from the min-id seed, ties to low id") {
+    import spark.implicits._
+    // 1-D line: seed 0 at x=0; farthest is 3 (x=10); then 1 (x=4,
+    // min-dist 16 beats 2's 4); then 2.
+    val emb = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(4.0f)), (2L, Seq(6.0f)), (3L, Seq(10.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.kCenter(emb, k = 4)
+      .orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(0L, 3L, 1L, 2L))
+    // k beyond distinct points: terminates and returns what exists
+    val dup = Seq((7L, Seq(1.0f)), (8L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val small = Ann.kCenter(dup, k = 5).collect()
+    assert(small.map(_.getLong(1)).toSet == Set(7L, 8L))
+  }
 }

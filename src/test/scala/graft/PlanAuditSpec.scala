@@ -390,7 +390,14 @@ class PlanAuditSpec extends SparkSpec {
       "d_cut_spans",
       // dup-n-gram fraction: df aggregate + join probe read one
       // spread-key exchange; the shingle pass compiles once
-      "d_dupgram_frac")
+      "d_dupgram_frac",
+      // boilerplate strip: segment-df branch + rebuild join off one
+      // spread-key segment exchange
+      "d_boiler_strip",
+      // decontam cut: bench-hash, occurrence, and rebuild branches all
+      // off one id-keyed tokenArrays exchange (bench/train routing is
+      // when-projected, never a Filter)
+      "p_decontam_cut")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       def check(q: String, p: String): Unit = {
