@@ -716,6 +716,14 @@ object PipelineEntry {
       val emb = Tables.embeddings(s, dir)
       Ann.bruteTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // Multi-probe LSH: 4 tables + closest-plane flip probes match the
+    // 8-table recall at half the corpus-side signature cost — the
+    // probing trick that shrinks the expensive (corpus) side.
+    "e_knn_lsh_mp" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshTopKMultiProbe(emb, emb.filter(col("vec_id") < 10),
+        k = 5, tables = 4)
+    }),
     // Greedy k-center coreset: the diversity sampler — k − 1 linear
     // passes, centers ride the plan as a k·dim literal, arg-max via
     // TakeOrderedAndProject (no shuffle, no cache).
@@ -1575,7 +1583,8 @@ object PipelineEntry {
     "e_semdedup" -> semDedupOracle,
     "e_emb_outliers" -> embOutliersOracle,
     "e_centroid_probe" -> centroidProbeOracle,
-    "e_knn_rp" -> rpKnnOracle)
+    "e_knn_rp" -> rpKnnOracle,
+    "e_knn_lsh_mp" -> lshMultiProbeOracle)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
@@ -1638,6 +1647,47 @@ object PipelineEntry {
        |r AS (SELECT qid, nid, sim,
        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
        |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB mirror of Ann.lshTopKMultiProbe (4 tables): per-table base
+    * signature + the two closest-plane flips, margins and bucket
+    * choice replayed bit-for-bit (struct sort ties to the lower plane
+    * index, same as the Spark array_sort). */
+  private def lshMultiProbeOracle: String = {
+    val tables = 4
+    val hp = Ann.hyperplanes(tables = tables, planes = 6, dim = 64, seed = 42L)
+    val sigCols = hp.zipWithIndex.map { case (tp, t) =>
+      val terms = tp.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_inner_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"$terms AS s_$t"
+    }.mkString(",\n ")
+    val probeCols = hp.zipWithIndex.map { case (tp, t) =>
+      val structs = tp.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ",", "]")
+        s"{'a': abs(list_inner_product(v, $arr)), 'p': $i, 'b': CAST(${1L << i} AS BIGINT)}"
+      }.mkString(", ")
+      s"""[s_$t, xor(s_$t, list_sort([$structs])[1].b),
+         |  xor(s_$t, list_sort([$structs])[2].b)] AS p_$t""".stripMargin
+    }.mkString(",\n ")
+    val anyMatch = (0 until tables)
+      .map(t => s"list_contains(q.p_$t, c.s_$t)").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sig AS (SELECT vec_id, v,
+       | $sigCols
+       | FROM e),
+       |qp AS (SELECT vec_id, v,
+       | $probeCols
+       | FROM sig WHERE vec_id < 10),
+       |s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |  list_inner_product(q.v, c.v)
+       |   / (sqrt(list_inner_product(q.v, q.v))
+       |      * sqrt(list_inner_product(c.v, c.v))) AS sim
+       | FROM qp q JOIN sig c ON q.vec_id <> c.vec_id AND ($anyMatch)),
+       |r AS (SELECT qid, nid, sim,
+       |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+       |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r WHERE rank <= 5""".stripMargin
+  }
 
   /**
    * Shared CTE chain: pinned-quantizer centroid ranking per vector.

@@ -1236,6 +1236,70 @@ object Ann {
   }
 
   /**
+   * Multi-probe sign-LSH top-k (the Lv et al., VLDB'07 probing idea on
+   * the sign-random-projection family): each query probes, per table,
+   * its own bucket PLUS the two buckets reached by flipping the single
+   * plane with the smallest |margin| (the 1st and 2nd closest
+   * hyperplanes) — the buckets a near-miss neighbor most likely fell
+   * into. Comparable recall to ~2× the tables at HALF the corpus-side
+   * cost: the corpus signature/bucket pass is the corpus-sized expense
+   * multi-probe shrinks, while extra probes only multiply the (small
+   * by contract) query side. Probe margins reuse the signature's exact
+   * per-plane dot products, so the SQL oracle replays bucket choice
+   * bit-for-bit.
+   */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+                        tables: Int = 4, planes: Int = 6, dim: Int = 64,
+                        seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxBucket: Int = 100000): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim, seed)
+    val cand = lshBucketsShared(corpus, hp, idCol, vecCol, "nid", maxBucket)
+      .join(multiProbeBucketsId(queries, hp, idCol, vecCol, "qid"), "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .dropDuplicates("qid", "nid")
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+      norm(col(vecCol)).as("nn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qn"))
+    cosScoreTail(cand.join(q, "qid").join(c, "nid"), k)
+  }
+
+  /** Query-side probe buckets: per table, the base signature bucket
+    * plus the two single-plane flips with the smallest |margin| (ties
+    * break to the lower plane index via the struct sort order). Margin
+    * dots run in the same element order as [[graft.functions
+    * .LshSignature]], so flips are deterministic and oracle-exact. */
+  private def multiProbeBucketsId(df: DataFrame,
+                                  hp: Array[Array[Array[Double]]],
+                                  idCol: String, vecCol: String,
+                                  id: String): DataFrame = {
+    val tables = hp.length
+    val probeCols = (0 until tables).map { t =>
+      val sig = signature(col(vecCol), hp(t))
+      val margins = hp(t).zipWithIndex.map { case (plane, p) =>
+        struct(
+          abs(dot(col(vecCol).cast("array<double>"),
+            array(plane.toSeq.map(lit): _*))).as("a"),
+          lit(p).as("p"), lit(1L << p).as("bit"))
+      }
+      val order = array_sort(array(margins.toSeq: _*))
+      val flip1 = order.getItem(0).getField("bit")
+      val flip2 = order.getItem(1).getField("bit")
+      array(
+        concat(lit(t + ":"), sig.cast("string")),
+        concat(lit(t + ":"), sig.bitwiseXOR(flip1).cast("string")),
+        concat(lit(t + ":"), sig.bitwiseXOR(flip2).cast("string"))).as(s"b$t")
+    }
+    df.select(probeCols :+ col(idCol).as(id): _*)
+      .withColumn("bucket", explode(flatten(
+        array((0 until tables).map(t => col(s"b$t")): _*))))
+      .select(id, "bucket")
+      .filter(col(id).isNotNull && col("bucket").isNotNull)
+  }
+
+  /**
    * Greedy k-center (farthest-point) coreset selection — the diversity
    * sampler of embedding-space data curation: starting from the
    * minimum-id vector, repeatedly pick the point farthest (squared

@@ -1223,6 +1223,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == "totally unrelated training text")
   }
 
+  test("multi-probe LSH: 4 tables + flip probes beat plain 4-table recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Ann.bruteTopK(emb, q, k = 5))
+    val plain = hits(Ann.lshTopK(emb, q, k = 5, tables = 4))
+    val multi = hits(Ann.lshTopKMultiProbe(emb, q, k = 5, tables = 4))
+    val rPlain = (brute & plain).size.toDouble / brute.size
+    val rMulti = (brute & multi).size.toDouble / brute.size
+    assert(rMulti >= rPlain,
+      s"multi-probe recall $rMulti fell below plain 4-table $rPlain")
+    assert(rMulti >= 0.5, s"multi-probe recall too low: $rMulti")
+  }
+
   test("kCenter: greedy farthest-point from the min-id seed, ties to low id") {
     import spark.implicits._
     // 1-D line: seed 0 at x=0; farthest is 3 (x=10); then 1 (x=4,
