@@ -1,0 +1,164 @@
+package graft.cli
+
+import graft.dedup.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end training-data curation pipeline — the composition a real
+ * pipeline ships, as one runnable program over a documents table
+ * (doc_id, text, source):
+ *
+ *   1. exact-dup collapse (min-id keeper per content hash)
+ *   2. quality + language gates
+ *   3. benchmark decontamination by SPAN CUT (leaked ≥ l-token windows
+ *      removed, the doc survives; fully-leaked docs come back empty
+ *      and fall out at step 4)
+ *   4. boilerplate-segment strip (corpus-hot segments removed)
+ *   5. leakage-safe split (near-dup groups share a split)
+ *   6. deterministic sharding + token packing offsets
+ *   7. split-partitioned parquet write + a one-line JSON stage report
+ *
+ * Every stage is the library operator the gates verify
+ * ([[Dedup.cutContaminatedSpans]], [[Dedup.stripBoilerplateSegments]],
+ * [[Dedup.minhashLshPairs]] → [[Dedup.duplicateGroups]]); the CLI only
+ * composes them, so the plan inherits their audited shapes (blocked
+ * joins, broadcast hot sets, one-tokenize exchanges). Shuffles ride
+ * content hashes and blocking keys — no stage is quadratic and no
+ * stage holds more than a bounded sketch per row.
+ *
+ * Usage:
+ *   runMain graft.cli.Curate --in=<documents.parquet> --out=<dir>
+ *     [--bench-source=src1] [--quality-min=0.3] [--lang=en]
+ *     [--ngram=8] [--seg-width=4] [--seg-maxdf=5]
+ *     [--bin=512] [--shards=16]
+ */
+object Curate {
+
+  final case class Report(nInput: Long, nDeduped: Long, nGated: Long,
+                          nCut: Long, nFinal: Long, nBoilerDropped: Long,
+                          perSplit: Map[String, Long]) {
+    def json: String = {
+      val splits = perSplit.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"n_input":$nInput,"n_deduped":$nDeduped,"n_gated":$nGated,""" +
+        s""""n_cut":$nCut,"n_final":$nFinal,""" +
+        s""""n_boiler_segments_dropped":$nBoilerDropped,""" +
+        s""""per_split":{$splits}}"""
+    }
+  }
+
+  def run(spark: SparkSession, in: String, out: String,
+          benchSource: String = "src1", qualityMin: Double = 0.3,
+          lang: String = "en", ngram: Int = 8, segWidth: Int = 4,
+          segMaxDf: Long = 5L, bin: Int = 512, shards: Int = 16): Report = {
+    val docs = spark.read.parquet(in)
+    val nInput = docs.count()
+
+    // 1. exact-dup collapse: the cheapest dedup first, so every later
+    // stage works on distinct contents (keeper = min id per hash)
+    val keeperW = Window.partitionBy(md5(col("text")))
+    val deduped = docs
+      .withColumn("__k", min(col("doc_id")).over(keeperW) === col("doc_id"))
+      .filter(col("__k")).drop("__k")
+    val nDeduped = deduped.count()
+
+    // 2. quality + language gates (benchmark rows bypass the gates —
+    // they are not training data, they exist to be cut AGAINST)
+    val scored = deduped
+      .withColumn("quality", round(TextOps.qualityScore(col("text")), 4))
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+    val gated = scored.filter(col("source") === benchSource ||
+      (col("quality") >= qualityMin && col("lang_pred") === lang))
+    val nGated = gated.filter(col("source") =!= benchSource).count()
+
+    // 3. decontamination span cut (returns non-bench docs only)
+    val cut = Dedup.cutContaminatedSpans(
+      gated.select(col("doc_id"), col("text"), col("source")),
+      col("source") === benchSource, l = ngram)
+    val nCut = cut.count()
+
+    // 4. boilerplate strip on the decontaminated text; fully-cut or
+    // fully-boilerplate docs have no surviving segments and drop out
+    val stripped = Dedup.stripBoilerplateSegments(
+        cut.select(col("doc_id"), col("clean_text").as("text")),
+        width = segWidth, maxDf = segMaxDf)
+      .filter(length(col("clean_text")) > 0)
+    val nBoilerDropped = stripped
+      .agg(coalesce(sum("n_dropped"), lit(0L))).collect()(0).getLong(0)
+
+    // 5. leakage-safe split: near-dup groups (MinHash+LSH over the
+    // FINAL text) share a content-keyed split bucket
+    val grp = Dedup.duplicateGroups(
+      Dedup.minhashLshPairs(
+          stripped.select(col("doc_id"), col("clean_text").as("text")),
+          n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b")))
+    val split = stripped.join(grp, Seq("doc_id"), "left")
+      .withColumn("gid", coalesce(col("group_id"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("g#"), col("gid").cast("string"))),
+          1, 4), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+
+    // 6. deterministic shard + token packing offsets per (split, shard)
+    val packed = split
+      .join(scored.select(col("doc_id"), col("source"), col("quality"),
+        col("lang_pred")), "doc_id")
+      .withColumn("n_tok",
+        size(TextOps.tokens(col("clean_text"))).cast("long"))
+      .withColumn("shard",
+        conv(substring(md5(concat(lit("s#"), col("doc_id").cast("string"))),
+          1, 4), 16, 10).cast("long") % shards)
+      .withColumn("start_off", coalesce(
+        sum(col("n_tok")).over(Window.partitionBy("split", "shard")
+          .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("bin_first", expr(s"start_off div $bin"))
+      .select("doc_id", "clean_text", "source", "quality", "lang_pred",
+        "n_tok", "shard", "start_off", "bin_first", "split")
+
+    packed.write.mode("overwrite").partitionBy("split").parquet(out)
+
+    val outDf = spark.read.parquet(out)
+    val perSplit = outDf.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Report(nInput, nDeduped, nGated, nCut, perSplit.values.sum,
+      nBoilerDropped, perSplit)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.filter(_.startsWith("--")).map { a =>
+      val Array(k, v) = a.drop(2).split("=", 2); k -> v
+    }.toMap
+    val in = opts.getOrElse("in",
+      sys.error("--in=<documents parquet> is required"))
+    val out = opts.getOrElse("out", sys.error("--out=<dir> is required"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val r = run(spark, in, out,
+        benchSource = opts.getOrElse("bench-source", "src1"),
+        qualityMin = opts.get("quality-min").map(_.toDouble).getOrElse(0.3),
+        lang = opts.getOrElse("lang", "en"),
+        ngram = opts.get("ngram").map(_.toInt).getOrElse(8),
+        segWidth = opts.get("seg-width").map(_.toInt).getOrElse(4),
+        segMaxDf = opts.get("seg-maxdf").map(_.toLong).getOrElse(5L),
+        bin = opts.get("bin").map(_.toInt).getOrElse(512),
+        shards = opts.get("shards").map(_.toInt).getOrElse(16))
+      println(r.json)
+    } finally spark.stop()
+  }
+}

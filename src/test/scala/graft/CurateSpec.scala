@@ -1,0 +1,73 @@
+package graft
+
+import graft.cli.Curate
+import graft.functions.VectorOps
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end spec for the composed curation pipeline CLI. */
+class CurateSpec extends SparkSpec {
+
+  private lazy val out =
+    Files.createTempDirectory("graft-curate").toString + "/run1"
+  private lazy val report = Curate.run(spark,
+    "/root/testdata/sf0.001/documents.parquet", out)
+  private lazy val result = spark.read.parquet(out)
+
+  test("stage counts are monotone and the report matches the output") {
+    assert(report.nInput >= report.nDeduped)
+    assert(report.nDeduped >= report.nGated)
+    // span cut returns exactly the gated non-bench docs (rows survive,
+    // text shrinks)
+    assert(report.nCut == report.nGated)
+    assert(report.nFinal <= report.nCut)
+    assert(report.nFinal > 0)
+    assert(result.count() == report.nFinal)
+    assert(report.perSplit.values.sum == report.nFinal)
+  }
+
+  test("no curated doc shares an ngram-window hash with the benchmark slice") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val benchH = docs.filter(col("source") === "src1")
+      .select(explode(VectorOps.shingleHash60(
+        TextOps.tokens(col("text")), 8)).as("g"))
+      .distinct()
+    val leaked = result
+      .select(explode(VectorOps.shingleHash60(
+        TextOps.tokens(col("clean_text")), 8)).as("g"))
+      .join(benchH, "g")
+    assert(leaked.count() == 0, "decontamination cut left a leaked window")
+    // and no benchmark doc leaks into the output wholesale
+    assert(result.filter(col("source") === "src1").count() == 0)
+  }
+
+  test("near-duplicate outputs never straddle a split") {
+    val pairs = graft.dedup.Dedup.minhashLshPairs(
+      result.select(col("doc_id"), col("clean_text").as("text")),
+      n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    val splits = result.select("doc_id", "split")
+    val straddle = pairs
+      .join(splits.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(splits.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0, "a near-dup pair crosses splits")
+  }
+
+  test("packing offsets are contiguous per (split, shard) in doc_id order") {
+    import spark.implicits._
+    val rows = result.select("split", "shard", "doc_id", "n_tok", "start_off")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    rows.foreach { case ((sp, sh), g) =>
+      var off = 0L
+      g.sortBy(_._3).foreach { case (_, _, id, n, start) =>
+        assert(start == off, s"split=$sp shard=$sh doc=$id offset $start != $off")
+        off += n
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+}
