@@ -174,6 +174,23 @@ object PipelineEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         round(TextOps.qualityScore(col("text")), 4).as("quality"))),
+    // Blocklist screen: the wordlist safety/compliance filter every
+    // curation pipeline runs before anything ML-shaped — occurrence
+    // and distinct-term counts per doc against a fixed term list.
+    // Pure map-side (token array materialized once; the list rides
+    // the plan as a literal — at a real blocklist size it becomes one
+    // broadcast set the same way).
+    "t_blocklist" -> ((s, dir) => {
+      val terms = array(Seq("slow", "leak", "crash").map(lit): _*)
+      Tables.documents(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .withColumn("__hits", filter(col("__t"), t => array_contains(terms, t)))
+        .select(col("doc_id"),
+          size(col("__hits")).cast("long").as("n_hits"),
+          size(array_intersect(array_distinct(col("__t")), terms))
+            .cast("long").as("n_terms"),
+          (size(col("__hits")) > 0).as("flagged"))
+    }),
     // Per-source quality equalization: percent-rank within each source
     // — a global quality threshold over raw scores silently starves
     // whole sources whose scorer calibration differs; ranking within
@@ -1006,6 +1023,15 @@ object PipelineEntry {
         | len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
         |FROM toks""".stripMargin),
     "t_quality" -> (T + QualitySelect),
+    "t_blocklist" -> (T +
+      """SELECT doc_id,
+        | CAST(len(list_filter(t, x ->
+        |   list_contains(['slow','leak','crash'], x))) AS BIGINT) AS n_hits,
+        | CAST(len(list_intersect(list_distinct(t),
+        |   ['slow','leak','crash'])) AS BIGINT) AS n_terms,
+        | len(list_filter(t, x ->
+        |   list_contains(['slow','leak','crash'], x))) > 0 AS flagged
+        |FROM toks""".stripMargin),
     "t_quality_norm" -> (T +
       s""", q AS ($QualitySelect),
          |qq AS (SELECT q.doc_id, d.source, q.quality

@@ -115,6 +115,34 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5-shape local-supplier revenue: the 6-table star join.
+    // Anchors the broadcast story: region/nation/customer/supplier are
+    // dimensions (broadcast under AQE), orders carries the pushed date
+    // range, and the only big-side shuffle is lineitem ⋈ orders. The
+    // c_nationkey = s_nationkey equality rides the join output as a
+    // filter, exactly as TPC-H writes it.
+    "q5_local_supplier" -> ((s, dir) => {
+      val y0 = lit("1997-01-01").cast("timestamp_ntz")
+      val y1 = lit("1998-01-01").cast("timestamp_ntz")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     // ------------------------------------- per-stream mutations (§2.1)
     "m_rate" -> ((s, dir) =>
       unkey(Mutations.rate(pts(s, dir), perSecond = true))
@@ -623,6 +651,21 @@ object SparkEntry {
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin,
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          | round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+          | count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |  AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
           |GROUP BY n_name""".stripMargin,
       "q3_shipping" ->
         """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,

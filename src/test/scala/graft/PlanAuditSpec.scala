@@ -341,6 +341,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 1, s"gor_roundtrip expected exactly 1 shuffle exchange, got $n:\n$p")
   }
 
+  test("q5_local_supplier: dimensions broadcast, dates pushed, no nested loop") {
+    val p = plan("q5_local_supplier")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"q5 expected >=4 broadcast dim joins, got $bhj:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q5 has an all-pairs join:\n${p.take(1500)}")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"),
+      "q5 order-date range must reach the orders parquet scan")
+  }
+
   test("d_keep_best: argmax is an aggregate, not a window") {
     val p = plan("d_keep_best")
     assert(!p.contains("Window"),
