@@ -50,6 +50,14 @@ object Curate {
     }
   }
 
+  /** The map-side scoring stage (quality + language) — shared verbatim
+    * by the batch pipeline and any streaming ingest front (it is a
+    * pure projection, so it runs unchanged under readStream; spec'd
+    * batch-vs-stream bit-equal in CurateSpec). */
+  def score(df: DataFrame): DataFrame = df
+    .withColumn("quality", round(TextOps.qualityScore(col("text")), 4))
+    .withColumn("lang_pred", TextOps.langId(col("text")))
+
   def run(spark: SparkSession, in: String, out: String,
           benchSource: String = "src1", qualityMin: Double = 0.3,
           lang: String = "en", ngram: Int = 8, segWidth: Int = 4,
@@ -67,9 +75,7 @@ object Curate {
 
     // 2. quality + language gates (benchmark rows bypass the gates —
     // they are not training data, they exist to be cut AGAINST)
-    val scored = deduped
-      .withColumn("quality", round(TextOps.qualityScore(col("text")), 4))
-      .withColumn("lang_pred", TextOps.langId(col("text")))
+    val scored = score(deduped)
     val gated = scored.filter(col("source") === benchSource ||
       (col("quality") >= qualityMin && col("lang_pred") === lang))
     val nGated = gated.filter(col("source") =!= benchSource).count()
@@ -122,7 +128,12 @@ object Curate {
       .select("doc_id", "clean_text", "source", "quality", "lang_pred",
         "n_tok", "shard", "start_off", "bin_first", "split")
 
-    packed.write.mode("overwrite").partitionBy("split").parquet(out)
+    // shard-clustered, offset-ordered files: a trainer reading shard s
+    // gets its documents contiguous and in packing order
+    packed
+      .repartition(col("split"), col("shard"))
+      .sortWithinPartitions(col("split"), col("shard"), col("start_off"))
+      .write.mode("overwrite").partitionBy("split").parquet(out)
 
     val outDf = spark.read.parquet(out)
     val perSplit = outDf.groupBy("split").count().collect()

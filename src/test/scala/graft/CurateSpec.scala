@@ -56,6 +56,32 @@ class CurateSpec extends SparkSpec {
     assert(straddle.count() == 0, "a near-dup pair crosses splits")
   }
 
+  test("the scoring stage runs bit-identical under Structured Streaming") {
+    import org.apache.spark.sql.types._
+    val src = "/root/testdata/sf0.001/documents.parquet"
+    val schema = spark.read.parquet(src).schema
+    val batch = Curate.score(spark.read.parquet(src))
+      .select("doc_id", "quality", "lang_pred")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    val outDir = Files.createTempDirectory("graft-curate-stream").toString
+    // file sources stream DIRECTORIES; stage the single-file table
+    Files.createDirectories(java.nio.file.Paths.get(s"$outDir/in"))
+    Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(s"$outDir/in/part-0.parquet"))
+    val q = Curate.score(
+        spark.readStream.schema(schema).parquet(s"$outDir/in"))
+      .select("doc_id", "quality", "lang_pred")
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/out")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$outDir/out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed == batch, "streamed scoring diverged from batch")
+  }
+
   test("packing offsets are contiguous per (split, shard) in doc_id order") {
     import spark.implicits._
     val rows = result.select("split", "shard", "doc_id", "n_tok", "start_off")
