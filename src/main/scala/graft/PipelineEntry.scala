@@ -799,9 +799,9 @@ object PipelineEntry {
       val queries = emb.filter(col("vec_id") < 10)
       val cents = Ann.lloydRefine(emb,
         Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64), iters = 5)
-      val improved =
-        Ann.kmeansObjective(emb, cents) <
-          Ann.kmeansObjective(emb, Ann.pinnedCentroids(emb, nlist = 16))
+      val phis = Ann.kmeansObjectives(emb,
+        Seq(cents, Ann.pinnedCentroids(emb, nlist = 16)))
+      val improved = phis(0) < phis(1)
       val ivf = Ann.ivfTopKWith(cents, emb, queries, k = 5, nprobe = 6)
         .select(col("qid"), col("nid"))
       val brute = Ann.bruteTopK(emb, queries, k = 5)

@@ -468,18 +468,32 @@ object Ann {
    * reproducible run-to-run.
    */
   def kmeansObjective(corpus: DataFrame, cents: Array[Array[Double]],
-                      vecCol: String = "embedding"): Double = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val cl = array(cents.toSeq.map(c => array(c.toSeq.map(lit): _*)): _*)
-    corpus.select(aggregate(
-        transform(cl, c => aggregate(
+                      vecCol: String = "embedding"): Double =
+    kmeansObjectives(corpus, Seq(cents), vecCol).head
+
+  /** φ for SEVERAL centroid sets in ONE corpus pass (a quality
+    * contract comparing trained vs baseline quantizers shouldn't scan
+    * the corpus once per competitor). */
+  def kmeansObjectives(corpus: DataFrame,
+                       centSets: Seq[Array[Array[Double]]],
+                       vecCol: String = "embedding"): Seq[Double] = {
+    require(centSets.nonEmpty)
+    def minD2(cents: Array[Array[Double]]): Column = aggregate(
+      transform(array(cents.toSeq.map(c => array(c.toSeq.map(lit): _*)): _*),
+        c => aggregate(
           zip_with(col(vecCol).cast("array<double>"), c,
             (x, y) => (x - y) * (x - y)),
           lit(0d), (a, x) => a + x)),
-        lit(Double.MaxValue), (a, d) => least(a, d)).as("d2"))
-      .agg(sum(col("d2").cast("decimal(38,12)")).cast("double"))
-      .as[Double].collect()(0)
+      lit(Double.MaxValue), (a, d) => least(a, d))
+    val row = corpus
+      .select(centSets.zipWithIndex.map { case (cs, i) =>
+        minD2(cs).as(s"d$i") }: _*)
+      .agg(
+        sum(col("d0").cast("decimal(38,12)")).cast("double").as("p0"),
+        centSets.indices.drop(1).map(i =>
+          sum(col(s"d$i").cast("decimal(38,12)")).cast("double").as(s"p$i")): _*)
+      .collect()(0)
+    centSets.indices.map(row.getDouble)
   }
 
   /**
