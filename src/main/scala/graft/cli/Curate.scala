@@ -63,37 +63,61 @@ object Curate {
           lang: String = "en", ngram: Int = 8, segWidth: Int = 4,
           segMaxDf: Long = 5L, bin: Int = 512, shards: Int = 16): Report = {
     val docs = spark.read.parquet(in)
-    val nInput = docs.count()
+    val isBench = coalesce(col("source") === benchSource, lit(false))
 
-    // 1. exact-dup collapse: the cheapest dedup first, so every later
-    // stage works on distinct contents (keeper = min id per hash)
+    // 1. exact-dup collapse — NON-BENCH rows only. Benchmark rows are
+    // always kept here: if the collapse window spanned bench rows, a
+    // training duplicate of a benchmark text with a lower doc_id would
+    // DELETE the benchmark copy, and step 3 would then build its
+    // window-hash set without that text — the verbatim benchmark
+    // content would ship uncut. (The surviving training duplicate is
+    // instead fully cut by step 3 and drops out at step 4.)
     val keeperW = Window.partitionBy(md5(col("text")))
     val deduped = docs
-      .withColumn("__k", min(col("doc_id")).over(keeperW) === col("doc_id"))
+      .withColumn("__k", isBench ||
+        min(when(!isBench, col("doc_id"))).over(keeperW) === col("doc_id"))
       .filter(col("__k")).drop("__k")
-    val nDeduped = deduped.count()
 
     // 2. quality + language gates (benchmark rows bypass the gates —
     // they are not training data, they exist to be cut AGAINST)
     val scored = score(deduped)
-    val gated = scored.filter(col("source") === benchSource ||
+    val gated = scored.filter(isBench ||
       (col("quality") >= qualityMin && col("lang_pred") === lang))
-    val nGated = gated.filter(col("source") =!= benchSource).count()
+    // stage counters in ONE pass over the scored frame (each .count()
+    // would re-run the whole lineage — the review-flagged multiplier)
+    val statsRow = score(docs.withColumn("__b", isBench)
+        .withColumn("__k", col("__b") ||
+          min(when(!col("__b"), col("doc_id"))).over(keeperW) === col("doc_id")))
+      .agg(count(lit(1)).as("nInput"),
+        count(when(col("__k"), 1)).as("nDeduped"),
+        count(when(col("__k") && !col("__b") &&
+          col("quality") >= qualityMin && col("lang_pred") === lang, 1))
+          .as("nGated"))
+      .collect()(0)
+    val (nInput, nDeduped, nGated) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
 
-    // 3. decontamination span cut (returns non-bench docs only)
+    // 3. decontamination span cut (returns the gated non-bench docs,
+    // row-for-row — nCut ≡ nGated by construction; text shrinks)
     val cut = Dedup.cutContaminatedSpans(
       gated.select(col("doc_id"), col("text"), col("source")),
       col("source") === benchSource, l = ngram)
-    val nCut = cut.count()
+    val nCut = nGated
 
     // 4. boilerplate strip on the decontaminated text; fully-cut or
-    // fully-boilerplate docs have no surviving segments and drop out
-    val stripped = Dedup.stripBoilerplateSegments(
+    // fully-boilerplate docs have no surviving segments and drop out.
+    // Cached (with an unpersist after the write): four consumers — the
+    // drop counter, the near-dup pass, the pack join, and the write —
+    // would otherwise each re-run the tokenize-heavy cut+strip lineage.
+    val strippedAll = Dedup.stripBoilerplateSegments(
         cut.select(col("doc_id"), col("clean_text").as("text")),
         width = segWidth, maxDf = segMaxDf)
-      .filter(length(col("clean_text")) > 0)
-    val nBoilerDropped = stripped
+      .cache()
+    // counted BEFORE the empty filter: fully-boilerplate docs are
+    // exactly the ones that dropped the most segments
+    val nBoilerDropped = strippedAll
       .agg(coalesce(sum("n_dropped"), lit(0L))).collect()(0).getLong(0)
+    val stripped = strippedAll.filter(length(col("clean_text")) > 0)
 
     // 5. leakage-safe split: near-dup groups (MinHash+LSH over the
     // FINAL text) share a content-keyed split bucket
@@ -134,6 +158,7 @@ object Curate {
       .repartition(col("split"), col("shard"))
       .sortWithinPartitions(col("split"), col("shard"), col("start_off"))
       .write.mode("overwrite").partitionBy("split").parquet(out)
+    strippedAll.unpersist(false)
 
     val outDf = spark.read.parquet(out)
     val perSplit = outDf.groupBy("split").count().collect()
@@ -142,10 +167,22 @@ object Curate {
       nBoilerDropped, perSplit)
   }
 
+  private val KnownOpts = Set("in", "out", "bench-source", "quality-min",
+    "lang", "ngram", "seg-width", "seg-maxdf", "bin", "shards")
+
   def main(args: Array[String]): Unit = {
-    val opts = args.filter(_.startsWith("--")).map { a =>
+    // loud argument parsing: a bare --flag or a misspelled option must
+    // not silently fall back to a default and curate a different corpus
+    args.foreach { a =>
+      require(a.startsWith("--") && a.drop(2).contains("="),
+        s"bad argument '$a' — options are --key=value")
+    }
+    val opts = args.map { a =>
       val Array(k, v) = a.drop(2).split("=", 2); k -> v
     }.toMap
+    opts.keys.foreach(k =>
+      require(KnownOpts(k), s"unknown option --$k (known: " +
+        KnownOpts.toSeq.sorted.mkString(", ") + ")"))
     val in = opts.getOrElse("in",
       sys.error("--in=<documents parquet> is required"))
     val out = opts.getOrElse("out", sys.error("--out=<dir> is required"))

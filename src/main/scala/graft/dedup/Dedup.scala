@@ -1226,9 +1226,14 @@ object Dedup {
                            textCol: String = "text"): DataFrame = {
     require(l >= 2, "window length must be at least 2 tokens")
     val byDoc = Window.partitionBy("id").orderBy("pos")
+    // A NULL bench predicate (e.g. source IS NULL under
+    // `source === bench`) means "not the benchmark": without the
+    // coalesce such rows would vanish — excluded from the occurrence
+    // join by their null-keyed windows AND dropped by the final
+    // filter, a silent data loss.
     val base = df.filter(col(idCol).isNotNull)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__toks"),
-        isBench.as("__bench"))
+        coalesce(isBench.cast("boolean"), lit(false)).as("__bench"))
       .repartition(col("id"))
     val win = base.select(col("id"), col("__bench"),
         posexplode(when(size(col("__toks")) >= l, transform(

@@ -341,6 +341,18 @@ object Ann {
         sampleOrderCol = if (deterministicSample) Some(idCol) else None),
       corpus, queries, k, nprobe, idCol, vecCol)
 
+  /** min squared distance from `vec` to a literal centroid set — the
+    * HOF form shared by the k-means|| training passes and the φ
+    * objective ([[kCenter]] deliberately uses the polarization-identity
+    * form instead: its greedy selection is hash-gated, so its floats
+    * are pinned bit-for-bit to the oracle's `nn_a + nn_b − 2·ip`). */
+  private def minSqDistToCentroids(cents: Seq[Array[Double]],
+                                   vec: Column): Column = aggregate(
+    transform(array(cents.map(c => array(c.toSeq.map(lit): _*)): _*),
+      c => aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+        lit(0d), (a, x) => a + x)),
+    lit(Double.MaxValue), (a, d) => least(a, d))
+
   /**
    * k-means|| scalable initialization (Bahmani et al., VLDB'12) — the
    * oversampling init that removes [[trainCentroids]]' bounded-sample
@@ -371,14 +383,9 @@ object Ann {
     val seed = e.orderBy("id").limit(1).as[(Long, Array[Double])].collect()
     require(seed.nonEmpty, "kmeansParallelCentroids needs a non-empty corpus")
     val centers = scala.collection.mutable.ArrayBuffer(seed(0)._2)
-    def minD2: Column = aggregate(
-      transform(
-        array(centers.toSeq.map(c => array(c.toSeq.map(lit): _*)): _*),
-        c => aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-          lit(0d), (a, x) => a + x)),
-      lit(Double.MaxValue), (a, d) => least(a, d))
     (0 until rounds).foreach { r =>
-      val d2 = e.select(col("id"), col("v"), minD2.as("d2"))
+      val d2 = e.select(col("id"), col("v"),
+        minSqDistToCentroids(centers.toSeq, col("v")).as("d2"))
       // φ via an EXACT decimal sum: a double sum is partition-order
       // dependent, and a φ that wobbles in its last ulp flips
       // near-threshold picks — different runs would train different
@@ -400,7 +407,13 @@ object Ann {
         centers ++= picked.map(_._2)
       }
     }
-    if (centers.size <= nlist) return centers.toArray
+    if (centers.size <= nlist) {
+      // degenerate corpus (tiny, or near-zero spread: φ ≈ 0 stops the
+      // sampling): fewer than nlist distinct candidates exist, so
+      // return the DISTINCT picks rather than padding with duplicate
+      // centroids — callers get an index with that many real lists
+      return centers.map(_.toSeq).distinct.map(_.toArray).toArray
+    }
     // attraction weights: one pass, nearest-center argmin via the
     // codegen'd TopCentroids matrix expression
     val cArr = centers.toArray
@@ -478,16 +491,10 @@ object Ann {
                        centSets: Seq[Array[Array[Double]]],
                        vecCol: String = "embedding"): Seq[Double] = {
     require(centSets.nonEmpty)
-    def minD2(cents: Array[Array[Double]]): Column = aggregate(
-      transform(array(cents.toSeq.map(c => array(c.toSeq.map(lit): _*)): _*),
-        c => aggregate(
-          zip_with(col(vecCol).cast("array<double>"), c,
-            (x, y) => (x - y) * (x - y)),
-          lit(0d), (a, x) => a + x)),
-      lit(Double.MaxValue), (a, d) => least(a, d))
     val row = corpus
       .select(centSets.zipWithIndex.map { case (cs, i) =>
-        minD2(cs).as(s"d$i") }: _*)
+        minSqDistToCentroids(cs.toSeq, col(vecCol).cast("array<double>"))
+          .as(s"d$i") }: _*)
       .agg(
         sum(col("d0").cast("decimal(38,12)")).cast("double").as("p0"),
         centSets.indices.drop(1).map(i =>
@@ -1516,41 +1523,44 @@ object Ann {
     require(k >= 1, "k must be at least 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // Distances use the polarization identity ‖v−c‖² =
+    // (nn_c + nn_v) − 2·⟨v,c⟩ with the native [[dot]] — the EXACT
+    // float sequence the hash-gated oracle evaluates
+    // (`na.nn + nb.nn - 2*list_inner_product`), so the greedy arg-max
+    // agrees bit-for-bit even on near-ties. nn values come from the
+    // same dot (self inner product), never a separate accumulation.
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nn", dot(col("v"), col("v")))
     val seed = e.orderBy("vec_id").limit(1)
-      .as[(Long, Array[Double])].collect()
+      .as[(Long, Array[Double], Double)].collect()
     require(seed.nonEmpty, "kCenter needs a non-empty corpus")
     val centers = scala.collection.mutable.ArrayBuffer(seed(0))
     while (centers.size < k) {
-      val cLit = array(centers.toSeq.map { case (_, cv) =>
-        array(cv.toSeq.map(lit): _*)
-      }: _*)
-      val minD2 = aggregate(
-        transform(cLit, c => aggregate(
-          zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
-          lit(0d), (a, x) => a + x)),
-        lit(Double.MaxValue), (a, d) => least(a, d))
+      val minD2 = centers.toSeq.map { case (_, cv, cnn) =>
+        (lit(cnn) + col("nn")) -
+          lit(2.0) * dot(col("v"), array(cv.toSeq.map(lit): _*))
+      }.reduceLeft(least(_, _))
       // selected ids are excluded explicitly (a k-bounded literal, not
       // just "their distance is 0") so duplicate-heavy corpora with
       // fewer than k distinct points still terminate
       val chosen = centers.toSeq.map(_._1)
       val next = e
         .filter(!col("vec_id").isin(chosen: _*))
-        .select(col("vec_id"), col("v"), minD2.as("d2"))
+        .select(col("vec_id"), col("v"), col("nn"), minD2.as("d2"))
         .orderBy(col("d2").desc, col("vec_id"))
         .limit(1)
-        .select("vec_id", "v")
-        .as[(Long, Array[Double])].collect()
+        .select("vec_id", "v", "nn")
+        .as[(Long, Array[Double], Double)].collect()
       if (next.isEmpty) {
         return centers.toSeq.zipWithIndex
-          .map { case ((id, _), i) => (i + 1L, id) }
+          .map { case ((id, _, _), i) => (i + 1L, id) }
           .toDF("sel_rank", "vec_id")
       }
       centers += next(0)
     }
     centers.toSeq.zipWithIndex
-      .map { case ((id, _), i) => (i + 1L, id) }
+      .map { case ((id, _, _), i) => (i + 1L, id) }
       .toDF("sel_rank", "vec_id")
   }
 }

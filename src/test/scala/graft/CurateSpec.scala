@@ -56,6 +56,33 @@ class CurateSpec extends SparkSpec {
     assert(straddle.count() == 0, "a near-dup pair crosses splits")
   }
 
+  test("a training duplicate of a benchmark text never ships; null sources do") {
+    import spark.implicits._
+    // train doc 1 < bench doc 10 with IDENTICAL text: a dedup window
+    // spanning bench rows would delete the BENCH copy and ship the
+    // training duplicate uncut (the review-found ordering bug). Doc 3
+    // has a NULL source — it must be treated as training data, not
+    // silently dropped.
+    val txt = "the secret eval answer is in the box ok"
+    val docs = Seq(
+      (1L, txt, Option("web")),
+      (10L, txt, Option("bench")),
+      (2L, "the cat and the dog is in a house of wonders", Option("web")),
+      (3L, "the bird and the bee is on a tree now", Option.empty[String]))
+      .toDF("doc_id", "text", "source")
+    val dir = Files.createTempDirectory("graft-curate-dup").toString
+    docs.write.parquet(s"$dir/in")
+    val rep = Curate.run(spark, s"$dir/in", s"$dir/out",
+      benchSource = "bench", qualityMin = 0.0)
+    val ids = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L), "benchmark-identical training doc shipped")
+    assert(!ids.contains(10L), "benchmark doc shipped")
+    assert(ids.contains(2L), "clean training doc lost")
+    assert(ids.contains(3L), "null-source doc silently dropped")
+    assert(rep.nInput == 4 && rep.nDeduped == 4)
+  }
+
   test("the scoring stage runs bit-identical under Structured Streaming") {
     import org.apache.spark.sql.types._
     val src = "/root/testdata/sf0.001/documents.parquet"

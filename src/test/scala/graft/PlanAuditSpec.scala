@@ -348,8 +348,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"q5 has an all-pairs join:\n${p.take(1500)}")
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate") ||
-      p.contains("GreaterThanOrEqual(o_orderdate"),
+    // the FileScan metadata string truncates at ~100 chars, so only
+    // the first pushed predicate is reliably visible in the plan dump
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       "q5 order-date range must reach the orders parquet scan")
   }
 
