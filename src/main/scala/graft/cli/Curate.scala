@@ -39,11 +39,13 @@ object Curate {
 
   final case class Report(nInput: Long, nDeduped: Long, nGated: Long,
                           nCut: Long, nFinal: Long, nBoilerDropped: Long,
-                          perSplit: Map[String, Long]) {
+                          perSplit: Map[String, Long],
+                          nDupVsCorpus: Long = 0L) {
     def json: String = {
       val splits = perSplit.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      s"""{"n_input":$nInput,"n_deduped":$nDeduped,"n_gated":$nGated,""" +
+      s"""{"n_input":$nInput,"n_dup_vs_corpus":$nDupVsCorpus,""" +
+        s""""n_deduped":$nDeduped,"n_gated":$nGated,""" +
         s""""n_cut":$nCut,"n_final":$nFinal,""" +
         s""""n_boiler_segments_dropped":$nBoilerDropped,""" +
         s""""per_split":{$splits}}"""
@@ -61,8 +63,64 @@ object Curate {
   def run(spark: SparkSession, in: String, out: String,
           benchSource: String = "src1", qualityMin: Double = 0.3,
           lang: String = "en", ngram: Int = 8, segWidth: Int = 4,
-          segMaxDf: Long = 5L, bin: Int = 512, shards: Int = 16): Report = {
+          segMaxDf: Long = 5L, bin: Int = 512, shards: Int = 16): Report =
+    curateFrame(spark, spark.read.parquet(in), out, benchSource, qualityMin,
+      lang, ngram, segWidth, segMaxDf, bin, shards)
+
+  /**
+   * Incremental curation against an at-rest [[Dedup.minhashIndex]]:
+   * new-snapshot documents that near-duplicate the ALREADY-ACCEPTED
+   * corpus are dropped before the batch pipeline runs, and the
+   * accepted raw texts of this increment append to the index so the
+   * NEXT increment sees them. `out` is per-increment (each call writes
+   * its own curated slice); `indexPath` accumulates. The 100 TB point:
+   * an incremental crawl never rescans or recomputes the historical
+   * corpus — the probe is a banded index lookup (linear in the new
+   * batch) and the index append writes only new files
+   * ([[Dedup.minhashAppend]]'s no-rewrite contract).
+   */
+  def runIncremental(spark: SparkSession, in: String, out: String,
+                     indexPath: String,
+                     benchSource: String = "src1", qualityMin: Double = 0.3,
+                     lang: String = "en", ngram: Int = 8, segWidth: Int = 4,
+                     segMaxDf: Long = 5L, bin: Int = 512,
+                     shards: Int = 16): Report = {
     val docs = spark.read.parquet(in)
+    val isBench = coalesce(col("source") === benchSource, lit(false))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath + "/sets"),
+      spark.sparkContext.hadoopConfiguration)
+    val indexExists = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/sets"))
+    val (novel, nDup) = if (!indexExists) (docs, 0L) else {
+      // probe under a surrogate id (-id - 1, a bijection on longs):
+      // the lookup excludes SAME-id pairs as self-matches, but a
+      // re-crawl carries its original doc_id — without the remap an
+      // exact re-crawl of an indexed doc would sail through as "self".
+      // (Assumes non-negative document ids, the table contract.)
+      val dupIds = Dedup.minhashLookup(spark, indexPath,
+          docs.filter(!isBench)
+            .withColumn("doc_id", -col("doc_id") - 1), threshold = 0.5)
+        .select((-col("probe_id") - 1).as("doc_id")).distinct()
+      val n = dupIds.count()
+      (docs.join(dupIds, Seq("doc_id"), "left_anti"), n)
+    }
+    val rep = curateFrame(spark, novel, out, benchSource, qualityMin, lang,
+      ngram, segWidth, segMaxDf, bin, shards).copy(nDupVsCorpus = nDup)
+    // index the RAW text of every doc this increment accepted — probes
+    // and index entries must be the same text form or lookups quietly
+    // stop matching
+    val acceptedRaw = docs
+      .join(spark.read.parquet(out).select("doc_id"), "doc_id")
+      .select("doc_id", "text")
+    if (indexExists) Dedup.minhashAppend(acceptedRaw, indexPath)
+    else Dedup.minhashIndex(acceptedRaw, indexPath)
+    rep
+  }
+
+  private def curateFrame(spark: SparkSession, docs: DataFrame, out: String,
+                          benchSource: String, qualityMin: Double,
+                          lang: String, ngram: Int, segWidth: Int,
+                          segMaxDf: Long, bin: Int, shards: Int): Report = {
     val isBench = coalesce(col("source") === benchSource, lit(false))
 
     // 1. exact-dup collapse — NON-BENCH rows only. Benchmark rows are
@@ -167,8 +225,8 @@ object Curate {
       nBoilerDropped, perSplit)
   }
 
-  private val KnownOpts = Set("in", "out", "bench-source", "quality-min",
-    "lang", "ngram", "seg-width", "seg-maxdf", "bin", "shards")
+  private val KnownOpts = Set("in", "out", "index", "bench-source",
+    "quality-min", "lang", "ngram", "seg-width", "seg-maxdf", "bin", "shards")
 
   def main(args: Array[String]): Unit = {
     // loud argument parsing: a bare --flag or a misspelled option must
@@ -197,15 +255,20 @@ object Curate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val r = run(spark, in, out,
-        benchSource = opts.getOrElse("bench-source", "src1"),
-        qualityMin = opts.get("quality-min").map(_.toDouble).getOrElse(0.3),
-        lang = opts.getOrElse("lang", "en"),
-        ngram = opts.get("ngram").map(_.toInt).getOrElse(8),
-        segWidth = opts.get("seg-width").map(_.toInt).getOrElse(4),
-        segMaxDf = opts.get("seg-maxdf").map(_.toLong).getOrElse(5L),
-        bin = opts.get("bin").map(_.toInt).getOrElse(512),
-        shards = opts.get("shards").map(_.toInt).getOrElse(16))
+      val benchSource = opts.getOrElse("bench-source", "src1")
+      val qualityMin = opts.get("quality-min").map(_.toDouble).getOrElse(0.3)
+      val lang = opts.getOrElse("lang", "en")
+      val ngram = opts.get("ngram").map(_.toInt).getOrElse(8)
+      val segWidth = opts.get("seg-width").map(_.toInt).getOrElse(4)
+      val segMaxDf = opts.get("seg-maxdf").map(_.toLong).getOrElse(5L)
+      val bin = opts.get("bin").map(_.toInt).getOrElse(512)
+      val shards = opts.get("shards").map(_.toInt).getOrElse(16)
+      val r = opts.get("index") match {
+        case Some(idx) => runIncremental(spark, in, out, idx, benchSource,
+          qualityMin, lang, ngram, segWidth, segMaxDf, bin, shards)
+        case None => run(spark, in, out, benchSource, qualityMin, lang,
+          ngram, segWidth, segMaxDf, bin, shards)
+      }
       println(r.json)
     } finally spark.stop()
   }

@@ -109,6 +109,33 @@ class CurateSpec extends SparkSpec {
     assert(streamed == batch, "streamed scoring diverged from batch")
   }
 
+  test("incremental runs drop corpus near-dups and grow the index, never re-shipping") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-inc").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") < 100).write.parquet(s"$base/in1")
+    docs.write.parquet(s"$base/in2") // full snapshot: re-crawls batch 1
+    val r1 = Curate.runIncremental(spark, s"$base/in1", s"$base/out1",
+      s"$base/idx")
+    assert(r1.nDupVsCorpus == 0, "empty index cannot produce dups")
+    val ids1 = spark.read.parquet(s"$base/out1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1.nonEmpty)
+    val r2 = Curate.runIncremental(spark, s"$base/in2", s"$base/out2",
+      s"$base/idx")
+    val ids2 = spark.read.parquet(s"$base/out2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2.nonEmpty, "novel docs must ship")
+    assert((ids1 & ids2).isEmpty,
+      "an already-accepted doc shipped again in the next increment")
+    assert(r2.nDupVsCorpus >= ids1.size,
+      "every accepted batch-1 doc re-crawled in batch 2 must count as a corpus dup")
+    // index grew: batch-2 accepted docs are findable
+    val setsIds = spark.read.parquet(s"$base/idx/sets")
+      .select("id").as[Long].collect().toSet
+    assert(ids1.subsetOf(setsIds) && ids2.subsetOf(setsIds))
+  }
+
   test("packing offsets are contiguous per (split, shard) in doc_id order") {
     import spark.implicits._
     val rows = result.select("split", "shard", "doc_id", "n_tok", "start_off")
