@@ -174,6 +174,26 @@ object PipelineEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         round(TextOps.qualityScore(col("text")), 4).as("quality"))),
+    // Exact-k weighted sampling per source (Efraimidis–Spirakis A-ES):
+    // rank by ln(u)/w with deterministic md5 uniforms and w = quality
+    // — the top-k ARE a weighted sample without replacement, the
+    // exact-k guarantee p_wsample's Bernoulli draw cannot give. One
+    // shuffle on source; the rank filter is a WindowGroupLimit.
+    "p_wsample_k" -> ((s, dir) => {
+      val u = greatest(
+        conv(substring(md5(concat(lit("aes#"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("double") / 281474976710656.0,
+        lit(1e-15))
+      val q = round(TextOps.qualityScore(col("text")), 4)
+      val win = Window.partitionBy("source")
+        .orderBy(col("wkey").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), q.as("quality"),
+          round(log(u) / (q + lit(0.01)), 6).as("wkey"))
+        .withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 5)
+        .select("source", "doc_id", "quality", "rank")
+    }),
     // Blocklist screen: the wordlist safety/compliance filter every
     // curation pipeline runs before anything ML-shaped — occurrence
     // and distinct-term counts per doc against a fixed term list.
@@ -1023,6 +1043,17 @@ object PipelineEntry {
         | len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
         |FROM toks""".stripMargin),
     "t_quality" -> (T + QualitySelect),
+    "p_wsample_k" -> (T + s""", q AS ($QualitySelect),
+      |d AS (SELECT d.doc_id, d.source, q.quality,
+      |  greatest(CAST(('0x' || substr(md5('aes#' || CAST(d.doc_id AS VARCHAR)),
+      |    1, 12)) AS BIGINT) / 281474976710656.0, 1e-15) AS u
+      | FROM documents d JOIN q USING (doc_id)),
+      |k AS (SELECT doc_id, source, quality,
+      |  round(ln(u) / (quality + 0.01), 6) AS wkey FROM d),
+      |r AS (SELECT source, doc_id, quality,
+      |  row_number() OVER (PARTITION BY source ORDER BY wkey DESC, doc_id)
+      |    AS rank FROM k)
+      |SELECT source, doc_id, quality, rank FROM r WHERE rank <= 5""".stripMargin),
     "t_blocklist" -> (T +
       """SELECT doc_id,
         | CAST(len(list_filter(t, x ->

@@ -1208,6 +1208,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == (("", 1L, 1L)))
   }
 
+  test("strip/cut identity: no hot segments and no bench slice = whitespace-normalized originals") {
+    val df = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "  spaced   out\ttokens  here one two three four "))
+    val strip = Dedup.stripBoilerplateSegments(df, width = 3,
+        maxDf = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strip(1L) == "alpha beta gamma delta epsilon zeta eta theta iota")
+    assert(strip(2L) == "spaced out tokens here one two three four")
+    val cut = Dedup.cutContaminatedSpans(
+        df.withColumn("kind", lit("train")), col("kind") === "bench", l = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut == strip, "empty bench slice must pass docs through unchanged")
+  }
+
   test("cutContaminatedSpans cuts the leaked window, keeps everything else") {
     // doc 10 is the benchmark; doc 1 embeds its 4-token run verbatim
     // mid-document; doc 2 is clean. l = 4.

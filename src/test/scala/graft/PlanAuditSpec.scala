@@ -167,9 +167,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("p_sample rank filter is pushed below the shuffle (WindowGroupLimit)") {
-    val p = plan("p_sample")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-stratum top-k must prune map-side, not carry whole strata:\n${p.take(1500)}")
+    Seq("p_sample", "p_wsample_k").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q per-stratum top-k must prune map-side, not carry whole strata:\n${p.take(1500)}")
+    }
   }
 
   test("t_tfidf and t_repetition never go quadratic") {
