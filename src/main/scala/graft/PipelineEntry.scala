@@ -491,6 +491,16 @@ object PipelineEntry {
     "d_dup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))),
+    // Duplicate-cluster size histogram: the dedup dashboard's second
+    // read after d_dup_rate — "are we removing pairs or whole template
+    // families?". Two map-side-combinable aggregations over the CC
+    // labels; output is bounded by the largest cluster size.
+    "d_group_sizes" -> ((s, dir) =>
+      Dedup.duplicateGroups(
+          Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3,
+            threshold = 0.5))
+        .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size").agg(count(lit(1)).as("n_groups"))),
     // Curation-grade collapse: the UNION of three detectors' pairs
     // (minhash/LSH doc-level, simhash doc-level, CDC sub-document)
     // feeds one connected-components pass — a cluster merges when ANY
@@ -1503,6 +1513,11 @@ object PipelineEntry {
         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
         | FROM cand JOIN sh sa ON sa.doc_id = probe_id JOIN sh sb ON sb.doc_id = corpus_id)
         |SELECT probe_id, corpus_id, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "d_group_sizes" -> (DupGroupCtes + """
+      |, gs AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+      |  FROM grp GROUP BY group_id)
+      |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
+      |FROM gs GROUP BY group_size""".stripMargin),
     "d_dup_groups" -> (DupGroupCtes +
       "\nSELECT doc_id, group_id FROM grp"),
     // keep-best: near-dup groups joined to the rounded quality score,
