@@ -209,6 +209,70 @@ object PointSource {
   }
 
   /**
+   * Retention sweep job — the Spark-native analog of the reference's
+   * background retention runner (server/store_file_manager.cc:87-191:
+   * during background file management each policy item drops or
+   * downsamples points aged past its window): rewrites at-rest date
+   * partitions through [[graft.retention.Retention.apply]] so DROPped
+   * points physically disappear and downsample items shrink aged data
+   * to their mutated grid. Only days the policy can touch are
+   * rewritten — a partition younger than the smallest item `min_age`
+   * is left alone, so read amplification is bounded by affected days.
+   * Re-runnable: a second sweep over age-stable survivors is a no-op
+   * rewrite (downsampled grids map to themselves). Swap is the
+   * [[compact]]-style staged rename per date (same "atomic-ish"
+   * caveat: a crash between delete and rename loses that day's swap,
+   * recovered by re-running against the staging dir's source data —
+   * the staging dir is only deleted after every rename lands).
+   */
+  def retentionSweep(spark: SparkSession, path: String,
+                     policy: graft.retention.Retention.Policy,
+                     nowMs: Long): Seq[String] = {
+    // Pruning bound: only items that CHANGE data (DROP, or KEEP with a
+    // downsample chain) make a rewrite worthwhile; plain KEEPs never
+    // alter a partition. Days younger than the earliest changing
+    // min_age are skipped — including the implicit default-DROP, which
+    // reaches a day once it ages into the sweep window (the same
+    // eventual state as the reference's periodic runner; a policy
+    // wanting immediate default-drops adds an explicit catch-all DROP
+    // at min_age 0).
+    val changing = policy.items.collect {
+      case it if it.policy == graft.retention.Retention.Drop ||
+        it.mutations.nonEmpty => it.minAgeMs
+    }
+    if (changing.isEmpty) return Nil
+    val cutoffDay = java.time.Instant.ofEpochMilli(nowMs - changing.min)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val hot = spark.read.parquet(path)
+    val dates = hot.filter(col("date") <= cutoffDay)
+      .select(col("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // O(#days) driver rows
+    if (dates.isEmpty) return Nil
+    val survivors = graft.retention.Retention.apply(
+      hot.filter(col("date") <= cutoffDay).drop("date"), policy, nowMs)
+    val staged = path.stripSuffix("/") + ".retstage"
+    survivors
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .repartition(col("date"))
+      .sortWithinPartitions("name", "ts")
+      .write
+      .option("parquet.bloom.filter.enabled#name", "true")
+      .partitionBy("date")
+      .mode("overwrite")
+      .parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    dates.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/date=$d"), true)
+      val s = new org.apache.hadoop.fs.Path(s"$staged/date=$d")
+      if (fs.exists(s))
+        fs.rename(s, new org.apache.hadoop.fs.Path(s"$path/date=$d"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    dates
+  }
+
+  /**
    * Tier-aging job: moves every hot date partition strictly older than
    * `olderThanMs` into the Gorilla cold tier, then drops those
    * partitions from the hot store — the background companion of

@@ -75,6 +75,50 @@ class StoreSpec extends SparkSpec {
     assert(collectTsVal(PointSource.readGorilla(spark, cold)) == coldPts)
   }
 
+  test("retentionSweep: old rows physically drop/downsample, young days untouched") {
+    import spark.implicits._
+    import graft.retention.Retention
+    import graft.api.Requests
+    val dir = tmpDir()
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val day = 86400000L
+    val now = base + 30 * day
+    def p(name: String, ts: Long, v: Double) =
+      (name, Map("user" -> "1"), "GAUGE", ts, v,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long])
+    val rows = Seq(
+      // day 0: aged 30 days
+      p("/a", base + 1000, 1.0), p("/a", base + 3600000, 2.0),
+      p("/a", base + 7200000, 3.0), p("/b", base + 1000, 9.0),
+      // day 29: aged < 1 day
+      p("/a", base + 29 * day + 1000, 4.0), p("/b", base + 29 * day + 1000, 8.0))
+      .toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
+    PointSource.write(rows, dir)
+    val policy = Retention.Policy(Seq(
+      Retention.PolicyItem(Seq("/b"), Retention.Keep, maxAgeMs = 7 * day),
+      Retention.PolicyItem(Seq("/b"), Retention.Drop, minAgeMs = 7 * day),
+      Retention.PolicyItem(Seq("/a"), Retention.Keep, maxAgeMs = 7 * day),
+      Retention.PolicyItem(Seq("/a"), Retention.Keep, minAgeMs = 7 * day,
+        mutations = Seq(Requests.Latest(day)))))
+    val swept = PointSource.retentionSweep(spark, dir, policy, now)
+    assert(swept == Seq("2024-01-01"), s"affected days: $swept")
+    val out = PointSource.read(spark, dir)
+      .select("name", "ts", "dval").as[(String, Long, Double)].collect().toSet
+    // old /b physically gone; old /a downsampled to its daily LATEST;
+    // day-29 rows byte-identical
+    assert(!out.exists { case (n, ts, _) => n == "/b" && ts < base + day })
+    val oldA = out.filter { case (n, ts, _) => n == "/a" && ts < base + day }
+    assert(oldA.size == 1 && oldA.head._3 == 3.0,
+      s"old /a must reduce to the daily latest: $oldA")
+    assert(out.contains(("/a", base + 29 * day + 1000, 4.0)))
+    assert(out.contains(("/b", base + 29 * day + 1000, 8.0)))
+    // re-runnable: a second sweep converges to the same store
+    PointSource.retentionSweep(spark, dir, policy, now)
+    val out2 = PointSource.read(spark, dir)
+      .select("name", "ts", "dval").as[(String, Long, Double)].collect().toSet
+    assert(out2 == out, "second sweep must be a no-op")
+  }
+
   test("store layout pushes name equality and ts range into the parquet scan") {
     val dir = tmpDir()
     PointSource.write(samplePoints(), dir)
