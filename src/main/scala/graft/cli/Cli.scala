@@ -265,6 +265,24 @@ object Cli {
     ok.count()
   }
 
+  /** `sweep config=<config.txt> [now=<epoch ms>]` — the retention
+    * runner trigger ([[graft.sources.PointSource.retentionSweep]] over
+    * the config's first-match policy). Returns the swept day keys. */
+  def runSweep(spark: SparkSession, store: String,
+               args: Seq[String]): Seq[String] = {
+    val cfg = args.collectFirst { case a if a.startsWith("config=") =>
+      a.stripPrefix("config=") }
+      .getOrElse(throw new IllegalArgumentException(
+        "sweep needs config=<store config.txt>"))
+    val now = args.collectFirst { case a if a.startsWith("now=") =>
+      a.stripPrefix("now=").toLong }
+      .getOrElse(System.currentTimeMillis())
+    val policy = graft.config.StoreConfig.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfg)),
+      "UTF-8")).retention
+    graft.sources.PointSource.retentionSweep(spark, store, policy, now)
+  }
+
   def main(args: Array[String]): Unit = {
     val (flags, rest) = args.partition(_.startsWith("--"))
     val store = flags.collectFirst { case s if s.startsWith("--store=") =>
@@ -286,6 +304,12 @@ object Cli {
     rest.toSeq match {
       case Seq("add", specs @ _*) =>
         println(s"added ${runAdd(spark, store, specs)} points")
+      // manual trigger of the background retention runner: applies the
+      // config's retention policy to the at-rest store (the reference
+      // does this inside store_file_manager's background loop)
+      case Seq("sweep", args @ _*) =>
+        val swept = runSweep(spark, store, args)
+        println(s"swept ${swept.size} day partitions: ${swept.mkString(", ")}")
       case Seq("alerts", args @ _*) if args.exists(_.startsWith("follow=")) =>
         // live mode: episodes print as they close; runs until killed
         alertsFollow(spark, args)

@@ -155,6 +155,51 @@ class CliSpec extends SparkSpec {
     assert(eps == Seq((0L, 180000L, 4L)))
   }
 
+  test("sweep: config-driven retention runner rewrites the aged store") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_sweep")
+    val store = base.toString + "/s"
+    val day = 86400000L
+    val t0 = 1704067200000L // 2024-01-01
+    val now = t0 + 30 * day
+    Cli.runAdd(spark, store, Seq(
+      s"/sw/a:1@${t0 + 1000}", s"/sw/a:2@${t0 + 3600000}",
+      s"/sw/b:9@${t0 + 1000}",
+      s"/sw/a:4@${t0 + 29 * day}"), nowMs = now)
+    val cfg = base.resolve("config.txt")
+    java.nio.file.Files.writeString(cfg,
+      """retention_policy {
+        |  policy {
+        |    variable { name: "/sw/a" }
+        |    policy: KEEP
+        |    max_age: 604800000
+        |  }
+        |  policy {
+        |    variable { name: "/sw/a" }
+        |    policy: KEEP
+        |    min_age: 604800000
+        |    mutation {
+        |      sample_type: LATEST
+        |      sample_frequency: 86400000
+        |    }
+        |  }
+        |  policy {
+        |    variable { name: "*" }
+        |    policy: DROP
+        |    min_age: 604800000
+        |  }
+        |}""".stripMargin)
+    val swept = Cli.runSweep(spark, store,
+      Seq(s"config=$cfg", s"now=$now"))
+    assert(swept == Seq("2024-01-01"))
+    val out = graft.sources.PointSource.read(spark, store)
+      .select("name", "ts", "dval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      ("/sw/a", t0 + 3600000, 2.0), // daily LATEST of the aged day
+      ("/sw/a", t0 + 29 * day, 4.0))) // young day untouched; /sw/b dropped
+  }
+
   test("end-to-end: add, get with mutation, list against a store") {
     val store = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/s"
     val added = Cli.runAdd(spark, store, Seq(
