@@ -203,6 +203,51 @@ object AnalyticsEntry {
     // timestamps via three stacked full-frame windows on the same key —
     // the partitioning survives all three, so ONE shuffle total and no
     // self-joins (the naive per-stage join would be three).
+    // Two-proportion A/B test — the product-analytics staple: variant
+    // assignment from the user's FIRST view payload (k mod 2),
+    // conversion = any purchase after that first view, pooled z-score
+    // on the rate difference. One user-window pass, a 2-row variant
+    // aggregate, and a broadcast-tiny z row crossed back on. The float
+    // sequence (rates → pooled p → se → z) is written identically in
+    // the oracle so the rounded z hashes exactly.
+    "ev_ab_test" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val perUser = Tables.events(s, dir)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("kf", min(when(col("event_type") === "view",
+          struct(col("ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))))
+          .over(w))
+        .withColumn("cv", max(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + 3600000L, 1L).otherwise(0L)).over(w))
+        .groupBy("user_id")
+        .agg(min("t_view").as("t_view"), min("kf").as("kf"),
+          max("cv").as("conv"))
+        .filter(col("t_view").isNotNull)
+        .select(col("user_id"), pmod(col("kf.k"), lit(2L)).as("variant"),
+          col("conv"))
+      val agg = perUser.groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      val zRow = agg.filter(col("variant") === 0)
+        .select(col("n_users").as("n0"), col("n_conv").as("c0"))
+        .crossJoin(agg.filter(col("variant") === 1)
+          .select(col("n_users").as("n1"), col("n_conv").as("c1")))
+        .withColumn("se", sqrt(
+          ((col("c0") + col("c1")) / (col("n0") + col("n1"))) *
+            (lit(1.0) - (col("c0") + col("c1")) / (col("n0") + col("n1"))) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+        // all-convert / none-convert batches have se = 0: no detectable
+        // difference, z pinned to 0 (ANSI would raise on the 0/0)
+        .select(when(col("se") === 0.0, lit(0.0)).otherwise(round(
+          ((col("c0") / col("n0")) - (col("c1") / col("n1"))) / col("se"),
+          4)).as("z_pooled"))
+      agg.crossJoin(broadcast(zRow))
+        .select(col("variant"), col("n_users"), col("n_conv"),
+          round(col("n_conv") / col("n_users"), 4).as("conv_rate"),
+          col("z_pooled"))
+    }),
     "ev_funnel" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
       Tables.events(s, dir)
@@ -650,6 +695,37 @@ object AnalyticsEntry {
          |   AS overlap_ms
          |FROM ivc JOIN ivv ON ivc.user_id = ivv.user_id
          | AND ivc.t_start <= ivv.t_end AND ivv.t_start <= ivc.t_end""".stripMargin,
+    "ev_ab_test" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |v AS (SELECT user_id, ts, k, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, k) AS rn
+        |      FROM e WHERE event_type = 'view'),
+        |fv AS (SELECT user_id, ts AS t_view, k FROM v WHERE rn = 1),
+        |cv AS (SELECT fv.user_id, fv.k,
+        |        max(CASE WHEN p.event_type = 'purchase' AND p.ts > fv.t_view
+        |            AND p.ts <= fv.t_view + 3600000
+        |            THEN 1 ELSE 0 END) AS conv
+        |       FROM fv LEFT JOIN e p ON p.user_id = fv.user_id
+        |       GROUP BY fv.user_id, fv.k),
+        |pu AS (SELECT user_id, k % 2 AS variant,
+        |        CAST(conv AS BIGINT) AS conv FROM cv),
+        |agg AS (SELECT variant, count(*) AS n_users,
+        |          CAST(sum(conv) AS BIGINT) AS n_conv
+        |        FROM pu GROUP BY variant),
+        |z0 AS (SELECT a.n_users AS n0, a.n_conv AS c0,
+        |         b.n_users AS n1, b.n_conv AS c1,
+        |         sqrt(((a.n_conv + b.n_conv) * 1.0 / (a.n_users + b.n_users))
+        |           * (1.0 - (a.n_conv + b.n_conv) * 1.0
+        |              / (a.n_users + b.n_users))
+        |           * (1.0 / a.n_users + 1.0 / b.n_users)) AS se
+        |       FROM agg a, agg b WHERE a.variant = 0 AND b.variant = 1),
+        |z AS (SELECT CASE WHEN se = 0.0 THEN 0.0 ELSE round(
+        |        ((c0 * 1.0 / n0) - (c1 * 1.0 / n1)) / se, 4) END AS z_pooled
+        |      FROM z0)
+        |SELECT variant, n_users, n_conv,
+        | round(n_conv * 1.0 / n_users, 4) AS conv_rate, z.z_pooled
+        |FROM agg, z""".stripMargin,
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type FROM events),
         |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
