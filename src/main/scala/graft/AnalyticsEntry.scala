@@ -215,9 +215,13 @@ object AnalyticsEntry {
       val perUser = Tables.events(s, dir)
         .withColumn("t_view",
           min(when(col("event_type") === "view", col("ts"))).over(w))
+        // k coalesced to 0 BEFORE the struct-min: a null payload would
+        // otherwise order differently between engines (Spark struct-min
+        // sorts null fields first, SQL ORDER BY puts them last)
         .withColumn("kf", min(when(col("event_type") === "view",
           struct(col("ts"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))))
+            coalesce(get_json_object(col("props"), "$.k").cast("long"),
+              lit(0L)).as("k"))))
           .over(w))
         .withColumn("cv", max(when(col("event_type") === "purchase" &&
           col("ts") > col("t_view") &&
@@ -697,7 +701,8 @@ object AnalyticsEntry {
          | AND ivc.t_start <= ivv.t_end AND ivv.t_start <= ivc.t_end""".stripMargin,
     "ev_ab_test" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
+        |    AS k FROM events),
         |v AS (SELECT user_id, ts, k, row_number() OVER (PARTITION BY user_id
         |        ORDER BY ts, k) AS rn
         |      FROM e WHERE event_type = 'view'),
@@ -708,7 +713,7 @@ object AnalyticsEntry {
         |            THEN 1 ELSE 0 END) AS conv
         |       FROM fv LEFT JOIN e p ON p.user_id = fv.user_id
         |       GROUP BY fv.user_id, fv.k),
-        |pu AS (SELECT user_id, k % 2 AS variant,
+        |pu AS (SELECT user_id, ((k % 2) + 2) % 2 AS variant,
         |        CAST(conv AS BIGINT) AS conv FROM cv),
         |agg AS (SELECT variant, count(*) AS n_users,
         |          CAST(sum(conv) AS BIGINT) AS n_conv

@@ -173,9 +173,7 @@ object Cli {
           throw new IllegalArgumentException(
             s"alerts: config= rules define their own shape; drop " +
               s"${strayFlags.toSeq.sorted.map(_ + "=").mkString(", ")}")
-        graft.config.StoreConfig.parse(new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-          "UTF-8")).alerts
+        graft.config.StoreConfig.parseFile(path).alerts
       case None =>
         val pattern = nonFlags.headOption.getOrElse("*")
         val threshold = opts.get("alert").map(_.toDouble).getOrElse(
@@ -277,9 +275,7 @@ object Cli {
     val now = args.collectFirst { case a if a.startsWith("now=") =>
       a.stripPrefix("now=").toLong }
       .getOrElse(System.currentTimeMillis())
-    val policy = graft.config.StoreConfig.parse(new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfg)),
-      "UTF-8")).retention
+    val policy = graft.config.StoreConfig.parseFile(cfg).retention
     graft.sources.PointSource.retentionSweep(spark, store, policy, now)
   }
 

@@ -91,21 +91,29 @@ object Curate {
       new java.net.URI(indexPath + "/sets"),
       spark.sparkContext.hadoopConfiguration)
     val indexExists = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/sets"))
+    var cachedDups: Option[DataFrame] = None
     val (novel, nDup) = if (!indexExists) (docs, 0L) else {
       // probe under a surrogate id (-id - 1, a bijection on longs):
       // the lookup excludes SAME-id pairs as self-matches, but a
       // re-crawl carries its original doc_id — without the remap an
       // exact re-crawl of an indexed doc would sail through as "self".
       // (Assumes non-negative document ids, the table contract.)
+      // Cached: the tiny id-only frame rides novel's lineage into
+      // every downstream action of the batch pipeline — uncached, the
+      // index read + LSH probe would re-execute per action.
       val dupIds = Dedup.minhashLookup(spark, indexPath,
           docs.filter(!isBench)
             .withColumn("doc_id", -col("doc_id") - 1), threshold = 0.5)
         .select((-col("probe_id") - 1).as("doc_id")).distinct()
-      val n = dupIds.count()
+        .cache()
+      cachedDups = Some(dupIds)
+      val n = dupIds.count() // materializes the cache
       (docs.join(dupIds, Seq("doc_id"), "left_anti"), n)
     }
-    val rep = curateFrame(spark, novel, out, benchSource, qualityMin, lang,
-      ngram, segWidth, segMaxDf, bin, shards).copy(nDupVsCorpus = nDup)
+    val rep =
+      try curateFrame(spark, novel, out, benchSource, qualityMin, lang,
+        ngram, segWidth, segMaxDf, bin, shards).copy(nDupVsCorpus = nDup)
+      finally cachedDups.foreach(_.unpersist(false))
     // index the RAW text of every doc this increment accepted — probes
     // and index entries must be the same text form or lookups quietly
     // stop matching

@@ -32,6 +32,13 @@ object StoreConfig {
       retention: Retention.Policy,
       alerts: Seq[Alerts.AlertRule])
 
+  /** [[parse]] over a UTF-8 config file — the one read-then-parse
+    * idiom shared by the CLI (alerts/sweep) and the HTTP server boot. */
+  def parseFile(path: String): Config =
+    parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      "UTF-8"))
+
   def parse(text: String): Config = {
     val root = TextProto.parse(text)
     Config(

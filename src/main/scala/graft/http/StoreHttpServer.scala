@@ -256,9 +256,7 @@ object StoreHttpServer {
       sys.env.getOrElse("GRAFT_STORE",
         throw new IllegalArgumentException("--store=<path> required")))
     val retention = opts.get("config")
-      .map(p => graft.config.StoreConfig.parse(new String(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-        "UTF-8")).retention)
+      .map(p => graft.config.StoreConfig.parseFile(p).retention)
       .getOrElse(graft.retention.Retention.Policy(Nil))
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[4]"))

@@ -219,15 +219,31 @@ object PointSource {
    * rewritten — a partition younger than the smallest item `min_age`
    * is left alone, so read amplification is bounded by affected days.
    * Re-runnable: a second sweep over age-stable survivors is a no-op
-   * rewrite (downsampled grids map to themselves). Swap is the
-   * [[compact]]-style staged rename per date (same "atomic-ish"
-   * caveat: a crash between delete and rename loses that day's swap,
-   * recovered by re-running against the staging dir's source data —
-   * the staging dir is only deleted after every rename lands).
+   * rewrite (downsampled grids map to themselves). Crash safety: each
+   * swept day moves to a trash dir BEFORE its replacement renames in,
+   * and sweep start replays any interrupted swap (a trash day whose
+   * store partition is missing renames back) — no window exists where
+   * a day's only copy lives in a dir a re-run would overwrite.
+   * Survivors whose mutated timestamps land on a day the sweep did not
+   * touch (an Interpolate grid can emit into an empty day) are
+   * merge-moved file-by-file into that day rather than replacing it.
    */
   def retentionSweep(spark: SparkSession, path: String,
                      policy: graft.retention.Retention.Policy,
                      nowMs: Long): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + ".rettrash")
+    // crash recovery: a prior run that died between trash-move and
+    // rename left the day's only copy in trash — restore it first
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).foreach { st =>
+        val target = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+        if (!fs.exists(target)) fs.rename(st.getPath, target)
+      }
+      fs.delete(trash, true)
+    }
     // Pruning bound: only items that CHANGE data (DROP, or KEEP with a
     // downsample chain) make a rewrite worthwhile; plain KEEPs never
     // alter a partition. Days younger than the earliest changing
@@ -249,7 +265,12 @@ object PointSource {
       .collect().map(_.getString(0)).sorted.toSeq // O(#days) driver rows
     if (dates.isEmpty) return Nil
     val survivors = graft.retention.Retention.apply(
-      hot.filter(col("date") <= cutoffDay).drop("date"), policy, nowMs)
+        hot.filter(col("date") <= cutoffDay).drop("date"), policy, nowMs)
+      // the canonical columns ONLY: Retention.apply's internal skey
+      // must not leak into the at-rest schema (a mixed-schema store
+      // would read skey = null for old partitions and collapse every
+      // series into one group on the next sweep)
+      .select(graft.model.Point.columns.map(col): _*)
     val staged = path.stripSuffix("/") + ".retstage"
     survivors
       .withColumn("date", to_date(timestamp_millis(col("ts"))))
@@ -260,15 +281,36 @@ object PointSource {
       .partitionBy("date")
       .mode("overwrite")
       .parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // swap: trash-move the swept source day, then rename its staged
+    // replacement in (crash between the two is recovered at next start)
     dates.foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/date=$d"), true)
+      val src = new org.apache.hadoop.fs.Path(s"$path/date=$d")
+      if (fs.exists(src)) {
+        fs.mkdirs(trash)
+        fs.rename(src, new org.apache.hadoop.fs.Path(trash, s"date=$d"))
+      }
       val s = new org.apache.hadoop.fs.Path(s"$staged/date=$d")
       if (fs.exists(s))
         fs.rename(s, new org.apache.hadoop.fs.Path(s"$path/date=$d"))
     }
-    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    // staged days OUTSIDE the swept set (mutations emitted timestamps
+    // into a day the sweep didn't rewrite): merge file-by-file —
+    // replacing such a partition would clobber young data
+    val stagedRoot = new org.apache.hadoop.fs.Path(staged)
+    if (fs.exists(stagedRoot)) {
+      fs.listStatus(stagedRoot)
+        .filter(_.getPath.getName.startsWith("date="))
+        .foreach { st =>
+          val target = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+          if (!fs.exists(target)) fs.rename(st.getPath, target)
+          else fs.listStatus(st.getPath).foreach { f =>
+            fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(target, f.getPath.getName))
+          }
+        }
+      fs.delete(stagedRoot, true)
+    }
+    fs.delete(trash, true)
     dates
   }
 

@@ -119,6 +119,38 @@ class StoreSpec extends SparkSpec {
     assert(out2 == out, "second sweep must be a no-op")
   }
 
+  test("retentionSweep: interpolate survivors landing on an absent day are merged, not lost") {
+    import spark.implicits._
+    import graft.retention.Retention
+    import graft.api.Requests
+    val dir = tmpDir()
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val day = 86400000L
+    val now = base + 30 * day
+    // /a has points late day 0 and early day 2 — nothing on day 1; an
+    // hourly interpolate grid emits synthetic rows INTO day 1
+    val rows = Seq(
+      ("/a", Map("user" -> "1"), "GAUGE", base + 23 * 3600000L, 1.0,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]),
+      ("/a", Map("user" -> "1"), "GAUGE", base + 2 * day + 3600000L, 25.0,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+      .toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
+    PointSource.write(rows, dir)
+    val policy = Retention.Policy(Seq(
+      Retention.PolicyItem(Seq("/a"), Retention.Keep, minAgeMs = 7 * day,
+        mutations = Seq(Requests.Interpolate(3600000L)))))
+    PointSource.retentionSweep(spark, dir, policy, now)
+    val out = PointSource.read(spark, dir)
+      .select("ts").as[Long].collect().sorted
+    // grid spans both endpoints hourly: day-1 hours must exist
+    assert(out.exists(ts => ts >= base + day && ts < base + 2 * day),
+      s"day-1 interpolated rows lost: ${out.take(5).toSeq}")
+    // and the partition landed as date=2024-01-02
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/date=2024-01-02")))
+  }
+
   test("store layout pushes name equality and ts range into the parquet scan") {
     val dir = tmpDir()
     PointSource.write(samplePoints(), dir)
