@@ -911,6 +911,20 @@ object PipelineEntry {
           emb, q, k = 20),
         emb, q, k = 5)
     }),
+    // Matryoshka-style prefix search (MRL, Kusupati et al. 2022): the
+    // candidate stage runs brute cosine on the FIRST 16 of 64 dims —
+    // a 4× cheaper scan when embeddings are trained
+    // importance-ordered — and exact full-dim cosine re-ranks the
+    // 20-candidate over-fetch to the final top-5. Same refine contract
+    // as e_knn_refine: fully hash-checked, misses are the only error.
+    "e_knn_mrl" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val trunc = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      Ann.refineTopK(
+        Ann.bruteTopK(trunc, trunc.filter(col("vec_id") < 10), k = 20),
+        emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     // IVF-PQ: coarse quantizer (pinned, nlist=16) restricts candidates
     // to each query's top-2 lists; ADC over the m=8 PQ codes scores
     // them. The oracle composes the IVF assignment mirror and the PQ
@@ -1691,7 +1705,33 @@ object PipelineEntry {
     "e_emb_outliers" -> embOutliersOracle,
     "e_centroid_probe" -> centroidProbeOracle,
     "e_knn_rp" -> rpKnnOracle,
-    "e_knn_lsh_mp" -> lshMultiProbeOracle)
+    "e_knn_lsh_mp" -> lshMultiProbeOracle,
+    "e_knn_mrl" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |t AS (SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM t WHERE vec_id < 10),
+        |s AS (SELECT qid, t.vec_id AS nid,
+        |  list_inner_product(qv, t.v)
+        |   / (sqrt(list_inner_product(qv, qv))
+        |      * sqrt(list_inner_product(t.v, t.v))) AS sim
+        | FROM q, t WHERE t.vec_id <> qid),
+        |r AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        | FROM s),
+        |cand AS (SELECT qid, nid FROM r WHERE rank <= 20),
+        |f AS (SELECT c.qid, c.nid,
+        |  list_inner_product(a.v, b.v)
+        |   / (sqrt(list_inner_product(a.v, a.v))
+        |      * sqrt(list_inner_product(b.v, b.v))) AS sim
+        | FROM cand c JOIN e a ON a.vec_id = c.qid
+        |   JOIN e b ON b.vec_id = c.nid),
+        |r2 AS (SELECT qid, nid, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        | FROM f)
+        |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r2
+        |WHERE rank <= 5""".stripMargin)
 
   /** LSH config shared by the Spark queries (Ann defaults) and the SQL
     * oracles — one source of truth for the table count. */
