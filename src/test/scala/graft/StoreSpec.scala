@@ -119,6 +119,42 @@ class StoreSpec extends SparkSpec {
     assert(out2 == out, "second sweep must be a no-op")
   }
 
+  test("retentionSweep: an interrupted swap is replayed from trash at next start") {
+    import spark.implicits._
+    import graft.retention.Retention
+    val dir = tmpDir()
+    val base = 1704067200000L
+    val day = 86400000L
+    val now = base + 30 * day
+    val rows = Seq(
+      ("/a", Map("user" -> "1"), "GAUGE", base + 1000L, 1.0,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]),
+      ("/a", Map("user" -> "1"), "GAUGE", base + 29 * day, 4.0,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+      .toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
+    PointSource.write(rows, dir)
+    // forge the crash state: day 0 moved to trash, replacement never
+    // renamed in (the window between the two renames)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(dir + ".rettrash")
+    fs.mkdirs(trash)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/date=2024-01-01"),
+      new org.apache.hadoop.fs.Path(trash, "date=2024-01-01"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/date=2024-01-01")))
+    // a KEEP-everything policy with one changing item far in the past:
+    // nothing qualifies for rewrite, but recovery must still restore
+    val policy = Retention.Policy(Seq(
+      Retention.PolicyItem(Nil, Retention.Keep, maxAgeMs = 100 * day),
+      Retention.PolicyItem(Nil, Retention.Drop, minAgeMs = 100 * day)))
+    PointSource.retentionSweep(spark, dir, policy, now)
+    val out = PointSource.read(spark, dir)
+      .select("ts", "dval").as[(Long, Double)].collect().toSet
+    assert(out == Set((base + 1000L, 1.0), (base + 29 * day, 4.0)),
+      s"trashed day not restored: $out")
+    assert(!fs.exists(trash), "trash must be cleared after recovery")
+  }
+
   test("retentionSweep: interpolate survivors landing on an absent day are merged, not lost") {
     import spark.implicits._
     import graft.retention.Retention
