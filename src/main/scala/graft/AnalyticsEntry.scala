@@ -203,6 +203,32 @@ object AnalyticsEntry {
     // timestamps via three stacked full-frame windows on the same key —
     // the partitioning survives all three, so ONE shuffle total and no
     // self-joins (the naive per-stage join would be three).
+    // RFM segmentation — recency / frequency / monetary quintiles per
+    // purchasing user, the classic CRM slice: one purchase-filtered
+    // aggregation to one row per user, three ntile windows over that
+    // (already user-bounded) frame, a concatenated segment code.
+    // Ranks order on (metric, user_id) so quintile boundaries are
+    // deterministic for the oracle. The global ntile serializes the
+    // per-user frame through one task — exact quintiles need a total
+    // order; at fleet user counts the production swap is
+    // approx_percentile cut points broadcast back (the agg_winsor
+    // shape), traded here for the hash-exact contract.
+    "ev_rfm" -> ((s, dir) => {
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max("ts").as("last_ts"), count(lit(1)).as("frequency"),
+          round(sum("value"), 4).as("monetary"))
+      p.withColumn("r_score",
+          ntile(5).over(Window.orderBy(col("last_ts"), col("user_id"))))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+        .select(col("user_id"), col("last_ts"), col("frequency"),
+          col("monetary"),
+          concat(col("r_score"), col("f_score"), col("m_score"))
+            .as("rfm_segment"))
+    }),
     // Two-proportion A/B test — the product-analytics staple: variant
     // assignment from the user's FIRST view payload (k mod 2),
     // conversion = any purchase after that first view, pooled z-score
@@ -699,6 +725,19 @@ object AnalyticsEntry {
          |   AS overlap_ms
          |FROM ivc JOIN ivv ON ivc.user_id = ivv.user_id
          | AND ivc.t_start <= ivv.t_end AND ivv.t_start <= ivc.t_end""".stripMargin,
+    "ev_rfm" ->
+      """WITH p AS (SELECT user_id, max(epoch_ms(ts)) AS last_ts,
+        |  count(*) AS frequency, round(sum(value), 4) AS monetary
+        | FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |sc AS (SELECT user_id, last_ts, frequency, monetary,
+        |  ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
+        |  ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+        |  ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
+        | FROM p)
+        |SELECT user_id, last_ts, frequency, monetary,
+        | CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |   || CAST(m_score AS VARCHAR) AS rfm_segment
+        |FROM sc""".stripMargin,
     "ev_ab_test" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type,
         |  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)

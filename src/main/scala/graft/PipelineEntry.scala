@@ -174,6 +174,37 @@ object PipelineEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         round(TextOps.qualityScore(col("text")), 4).as("quality"))),
+    // Dataset card summary — the single-row corpus profile a published
+    // dataset documents (counts, language mix, quality, dup rate,
+    // split sizes): everything folds into ONE map-side-combinable
+    // aggregation over one projected scan.
+    "p_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("source"),
+          size(col("__t")).cast("long").as("n_tok"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextOps.langId(col("text")).as("lang"),
+          round(TextOps.qualityScore(col("text")), 4).as("quality"),
+          md5(col("text")).as("h"),
+          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100)
+            .as("bucket"))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 4)
+          .as("pct_en"),
+        round(avg("quality"), 4).as("mean_quality"),
+        round(lit(1.0) -
+          countDistinct(col("h")) / count(lit(1)).cast("double"), 4)
+          .as("dup_rate"),
+        sum(when(col("bucket") < 90, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("bucket") >= 90 && col("bucket") < 95, 1L)
+          .otherwise(0L)).as("n_val"),
+        sum(when(col("bucket") >= 95, 1L).otherwise(0L)).as("n_test"))
+    }),
     // Exact-k weighted sampling per source (Efraimidis–Spirakis A-ES):
     // rank by ln(u)/w with deterministic md5 uniforms and w = quality
     // — the top-k ARE a weighted sample without replacement, the
@@ -1067,6 +1098,37 @@ object PipelineEntry {
         | len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
         |FROM toks""".stripMargin),
     "t_quality" -> (T + QualitySelect),
+    "p_dataset_card" -> (T +
+      s""", sc AS (SELECT doc_id,
+         | ${TextOps.LangStopwords.map { case (l, ws) =>
+             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
+         | FROM toks),
+         |lang AS (SELECT doc_id, CASE
+         | ${TextOps.LangStopwords.map { case (l, _) =>
+             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
+           }.mkString(" ")}
+         | ELSE 'unk' END AS lang_pred FROM sc),
+         |q AS ($QualitySelect),
+         |c AS (SELECT t.doc_id, d.source, len(t.t) AS n_tok,
+         |   len(d.text) AS n_chars, md5(d.text) AS h,
+         |   CAST(('0x' || substr(md5(d.text), 1, 4)) AS BIGINT) % 100
+         |     AS bucket
+         | FROM documents d JOIN toks t USING (doc_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(DISTINCT c.source) AS BIGINT) AS n_sources,
+         | CAST(sum(c.n_tok) AS BIGINT) AS n_tokens,
+         | CAST(sum(c.n_chars) AS BIGINT) AS n_chars,
+         | round(avg(CASE WHEN lang.lang_pred = 'en' THEN 1.0 ELSE 0.0 END),
+         |   4) AS pct_en,
+         | round(avg(q.quality), 4) AS mean_quality,
+         | round(1.0 - count(DISTINCT c.h) * 1.0 / count(*), 4) AS dup_rate,
+         | CAST(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_train,
+         | CAST(sum(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_val,
+         | CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_test
+         |FROM c JOIN lang USING (doc_id) JOIN q USING (doc_id)""".stripMargin),
     "p_wsample_k" -> (T + s""", q AS ($QualitySelect),
       |d AS (SELECT d.doc_id, d.source, q.quality,
       |  greatest(CAST(('0x' || substr(md5('aes#' || CAST(d.doc_id AS VARCHAR)),
