@@ -222,8 +222,11 @@ object AnalyticsEntry {
           ntile(5).over(Window.orderBy(col("last_ts"), col("user_id"))))
         .withColumn("f_score",
           ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
+        // monetary is nullable (all-null purchase values): pin NULLS
+        // LAST to match DuckDB's ASC default (Spark defaults nulls first)
         .withColumn("m_score",
-          ntile(5).over(Window.orderBy(col("monetary"), col("user_id"))))
+          ntile(5).over(Window.orderBy(col("monetary").asc_nulls_last,
+            col("user_id"))))
         .select(col("user_id"), col("last_ts"), col("frequency"),
           col("monetary"),
           concat(col("r_score"), col("f_score"), col("m_score"))

@@ -146,6 +146,48 @@ object PipelineEntry {
         |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
         |grp AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n)""".stripMargin)
 
+  /** Content-hash split bucket (md5-prefix mod 100) — the ONE split
+    * contract `p_split`, `p_dataset_card` (and their oracles) share;
+    * boundaries are bucket < 90 → train, < 95 → val, else test.
+    * Changing the salt or fractions here changes every consumer
+    * together — a card must never describe a different split than
+    * `p_split` produces. */
+  private def contentBucket: org.apache.spark.sql.Column =
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100
+
+  /** [[contentBucket]]'s SQL mirror over a text expression. */
+  private def contentBucketSql(textExpr: String): String =
+    s"CAST(('0x' || substr(md5($textExpr), 1, 4)) AS BIGINT) % 100"
+
+  /** `greatest(s_…)` over ALL configured languages — derived from
+    * TextOps.LangStopwords so a new language reaches every generated
+    * lang-CASE at once (a hardcoded column list would silently diverge
+    * from langId's argmax). */
+  private lazy val LangGreatest: String =
+    TextOps.LangStopwords.map { case (l, _) => s"s_$l" }
+      .mkString("greatest(", ", ", ")")
+
+  /** The per-language stopword-score CTE (`sc`) — langId's SQL mirror,
+    * shared by every oracle that predicts language. Requires `toks`. */
+  private lazy val LangScoreCte: String =
+    s"""sc AS (SELECT doc_id,
+       | ${TextOps.LangStopwords.map { case (l, ws) =>
+           s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
+       | FROM toks)""".stripMargin
+
+  /** The argmax WHEN-chain of [[LangScoreCte]]'s score columns. */
+  private lazy val LangPredCase: String =
+    TextOps.LangStopwords.map { case (l, _) =>
+      s"WHEN $LangGreatest >= 0.05 AND s_$l = $LangGreatest THEN '$l'"
+    }.mkString(" ")
+
+  /** `, sc AS …, lang AS (…lang_pred…)` — the full prediction CTE pair. */
+  private lazy val LangPredCtes: String =
+    s""", $LangScoreCte,
+       |lang AS (SELECT doc_id, CASE
+       | $LangPredCase
+       | ELSE 'unk' END AS lang_pred FROM sc)""".stripMargin
+
   /** Shared quality-score select (mirrors TextOps.qualityScore);
     * reused by t_quality and t_quality_norm. Requires the `toks` CTE. */
   private lazy val QualitySelect: String =
@@ -187,7 +229,7 @@ object PipelineEntry {
           TextOps.langId(col("text")).as("lang"),
           round(TextOps.qualityScore(col("text")), 4).as("quality"),
           md5(col("text")).as("h"),
-          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100)
+          contentBucket
             .as("bucket"))
       d.agg(
         count(lit(1)).as("n_docs"),
@@ -652,7 +694,7 @@ object PipelineEntry {
     "p_split" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100)
+          contentBucket
             .as("bucket"))
         .withColumn("split",
           when(col("bucket") < 90, "train")
@@ -1098,20 +1140,12 @@ object PipelineEntry {
         | len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
         |FROM toks""".stripMargin),
     "t_quality" -> (T + QualitySelect),
-    "p_dataset_card" -> (T +
-      s""", sc AS (SELECT doc_id,
-         | ${TextOps.LangStopwords.map { case (l, ws) =>
-             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
-         | FROM toks),
-         |lang AS (SELECT doc_id, CASE
-         | ${TextOps.LangStopwords.map { case (l, _) =>
-             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
-           }.mkString(" ")}
-         | ELSE 'unk' END AS lang_pred FROM sc),
+    "p_dataset_card" -> (T + LangPredCtes +
+      s""",
          |q AS ($QualitySelect),
          |c AS (SELECT t.doc_id, d.source, len(t.t) AS n_tok,
          |   len(d.text) AS n_chars, md5(d.text) AS h,
-         |   CAST(('0x' || substr(md5(d.text), 1, 4)) AS BIGINT) % 100
+         |   ${contentBucketSql("d.text")}
          |     AS bucket
          | FROM documents d JOIN toks t USING (doc_id))
          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1157,17 +1191,8 @@ object PipelineEntry {
          | round(percent_rank() OVER (PARTITION BY source
          |   ORDER BY quality, doc_id), 6) AS pr
          |FROM qq""".stripMargin),
-    "t_langid" -> (T +
-      s""", sc AS (SELECT doc_id,
-         | ${TextOps.LangStopwords.map { case (l, ws) =>
-             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
-         | FROM toks)
-         |SELECT doc_id, CASE
-         | ${TextOps.LangStopwords.map { case (l, _) =>
-             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
-           }.mkString(" ")}
-         | ELSE 'unk' END AS lang_pred
-         |FROM sc""".stripMargin),
+    "t_langid" -> (T + LangPredCtes +
+      "\nSELECT doc_id, lang_pred FROM lang"),
     // memorization: distinct 3-gram shingle sets (the dedup family's
     // CTE), df per shingle, per-doc shared fraction
     "t_memorization" -> (T + ShingleHashCte +
@@ -1272,16 +1297,8 @@ object PipelineEntry {
         |  AS canon_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents
         |GROUP BY 1""".stripMargin,
-    "p_curate" -> (T +
-      s""", sc AS (SELECT doc_id,
-         | ${TextOps.LangStopwords.map { case (l, ws) =>
-             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
-         | FROM toks),
-         |lang AS (SELECT doc_id, CASE
-         | ${TextOps.LangStopwords.map { case (l, _) =>
-             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
-           }.mkString(" ")}
-         | ELSE 'unk' END AS lang_pred FROM sc),
+    "p_curate" -> (T + LangPredCtes +
+      s""",
          |q AS (SELECT doc_id, round(greatest(0.0,
          |  least(len(t)/100.0, 1.0)*0.5
          |  + (${langScoreSql(TextOps.EnStopwords)})*0.5
@@ -1296,16 +1313,8 @@ object PipelineEntry {
     // gates from the semdedup/outlier CTEs (same pinned quantizer);
     // docs without a vector pass the embedding gates vacuously
     "p_curate_emb" -> (T + IvfRankedCte.replaceFirst("WITH ", ", ") +
+      LangPredCtes +
       s""",
-         |sc AS (SELECT doc_id,
-         | ${TextOps.LangStopwords.map { case (l, ws) =>
-             s"(${langScoreSql(ws)}) AS s_$l" }.mkString(", ")}
-         | FROM toks),
-         |lang AS (SELECT doc_id, CASE
-         | ${TextOps.LangStopwords.map { case (l, _) =>
-             s"WHEN greatest(s_en, s_de, s_es, s_fr) >= 0.05 AND s_$l = greatest(s_en, s_de, s_es, s_fr) THEN '$l'"
-           }.mkString(" ")}
-         | ELSE 'unk' END AS lang_pred FROM sc),
          |q AS (SELECT doc_id, round(greatest(0.0,
          |  least(len(t)/100.0, 1.0)*0.5
          |  + (${langScoreSql(TextOps.EnStopwords)})*0.5
@@ -1452,12 +1461,12 @@ object PipelineEntry {
         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
     "p_split" ->
-      """SELECT doc_id, bucket,
-        | CASE WHEN bucket < 90 THEN 'train'
-        |      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket
-        | FROM documents)""".stripMargin,
+      s"""SELECT doc_id, bucket,
+         | CASE WHEN bucket < 90 THEN 'train'
+         |      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${contentBucketSql("text")} AS bucket
+         | FROM documents)""".stripMargin,
     "p_shards" -> (T +
       """, sh2 AS (SELECT
         |  CAST(('0x' || substr(md5('s#' || CAST(doc_id AS VARCHAR)), 1, 4))
