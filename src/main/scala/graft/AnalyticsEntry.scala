@@ -27,29 +27,38 @@ object AnalyticsEntry {
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
   /** Dataset profile (one row per profiled column): row/null/distinct
-    * counts + min/max. `exact` picks count_distinct (Expand-based —
-    * one shuffled row per distinct-agg per input row, the price of a
-    * hash-matchable gate) vs approx_count_distinct (HLL++ partials,
-    * the 100 TB path). The per-column explosion happens on the one-row
-    * aggregate OUTPUT, free at any scale. */
-  private def profile(d: DataFrame, exact: Boolean): DataFrame = {
+    * counts + min/max. With `checkApprox`, the same aggregation pass
+    * also runs approx_count_distinct (HLL++ partials, the 100 TB
+    * shape) and emits a `within_tol` boolean — |approx − exact| within
+    * 15% relative (HLL++ default rsd 0.05, 3σ) with an absolute floor
+    * of 2 — so the sketch's accuracy contract is machine-checked by an
+    * oracle that pins within_tol TRUE. The production profile drops
+    * the Expand-based exact distincts and keeps only the sketch; the
+    * per-column explosion happens on the one-row aggregate OUTPUT,
+    * free at any scale. */
+  private def profile(d: DataFrame, checkApprox: Boolean): DataFrame = {
     val cols = ProfileCols
-    val nd: String => org.apache.spark.sql.Column =
-      if (exact) c => count_distinct(col(c))
-      else c => approx_count_distinct(col(c))
     val agg = d.agg(
       count(lit(1)).as("n"),
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        nd(c).as(s"nd_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
         min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))): _*)
+        max(col(c)).cast("string").as(s"mx_$c")) ++
+        (if (checkApprox) Seq(approx_count_distinct(col(c)).as(s"na_$c"))
+         else Nil)): _*)
+    val tolCol: String => Seq[org.apache.spark.sql.Column] =
+      if (checkApprox) c => Seq(
+        (abs(col(s"na_$c") - col(s"nd_$c")) <=
+          greatest(col(s"nd_$c") * lit(0.15), lit(2.0))).as("within_tol"))
+      else _ => Nil
     agg.select(col("n"), explode(array(cols.map(c =>
-        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
+        struct(Seq(lit(c).as("col_name"), col(s"nn_$c").as("n_null"),
           col(s"nd_$c").as("n_distinct"), col(s"mn_$c").as("min_val"),
-          col(s"mx_$c").as("max_val"))): _*)).as("p"))
-      .select(col("p.col_name"), col("n"), col("p.n_null"),
-        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+          col(s"mx_$c").as("max_val")) ++ tolCol(c): _*)): _*)).as("p"))
+      .select(Seq(col("p.col_name"), col("n"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val")) ++
+        (if (checkApprox) Seq(col("p.within_tol")) else Nil): _*)
   }
 
   /** Whitespace-token CTE shared by the document oracles (same shape as
@@ -205,32 +214,35 @@ object AnalyticsEntry {
     // self-joins (the naive per-stage join would be three).
     // RFM segmentation — recency / frequency / monetary quintiles per
     // purchasing user, the classic CRM slice: one purchase-filtered
-    // aggregation to one row per user, three ntile windows over that
-    // (already user-bounded) frame, a concatenated segment code.
-    // Ranks order on (metric, user_id) so quintile boundaries are
-    // deterministic for the oracle. The global ntile serializes the
-    // per-user frame through one task — exact quintiles need a total
-    // order; at fleet user counts the production swap is
-    // approx_percentile cut points broadcast back (the agg_winsor
-    // shape), traded here for the hash-exact contract.
+    // aggregation to one row per user, then quintile CUT POINTS from a
+    // single exact-percentile aggregation broadcast back (the
+    // agg_winsor shape) — NOT a global ntile window, which would
+    // serialize every purchasing user through one total-sort task.
+    // Scores are 1 + #cuts strictly below the value, so ties share a
+    // score and both engines bucket identically (Spark `percentile` ==
+    // DuckDB `quantile_cont`, same interpolation arithmetic). A user
+    // with an all-null monetary lands in m_score 1 (no cut exceeded —
+    // the null comparison is pinned false on both sides). At 100 TB
+    // the production swap is approx_percentile (mergeable GK partials)
+    // for the cut row; the plan shape is identical.
     "ev_rfm" -> ((s, dir) => {
       val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(max("ts").as("last_ts"), count(lit(1)).as("frequency"),
           round(sum("value"), 4).as("monetary"))
-      p.withColumn("r_score",
-          ntile(5).over(Window.orderBy(col("last_ts"), col("user_id"))))
-        .withColumn("f_score",
-          ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
-        // monetary is nullable (all-null purchase values): pin NULLS
-        // LAST to match DuckDB's ASC default (Spark defaults nulls first)
-        .withColumn("m_score",
-          ntile(5).over(Window.orderBy(col("monetary").asc_nulls_last,
-            col("user_id"))))
+      val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+      val cuts = p.agg(
+        expr(s"percentile(last_ts, $qs)").as("rc"),
+        expr(s"percentile(frequency, $qs)").as("fc"),
+        expr(s"percentile(monetary, $qs)").as("mc"))
+      def score(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        lit(1) + size(filter(c, x => coalesce(v > x, lit(false))))
+      p.crossJoin(broadcast(cuts))
         .select(col("user_id"), col("last_ts"), col("frequency"),
           col("monetary"),
-          concat(col("r_score"), col("f_score"), col("m_score"))
-            .as("rfm_segment"))
+          concat(score(col("last_ts"), col("rc")),
+            score(col("frequency"), col("fc")),
+            score(col("monetary"), col("mc"))).as("rfm_segment"))
     }),
     // Two-proportion A/B test — the product-analytics staple: variant
     // assignment from the user's FIRST view payload (k mod 2),
@@ -372,26 +384,40 @@ object AnalyticsEntry {
           round(expr("percentile(value, 0.99)"), 4).as("p99"))),
 
     // ------------------------------------------------ curation additions
-    // Gopher-style repetition stats: duplicate-token fraction (map-side)
-    // + top-bigram mass fraction (explode → two same-key aggs → join on
-    // doc_id). The HOF alternative (per-row frequency scan) is O(n²)
-    // per document, so the explode shape is the 100 TB path.
+    // Gopher-style repetition stats: duplicate-token fraction + top-
+    // bigram mass fraction, both MAP-SIDE. A doc's tokens live in one
+    // row, so the max bigram count equals the longest equal-run in the
+    // SORTED bigram array: sort_array (O(n log n) per row) + one linear
+    // `aggregate` HOF run-length scan — zero shuffles, zero joins,
+    // where the old explode → (doc_id, bigram) groupBy shuffled a
+    // corpus-token-sized stream of near-distinct keys that partial
+    // aggregation couldn't compress. (The naive HOF alternative — a
+    // per-element frequency rescan — would be O(n²) per doc; the
+    // sorted-run scan is not.)
     "t_repetition" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val run = // run length of x given the accumulator state
+        (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
+          when(x === acc.getField("prev"), acc.getField("run") + 1L)
+            .otherwise(lit(1L))
+      Tables.documents(s, dir)
         .withColumn("toks", TextOps.tokens(col("text")))
-      val base = d.select(col("doc_id"),
+        .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tok"),
-          size(array_distinct(col("toks"))).cast("long").as("n_uniq"))
-        .withColumn("dup_tok_frac",
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          sort_array(TextOps.shingles(col("toks"), 2)).as("bg"))
+        .withColumn("maxrun", aggregate(col("bg"),
+          struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+            lit(0L).as("best")),
+          (acc, x) => struct(x.as("prev"), run(acc, x).as("run"),
+            greatest(acc.getField("best"), run(acc, x)).as("best")),
+          acc => acc.getField("best")))
+        .select(col("doc_id"), col("n_tok"),
           round(when(col("n_tok") === 0, 0.0)
-            .otherwise(lit(1.0) - col("n_uniq") / col("n_tok").cast("double")), 4))
-      val top = d.select(col("doc_id"),
-          explode(TextOps.shingles(col("toks"), 2)).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg((max("c") / sum("c").cast("double")).as("r"))
-      base.join(top, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tok"), col("dup_tok_frac"),
-          round(coalesce(col("r"), lit(0.0)), 4).as("top2_frac"))
+            .otherwise(lit(1.0) - col("n_uniq") / col("n_tok").cast("double")), 4)
+            .as("dup_tok_frac"),
+          round(when(size(col("bg")) === 0, 0.0)
+            .otherwise(col("maxrun") / size(col("bg")).cast("double")), 4)
+            .as("top2_frac"))
     }),
 
     // PII detection + placeholder redaction over the string payload —
@@ -426,16 +452,17 @@ object AnalyticsEntry {
     // swaps in approx_count_distinct (HLL partials, no Expand) at the
     // cost of the exact gate. The per-column explosion happens on the
     // one-row agg OUTPUT, which is free at any scale.
-    "p_profile" -> ((s, dir) => profile(Tables.documents(s, dir), exact = true)),
+    "p_profile" -> ((s, dir) => profile(Tables.documents(s, dir), checkApprox = false)),
 
     // The 100 TB variant: approx_count_distinct (HyperLogLog++
-    // partials) replaces the Expand-based exact distincts — no
-    // per-distinct-agg row expansion, one ordinary partial aggregate
-    // per partition. Estimates are sketch-dependent (no DuckDB twin),
-    // so this gate is rows-only: the shape and row count are checked,
-    // the exact sibling above carries the hash gate.
+    // partials) — no per-distinct-agg row expansion in production.
+    // The gate runs BOTH in one pass and hashes (keys, exact stats,
+    // within_tol): the sketch estimate itself stays out of the hashed
+    // projection (no DuckDB twin), but its 15%-relative accuracy
+    // contract is oracle-checked — an HLL drift flips within_tol and
+    // hash-fails the row.
     "p_profile_approx" -> ((s, dir) =>
-      profile(Tables.documents(s, dir), exact = false)),
+      profile(Tables.documents(s, dir), checkApprox = true)),
 
     // Unigram-LM surprisal score: mean -ln p(token) per document under
     // the corpus unigram distribution — the classic cheap LM-quality
@@ -462,18 +489,24 @@ object AnalyticsEntry {
     // split into head/middle/tail TERCILES of LM surprisal WITHIN each
     // language — the language-local cut is the point (a global
     // threshold would dump whole low-resource languages into "tail").
-    // Terciles are ntile(3) over the (rounded avg_nll, doc_id) total
-    // order, so both engines rank identically; the per-language window
-    // adds one shuffle on lang over the already-reduced per-doc rows.
+    // Tercile CUT POINTS come from a per-language exact-percentile
+    // aggregation (O(#langs) rows) broadcast back — never a
+    // per-language ntile window, whose dominant-language partition
+    // (en ≈ most of any real corpus) would total-sort nearly the whole
+    // corpus on ONE task. Ties at a cut share a bucket (value-based
+    // split); Spark `percentile` == DuckDB `quantile_cont` so both
+    // engines derive bit-equal cuts. 100 TB swap: approx_percentile.
     "t_ppl_bucket" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
-      unigramNll(s, dir)
+      val j = unigramNll(s, dir)
         .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
           Seq("doc_id"))
-        .withColumn("tercile", ntile(3).over(w))
+      val cuts = j.groupBy("lang").agg(expr(
+        "percentile(avg_nll, array(cast(1 as double)/3, cast(2 as double)/3))")
+        .as("cuts"))
+      j.join(broadcast(cuts), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("avg_nll"),
-          when(col("tercile") === 1, "head")
-            .when(col("tercile") === 2, "middle")
+          when(col("avg_nll") <= col("cuts")(0), "head")
+            .when(col("avg_nll") <= col("cuts")(1), "middle")
             .otherwise("tail").as("bucket"))
     }),
 
@@ -509,15 +542,30 @@ object AnalyticsEntry {
     // The 100 TB quantile path: approx_percentile (Greenwald-Khanna
     // partials, map-side combinable) — the mergeable twin of
     // ev_quantiles' exact interpolation, which cannot partial-
-    // aggregate. Sketch estimates have no bit-exact oracle →
-    // deliberately rows-only, like p_profile_approx; the exact sibling
-    // keeps the hash gate.
-    "ev_quantiles_approx" -> ((s, dir) =>
+    // aggregate. The GK estimates themselves have no bit-exact DuckDB
+    // twin, so the gate hashes what an oracle CAN verify: the exact
+    // quantiles (same query, same group pass) plus a `within_tol`
+    // boolean asserting the sketch landed within 5% relative (1e-6
+    // absolute floor) of each exact value — the raw estimates stay out
+    // of the hashed projection, but a drifting sketch flips within_tol
+    // to false and hash-fails the gate. Production drops the exact
+    // columns and keeps only the mergeable sketch aggregate.
+    "ev_quantiles_approx" -> ((s, dir) => {
+      def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        abs(a - e) <= greatest(abs(e) * lit(0.05), lit(1e-6))
       Tables.events(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          expr("approx_percentile(value, 0.5, 1000)").as("p50"),
-          expr("approx_percentile(value, 0.9, 1000)").as("p90"),
-          expr("approx_percentile(value, 0.99, 1000)").as("p99"))),
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          expr("approx_percentile(value, 0.5, 1000)").as("a50"),
+          expr("approx_percentile(value, 0.9, 1000)").as("a90"),
+          expr("approx_percentile(value, 0.99, 1000)").as("a99"))
+        .select(col("event_type"), col("n"), col("p50"), col("p90"),
+          col("p99"),
+          (ok(col("a50"), col("p50")) && ok(col("a90"), col("p90")) &&
+            ok(col("a99"), col("p99"))).as("within_tol"))
+    }),
 
     // Per-event-type z-score outliers. The moment stats are O(#event
     // types) rows — a genuinely broadcast-safe build side at any corpus
@@ -732,15 +780,17 @@ object AnalyticsEntry {
       """WITH p AS (SELECT user_id, max(epoch_ms(ts)) AS last_ts,
         |  count(*) AS frequency, round(sum(value), 4) AS monetary
         | FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-        |sc AS (SELECT user_id, last_ts, frequency, monetary,
-        |  ntile(5) OVER (ORDER BY last_ts, user_id) AS r_score,
-        |  ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
-        |  ntile(5) OVER (ORDER BY monetary, user_id) AS m_score
-        | FROM p)
+        |c AS (SELECT quantile_cont(last_ts, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |  quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |  quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc FROM p)
         |SELECT user_id, last_ts, frequency, monetary,
-        | CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
-        |   || CAST(m_score AS VARCHAR) AS rfm_segment
-        |FROM sc""".stripMargin,
+        | CAST(1 + len(list_filter(rc, x -> coalesce(last_ts > x, false)))
+        |   AS VARCHAR)
+        | || CAST(1 + len(list_filter(fc, x -> coalesce(frequency > x, false)))
+        |   AS VARCHAR)
+        | || CAST(1 + len(list_filter(mc, x -> coalesce(monetary > x, false)))
+        |   AS VARCHAR) AS rfm_segment
+        |FROM p, c""".stripMargin,
     "ev_ab_test" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type,
         |  coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)
@@ -834,6 +884,16 @@ object AnalyticsEntry {
         | round(quantile_cont(value, 0.9), 4) AS p90,
         | round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+    // the sketch gate hashes (keys, exact stats, within_tol) — the
+    // oracle re-derives the exact side and pins within_tol TRUE, so a
+    // sketch drifting past tolerance hash-fails the gate
+    "ev_quantiles_approx" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | true AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
     "t_repetition" -> (T +
       """, base AS (SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_uniq
         |  FROM toks),
@@ -865,6 +925,17 @@ object AnalyticsEntry {
          | count(DISTINCT $c) AS n_distinct,
          | CAST(min($c) AS VARCHAR) AS min_val,
          | CAST(max($c) AS VARCHAR) AS max_val
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+    // sketch gate: exact columns re-derived, within_tol pinned TRUE —
+    // the HLL++ estimate is checked against tolerance, not hashed raw
+    "p_profile_approx" -> ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | count(DISTINCT $c) AS n_distinct,
+         | CAST(min($c) AS VARCHAR) AS min_val,
+         | CAST(max($c) AS VARCHAR) AS max_val,
+         | true AS within_tol
          |FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n"),
     "p_sample" ->
@@ -905,8 +976,8 @@ object AnalyticsEntry {
         |   ORDER BY avg_nll, doc_id) AS BIGINT) AS rank,
         | avg_nll
         |FROM sh""".stripMargin),
-    // CCNet terciles: same nll CTEs, ntile(3) within language over the
-    // (rounded avg_nll, doc_id) total order
+    // CCNet terciles: same nll CTEs, per-language quantile_cont cut
+    // points (== Spark percentile), value-based bucket split
     "t_ppl_bucket" -> (T +
       """, tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -918,14 +989,16 @@ object AnalyticsEntry {
         |  round(sum(tf * -ln(cnt / (SELECT total FROM tot))) / sum(tf), 4)
         |   AS avg_nll
         | FROM tf JOIN vocab USING (tok) GROUP BY doc_id),
-        |t3 AS (SELECT n.doc_id, d.lang, n.avg_nll,
-        |  ntile(3) OVER (PARTITION BY d.lang
-        |    ORDER BY n.avg_nll, n.doc_id) AS tercile
-        | FROM nll n JOIN documents d USING (doc_id))
+        |j AS (SELECT n.doc_id, d.lang, n.avg_nll
+        | FROM nll n JOIN documents d USING (doc_id)),
+        |c AS (SELECT lang, quantile_cont(avg_nll,
+        |   [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS cuts
+        | FROM j GROUP BY lang)
         |SELECT doc_id, lang, avg_nll,
-        | CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-        |  ELSE 'tail' END AS bucket
-        |FROM t3""".stripMargin),
+        | CASE WHEN avg_nll <= cuts[1] THEN 'head'
+        |      WHEN avg_nll <= cuts[2] THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM j JOIN c USING (lang)""".stripMargin),
     "ev_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu,
         |  stddev_pop(value) AS sigma FROM events GROUP BY event_type)

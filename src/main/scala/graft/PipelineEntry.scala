@@ -287,16 +287,31 @@ object PipelineEntry {
     // Per-source quality equalization: percent-rank within each source
     // — a global quality threshold over raw scores silently starves
     // whole sources whose scorer calibration differs; ranking within
-    // the source first is the standard fix. Rank on the ROUNDED score
-    // (both engines rank identical values), deterministic via the
-    // doc_id tiebreak.
+    // the source first is the standard fix. The rank is computed over
+    // the per-(source, quality) COUNTS table — quality is 4dp-rounded
+    // in [0, 1], so that table is ≤ #sources × 10⁰⁰¹ rows at ANY
+    // corpus size — and broadcast back: percent_rank = (rank−1)/(n−1)
+    // with ties sharing the rank of their first row, exactly SQL
+    // percent_rank() ordered by quality alone. The old per-row window
+    // PARTITION BY source was the textbook skew key (one dominant
+    // source total-sorts on one task); the raw corpus now never
+    // shuffles at all.
     "t_quality_norm" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("quality"), col("doc_id"))
-      Tables.documents(s, dir)
+      val q = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           round(TextOps.qualityScore(col("text")), 4).as("quality"))
-        .withColumn("pr", round(percent_rank().over(w), 6))
+      val wSrc = Window.partitionBy("source")
+      val wCum = wSrc.orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pr = q.groupBy("source", "quality").agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum("cnt").over(wSrc))
+        .withColumn("below", coalesce(sum("cnt").over(wCum), lit(0L)))
+        .select(col("source"), col("quality"),
+          when(col("n") === 1, 0.0)
+            .otherwise(round(col("below") / (col("n") - 1).cast("double"), 6))
+            .as("pr"))
+      q.join(broadcast(pr), Seq("source", "quality"))
+        .select("doc_id", "source", "quality", "pr")
     }),
     "t_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -1183,13 +1198,15 @@ object PipelineEntry {
         | len(list_filter(t, x ->
         |   list_contains(['slow','leak','crash'], x))) > 0 AS flagged
         |FROM toks""".stripMargin),
+    // ordered by quality ALONE (no doc_id tiebreak): ties share a
+    // percent_rank, which is what the counts-table shape computes
     "t_quality_norm" -> (T +
       s""", q AS ($QualitySelect),
          |qq AS (SELECT q.doc_id, d.source, q.quality
          |       FROM q JOIN documents d USING (doc_id))
          |SELECT doc_id, source, quality,
          | round(percent_rank() OVER (PARTITION BY source
-         |   ORDER BY quality, doc_id), 6) AS pr
+         |   ORDER BY quality), 6) AS pr
          |FROM qq""".stripMargin),
     "t_langid" -> (T + LangPredCtes +
       "\nSELECT doc_id, lang_pred FROM lang"),

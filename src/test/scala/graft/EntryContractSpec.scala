@@ -10,11 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class EntryContractSpec extends AnyFunSuite {
 
-  /** Queries whose oracle is DELIBERATELY omitted — sketch-estimate
-    * outputs no external engine reproduces bit-wise (DuckDB's HLL ≠
-    * Spark's), downgraded to the driver's rows-only check on purpose.
-    * Every entry here needs an exact hash-gated sibling. */
-  private val rowsOnlyQueries = Set("p_profile_approx", "ev_quantiles_approx")
+  /** Queries whose oracle is DELIBERATELY omitted. Empty since round
+    * 10: the former sketch-estimate entries (p_profile_approx,
+    * ev_quantiles_approx) now hash (keys, exact stats, within_tol)
+    * with the raw sketch value excluded, so every gate is hard-oracle
+    * checked. A future rows-only entry must carry a written rationale
+    * and an exact hash-gated sibling. */
+  private val rowsOnlyQueries = Set.empty[String]
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet

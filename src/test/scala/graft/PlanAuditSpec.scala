@@ -174,16 +174,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("t_tfidf and t_repetition never go quadratic") {
+  test("t_tfidf never goes quadratic; t_repetition is pure map-side") {
     // t_tfidf's corpus-count crossJoin(broadcast(1-row agg)) is the one
     // sanctioned nested-loop: its build side is a single row by
     // construction, so only CartesianProduct is a regression there.
     assert(!plan("t_tfidf").contains("CartesianProduct"),
       "t_tfidf plan degenerated to a cartesian")
+    // top-bigram mass is a sorted-run scan per row: a doc's tokens live
+    // in one row, so the whole statistic must compile with ZERO
+    // exchanges — the old (doc_id, bigram) explode shuffled a
+    // corpus-token-sized stream of near-distinct keys.
     val p = plan("t_repetition")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      s"t_repetition plan degenerated to all-pairs:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"),
+      s"t_repetition must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("de-skewed rank gates: no per-row rank windows anywhere") {
+    // ev_rfm / t_ppl_bucket bucket by broadcast percentile cut points —
+    // a Window in these plans means the global/per-lang ntile total
+    // sort is back (one task sorts every purchasing user / the dominant
+    // language's whole corpus at 100×).
+    Seq("ev_rfm", "t_ppl_bucket").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q must bucket by broadcast cut points, not rank windows:\n${p.take(1500)}")
+    }
+    // t_quality_norm: its percent_rank is computed over the bounded
+    // (source, quality) counts AGGREGATE (window sits above a
+    // HashAggregate, never orders by doc_id) and joins back via
+    // broadcast — the raw corpus never shuffles.
+    val p = plan("t_quality_norm")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t_quality_norm counts side must broadcast:\n${p.take(1500)}")
+    assert("windowspecdefinition\\([^)]*doc_id".r.findFirstIn(p).isEmpty,
+      s"t_quality_norm window must rank the counts table, not raw docs:\n${p.take(1500)}")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx > 0 && p.indexOf("HashAggregate", winIdx) > 0,
+      s"t_quality_norm window must sit above the counts aggregation:\n${p.take(1500)}")
   }
 
   test("m_irate prunes to the bucket tail below its single shuffle") {
