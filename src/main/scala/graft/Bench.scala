@@ -68,7 +68,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.filter(_._3.isEmpty).map(_._2).sum)
     val nErrors = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The harness stdout capture keeps only the output TAIL, which eats
+    // the leading ~75 per-query entries of the 180+-query line — so
+    // regressions in the families that sort first (agg_*/api_*/d_*/e_*)
+    // were invisible round-over-round. Persist the complete map (same
+    // JSON line, stable alphabetical key order) to a standalone file
+    // that gets committed and diffed per round.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] detail artifact write failed: $t")
+    }
     // The harness capturing stdout keeps only the tail of the output; the
     // full line above is ~3 KB and can lose its leading fields to
     // truncation. Repeat the headline numbers on a second, short line so

@@ -28,7 +28,9 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
                         graft.retention.Retention.Policy(Nil),
                       argv: Seq[String] = Nil,
                       cppMutationSemantics: Boolean = false,
-                      tier: String = "parquet") {
+                      tier: String = "parquet",
+                      maxResponseValues: Int =
+                        StoreHttpServer.DefaultMaxResponseValues) {
   require(tier == "parquet" || tier == "gorilla",
     s"unknown store tier '$tier' (parquet | gorilla)")
 
@@ -68,6 +70,12 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
         catch { case e: Throwable => Left(e) }
       try result match {
         case Right(body) => respond(ex, 200, body)
+        case Left(e: StoreHttpServer.ResponseTooLarge) =>
+          // over-limit is the client's problem, not a server fault:
+          // 413 with the reason in the wire error field (the same loud
+          // rejection posture the RPC codec uses for unknown
+          // extensions), never a silent truncation
+          respond(ex, 413, Rpc.encodeGetResponse(Nil, Some(e.getMessage)))
         case Left(e) =>
           System.err.println(s"[http] ${ex.getRequestURI} failed: $e")
           respond(ex, 500, Rpc.encodeGetResponse(Nil, Some(e.toString)))
@@ -99,7 +107,26 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     // series: skey when present, else (name, labels) — a label
     // aggregation yields one stream per distinct label value
     // (server/store.cc:190-248), so labels MUST participate in the key.
-    val (rows, retrieveMs) = timed(df.orderBy("ts").collect())
+    // An unlimited request must not materialize the whole lake on this
+    // node: the reference server also collects its full result, but it
+    // fronts a single-node store — here the backing table is the
+    // entire corpus. A /get carrying no max_values/max_variables gets
+    // a default response bound; crossing it rejects with 413 instead
+    // of OOMing the driver. (TakeOrdered keeps the probe driver-
+    // bounded: limit+1 rows, never the full match.)
+    val (rows, retrieveMs) = timed {
+      if (req.maxValues.isDefined || req.maxVariables.isDefined)
+        df.orderBy("ts").collect()
+      else {
+        val r = df.orderBy("ts").limit(maxResponseValues + 1).collect()
+        if (r.length > maxResponseValues)
+          throw new StoreHttpServer.ResponseTooLarge(
+            s"unbounded /get matched more than $maxResponseValues values; " +
+              "set max_values / max_variables on the request or raise " +
+              "--max_response_values")
+        r
+      }
+    }
     val cols = df.columns.toSet
     def opt[T](r: org.apache.spark.sql.Row, name: String): Option[T] =
       if (cols.contains(name) && !r.isNullAt(r.fieldIndex(name)))
@@ -248,6 +275,13 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
   * live at /add ingest and is served back on /get_config, exactly the
   * reference server's startup contract (server/store.cc:72-95). */
 object StoreHttpServer {
+  /** Default driver-side bound for a /get with no request limits. */
+  val DefaultMaxResponseValues = 500000
+
+  /** Thrown when an unbounded /get would exceed the response cap;
+    * mapped to HTTP 413 with the reason in the wire error field. */
+  final class ResponseTooLarge(msg: String) extends RuntimeException(msg)
+
   def main(args: Array[String]): Unit = {
     val opts = args.filter(_.startsWith("--"))
       .map(_.stripPrefix("--").split("=", 2)).collect {
@@ -278,7 +312,10 @@ object StoreHttpServer {
       cppMutationSemantics =
         opts.get("mutation_semantics").contains("cpp"),
       // --tier=gorilla serves get/list from a writeGorilla cold tier
-      tier = opts.getOrElse("tier", "parquet")).start()
+      tier = opts.getOrElse("tier", "parquet"),
+      // --max_response_values bounds an unlimited /get's driver collect
+      maxResponseValues = opts.get("max_response_values").map(_.toInt)
+        .getOrElse(DefaultMaxResponseValues)).start()
     println(s"LISTENING=${s.boundPort}")
     Thread.currentThread().join()
   }

@@ -230,6 +230,33 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("unbounded /get over a large match is capped: 413, never a full collect") {
+    val store = java.nio.file.Files.createTempDirectory("graft_http7").toString + "/s"
+    // cap at 10 so the fixture (30 points) overflows it
+    val srv = new StoreHttpServer(spark, store, nowMs = () => 100000L,
+      maxResponseValues = 10).start()
+    try {
+      post(srv.boundPort, "/add", Rpc.encodeAddRequest(Seq(Rpc.Stream(
+        Variable("/http/big", Map("host" -> "a"), Variable.Gauge),
+        (0 until 30).map(i => (1000L + i, Some(i.toDouble), None, None))))))
+      // no max_values / max_variables on the request -> default bound
+      // kicks in, server rejects loudly instead of materializing all
+      val unbounded = Rpc.encodeGetRequest(Requests.GetRequest("/http/big"))
+      val (code, bytes) = postRaw(srv.boundPort, "/get", unbounded)
+      assert(code == 413, s"expected 413 over-limit, got $code")
+      val (ok, err, streams) = Rpc.decodeGetResponse(bytes)
+      assert(!ok && err.exists(_.contains("max_values")) && streams.isEmpty,
+        s"ok=$ok err=$err")
+      // the same match WITH an explicit limit is served normally
+      val bounded = Rpc.encodeGetRequest(Requests.GetRequest("/http/big",
+        maxValues = Some(5)))
+      val (gok, gerr, gs) =
+        Rpc.decodeGetResponse(post(srv.boundPort, "/get", bounded))
+      assert(gok, gerr.toString)
+      assert(gs.head.values.length == 5, gs.head.values.length.toString)
+    } finally srv.stop()
+  }
+
   test("malformed request returns a decodable error response, not a hang") {
     val store = java.nio.file.Files.createTempDirectory("graft_http2").toString + "/s"
     val srv = new StoreHttpServer(spark, store).start()
