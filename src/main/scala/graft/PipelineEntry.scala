@@ -1037,6 +1037,23 @@ object PipelineEntry {
           skip = 16),
         emb, emb.filter(col("vec_id") < 10), k = 5, nprobe = 2)
     }),
+    // IVF-PQ + refine — the production search shape end to end (faiss
+    // IndexRefineFlat over IndexIVFPQ): the coarse quantizer restricts
+    // to nprobe=2 lists, ADC over-fetches 20 code-ranked candidates,
+    // exact cosine re-ranks them to the final top-5. Composes the two
+    // gate-verified stages; same full-hash contract as e_knn_refine
+    // (quantization error cannot reorder the exact re-rank — only a
+    // candidate miss changes the answer, and then both engines miss
+    // identically).
+    "e_knn_ivfpq_refine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      Ann.refineTopK(
+        Ann.ivfPqTopK(Ann.pinnedCentroids(emb, nlist = 16),
+          Ann.pinnedCodebooks(emb, m = 8, ksub = 16, dim = 64),
+          emb, q, k = 20, nprobe = 2),
+        emb, q, k = 5)
+    }),
     // IVF index-build balance check: corpus rows per inverted list
     // under the pinned quantizer.
     "e_ivf_stats" -> ((s, dir) => {
@@ -1786,6 +1803,7 @@ object PipelineEntry {
     "e_knn_pq" -> pqKnnOracle,
     "e_knn_refine" -> refineKnnOracle,
     "e_knn_ivfpq" -> ivfPqKnnOracle,
+    "e_knn_ivfpq_refine" -> ivfPqRefineKnnOracle,
     "e_knn_ivfpq_res" -> ivfPqResKnnOracle,
     "e_ivf_stats" -> ivfStatsOracle,
     "e_cluster_sample" -> clusterSampleOracle,
@@ -2128,7 +2146,11 @@ object PipelineEntry {
     * shared probed lists; PQ encode + ADC distances are the
     * [[pqKnnOracle]] expressions verbatim (the pinned `cent` set
     * serves both quantizers). */
-  private def ivfPqKnnOracle: String = IvfRankedCte +
+  /** The IVF-PQ ADC ranking chain (coarse top-1 lists, nprobe=2
+    * probes, pinned-codebook ADC) shared by [[ivfPqKnnOracle]]
+    * (rank ≤ 5 tail) and the ivfpq+refine composition (rank ≤ 20
+    * candidates + exact cosine re-rank). */
+  private def ivfPqRankedCte: String = IvfRankedCte +
     """,
       |corpusl AS (SELECT vec_id AS nid, cid AS list_id FROM ranked WHERE cr = 1),
       |probesl AS (SELECT vec_id AS qid, cid AS list_id
@@ -2156,8 +2178,23 @@ object PipelineEntry {
       |ad AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adist
       |       FROM ds GROUP BY qid, nid),
       |r AS (SELECT qid, nid, adist,
-      |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)
-      |SELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5""".stripMargin
+      |  row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rank FROM ad)""".stripMargin
+
+  private def ivfPqKnnOracle: String = ivfPqRankedCte +
+    "\nSELECT qid, nid, round(adist, 4) AS adist, rank FROM r WHERE rank <= 5"
+
+  /** IVF-PQ candidates (rank ≤ 20) re-ranked by exact cosine — the
+    * refineKnnOracle tail over the ivfPqRankedCte chain. */
+  private def ivfPqRefineKnnOracle: String = ivfPqRankedCte +
+    """,
+      |cand AS (SELECT qid, nid FROM r WHERE rank <= 20),
+      |rr AS (SELECT c.qid, c.nid,
+      |  list_inner_product(q.v, x.v)
+      |   / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(x.v, x.v))) AS sim
+      | FROM cand c JOIN e q ON q.vec_id = c.qid JOIN e x ON x.vec_id = c.nid),
+      |rf AS (SELECT qid, nid, sim,
+      |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM rr)
+      |SELECT qid, nid, round(sim, 4) AS sim, rank FROM rf WHERE rank <= 5""".stripMargin
 
   /**
    * DuckDB mirror of the pinned-codebook PQ gate query (m=8, ksub=16,
