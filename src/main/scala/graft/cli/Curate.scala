@@ -86,6 +86,15 @@ object Curate {
                      segMaxDf: Long = 5L, bin: Int = 512,
                      shards: Int = 16): Report = {
     val docs = spark.read.parquet(in)
+    // the surrogate probe remap below (-id - 1) is a bijection only on
+    // NON-NEGATIVE ids: a negative input id would alias onto a real
+    // indexed id and silently mis-drop or mis-pass documents — fail
+    // loudly instead of corrupting dedup decisions (one column-pruned
+    // min scan, cheap next to the probe itself)
+    val minIdRow = docs.agg(min("doc_id")).collect()(0)
+    require(minIdRow.isNullAt(0) || minIdRow.getLong(0) >= 0L,
+      s"runIncremental requires non-negative doc_ids, found ${minIdRow.get(0)}: " +
+        "the -doc_id - 1 surrogate remap would alias onto indexed ids")
     val isBench = coalesce(col("source") === benchSource, lit(false))
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexPath + "/sets"),
@@ -131,34 +140,32 @@ object Curate {
                           segMaxDf: Long, bin: Int, shards: Int): Report = {
     val isBench = coalesce(col("source") === benchSource, lit(false))
 
-    // 1. exact-dup collapse — NON-BENCH rows only. Benchmark rows are
-    // always kept here: if the collapse window spanned bench rows, a
-    // training duplicate of a benchmark text with a lower doc_id would
-    // DELETE the benchmark copy, and step 3 would then build its
-    // window-hash set without that text — the verbatim benchmark
-    // content would ship uncut. (The surviving training duplicate is
-    // instead fully cut by step 3 and drops out at step 4.)
+    // 1+2. exact-dup collapse + quality/language gates, as FLAGS on
+    // one scored frame. Dedup keeps NON-BENCH rows only: if the
+    // collapse window spanned bench rows, a training duplicate of a
+    // benchmark text with a lower doc_id would DELETE the benchmark
+    // copy, and step 3 would then build its window-hash set without
+    // that text — the verbatim benchmark content would ship uncut.
+    // (The surviving training duplicate is instead fully cut by step 3
+    // and drops out at step 4.) Benchmark rows bypass the gates — they
+    // are not training data, they exist to be cut AGAINST. The
+    // pipeline filters AND the report counters both read these flags,
+    // so the JSON report cannot silently diverge from what shipped
+    // (the former second copy of the keeper/gate predicates is gone).
     val keeperW = Window.partitionBy(md5(col("text")))
-    val deduped = docs
-      .withColumn("__k", isBench ||
-        min(when(!isBench, col("doc_id"))).over(keeperW) === col("doc_id"))
-      .filter(col("__k")).drop("__k")
-
-    // 2. quality + language gates (benchmark rows bypass the gates —
-    // they are not training data, they exist to be cut AGAINST)
-    val scored = score(deduped)
-    val gated = scored.filter(isBench ||
-      (col("quality") >= qualityMin && col("lang_pred") === lang))
-    // stage counters in ONE pass over the scored frame (each .count()
-    // would re-run the whole lineage — the review-flagged multiplier)
-    val statsRow = score(docs.withColumn("__b", isBench)
+    val flagged = score(docs.withColumn("__b", isBench)
         .withColumn("__k", col("__b") ||
           min(when(!col("__b"), col("doc_id"))).over(keeperW) === col("doc_id")))
+      .withColumn("__g", col("__k") && (col("__b") ||
+        (col("quality") >= qualityMin && col("lang_pred") === lang)))
+    val scored = flagged.filter(col("__k"))
+    val gated = flagged.filter(col("__g"))
+    // stage counters in ONE pass over the flags (each .count() would
+    // re-run the whole lineage — the review-flagged multiplier)
+    val statsRow = flagged
       .agg(count(lit(1)).as("nInput"),
         count(when(col("__k"), 1)).as("nDeduped"),
-        count(when(col("__k") && !col("__b") &&
-          col("quality") >= qualityMin && col("lang_pred") === lang, 1))
-          .as("nGated"))
+        count(when(col("__g") && !col("__b"), 1)).as("nGated"))
       .collect()(0)
     val (nInput, nDeduped, nGated) =
       (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
@@ -226,7 +233,11 @@ object Curate {
       .write.mode("overwrite").partitionBy("split").parquet(out)
     strippedAll.unpersist(false)
 
-    val outDf = spark.read.parquet(out)
+    // explicit schema: a fully-filtered corpus (tiny / all-boilerplate
+    // / fully-contaminated) writes no part files, and schema INFERENCE
+    // over that empty dir throws — with the schema pinned the re-read
+    // returns an empty frame and the report says nFinal=0 instead
+    val outDf = spark.read.schema(packed.schema).parquet(out)
     val perSplit = outDf.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Report(nInput, nDeduped, nGated, nCut, perSplit.values.sum,

@@ -245,16 +245,22 @@ object PointSource {
       fs.delete(trash, true)
     }
     // Pruning bound: only items that CHANGE data (DROP, or KEEP with a
-    // downsample chain) make a rewrite worthwhile; plain KEEPs never
-    // alter a partition. Days younger than the earliest changing
-    // min_age are skipped — including the implicit default-DROP, which
-    // reaches a day once it ages into the sweep window (the same
-    // eventual state as the reference's periodic runner; a policy
+    // downsample chain) make a rewrite worthwhile; an UNBOUNDED plain
+    // KEEP never alters a partition. A KEEP with a finite max_age DOES
+    // change data: a point aging past that window falls through to the
+    // items below it — or to the implicit default-DROP when nothing
+    // else matches — so the sweep must revisit days once they cross
+    // the keep window (otherwise a KEEP-only policy like
+    // "KEEP max_age 7d" would retain aged unmatched data at rest
+    // forever, diverging from the reference's periodic runner). Days
+    // younger than the earliest changing age are skipped; a policy
     // wanting immediate default-drops adds an explicit catch-all DROP
-    // at min_age 0).
+    // at min_age 0.
     val changing = policy.items.collect {
       case it if it.policy == graft.retention.Retention.Drop ||
         it.mutations.nonEmpty => it.minAgeMs
+      case it if it.policy == graft.retention.Retention.Keep &&
+        it.maxAgeMs > 0L => it.maxAgeMs
     }
     if (changing.isEmpty) return Nil
     val cutoffDay = java.time.Instant.ofEpochMilli(nowMs - changing.min)

@@ -136,6 +136,31 @@ class CurateSpec extends SparkSpec {
     assert(ids1.subsetOf(setsIds) && ids2.subsetOf(setsIds))
   }
 
+  test("a fully-filtered corpus reports nFinal=0 instead of throwing on the re-read") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-empty").toString
+    // every doc fails the language gate (no recognizable stopwords) and
+    // none is benchmark-sourced — the output write emits zero part files
+    Seq((1L, "xq zv qq", "srcA"), (2L, "zv qq xq", "srcB"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$base/in")
+    val r = Curate.run(spark, s"$base/in", s"$base/out")
+    assert(r.nInput == 2 && r.nGated == 0)
+    assert(r.nFinal == 0 && r.perSplit.isEmpty,
+      s"empty output must short-circuit to nFinal=0, got $r")
+  }
+
+  test("runIncremental rejects negative doc_ids before the surrogate remap") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-neg").toString
+    Seq((-1L, "the quick brown fox is here and the fox is quick", "srcA"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$base/in")
+    val e = intercept[IllegalArgumentException] {
+      Curate.runIncremental(spark, s"$base/in", s"$base/out", s"$base/idx")
+    }
+    assert(e.getMessage.contains("non-negative"),
+      s"negative ids must fail loudly, got: ${e.getMessage}")
+  }
+
   test("packing offsets are contiguous per (split, shard) in doc_id order") {
     import spark.implicits._
     val rows = result.select("split", "shard", "doc_id", "n_tok", "start_off")

@@ -119,6 +119,33 @@ class StoreSpec extends SparkSpec {
     assert(out2 == out, "second sweep must be a no-op")
   }
 
+  test("retentionSweep: KEEP-only policy with finite max_age still default-drops aged data") {
+    import spark.implicits._
+    import graft.retention.Retention
+    val dir = tmpDir()
+    val base = 1704067200000L
+    val day = 86400000L
+    val now = base + 30 * day
+    val rows = Seq(
+      ("/a", Map("user" -> "1"), "GAUGE", base + 1000L, 1.0,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]),
+      ("/a", Map("user" -> "1"), "GAUGE", base + 29 * day, 4.0,
+        null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+      .toDF("name", "labels", "value_type", "ts", "dval", "sval", "end_ts")
+    PointSource.write(rows, dir)
+    // 'KEEP max_age 7d' with NO catch-all DROP: data aging past the
+    // keep window falls to the IMPLICIT default-DROP — the sweep must
+    // treat the keep-window end as a changing age, not no-op forever
+    val policy = Retention.Policy(Seq(
+      Retention.PolicyItem(Seq("/a"), Retention.Keep, maxAgeMs = 7 * day)))
+    val swept = PointSource.retentionSweep(spark, dir, policy, now)
+    assert(swept == Seq("2024-01-01"), s"affected days: $swept")
+    val out = PointSource.read(spark, dir)
+      .select("ts", "dval").as[(Long, Double)].collect().toSet
+    assert(out == Set((base + 29 * day, 4.0)),
+      s"aged row must be default-dropped, young row kept: $out")
+  }
+
   test("retentionSweep: an interrupted swap is replayed from trash at next start") {
     import spark.implicits._
     import graft.retention.Retention
