@@ -355,6 +355,55 @@ class PipelineSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("cdc probe via foreachBatch: 3 micro-batches match the one-shot lookup, zero stream state") {
+    // cdcLookup cannot stream directly (its per-pair shared-chunk
+    // COUNT is an aggregation that append streaming would hold for the
+    // watermark) — the documented live pattern is foreachBatch, where
+    // each batch runs the STATIC lookup plan. This pins that pattern's
+    // two contracts across ≥3 micro-batches: (1) correctness — the
+    // union of per-batch outputs equals the one-shot batch lookup, and
+    // each batch emits only its own probes (nothing leaks across
+    // batches); (2) state bound — the streaming query keeps ZERO state
+    // store rows (all aggregation lives inside the per-batch static
+    // plan), so state growth per batch is exactly nothing.
+    import spark.implicits._
+    val dup1 = "the quick brown fox jumps over the lazy dog every single day"
+    val dup3 = "pack my box with five dozen liquor jugs again and once more"
+    val corpus = docs((1L, dup1), (3L, dup3))
+    val path = java.nio.file.Files.createTempDirectory("graft_cdc_fb").toString + "/idx"
+    Dedup.cdcIndex(corpus, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probesAll = docs((2L, dup1), (4L, "unrelated filler text with nothing shared"),
+      (6L, dup3))
+    val expected = rows(Dedup.cdcLookup(spark, path, probesAll))
+    assert(expected.map(p => (p._1, p._2)) == Set((2L, 1L), (6L, 3L)),
+      s"one-shot lookup sanity: $expected")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long, Long)]]()
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val out = rows(Dedup.cdcLookup(spark, path, batch))
+        perBatch.synchronized { perBatch(id) = out }
+        ()
+      }.start()
+    mem.addData((2L, dup1)); q.processAllAvailable()
+    mem.addData((4L, "unrelated filler text with nothing shared")); q.processAllAvailable()
+    mem.addData((6L, dup3)); q.processAllAvailable()
+    val state = Option(q.lastProgress).map(_.stateOperators.toSeq).getOrElse(Nil)
+    q.stop()
+    assert(state.isEmpty,
+      s"foreachBatch probe must keep no streaming state, got $state")
+    assert(perBatch.keySet == Set(0L, 1L, 2L), s"expected 3 batches: $perBatch")
+    assert(perBatch.values.flatten.toSet == expected,
+      s"3-batch union diverged from one-shot: $perBatch vs $expected")
+    assert(perBatch(0L).forall(_._1 == 2L) && perBatch(1L).isEmpty &&
+      perBatch(2L).forall(_._1 == 6L),
+      s"a batch emitted another batch's probes: $perBatch")
+  }
+
   test("at-rest simhash index: lookup and stream probe match the in-memory cross pairs") {
     import spark.implicits._
     val corpus = docs(
