@@ -16,9 +16,13 @@ import org.apache.spark.sql.types._
  * and the video path gets REAL multi-frame decode for animated GIFs
  * (ImageIO's per-frame GIF reader via [[VideoDecoder]]: frame count,
  * per-frame dims, frame-sampled features, first-frame thumbnail
- * resize). True video codecs (MP4/WebM — no media libraries in this
- * container) and any bytes the JDK readers don't recognize fall back
- * to [[StubDecoder]], a deterministic fake keyed on the content hash.
+ * resize) AND for Motion-JPEG AVI ([[AviDecoder]]: RIFF chunk walk,
+ * every frame a stock-ImageIO JPEG decode). ISO-BMFF (MP4/MOV) gets
+ * REAL width/height/frame-count metadata from a pure box walk
+ * ([[Mp4Meta]], the [[CompressedAudio]] posture). Only compressed-
+ * codec PIXEL decode (H.264/VP9/WebM — no media libraries in this
+ * container) and bytes no parser recognizes fall back to
+ * [[StubDecoder]], a deterministic fake keyed on the content hash.
  * Swapping in a real codec means replacing exactly that decoder
  * object.
  *
@@ -68,7 +72,10 @@ object Multimodal {
     /** Fake properties derive from the 60-bit md5 prefix `h` of the
       * content so the DuckDB oracle can mirror them exactly. */
     def decode(modality: String, h: Long): (Int, Int, Int, Array[Float]) = {
-      // ??? <- real MP4/WebM/MP3 codecs go here; deterministic fake below.
+      // ??? <- real compressed-codec PIXEL decode (H.264/VP9/WebM) goes
+      // here; deterministic fake below. (GIF + MJPEG-AVI frames, WAV/
+      // AIFF/AU PCM, MP3/OGG sample counts, and MP4 track metadata are
+      // already REAL upstream of this fallback.)
       val w = (16 + h % 1024).toInt
       val ht = (16 + (h / 1024) % 1024).toInt
       val frames = modality match {
@@ -254,16 +261,28 @@ object Multimodal {
       }.filter(_.nonEmpty)
 
     /** First frame as an image — the representative thumbnail
-      * [[resizeToFit]] resamples for video rows. */
+      * [[resizeToFit]] resamples for video rows. GIF, then MJPEG-AVI. */
     def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      withGifReader(bytes) { r =>
+      (withGifReader(bytes) { r =>
         if (r.getNumImages(true) > 0) r.read(0) else null
       } match {
         case Some(img) if img != null => Some(img)
         case _ => None
-      }
+      }).orElse(AviDecoder.firstFrame(bytes))
 
+    /** Container dispatch: animated GIF (full real decode), then
+      * MJPEG-AVI ([[AviDecoder]], full real decode), then ISO-BMFF
+      * ([[Mp4Meta]]: REAL dims + frame count from the box walk, span
+      * feature over the payload — pixel decode still needs a codec).
+      * None → [[StubDecoder]] remains the swap point for true codec
+      * pixel decode. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      gifDecode(bytes)
+        .orElse(AviDecoder.decode(bytes))
+        .orElse(Mp4Meta.parse(bytes).map { case (w, h, n) =>
+          (w, h, n, AudioDecoder.spanFeature(bytes)) })
+
+    private def gifDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
       withGifReader(bytes) { r =>
         val n = r.getNumImages(true)
         if (n <= 0) null
@@ -286,6 +305,197 @@ object Multimodal {
       } match {
         case Some(res) if res != null => Some(res)
         case _ => None
+      }
+  }
+
+  /**
+   * REAL header metadata for ISO-BMFF video (MP4/MOV) — the video-side
+   * sibling of [[CompressedAudio]]'s MP3/OGG walks: a pure byte-level
+   * box walk of the public container format (ISO/IEC 14496-12). No
+   * pixel decode (the H.264/H.265/VP9 payload needs a codec this
+   * container doesn't ship), but exact track metadata: presentation
+   * width/height from the video track's `tkhd` (16.16 fixed point) and
+   * the true frame count from its `stts` sample table. Boxes are
+   * `[u32 size][4cc type]` big-endian, size 1 → 64-bit largesize
+   * follows, size 0 → to end of enclosure; `ftyp` must lead (the brand
+   * gate that keeps arbitrary bytes from false-positive parsing).
+   */
+  object Mp4Meta extends Serializable {
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "ISO-8859-1")
+
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    /** One video track's fields, filled during the walk. */
+    private final class Track {
+      var handler: String = ""
+      var w: Int = 0; var h: Int = 0
+      var frames: Long = 0L
+    }
+
+    /** Walk boxes in [from, to); `trak` is the enclosing track, null at
+      * file/moov level. Appends each completed track to `out`. */
+    private def walk(b: Array[Byte], from: Long, to: Long, trak: Track,
+                     out: scala.collection.mutable.Buffer[Track]): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = be32(b, i.toInt)
+        val typ = fourcc(b, i.toInt + 4)
+        var hdr = 8L
+        val size =
+          if (size0 == 1L) {
+            if (i + 16 > to) return
+            hdr = 16L
+            var s = 0L
+            var k = 0
+            while (k < 8) { s = (s << 8) | (b(i.toInt + 8 + k) & 0xFFL); k += 1 }
+            s
+          } else if (size0 == 0L) to - i
+          else size0
+        if (size < hdr || i + size > to) return // malformed: stop the walk
+        val (ps, pe) = (i + hdr, i + size) // payload range
+        typ match {
+          case "trak" =>
+            val t = new Track
+            walk(b, ps, pe, t, out)
+            out += t
+          case c if Containers.contains(c) => walk(b, ps, pe, trak, out)
+          case "hdlr" if trak != null && pe - ps >= 12 =>
+            trak.handler = fourcc(b, ps.toInt + 8)
+          case "tkhd" if trak != null && pe - ps >= 4 =>
+            // v0: ver/flags 4 + times/id/dur 20 + res/layer/vol 16 +
+            // matrix 36 = 76 to width; v1's 64-bit times add 12
+            val off = if (b(ps.toInt) == 1) 88 else 76
+            if (pe - ps >= off + 8) {
+              trak.w = (be32(b, ps.toInt + off) >> 16).toInt
+              trak.h = (be32(b, ps.toInt + off + 4) >> 16).toInt
+            }
+          case "stts" if trak != null && pe - ps >= 8 =>
+            val n = be32(b, ps.toInt + 4)
+            var k = 0L
+            var total = 0L
+            while (k < n && ps + 8 + k * 8 + 8 <= pe) {
+              total += be32(b, (ps + 8 + k * 8).toInt)
+              k += 1
+            }
+            trak.frames = total
+          case _ => // leaf we don't need
+        }
+        i += size
+      }
+    }
+
+    /** (width, height, n_frames) of the FIRST video ('vide') track, or
+      * None when the bytes are not a leading-'ftyp' ISO-BMFF file or
+      * carry no video track with sane fields. */
+    def parse(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 16) return None
+      if (fourcc(bytes, 4) != "ftyp") return None
+      try {
+        val tracks = scala.collection.mutable.Buffer[Track]()
+        walk(bytes, 0L, bytes.length.toLong, null, tracks)
+        tracks.find(t => t.handler == "vide" && t.w > 0 && t.h > 0 &&
+            t.frames > 0 && t.frames <= Int.MaxValue)
+          .map(t => (t.w, t.h, t.frames.toInt))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /**
+   * REAL frame decode for Motion-JPEG AVI — the one video codec this
+   * container CAN decode end-to-end, because every frame is a plain
+   * JPEG the JDK's ImageIO reads: a pure RIFF chunk walk (little-
+   * endian sizes, even-byte padding) locates the `movi` list's video
+   * chunks (`##dc`/`##db`), and each payload decodes with the stock
+   * JPEG reader. Frame count/dims/features are exactly the GIF path's
+   * contract ([[VideoDecoder]]); `avih` supplies dims when a frame
+   * payload is undecodable. Anything not leading with `RIFF…AVI `
+   * returns None.
+   */
+  object AviDecoder extends Serializable {
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    private def cc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "ISO-8859-1")
+    private def isVideoChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+
+    /** Parsed container: (avih w, avih h, video-chunk payload ranges). */
+    private def scan(b: Array[Byte]): Option[(Int, Int, Seq[(Int, Int)])] = {
+      if (b == null || b.length < 12 || cc(b, 0) != "RIFF" ||
+          cc(b, 8) != "AVI ") return None
+      var w = 0; var h = 0
+      val frames = scala.collection.mutable.Buffer[(Int, Int)]()
+      def chunks(from: Int, to: Int): Unit = {
+        var i = from
+        while (i + 8 <= to) {
+          val id = cc(b, i)
+          val sz = le32(b, i + 4)
+          if (sz < 0 || i + 8 + sz > to) return // truncated: stop
+          val (ps, pe) = (i + 8, (i + 8 + sz).toInt)
+          if (id == "LIST" && sz >= 4) chunks(ps + 4, pe)
+          else if (id == "avih" && sz >= 40) {
+            w = le32(b, ps + 32).toInt; h = le32(b, ps + 36).toInt
+          } else if (isVideoChunk(id)) frames += ((ps, sz.toInt))
+          i = pe + (pe & 1) // chunks pad to even offsets
+        }
+      }
+      chunks(12, (12L + le32(b, 4) - 4).min(b.length.toLong).toInt)
+      Some((w, h, frames.toSeq))
+    }
+
+    private def readFrame(b: Array[Byte],
+                          r: (Int, Int)): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b, r._1, r._2)))
+      catch { case _: Exception => None }
+
+    /** First decodable frame — the thumbnail source for
+      * [[resizeToFit]], like [[VideoDecoder.firstFrame]]. */
+    def firstFrame(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      scan(bytes).flatMap { case (_, _, fr) =>
+        fr.iterator.map(readFrame(bytes, _)).collectFirst { case Some(i) => i }
+      }
+
+    /** (width, height, n_frames, feature): frame count from the movi
+      * chunks, dims from the first decoded frame (avih fallback),
+      * feature = mean 2×2 grid over ≤ [[VideoDecoder.MaxSampledFrames]]
+      * evenly spaced REAL-decoded frames — the GIF contract. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      scan(bytes).flatMap { case (aw, ah, fr) =>
+        if (fr.isEmpty) None
+        else {
+          val n = fr.length
+          val max = VideoDecoder.MaxSampledFrames
+          val sampled =
+            if (n <= max) 0 until n
+            else (0 until max).map(j => j * (n - 1) / (max - 1))
+          val imgs = sampled.flatMap(i => readFrame(bytes, fr(i)))
+          if (imgs.isEmpty) {
+            // container is AVI but the payload codec isn't JPEG: real
+            // frame COUNT, dims from avih, payload span feature (the
+            // CompressedAudio posture — metadata real, pixels need a
+            // codec)
+            if (aw > 0 && ah > 0)
+              Some((aw, ah, n, AudioDecoder.spanFeature(bytes)))
+            else None
+          } else {
+            val acc = new Array[Float](StubDecoder.FeatureDim)
+            imgs.foreach { img =>
+              val f = ImageDecoder.gridFeature(img)
+              var k = 0
+              while (k < acc.length) { acc(k) += f(k); k += 1 }
+            }
+            var k = 0
+            while (k < acc.length) { acc(k) /= imgs.size; k += 1 }
+            Some((imgs.head.getWidth, imgs.head.getHeight, n, acc))
+          }
+        }
       }
   }
 

@@ -749,6 +749,105 @@ class PipelineSpec extends SparkSpec {
       "non-GIF video bytes must take the stub branch")
   }
 
+  /** A solid-color JPEG via the stock ImageIO writer. */
+  private def jpegFrame(w: Int, h: Int, shade: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(shade % 256, (255 - shade) % 256, 40))
+      g.fillRect(0, 0, w, h)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** A Motion-JPEG AVI assembled by hand (RIFF little-endian chunks:
+    * hdrl/avih header + movi list of `00dc` JPEG frames, even-padded)
+    * — the container AviDecoder walks. */
+  private def mjpegAvi(frames: Int, w: Int = 20, h: Int = 10): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      id.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(40000), 0, avih, 0, 4)   // us/frame
+    System.arraycopy(le32(frames), 0, avih, 16, 4) // dwTotalFrames
+    System.arraycopy(le32(w), 0, avih, 32, 4)      // dwWidth
+    System.arraycopy(le32(h), 0, avih, 36, 4)      // dwHeight
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      (0 until frames).map(i => chunk("00dc", jpegFrame(w, h, 70 * i)))
+        .reduce(_ ++ _))
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  /** A minimal ISO-BMFF file assembled by hand: leading ftyp, then
+    * moov/trak with a v0 tkhd (16.16 dims), a 'vide' hdlr, and an
+    * stts totaling `frames` samples — the boxes Mp4Meta walks. */
+  private def minimalMp4(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val tkhd = new Array[Byte](84) // v0: ver/flags + 20 + 16 + matrix 36 + dims
+    System.arraycopy(be32(w << 16), 0, tkhd, 76, 4)
+    System.arraycopy(be32(h << 16), 0, tkhd, 80, 4)
+    val hdlr = new Array[Byte](24) // ver/flags + predefined + type + reserved
+    System.arraycopy("vide".getBytes("ISO-8859-1"), 0, hdlr, 8, 4)
+    val stts = be32(0) ++ be32(1) ++ be32(frames) ++ be32(1)
+    val trak = box("trak", box("tkhd", tkhd) ++
+      box("mdia", box("hdlr", hdlr) ++
+        box("minf", box("stbl", box("stts", stts)))))
+    box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", trak)
+  }
+
+  test("video path: REAL MJPEG-AVI frame decode — count, dims, features, thumbnail") {
+    import graft.multimodal.Multimodal
+    val avi = mjpegAvi(3)
+    val Some((w, h, n, feat)) = Multimodal.VideoDecoder.decode(avi)
+    assert((w, h, n) == (20, 10, 3), s"got ($w, $h, $n)")
+    assert(feat.length == Multimodal.StubDecoder.FeatureDim)
+    assert(feat.exists(_ != 0f), "feature must come from decoded pixels")
+    // thumbnail source: the first frame really decodes
+    val img = Multimodal.VideoDecoder.firstFrame(avi)
+    assert(img.exists(i => i.getWidth == 20 && i.getHeight == 10))
+    // end-to-end through the partition-local extract
+    import spark.implicits._
+    val media = Seq((1L, "video", avi)).toDF("item_id", "modality", "content")
+    val row = Multimodal.extractFeatures(media).collect()(0)
+    assert(row.getAs[Int]("width") == 20 && row.getAs[Int]("n_frames") == 3)
+    // and resizeToFit resamples the real first frame, not the stub
+    val rz = Multimodal.resizeToFit(media, 8, 8).collect()(0)
+    assert(rz.getAs[Int]("out_w") == 8 && rz.getAs[Int]("out_h") == 4)
+    assert(Multimodal.ImageDecoder.decode(
+      rz.getAs[Array[Byte]]("content")).exists { case (w2, h2, _, _) =>
+        w2 == 8 && h2 == 4 },
+      "resized video thumbnail must be a real decodable image")
+  }
+
+  test("video path: REAL MP4 metadata from the box walk; non-media bytes still stub") {
+    import graft.multimodal.Multimodal
+    val mp4 = minimalMp4(640, 360, 240)
+    val Some((w, h, n, feat)) = Multimodal.VideoDecoder.decode(mp4)
+    assert((w, h, n) == (640, 360, 240), s"got ($w, $h, $n)")
+    assert(feat.length == Multimodal.StubDecoder.FeatureDim)
+    assert(Multimodal.Mp4Meta.parse(mp4).contains((640, 360, 240)))
+    // brand gate: arbitrary text bytes parse as neither container
+    val text = "not a video at all just some plain bytes".getBytes("UTF-8")
+    assert(Multimodal.Mp4Meta.parse(text).isEmpty)
+    assert(Multimodal.AviDecoder.decode(text).isEmpty)
+    assert(Multimodal.VideoDecoder.decode(text).isEmpty,
+      "unrecognized bytes must stay on the stub path")
+  }
+
   /** A `frames`-frame animated GIF (20×10, solid color per frame)
     * written with the JDK's own GIF sequence writer. */
   private def animatedGif(frames: Int, w: Int = 20, h: Int = 10): Array[Byte] = {
