@@ -272,15 +272,17 @@ object Multimodal {
 
     /** Container dispatch: animated GIF (full real decode), then
       * MJPEG-AVI ([[AviDecoder]], full real decode), then ISO-BMFF
-      * ([[Mp4Meta]]: REAL dims + frame count from the box walk, span
-      * feature over the payload — pixel decode still needs a codec).
-      * None → [[StubDecoder]] remains the swap point for true codec
-      * pixel decode. */
+      * ([[Mp4Meta]]) and WebM/Matroska ([[WebmMeta]]) — REAL dims +
+      * frame counts from pure header walks, span feature over the
+      * payload since pixel decode still needs a codec. None →
+      * [[StubDecoder]] remains the swap point for true codec pixel
+      * decode. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
       gifDecode(bytes)
         .orElse(AviDecoder.decode(bytes))
-        .orElse(Mp4Meta.parse(bytes).map { case (w, h, n) =>
-          (w, h, n, AudioDecoder.spanFeature(bytes)) })
+        .orElse(Mp4Meta.parse(bytes).orElse(WebmMeta.parse(bytes))
+          .map { case (w, h, n) =>
+            (w, h, n, AudioDecoder.spanFeature(bytes)) })
 
     private def gifDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
       withGifReader(bytes) { r =>
@@ -401,6 +403,132 @@ object Multimodal {
             t.frames > 0 && t.frames <= Int.MaxValue)
           .map(t => (t.w, t.h, t.frames.toInt))
       } catch { case _: Exception => None }
+    }
+  }
+
+  /**
+   * REAL header metadata for WebM/Matroska — the EBML sibling of
+   * [[Mp4Meta]]: a pure walk of the public EBML structure (RFC 8794 /
+   * the Matroska spec). Elements are (vint ID, vint size, payload);
+   * the walk reads Segment → Tracks → TrackEntry for the video
+   * track's number and PixelWidth/PixelHeight, then counts that
+   * track's frames across Cluster payloads (SimpleBlock elements +
+   * BlockGroup/Block, each carrying its track number as a vint —
+   * lacing bits add laced frame counts). Pixel decode of the VP8/VP9/
+   * AV1 payload still needs a codec → feature falls to the span
+   * summary, the [[CompressedAudio]] posture. The leading EBML magic
+   * `1A 45 DF A3` is the brand gate.
+   */
+  object WebmMeta extends Serializable {
+    private final case class El(id: Long, from: Int, to: Int)
+
+    /** Read a vint at `i`: (value, width). `keepMarker` keeps the
+      * length-descriptor bit (element IDs); sizes strip it. */
+    private def vint(b: Array[Byte], i: Int, keepMarker: Boolean): (Long, Int) = {
+      val first = b(i) & 0xFF
+      if (first == 0) return (-1L, 1)
+      val w = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      if (i + w > b.length) return (-1L, w)
+      var v = if (keepMarker) first.toLong else (first & (0xFF >>> w)).toLong
+      var k = 1
+      while (k < w) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+      (v, w)
+    }
+
+    /** Children of [lo, hi); a size of all-ones (unknown, streamed
+      * files) extends to the end of the enclosure. */
+    private def children(b: Array[Byte], lo: Int, hi: Int): Iterator[El] =
+      new Iterator[El] {
+        private var i = lo
+        private var nextEl: El = advance()
+        private def advance(): El = {
+          if (i + 2 > hi) return null
+          val (id, iw) = vint(b, i, keepMarker = true)
+          if (id <= 0) return null
+          val (sz, sw) = vint(b, i + iw, keepMarker = false)
+          if (sz < 0) return null
+          val ps = i + iw + sw
+          val unknown = sz == (1L << (7 * sw)) - 1 // all value bits set
+          val pe = if (unknown) hi.toLong else ps + sz
+          if (ps > hi || pe > hi || pe < ps) return null
+          i = pe.toInt
+          El(id, ps.toInt, pe.toInt)
+        }
+        def hasNext: Boolean = nextEl != null
+        def next(): El = { val e = nextEl; nextEl = advance(); e }
+      }
+
+    private def uintOf(b: Array[Byte], e: El): Long = {
+      var v = 0L
+      var i = e.from
+      while (i < e.to) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
+      v
+    }
+
+    /** (width, height, n_frames) of the first video track, or None. */
+    def parse(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 8) return None
+      if ((bytes(0) & 0xFF) != 0x1A || (bytes(1) & 0xFF) != 0x45 ||
+          (bytes(2) & 0xFF) != 0xDF || (bytes(3) & 0xFF) != 0xA3) return None
+      try {
+        val segment = children(bytes, 0, bytes.length)
+          .find(_.id == 0x18538067L).getOrElse(return None)
+        var trackNum = -1L
+        var w = 0
+        var h = 0
+        var frames = 0L
+        children(bytes, segment.from, segment.to).foreach {
+          case tracks if tracks.id == 0x1654AE6BL =>
+            children(bytes, tracks.from, tracks.to)
+              .filter(_.id == 0xAEL).foreach { entry => // TrackEntry
+                var num = -1L
+                var typ = -1L
+                var (tw, th) = (0, 0)
+                children(bytes, entry.from, entry.to).foreach {
+                  case e if e.id == 0xD7L => num = uintOf(bytes, e)
+                  case e if e.id == 0x83L => typ = uintOf(bytes, e)
+                  case video if video.id == 0xE0L =>
+                    children(bytes, video.from, video.to).foreach {
+                      case e if e.id == 0xB0L => tw = uintOf(bytes, e).toInt
+                      case e if e.id == 0xBAL => th = uintOf(bytes, e).toInt
+                      case _ =>
+                    }
+                  case _ =>
+                }
+                if (typ == 1L && trackNum < 0) { // first video track
+                  trackNum = num; w = tw; h = th
+                }
+              }
+          case cluster if cluster.id == 0x1F43B675L && trackNum >= 0 =>
+            children(bytes, cluster.from, cluster.to).foreach {
+              case blk if blk.id == 0xA3L => // SimpleBlock
+                frames += blockFrames(bytes, blk, trackNum)
+              case grp if grp.id == 0xA0L => // BlockGroup
+                children(bytes, grp.from, grp.to)
+                  .filter(_.id == 0xA1L) // Block
+                  .foreach(blk => frames += blockFrames(bytes, blk, trackNum))
+              case _ =>
+            }
+          case _ =>
+        }
+        if (trackNum >= 0 && w > 0 && h > 0 && frames > 0 &&
+            frames <= Int.MaxValue) Some((w, h, frames.toInt))
+        else None
+      } catch { case _: Exception => None }
+    }
+
+    /** Frames a (Simple)Block contributes to `track`: 0 for other
+      * tracks; 1, or 1 + the laced-frame count byte when the lacing
+      * bits of the flags byte are set. */
+    private def blockFrames(b: Array[Byte], blk: El, track: Long): Long = {
+      val (num, nw) = vint(b, blk.from, keepMarker = false)
+      if (num != track) return 0L
+      val flagsAt = blk.from + nw + 2 // vint track, s16 timecode, flags
+      if (flagsAt >= blk.to) return 1L
+      val lacing = (b(flagsAt) & 0x06) >> 1
+      if (lacing == 0) 1L
+      else if (flagsAt + 1 < blk.to) 1L + (b(flagsAt + 1) & 0xFFL)
+      else 1L
     }
   }
 

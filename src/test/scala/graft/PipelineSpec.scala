@@ -833,6 +833,41 @@ class PipelineSpec extends SparkSpec {
       "resized video thumbnail must be a real decodable image")
   }
 
+  /** A minimal WebM/Matroska file assembled by hand: EBML magic, then
+    * Segment{Tracks{TrackEntry{num=1, type=video, Video{W,H}}},
+    * Cluster{SimpleBlock × frames on track 1}}. */
+  private def minimalWebm(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def id(bs: Int*) = bs.map(_.toByte).toArray
+    def u16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    val video = el(id(0xE0),
+      el(id(0xB0), u16(w)) ++ el(id(0xBA), u16(h)))
+    val entry = el(id(0xAE),
+      el(id(0xD7), Array(1.toByte)) ++ el(id(0x83), Array(1.toByte)) ++ video)
+    val tracks = el(id(0x16, 0x54, 0xAE, 0x6B), entry)
+    // SimpleBlock: vint track (0x81 = 1), s16 timecode, flags, 2 data bytes
+    val block = el(id(0xA3),
+      Array(0x81.toByte, 0, 0, 0, 7.toByte, 9.toByte))
+    val cluster = el(id(0x1F, 0x43, 0xB6, 0x75),
+      (0 until frames).map(_ => block).reduce(_ ++ _))
+    val header = el(id(0x1A, 0x45, 0xDF, 0xA3), Array.empty)
+    header ++ el(id(0x18, 0x53, 0x80, 0x67), tracks ++ cluster)
+  }
+
+  test("video path: REAL WebM metadata from the EBML walk") {
+    import graft.multimodal.Multimodal
+    val webm = minimalWebm(320, 180, 5)
+    assert(Multimodal.WebmMeta.parse(webm).contains((320, 180, 5)))
+    val Some((w, h, n, feat)) = Multimodal.VideoDecoder.decode(webm)
+    assert((w, h, n) == (320, 180, 5), s"got ($w, $h, $n)")
+    assert(feat.length == Multimodal.StubDecoder.FeatureDim)
+    assert(Multimodal.WebmMeta.parse(
+      "random text that is not ebml at all".getBytes("UTF-8")).isEmpty)
+  }
+
   test("video path: REAL MP4 metadata from the box walk; non-media bytes still stub") {
     import graft.multimodal.Multimodal
     val mp4 = minimalMp4(640, 360, 240)
