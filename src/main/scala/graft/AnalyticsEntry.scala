@@ -235,8 +235,13 @@ object AnalyticsEntry {
         expr(s"percentile(last_ts, $qs)").as("rc"),
         expr(s"percentile(frequency, $qs)").as("fc"),
         expr(s"percentile(monetary, $qs)").as("mc"))
+      // coalesce(size(...), 0): when a METRIC is all-null (percentile
+      // → null cut array) every user scores 1, matching the oracle's
+      // coalesce(len(...), 0) — instead of Spark size(null)/DuckDB
+      // len(NULL) diverging
       def score(v: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-        lit(1) + size(filter(c, x => coalesce(v > x, lit(false))))
+        lit(1) + coalesce(size(filter(c, x => coalesce(v > x, lit(false)))),
+          lit(0))
       p.crossJoin(broadcast(cuts))
         .select(col("user_id"), col("last_ts"), col("frequency"),
           col("monetary"),
@@ -395,22 +400,27 @@ object AnalyticsEntry {
     // per-element frequency rescan — would be O(n²) per doc; the
     // sorted-run scan is not.)
     "t_repetition" -> ((s, dir) => {
-      val run = // run length of x given the accumulator state
-        (acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =>
-          when(x === acc.getField("prev"), acc.getField("run") + 1L)
-            .otherwise(lit(1L))
       Tables.documents(s, dir)
         .withColumn("toks", TextOps.tokens(col("text")))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tok"),
           size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
           sort_array(TextOps.shingles(col("toks"), 2)).as("bg"))
+        // best folds COMPLETED runs only (updated when a run breaks),
+        // finish adds the trailing run — so the merge computes the run
+        // extension once per element instead of twice
         .withColumn("maxrun", aggregate(col("bg"),
           struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
             lit(0L).as("best")),
-          (acc, x) => struct(x.as("prev"), run(acc, x).as("run"),
-            greatest(acc.getField("best"), run(acc, x)).as("best")),
-          acc => acc.getField("best")))
+          (acc, x) => {
+            val same = x === acc.getField("prev")
+            struct(x.as("prev"),
+              when(same, acc.getField("run") + 1L).otherwise(1L).as("run"),
+              when(same, acc.getField("best"))
+                .otherwise(greatest(acc.getField("best"), acc.getField("run")))
+                .as("best"))
+          },
+          acc => greatest(acc.getField("best"), acc.getField("run"))))
         .select(col("doc_id"), col("n_tok"),
           round(when(col("n_tok") === 0, 0.0)
             .otherwise(lit(1.0) - col("n_uniq") / col("n_tok").cast("double")), 4)
@@ -503,10 +513,14 @@ object AnalyticsEntry {
       val cuts = j.groupBy("lang").agg(expr(
         "percentile(avg_nll, array(cast(1 as double)/3, cast(2 as double)/3))")
         .as("cuts"))
-      j.join(broadcast(cuts), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("avg_nll"),
-          when(col("avg_nll") <= col("cuts")(0), "head")
-            .when(col("avg_nll") <= col("cuts")(1), "middle")
+      // null-safe lang key: a NULL-language doc buckets within its own
+      // (null) group instead of silently dropping at the join
+      j.as("j").join(broadcast(cuts).as("c"),
+          col("j.lang") <=> col("c.lang"))
+        .select(col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+          col("j.avg_nll").as("avg_nll"),
+          when(col("j.avg_nll") <= col("c.cuts")(0), "head")
+            .when(col("j.avg_nll") <= col("c.cuts")(1), "middle")
             .otherwise("tail").as("bucket"))
     }),
 
@@ -553,18 +567,23 @@ object AnalyticsEntry {
     "ev_quantiles_approx" -> ((s, dir) => {
       def ok(a: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
         abs(a - e) <= greatest(abs(e) * lit(0.05), lit(1e-6))
+      // tolerance compares against the UNROUNDED exact value — the
+      // hashed p* columns round to 4dp, and near-zero quantiles would
+      // otherwise fail on rounding error alone
       Tables.events(s, dir).groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"),
+          expr("percentile(value, 0.5)").as("e50"),
+          expr("percentile(value, 0.9)").as("e90"),
+          expr("percentile(value, 0.99)").as("e99"),
           expr("approx_percentile(value, 0.5, 1000)").as("a50"),
           expr("approx_percentile(value, 0.9, 1000)").as("a90"),
           expr("approx_percentile(value, 0.99, 1000)").as("a99"))
-        .select(col("event_type"), col("n"), col("p50"), col("p90"),
-          col("p99"),
-          (ok(col("a50"), col("p50")) && ok(col("a90"), col("p90")) &&
-            ok(col("a99"), col("p99"))).as("within_tol"))
+        .select(col("event_type"), col("n"),
+          round(col("e50"), 4).as("p50"),
+          round(col("e90"), 4).as("p90"),
+          round(col("e99"), 4).as("p99"),
+          (ok(col("a50"), col("e50")) && ok(col("a90"), col("e90")) &&
+            ok(col("a99"), col("e99"))).as("within_tol"))
     }),
 
     // Per-event-type z-score outliers. The moment stats are O(#event
@@ -784,12 +803,12 @@ object AnalyticsEntry {
         |  quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
         |  quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc FROM p)
         |SELECT user_id, last_ts, frequency, monetary,
-        | CAST(1 + len(list_filter(rc, x -> coalesce(last_ts > x, false)))
-        |   AS VARCHAR)
-        | || CAST(1 + len(list_filter(fc, x -> coalesce(frequency > x, false)))
-        |   AS VARCHAR)
-        | || CAST(1 + len(list_filter(mc, x -> coalesce(monetary > x, false)))
-        |   AS VARCHAR) AS rfm_segment
+        | CAST(1 + coalesce(len(list_filter(rc,
+        |     x -> coalesce(last_ts > x, false))), 0) AS VARCHAR)
+        | || CAST(1 + coalesce(len(list_filter(fc,
+        |     x -> coalesce(frequency > x, false))), 0) AS VARCHAR)
+        | || CAST(1 + coalesce(len(list_filter(mc,
+        |     x -> coalesce(monetary > x, false))), 0) AS VARCHAR) AS rfm_segment
         |FROM p, c""".stripMargin,
     "ev_ab_test" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts, event_type,
@@ -994,11 +1013,11 @@ object AnalyticsEntry {
         |c AS (SELECT lang, quantile_cont(avg_nll,
         |   [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS cuts
         | FROM j GROUP BY lang)
-        |SELECT doc_id, lang, avg_nll,
-        | CASE WHEN avg_nll <= cuts[1] THEN 'head'
-        |      WHEN avg_nll <= cuts[2] THEN 'middle'
+        |SELECT j.doc_id, j.lang, j.avg_nll,
+        | CASE WHEN j.avg_nll <= cuts[1] THEN 'head'
+        |      WHEN j.avg_nll <= cuts[2] THEN 'middle'
         |      ELSE 'tail' END AS bucket
-        |FROM j JOIN c USING (lang)""".stripMargin),
+        |FROM j JOIN c ON j.lang IS NOT DISTINCT FROM c.lang""".stripMargin),
     "ev_outliers" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu,
         |  stddev_pop(value) AS sigma FROM events GROUP BY event_type)

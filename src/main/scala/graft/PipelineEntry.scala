@@ -300,8 +300,11 @@ object PipelineEntry {
       val q = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"),
           round(TextOps.qualityScore(col("text")), 4).as("quality"))
+      // nulls-last ordering + null-safe join keys: a NULL source or
+      // NULL quality (null text) must rank like SQL percent_rank does
+      // (nulls sort last in DuckDB ASC), not silently drop at the join
       val wSrc = Window.partitionBy("source")
-      val wCum = wSrc.orderBy("quality")
+      val wCum = wSrc.orderBy(col("quality").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, -1)
       val pr = q.groupBy("source", "quality").agg(count(lit(1)).as("cnt"))
         .withColumn("n", sum("cnt").over(wSrc))
@@ -310,8 +313,11 @@ object PipelineEntry {
           when(col("n") === 1, 0.0)
             .otherwise(round(col("below") / (col("n") - 1).cast("double"), 6))
             .as("pr"))
-      q.join(broadcast(pr), Seq("source", "quality"))
-        .select("doc_id", "source", "quality", "pr")
+      q.as("q").join(broadcast(pr).as("p"),
+          col("q.source") <=> col("p.source") &&
+            col("q.quality") <=> col("p.quality"))
+        .select(col("q.doc_id").as("doc_id"), col("q.source").as("source"),
+          col("q.quality").as("quality"), col("p.pr").as("pr"))
     }),
     "t_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(

@@ -107,25 +107,24 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     // series: skey when present, else (name, labels) — a label
     // aggregation yields one stream per distinct label value
     // (server/store.cc:190-248), so labels MUST participate in the key.
-    // An unlimited request must not materialize the whole lake on this
-    // node: the reference server also collects its full result, but it
+    // The response must not materialize the whole lake on this node:
+    // the reference server also collects its full result, but it
     // fronts a single-node store — here the backing table is the
-    // entire corpus. A /get carrying no max_values/max_variables gets
-    // a default response bound; crossing it rejects with 413 instead
-    // of OOMing the driver. (TakeOrdered keeps the probe driver-
-    // bounded: limit+1 rows, never the full match.)
+    // entire corpus. EVERY /get runs through a server-side response
+    // bound (request limits alone don't bound the total: max_values
+    // is a per-series tail and max_variables caps series, so either
+    // one alone still leaves the product unbounded); crossing it
+    // rejects with 413 instead of OOMing the driver. TakeOrdered
+    // keeps the probe driver-bounded: limit+1 rows, never the full
+    // match.
     val (rows, retrieveMs) = timed {
-      if (req.maxValues.isDefined || req.maxVariables.isDefined)
-        df.orderBy("ts").collect()
-      else {
-        val r = df.orderBy("ts").limit(maxResponseValues + 1).collect()
-        if (r.length > maxResponseValues)
-          throw new StoreHttpServer.ResponseTooLarge(
-            s"unbounded /get matched more than $maxResponseValues values; " +
-              "set max_values / max_variables on the request or raise " +
-              "--max_response_values")
-        r
-      }
+      val r = df.orderBy("ts").limit(maxResponseValues + 1).collect()
+      if (r.length > maxResponseValues)
+        throw new StoreHttpServer.ResponseTooLarge(
+          s"/get matched more than $maxResponseValues values; narrow the " +
+            "request (max_values / max_variables / time range) or raise " +
+            "--max_response_values")
+      r
     }
     val cols = df.columns.toSet
     def opt[T](r: org.apache.spark.sql.Row, name: String): Option[T] =

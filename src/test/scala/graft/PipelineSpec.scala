@@ -749,6 +749,38 @@ class PipelineSpec extends SparkSpec {
       "non-GIF video bytes must take the stub branch")
   }
 
+  test("null-key docs survive the de-skewed rank gates (no silent join drop)") {
+    // the cut-point/counts-table rewrites replaced rank windows with
+    // joins back to the corpus; those joins must be NULL-SAFE — a doc
+    // with a null lang/source/quality ranks within its null group
+    // (nulls-last, the SQL window convention) instead of vanishing
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullkeys").toString
+    Seq(
+      (1L, "the of and to in a", "en", "srcA", 18L),
+      (2L, "the of and in to a", null.asInstanceOf[String], "srcA", 18L),
+      (3L, "le la et les des du", "fr", null.asInstanceOf[String], 19L),
+      (4L, null.asInstanceOf[String], "en", "srcA", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // t_ppl_bucket: doc 2 (null lang) must keep a bucket; doc 4 has no
+    // tokens so it legitimately has no surprisal row
+    val ppl = AnalyticsEntry.queries("t_ppl_bucket")(spark, dir).collect()
+    assert(ppl.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L),
+      s"null-lang doc dropped: ${ppl.mkString(", ")}")
+    assert(ppl.forall(r => Set("head", "middle", "tail")(r.getAs[String]("bucket"))))
+    // t_quality_norm: the null-source doc (3) and the null-text doc
+    // (4 — quality scores 0.0, greatest() ignores nulls in both
+    // engines) must both keep a pr
+    val qn = PipelineEntry.queries("t_quality_norm")(spark, dir).collect()
+    assert(qn.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L, 4L),
+      s"null-key doc dropped: ${qn.mkString(", ")}")
+    assert(qn.forall(r => !r.isNullAt(r.fieldIndex("pr"))))
+    // doc 4's 0.0 is srcA's unique minimum -> first rank
+    val pr4 = qn.find(_.getAs[Long]("doc_id") == 4L).get.getAs[Double]("pr")
+    assert(pr4 == 0.0, s"zero-quality doc must rank first (pr=0.0), got $pr4")
+  }
+
   /** A solid-color JPEG via the stock ImageIO writer. */
   private def jpegFrame(w: Int, h: Int, shade: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
