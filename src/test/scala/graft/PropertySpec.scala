@@ -240,6 +240,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("video container walks never throw on arbitrary bytes, including magic-prefixed garbage") {
+    import graft.multimodal.Multimodal.{AviDecoder, Mp4Meta, VideoDecoder, WebmMeta}
+    // a corpus scan feeds these parsers millions of arbitrary blobs;
+    // soundness = total functions: None or a sane parse, never an
+    // exception or a non-terminating walk. Adversarial shapes: pure
+    // random bytes, and random bytes behind each container's OWN magic
+    // (the branch where the walk actually runs on garbage structure).
+    val rnd = new scala.util.Random(11)
+    def garbage(n: Int) = Array.fill(n)(rnd.nextInt(256).toByte)
+    (0 until 200).foreach { _ =>
+      val blob = garbage(rnd.nextInt(3000) + 1)
+      val prefixed = Seq(
+        blob,
+        "RIFF".getBytes("ISO-8859-1") ++ blob,
+        ("RIFF".getBytes("ISO-8859-1") :+ 0xFF.toByte) ++
+          "AVI ".getBytes("ISO-8859-1") ++ blob,
+        Array[Byte](0, 0, 0, 20) ++ "ftyp".getBytes("ISO-8859-1") ++ blob,
+        Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte) ++ blob)
+      prefixed.foreach { b =>
+        Mp4Meta.parse(b).foreach { case (w, h, n) =>
+          assert(w > 0 && h > 0 && n > 0) }
+        WebmMeta.parse(b).foreach { case (w, h, n) =>
+          assert(w > 0 && h > 0 && n > 0) }
+        AviDecoder.decode(b).foreach { case (_, _, n, feat) =>
+          assert(n > 0 && feat.length == 8) }
+        VideoDecoder.decode(b) // full dispatch: must simply not throw
+      }
+    }
+    // truncation sweep over VALID containers: every prefix of a
+    // well-formed file must also parse-or-None without throwing
+    def minimalishMp4: Array[Byte] = { // reuse PipelineSpec's builder shape
+      def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      def box(t: String, p: Array[Byte]) =
+        be32(p.length + 8) ++ t.getBytes("ISO-8859-1") ++ p
+      val tkhd = new Array[Byte](84)
+      System.arraycopy(be32(64 << 16), 0, tkhd, 76, 4)
+      System.arraycopy(be32(48 << 16), 0, tkhd, 80, 4)
+      val hdlr = new Array[Byte](24)
+      System.arraycopy("vide".getBytes("ISO-8859-1"), 0, hdlr, 8, 4)
+      val stts = be32(0) ++ be32(1) ++ be32(9) ++ be32(1)
+      box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+        box("moov", box("trak", box("tkhd", tkhd) ++ box("mdia",
+          box("hdlr", hdlr) ++ box("minf", box("stbl", box("stts", stts))))))
+    }
+    val full = minimalishMp4
+    assert(Mp4Meta.parse(full).contains((64, 48, 9)))
+    (1 until full.length).foreach { cut =>
+      Mp4Meta.parse(full.take(cut)) // None or partial — never a throw
+    }
+  }
+
   test("TextProto escape translation round-trips through a rendered config") {
     // any string built from the escapable set survives quote → parse
     val payloads = Seq("a\nb", "tab\there", "q\"uote", "back\\slash",
