@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources.{ProtoRecordFile, ProtoRecordV2}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The splittable DataSourceV2 record-file scan must hand out every
+ * record exactly once across byte-range splits (CRC-validated resync at
+ * boundaries), agree bit-for-bit with the sequential one-task-per-file
+ * reader, and show its name pushdown + column pruning in the plan.
+ */
+class ProtoRecordV2Spec extends SparkSpec {
+
+  /** Deterministic corpus: enough variably-sized records that small
+    * splits put boundaries inside headers, payloads, and trailers. */
+  private def corpus(seed: Int, n: Int): Seq[Array[Byte]] =
+    (0 until n).map { i =>
+      val name = s"/v2/m${i % 7}"
+      val labels = if (i % 3 == 0) Map("host" -> s"h${i % 5}", "i" -> i.toString)
+                   else Map("host" -> s"h${i % 5}")
+      val vt = if (i % 2 == 0) "GAUGE" else "RATE"
+      val nv = 1 + (i * 31 + seed) % 9
+      val values = (0 until nv).map { j =>
+        val ts = 1000L * (i * 10 + j)
+        if (j % 5 == 4) (ts, None, Some(s"s$i-$j" * (1 + j % 3)), None)
+        else (ts, Some(i + j / 100.0), None, if (j % 4 == 3) Some(ts + 500) else None)
+      }
+      ProtoRecordFile.encodeValueStream(name, labels, vt, values)
+    }
+
+  private def writeDir(files: Seq[Array[Byte]]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2").toString
+    files.zipWithIndex.foreach { case (bytes, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/datastore.$i%03d.bin"), bytes)
+    }
+    dir
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select(col("name"), map_entries(col("labels")).cast("string"),
+        col("value_type"), col("ts"), col("dval"), col("sval"), col("end_ts"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("tiny splits agree with the sequential reader and actually split") {
+    val dir = writeDir(Seq(
+      ProtoRecordFile.frame(corpus(1, 60)),
+      ProtoRecordFile.frame(corpus(2, 45)),
+      ProtoRecordFile.frame(corpus(3, 1))))
+    val legacy = ProtoRecordFile.read(spark, dir)
+    // Split sizes chosen to land boundaries mid-header / mid-payload /
+    // mid-trailer; 97 is prime so boundaries drift across frame phases.
+    Seq(97L, 256L, 1000L).foreach { split =>
+      val v2 = ProtoRecordV2.read(spark, dir, Some(split))
+      assert(sortedRows(v2) == sortedRows(legacy), s"splitBytes=$split")
+      assert(v2.rdd.getNumPartitions > 3,
+        s"splitBytes=$split should produce more partitions than files")
+    }
+    // Default split (maxPartitionBytes) also agrees.
+    assert(sortedRows(ProtoRecordV2.read(spark, dir)) == sortedRows(legacy))
+  }
+
+  test("name filter is pushed, fully handled, and visible in the plan") {
+    val dir = writeDir(Seq(ProtoRecordFile.frame(corpus(4, 50))))
+    val legacy = ProtoRecordFile.read(spark, dir).where(col("name") === "/v2/m3")
+    val v2 = ProtoRecordV2.read(spark, dir, Some(512)).where(col("name") === "/v2/m3")
+    assert(sortedRows(v2) == sortedRows(legacy))
+    assert(legacy.count() > 0, "fixture must exercise the filter")
+    val plan = v2.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(name,/v2/m3)"),
+      s"pushed name filter must appear in the scan description:\n$plan")
+    // Fully handled: no residual Filter node re-checking name above the scan.
+    assert(!plan.contains("Filter (name"),
+      s"name equality must not be re-evaluated post-scan:\n$plan")
+    // Prefix pushdown too.
+    val pre = ProtoRecordV2.read(spark, dir, Some(512))
+      .where(col("name").startsWith("/v2/m"))
+    assert(pre.count() == ProtoRecordFile.read(spark, dir).count())
+    assert(pre.queryExecution.executedPlan.toString.contains("StringStartsWith(name,/v2/m"))
+  }
+
+  test("column pruning reaches the scan; count(*) decodes no columns") {
+    val dir = writeDir(Seq(ProtoRecordFile.frame(corpus(5, 30))))
+    val names = ProtoRecordV2.read(spark, dir, Some(512)).select("name")
+    val plan = names.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: name,") || plan.contains("ReadSchema: name"),
+      s"pruned read schema must reach the scan:\n$plan")
+    assert(names.distinct().count() == 7)
+    assert(ProtoRecordV2.read(spark, dir, Some(512)).count() ==
+      ProtoRecordFile.read(spark, dir).count())
+  }
+
+  test("corruption mid-file: both readers resync and agree on the rest") {
+    val clean = ProtoRecordFile.frame(corpus(6, 40))
+    val recs = ProtoRecordFile.records(clean).toSeq // (payloadOff, len)
+    val corrupted = clean.clone()
+    // Record 12: garble the payload interior. Framing (size, trailer
+    // position) is untouched, so both readers frame it, fail the proto
+    // decode, skip it, and chain on identically.
+    val (o12, n12) = recs(12)
+    (0 until math.min(8, n12)).foreach(i => corrupted(o12 + i) = 0x5A.toByte)
+    // Record 25: flip its CRC trailer only. Both readers tolerate a
+    // bad CRC (Go semantics) — including a v2 split whose boundary
+    // resync lands exactly on this record (chain-validated accept).
+    val (o25, n25) = recs(25)
+    corrupted(o25 + n25) = (corrupted(o25 + n25) ^ 0xFF).toByte
+    val dir = writeDir(Seq(corrupted))
+    val legacy = ProtoRecordFile.read(spark, dir)
+    // 128-byte splits guarantee boundaries inside and around both
+    // corrupted records.
+    val v2 = ProtoRecordV2.read(spark, dir, Some(128))
+    assert(sortedRows(v2) == sortedRows(legacy))
+    assert(legacy.count() > 0)
+    // The bad-CRC record's rows survive; the garbled record's are gone.
+    val names = legacy.select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names.contains("/v2/m" + (25 % 7)))
+  }
+
+  test("peekName matches the full decode on every record") {
+    val payloads = corpus(7, 25)
+    payloads.foreach { p =>
+      val peek = ProtoRecordV2.peekName(p, 0, p.length)
+      val full = ProtoRecordFile.decodeValueStream(p, 0, p.length).name
+      assert(peek == full)
+    }
+  }
+
+  test("reported statistics carry total file size for the optimizer") {
+    val bytes = ProtoRecordFile.frame(corpus(8, 20))
+    val dir = writeDir(Seq(bytes))
+    val files = ProtoRecordV2.listFiles(spark, dir)
+    assert(files.map(_._2).sum == bytes.length.toLong)
+  }
+}
