@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.functions.VectorOps
 import graft.similarity.Ann
 import graft.sources.Tables
-import graft.text.TextOps
+import graft.text.{Classifier, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -216,6 +216,16 @@ object PipelineEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         round(TextOps.qualityScore(col("text")), 4).as("quality"))),
+    // Classifier-based filtering (the fastText-style model-scored
+    // quality gate): full-batch gradient descent where each iteration
+    // is ONE map-side-combinable aggregate (O(k) driver state), then a
+    // zero-shuffle scoring projection with the learned weights as plan
+    // literals. Softsign link + decimal gradient sums keep the whole
+    // training trajectory bit-identical to the DuckDB oracle.
+    "t_classifier" -> ((s, dir) =>
+      Classifier.trainAndScore(
+        Tables.documents(s, dir),
+        when(col("lang") === "en", 1.0).otherwise(0.0))),
     // Dataset card summary — the single-row corpus profile a published
     // dataset documents (counts, language mix, quality, dup rate,
     // split sizes): everything folds into ONE map-side-combinable
@@ -1178,6 +1188,8 @@ object PipelineEntry {
         | len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
         |FROM toks""".stripMargin),
     "t_quality" -> (T + QualitySelect),
+    "t_classifier" -> Classifier.oracleSql(
+      "case when lang = 'en' then cast(1 as double) else cast(0 as double) end"),
     "p_dataset_card" -> (T + LangPredCtes +
       s""",
          |q AS ($QualitySelect),
