@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-ordered (Morton-interleaved) at-rest layout for multi-dimensional
+ * pruning — the layout answer when a table serves MORE THAN ONE
+ * selective filter shape and no single sort key can serve both.
+ *
+ * The point-store layout ([[PointSource.write]]) sorts (name, ts):
+ * series-scoped time scans prune tightly, but an entity-centric scan —
+ * one user's events across months, the sessionize/funnel/as-of input
+ * shape — overlaps every file. Sorting by user instead just flips who
+ * pays. Interleaving the bits of order-preserving per-dimension bucket
+ * ids makes every file cover a small RECTANGLE in (dim1, dim2, ...)
+ * space, so parquet footer min/max stats prune scans on EITHER
+ * dimension to ~sqrt-of-files instead of all files — the standard
+ * lakehouse clustering trade (each dimension prunes somewhat worse
+ * than its dedicated sort, every dimension prunes far better than a
+ * wrong sort).
+ *
+ * Bucket ids are order-preserving, which is what keeps the footer
+ * stats on the RAW columns tight (a hash would scatter value ranges):
+ *  - numeric dimensions: `width_bucket` over the global [min, max]
+ *    (one aggregate pass);
+ *  - string dimensions: rank against collected sorted distinct values
+ *    (bounded-cardinality dims like variable names / event types; a
+ *    sampled-boundaries variant is the path for unbounded string dims).
+ *
+ * Scale shape: one stats pass, one range shuffle on the z-value
+ * (`repartitionByRange` gives contiguous z-ranges per file), in-file
+ * sort by z. No driver state beyond per-dim boundaries.
+ */
+object ZOrder {
+
+  private val Bits = 8 // 256 buckets per dimension
+
+  /** Order-preserving bucket id in [0, 255] for one dimension. */
+  private def bucketCol(df: DataFrame, dim: String): Column = {
+    val dt = df.schema(dim).dataType
+    dt match {
+      case _: org.apache.spark.sql.types.StringType =>
+        val distinct = df.select(dim).na.drop().distinct()
+        val nDistinct = distinct.count()
+        require(nDistinct <= 100000,
+          s"string z-order dim '$dim' has $nDistinct distinct values; " +
+            "use a sampled-boundary variant for unbounded dims")
+        val sorted = distinct.orderBy(dim).collect().map(_.getString(0))
+        val step = math.max(1, math.ceil(sorted.length / 256.0).toInt)
+        val boundaries = sorted.grouped(step).map(_.head).drop(1).toSeq
+        // rank = number of boundaries <= value (O(B) fold over an
+        // array literal; order-preserving by construction), scaled
+        // across the full 0..255 range — a rank packed into the low
+        // bits would never reach the high interleave positions and the
+        // dimension would stop steering the z-curve.
+        if (boundaries.isEmpty) lit(0)
+        else {
+          val rank = aggregate(
+            typedLit(boundaries),
+            lit(0),
+            (acc, b) => acc + when(col(dim) >= b, 1).otherwise(0))
+          floor(rank.cast("double") * 255.0 / boundaries.length).cast("int")
+        }
+      case _ =>
+        val r = df.agg(min(col(dim).cast("double")).as("lo"),
+          max(col(dim).cast("double")).as("hi")).head()
+        val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+        if (lo == hi) lit(0)
+        else least(lit(255), greatest(lit(0),
+          floor((col(dim).cast("double") - lit(lo)) / lit(hi - lo) * 256)
+            .cast("int")))
+    }
+  }
+
+  /** Morton z-value column interleaving the dims' bucket bits. */
+  def zValue(df: DataFrame, dims: Seq[String]): Column = {
+    require(dims.nonEmpty, "z-order needs at least one dimension")
+    val buckets = dims.map(d => bucketCol(df, d).cast("long"))
+    val terms = for {
+      bit <- 0 until Bits
+      (b, j) <- buckets.zipWithIndex
+    } yield shiftleft(shiftright(b, bit).bitwiseAND(lit(1L)),
+      bit * dims.length + j)
+    terms.reduce(_ + _)
+  }
+
+  /**
+   * Writes `df` as `nFiles` parquet files, each a contiguous z-range:
+   * footer min/max on every z-ordered dimension stays tight per file.
+   */
+  def write(df: DataFrame, dims: Seq[String], path: String,
+            nFiles: Int = 64): Unit =
+    df.withColumn("__z", zValue(df, dims))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

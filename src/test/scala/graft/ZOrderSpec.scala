@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.ZOrder
+import org.apache.spark.sql.functions._
+
+/**
+ * The z-ordered layout contract: every file covers a small rectangle
+ * in (dim1, dim2) space, so file-level min/max stats — what parquet
+ * footer pruning consumes — prune BOTH filter shapes, where each
+ * single-sort layout serves one shape and fully scans the other.
+ */
+class ZOrderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val NFiles = 16
+
+  // 64 users × 512 timestamps — every user active across the whole
+  // range, the shape where time-sort and user-sort each fail one query.
+  private def fixture = (for {
+    u <- 0 until 64; k <- 0 until 512
+  } yield (u.toLong, k.toLong * 16, u + k / 100.0))
+    .toDF("user_id", "ts", "value")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_z_$tag").toString
+
+  /** File-level [min,max] per dimension — exactly the stats parquet
+    * footers expose to the scan's pruning. */
+  private def fileStats(path: String, dim: String): Array[(Double, Double)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name())
+      .agg(min(col(dim).cast("double")), max(col(dim).cast("double")))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+  private def candidates(stats: Array[(Double, Double)],
+                         lo: Double, hi: Double): Int =
+    stats.count { case (mn, mx) => mx >= lo && mn < hi }
+
+  test("z-order prunes both dimensions; single sorts prune only their own") {
+    val df = fixture
+    val zPath = tmp("z"); val tsPath = tmp("ts"); val userPath = tmp("user")
+    ZOrder.write(df, Seq("user_id", "ts"), zPath, NFiles)
+    df.repartitionByRange(NFiles, col("ts")).write.mode("overwrite").parquet(tsPath)
+    df.repartitionByRange(NFiles, col("user_id")).write.mode("overwrite").parquet(userPath)
+
+    // user equality: the entity-centric scan (sessionize/funnel input)
+    val u = 17.0
+    assert(candidates(fileStats(tsPath, "user_id"), u, u + 1) == NFiles,
+      "time-sorted layout cannot prune a user scan")
+    val zUser = candidates(fileStats(zPath, "user_id"), u, u + 1)
+    assert(zUser <= NFiles / 2,
+      s"z-order must prune a user scan to a fraction of files, got $zUser")
+
+    // time window: buckets 64..79 (no 128-boundary crossing)
+    val (lo, hi) = (2048.0, 2560.0)
+    assert(candidates(fileStats(userPath, "ts"), lo, hi) == NFiles,
+      "user-sorted layout cannot prune a time scan")
+    val zTs = candidates(fileStats(zPath, "ts"), lo, hi)
+    assert(zTs <= NFiles / 2, s"z-order must prune a time window, got $zTs")
+
+    // and the layout loses nothing
+    assert(spark.read.parquet(zPath).collect().map(_.toString).sorted.toSeq ==
+      df.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("string dimension: order-preserving rank keeps footer stats tight") {
+    val df = (for { t <- 0 until 20; k <- 0 until 200 } yield
+      (f"type$t%02d", k.toLong * 50, k.toDouble)).toDF("event_type", "ts", "value")
+    val zPath = tmp("zs")
+    ZOrder.write(df, Seq("event_type", "ts"), zPath, 8)
+    val stats = spark.read.parquet(zPath)
+      .groupBy(input_file_name())
+      .agg(min("event_type"), max("event_type"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val cand = stats.count { case (mn, mx) => mn <= "type07" && "type07" <= mx }
+    assert(cand < 8, s"a single type must not overlap every file, got $cand")
+    assert(spark.read.parquet(zPath).count() == df.count())
+  }
+}
