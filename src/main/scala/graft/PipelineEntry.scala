@@ -226,6 +226,23 @@ object PipelineEntry {
       Classifier.trainAndScore(
         Tables.documents(s, dir),
         when(col("lang") === "en", 1.0).otherwise(0.0))),
+    // Filter-model evaluation: exact Mann-Whitney AUC of the trained
+    // scores. The only window runs over the bounded aggregated score
+    // distribution (≤10001 rows), never the corpus; the rank sum uses
+    // exact decimal integer arithmetic so 1e11-scale class counts
+    // cannot lose bits in doubles. (The driver's synthetic corpus
+    // draws the same word pool for every lang, so the label is near-
+    // unlearnable here and AUC sits just above 0.5 — the gate pins the
+    // measurement contract; ClassifierSpec proves the model separates
+    // a corpus that actually carries signal.)
+    "t_classifier_auc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Classifier.auc(
+        Classifier.trainAndScore(docs,
+          when(col("lang") === "en", 1.0).otherwise(0.0)),
+        docs.select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y")))
+    }),
     // Dataset card summary — the single-row corpus profile a published
     // dataset documents (counts, language mix, quality, dup rate,
     // split sizes): everything folds into ONE map-side-combinable
@@ -1189,6 +1206,8 @@ object PipelineEntry {
         |FROM toks""".stripMargin),
     "t_quality" -> (T + QualitySelect),
     "t_classifier" -> Classifier.oracleSql(
+      "case when lang = 'en' then cast(1 as double) else cast(0 as double) end"),
+    "t_classifier_auc" -> Classifier.aucOracleSql(
       "case when lang = 'en' then cast(1 as double) else cast(0 as double) end"),
     "p_dataset_card" -> (T + LangPredCtes +
       s""",

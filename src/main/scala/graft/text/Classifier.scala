@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
  */
 object Classifier {
 
-  /** Feature columns over a `text` column — fractions of vowels,
-    * spaces, and 'h' (a crude th-digraph English signal). All exact
-    * IEEE arithmetic, mirrored verbatim by [[featureSql]]. */
+  /** Feature columns over a `text` column — stripped-length fractions
+    * of vowels, spaces, 'h', the 'th' digram (counts 2 chars per hit;
+    * a scaled count), and non-ASCII characters (accents/CJK — the
+    * strong negative signal for an English-vs-rest label). All exact
+    * IEEE arithmetic, mirrored verbatim by the oracle's feature SQL. */
   def features(text: Column): Seq[Column] = {
     val len = length(text).cast("double")
     def frac(stripped: Column): Column =
@@ -39,7 +41,9 @@ object Classifier {
     Seq(
       frac(regexp_replace(text, "[aeiou]", "")),
       frac(regexp_replace(text, " ", "")),
-      frac(regexp_replace(text, "h", "")))
+      frac(regexp_replace(text, "h", "")),
+      frac(regexp_replace(text, "th", "")),
+      frac(regexp_replace(text, "[^\\x00-\\x7F]", "")))
   }
 
   private val featureSqls: Seq[String] = {
@@ -49,7 +53,9 @@ object Classifier {
     Seq(
       frac("regexp_replace(text, '[aeiou]', '', 'g')"),
       frac("regexp_replace(text, ' ', '', 'g')"),
-      frac("regexp_replace(text, 'h', '', 'g')"))
+      frac("regexp_replace(text, 'h', '', 'g')"),
+      frac("regexp_replace(text, 'th', '', 'g')"),
+      frac("regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')"))
   }
 
   /** Softsign link: strictly increasing, range (0,1), exp-free. */
@@ -113,6 +119,68 @@ object Classifier {
     val p = link(z)
     f.select(col("doc_id"), round(p, 4).as("score"), (p >= 0.5).as("pred"))
   }
+
+  /**
+   * ROC-AUC of scored docs against a 0/1 `y` label frame — the
+   * filter-model evaluation half of classifier-based curation.
+   *
+   * Mann-Whitney over the score DISTRIBUTION: counts per distinct
+   * (4dp-rounded) score, exclusive prefix of negatives via a window
+   * over that bounded aggregated table (≤10001 rows — never the raw
+   * corpus; the de-skew precedent), then
+   * AUC = Σ np·(2·negBelow + nn) / (2·Npos·Nneg) in exact decimal
+   * integer arithmetic, so 1e11-scale counts cannot lose bits in
+   * doubles. Output: one row (auc, n_pos, n_neg).
+   */
+  def auc(scored: DataFrame, labels: DataFrame): DataFrame = {
+    val g = scored.join(labels, "doc_id")
+      .groupBy("score").agg(
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("score").rowsBetween(Long.MinValue, -1)
+    val c = g.withColumn("cb", coalesce(sum("nn").over(w), lit(0L)))
+    c.agg(
+        sum(col("np").cast("decimal(18,0)") *
+          (lit(2).cast("decimal(18,0)") * col("cb").cast("decimal(18,0)") +
+            col("nn").cast("decimal(18,0)"))).as("num"),
+        sum("np").as("tp"), sum("nn").as("tn"))
+      .select(
+        round(col("num").cast("double") /
+          (lit(2.0) * col("tp").cast("double") * col("tn").cast("double")), 4)
+          .as("auc"),
+        col("tp").cast("long").as("n_pos"),
+        col("tn").cast("long").as("n_neg"))
+  }
+
+  /** DuckDB twin of [[auc]] over the [[oracleSql]] scored set. */
+  def aucOracleSql(labelSql: String): String =
+    s"""with scored as (select * from (${oracleSql(labelSql)})),
+       |lab as (select doc_id, $labelSql as y from documents),
+       |g as (
+       |  select s.score,
+       |         sum(case when l.y = 1 then 1 else 0 end) as np,
+       |         sum(case when l.y = 1 then 0 else 1 end) as nn
+       |  from scored s join lab l using (doc_id) group by 1
+       |),
+       |c as (
+       |  select score, np, nn,
+       |         coalesce(sum(nn) over (order by score
+       |           rows between unbounded preceding and 1 preceding), 0) as cb
+       |  from g
+       |),
+       |t as (
+       |  select sum(cast(np as decimal(18,0)) *
+       |             (cast(2 as decimal(18,0)) * cast(cb as decimal(18,0)) +
+       |              cast(nn as decimal(18,0)))) as num,
+       |         sum(np) as tp, sum(nn) as tn
+       |  from c
+       |)
+       |select round(cast(num as double) /
+       |         (cast(2 as double) * cast(tp as double) * cast(tn as double)), 4)
+       |         as auc,
+       |       cast(tp as bigint) as n_pos, cast(tn as bigint) as n_neg
+       |from t""".stripMargin
 
   /**
    * DuckDB oracle replicating [[trainAndScore]] exactly: one CTE stage
