@@ -62,10 +62,15 @@ object Classifier {
   private def link(z: Column): Column =
     lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
 
+  /** A trained model: per-feature standardization (mean, sigma) and
+    * the learned weights (bias first). Plain values — scoring embeds
+    * them as plan literals, so a frozen model scores batch OR
+    * streaming frames identically. */
+  final case class Model(mu: Seq[Double], sigma: Seq[Double], w: Seq[Double])
+
   /**
    * Trains on `docs` (needs `text` and the 0/1 double `label` produced
-   * by `labelExpr`) and returns the per-document scores:
-   * (doc_id, score = round(p, 4), pred = p >= 0.5).
+   * by `labelExpr`).
    *
    * Pipeline: one standardization aggregate (per-feature mean/var via
    * decimal sums — raw fractions are too small for GD to separate),
@@ -73,8 +78,8 @@ object Classifier {
    * IEEE-correctly-rounded, so standardization stays cross-engine
    * bit-exact.
    */
-  def trainAndScore(docs: DataFrame, labelExpr: Column,
-                    iters: Int = 8, lr: Double = 2.0): DataFrame = {
+  def train(docs: DataFrame, labelExpr: Column,
+            iters: Int = 8, lr: Double = 2.0): Model = {
     val xs = features(col("text"))
     val raw = docs.select(
       (col("doc_id") +: labelExpr.cast("double").as("y") +:
@@ -115,10 +120,25 @@ object Classifier {
         w(j) - lr * (sums.getDecimal(j).doubleValue() / n)
       }.toArray
     }
-
-    val p = link(z)
-    f.select(col("doc_id"), round(p, 4).as("score"), (p >= 0.5).as("pred"))
+    Model(mu, sg, w.toSeq)
   }
+
+  /** Scores any frame carrying (doc_id, text) with a frozen model —
+    * a pure projection (zero shuffle, no aggregation), so it applies
+    * unchanged to a streaming source: (doc_id, score, pred). */
+  def score(docs: DataFrame, m: Model): DataFrame = {
+    val xs = features(col("text"))
+    val z = xs.zipWithIndex.foldLeft(lit(m.w(0)): Column) { case (acc, (x, i)) =>
+      acc + lit(m.w(i + 1)) * ((x - lit(m.mu(i))) / lit(m.sigma(i)))
+    }
+    val p = link(z)
+    docs.select(col("doc_id"), round(p, 4).as("score"), (p >= 0.5).as("pred"))
+  }
+
+  /** Train-then-score over the same corpus (the gate shape). */
+  def trainAndScore(docs: DataFrame, labelExpr: Column,
+                    iters: Int = 8, lr: Double = 2.0): DataFrame =
+    score(docs, train(docs, labelExpr, iters, lr))
 
   /**
    * ROC-AUC of scored docs against a 0/1 `y` label frame — the

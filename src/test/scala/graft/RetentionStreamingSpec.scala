@@ -895,4 +895,39 @@ class StreamingSpec extends SparkSpec {
     assert(r.getString(0) == "/ok/a")
     assert(r.getMap[String, String](1).get("hostname").contains("h9"))
   }
+
+  test("frozen classifier model scores a stream identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Train batch (stream-static: training aggregates never run on the
+    // stream), then score arriving documents with the frozen model —
+    // score() is a pure projection, so it is directly streamable.
+    val docs = Seq(
+      (0L, "the house is on the hill with a quiet mouse", "en"),
+      (1L, "zzgrk bbfff qqqpx", "xx"),
+      (2L, "another sentence with the usual things in it", "en"),
+      (3L, "kkjjhh zzxxcc vvbbnn mmllpp", "xx"),
+      (4L, "where the water meets the shore there it is", "en"),
+      (5L, "tt rr ss qq pp oo", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val model = graft.text.Classifier.train(
+      docs, when(col("lang") === "en", 1.0).otherwise(0.0))
+    val batch = graft.text.Classifier.score(docs, model)
+      .collect().map(_.toString).sorted.toSeq
+
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.text.Classifier.score(
+      mem.toDF().toDF("doc_id", "text"), model)
+    val q = scored.writeStream.format("memory").queryName("cls_out")
+      .outputMode("append").start()
+    mem.addData(Seq(0L, 1L, 2L).map(i =>
+      (i, docs.where(col("doc_id") === i).head().getString(1))))
+    q.processAllAvailable()
+    mem.addData(Seq(3L, 4L, 5L).map(i =>
+      (i, docs.where(col("doc_id") === i).head().getString(1))))
+    q.processAllAvailable()
+    val streamed = spark.table("cls_out").collect().map(_.toString).sorted.toSeq
+    q.stop()
+    assert(streamed == batch)
+  }
 }
