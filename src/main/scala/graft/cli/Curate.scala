@@ -2,7 +2,7 @@ package graft.cli
 
 import graft.dedup.Dedup
 import graft.text.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
  *   runMain graft.cli.Curate --in=<documents.parquet> --out=<dir>
  *     [--bench-source=src1] [--quality-min=0.3] [--lang=en]
  *     [--ngram=8] [--seg-width=4] [--seg-maxdf=5]
- *     [--bin=512] [--shards=16]
+ *     [--bin=512] [--shards=16] [--classifier-min=<p>]
  */
 object Curate {
 
@@ -63,9 +63,10 @@ object Curate {
   def run(spark: SparkSession, in: String, out: String,
           benchSource: String = "src1", qualityMin: Double = 0.3,
           lang: String = "en", ngram: Int = 8, segWidth: Int = 4,
-          segMaxDf: Long = 5L, bin: Int = 512, shards: Int = 16): Report =
+          segMaxDf: Long = 5L, bin: Int = 512, shards: Int = 16,
+          classifierMin: Option[Double] = None): Report =
     curateFrame(spark, spark.read.parquet(in), out, benchSource, qualityMin,
-      lang, ngram, segWidth, segMaxDf, bin, shards)
+      lang, ngram, segWidth, segMaxDf, bin, shards, classifierMin)
 
   /**
    * Incremental curation against an at-rest [[Dedup.minhashIndex]]:
@@ -84,7 +85,8 @@ object Curate {
                      benchSource: String = "src1", qualityMin: Double = 0.3,
                      lang: String = "en", ngram: Int = 8, segWidth: Int = 4,
                      segMaxDf: Long = 5L, bin: Int = 512,
-                     shards: Int = 16): Report = {
+                     shards: Int = 16,
+                     classifierMin: Option[Double] = None): Report = {
     val docs = spark.read.parquet(in)
     // the surrogate probe remap below (-id - 1) is a bijection only on
     // NON-NEGATIVE ids: a negative input id would alias onto a real
@@ -121,7 +123,8 @@ object Curate {
     }
     val rep =
       try curateFrame(spark, novel, out, benchSource, qualityMin, lang,
-        ngram, segWidth, segMaxDf, bin, shards).copy(nDupVsCorpus = nDup)
+        ngram, segWidth, segMaxDf, bin, shards, classifierMin)
+        .copy(nDupVsCorpus = nDup)
       finally cachedDups.foreach(_.unpersist(false))
     // index the RAW text of every doc this increment accepted — probes
     // and index entries must be the same text form or lookups quietly
@@ -137,8 +140,22 @@ object Curate {
   private def curateFrame(spark: SparkSession, docs: DataFrame, out: String,
                           benchSource: String, qualityMin: Double,
                           lang: String, ngram: Int, segWidth: Int,
-                          segMaxDf: Long, bin: Int, shards: Int): Report = {
+                          segMaxDf: Long, bin: Int, shards: Int,
+                          classifierMin: Option[Double] = None): Report = {
     val isBench = coalesce(col("source") === benchSource, lit(false))
+
+    // Optional model-scored gate (--classifier-min): distill the
+    // heuristic language labeler into a trained linear scorer (one
+    // extra pass of training aggregates, only when enabled) and gate
+    // on its probability alongside the rule gates. The gate predicate
+    // is a pure expression with the model as plan literals.
+    val clsGate: Column = classifierMin match {
+      case None => lit(true)
+      case Some(minP) =>
+        val model = graft.text.Classifier.train(
+          docs, when(TextOps.langId(col("text")) === lang, 1.0).otherwise(0.0))
+        graft.text.Classifier.probability(col("text"), model) >= minP
+    }
 
     // 1+2. exact-dup collapse + quality/language gates, as FLAGS on
     // one scored frame. Dedup keeps NON-BENCH rows only: if the
@@ -157,7 +174,7 @@ object Curate {
         .withColumn("__k", col("__b") ||
           min(when(!col("__b"), col("doc_id"))).over(keeperW) === col("doc_id")))
       .withColumn("__g", col("__k") && (col("__b") ||
-        (col("quality") >= qualityMin && col("lang_pred") === lang)))
+        (col("quality") >= qualityMin && col("lang_pred") === lang && clsGate)))
     val scored = flagged.filter(col("__k"))
     val gated = flagged.filter(col("__g"))
     // stage counters in ONE pass over the flags (each .count() would
@@ -245,7 +262,8 @@ object Curate {
   }
 
   private val KnownOpts = Set("in", "out", "index", "bench-source",
-    "quality-min", "lang", "ngram", "seg-width", "seg-maxdf", "bin", "shards")
+    "quality-min", "lang", "ngram", "seg-width", "seg-maxdf", "bin", "shards",
+    "classifier-min")
 
   def main(args: Array[String]): Unit = {
     // loud argument parsing: a bare --flag or a misspelled option must
@@ -282,11 +300,12 @@ object Curate {
       val segMaxDf = opts.get("seg-maxdf").map(_.toLong).getOrElse(5L)
       val bin = opts.get("bin").map(_.toInt).getOrElse(512)
       val shards = opts.get("shards").map(_.toInt).getOrElse(16)
+      val clsMin = opts.get("classifier-min").map(_.toDouble)
       val r = opts.get("index") match {
         case Some(idx) => runIncremental(spark, in, out, idx, benchSource,
-          qualityMin, lang, ngram, segWidth, segMaxDf, bin, shards)
+          qualityMin, lang, ngram, segWidth, segMaxDf, bin, shards, clsMin)
         case None => run(spark, in, out, benchSource, qualityMin, lang,
-          ngram, segWidth, segMaxDf, bin, shards)
+          ngram, segWidth, segMaxDf, bin, shards, clsMin)
       }
       println(r.json)
     } finally spark.stop()

@@ -123,15 +123,22 @@ object Classifier {
     Model(mu, sg, w.toSeq)
   }
 
+  /** The model's probability as a plain column over a text column —
+    * a pure expression (model as literals), usable inline as a gate
+    * predicate or a streaming projection. */
+  def probability(text: Column, m: Model): Column = {
+    val xs = features(text)
+    val z = xs.zipWithIndex.foldLeft(lit(m.w(0)): Column) { case (acc, (x, i)) =>
+      acc + lit(m.w(i + 1)) * ((x - lit(m.mu(i))) / lit(m.sigma(i)))
+    }
+    link(z)
+  }
+
   /** Scores any frame carrying (doc_id, text) with a frozen model —
     * a pure projection (zero shuffle, no aggregation), so it applies
     * unchanged to a streaming source: (doc_id, score, pred). */
   def score(docs: DataFrame, m: Model): DataFrame = {
-    val xs = features(col("text"))
-    val z = xs.zipWithIndex.foldLeft(lit(m.w(0)): Column) { case (acc, (x, i)) =>
-      acc + lit(m.w(i + 1)) * ((x - lit(m.mu(i))) / lit(m.sigma(i)))
-    }
-    val p = link(z)
+    val p = probability(col("text"), m)
     docs.select(col("doc_id"), round(p, 4).as("score"), (p >= 0.5).as("pred"))
   }
 

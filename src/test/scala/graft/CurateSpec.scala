@@ -175,4 +175,24 @@ class CurateSpec extends SparkSpec {
     }
     assert(rows.nonEmpty)
   }
+
+  test("--classifier-min gates monotonically and p>=0 is a no-op") {
+    val base = Files.createTempDirectory("graft-curate-cls").toString
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    // p is in (0,1): a 0.0 threshold must reproduce the ungated run
+    // bit-for-bit (same report, same shipped doc set)
+    val rNoop = Curate.run(spark, in, s"$base/noop", classifierMin = Some(0.0))
+    assert(rNoop.json == report.json)
+    val noopIds = spark.read.parquet(s"$base/noop").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val baseIds = result.select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(noopIds == baseIds)
+    // a harsh threshold strictly shrinks the gated set but the
+    // pipeline (span cut, strip, split, pack, report) stays coherent
+    val rHard = Curate.run(spark, in, s"$base/hard", classifierMin = Some(0.999))
+    assert(rHard.nGated < report.nGated)
+    assert(rHard.nFinal <= rHard.nGated)
+    assert(rHard.nInput == report.nInput)
+  }
 }
