@@ -553,6 +553,43 @@ object AnalyticsEntry {
           round(sum(col("tf") * col("nll")) / sum(col("tf")), 4).as("avg_nll"))
     }),
 
+    // Interpolated Kneser-Ney bigram surprisal — the real LM-smoothing
+    // step above t_bigram_nll's raw MLE (which assigns −ln 1 = 0 to
+    // every once-seen bigram and cannot rank rare-context text):
+    //   P(b|a) = (c(ab) − d)/c(a) + d·N1+(a·)/c(a) · N1+(·b)/N1+(··)
+    // with d = 0.75. Every statistic is an integer count aggregated
+    // from the same (a,b) count table — continuation counts N1+ are
+    // one groupBy each over the ALREADY-aggregated bigram types (small
+    // table), the type total broadcasts as a 1-row cross join, and the
+    // per-doc tf grouping bounds hot-bigram exposure exactly like
+    // t_bigram_nll. Same map-side bigram materialization, same
+    // aggregate-before-join shape.
+    "t_kn_nll" -> ((s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .withColumn("__t", TextOps.tokens(col("text")))
+        .filter(size(col("__t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(__t)-1),
+            |  i -> struct(element_at(__t, i) AS a,
+            |              element_at(__t, i+1) AS b))""".stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("doc_id").isNotNull)
+      val tf = bi.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
+      val cab = tf.groupBy("a", "b").agg(sum("tf").as("cnt_ab"))
+      val ca = cab.groupBy("a").agg(sum("cnt_ab").as("cnt_a"),
+        count(lit(1)).as("n1f"))
+      val n1b = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
+      val nbb = cab.agg(count(lit(1)).as("nbb"))
+      val p = (col("cnt_ab") - lit(0.75)) / col("cnt_a") +
+        lit(0.75) * col("n1f") / col("cnt_a") * (col("n1b") / col("nbb"))
+      tf.join(cab, Seq("a", "b")).join(ca, Seq("a")).join(n1b, Seq("b"))
+        .crossJoin(broadcast(nbb))
+        .withColumn("nll", -log(p))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_big"),
+          round(sum(col("tf") * col("nll")) / sum(col("tf")), 4).as("avg_nll"))
+    }),
+
     // The 100 TB quantile path: approx_percentile (Greenwald-Khanna
     // partials, map-side combinable) — the mergeable twin of
     // ev_quantiles' exact interpolation, which cannot partial-
@@ -866,6 +903,23 @@ object AnalyticsEntry {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_big,
         | round(sum(tf * -ln(cnt_ab * 1.0 / cnt_a)) / sum(tf), 4) AS avg_nll
         |FROM tf JOIN cab USING (a, b) JOIN ca USING (a)
+        |GROUP BY doc_id""".stripMargin),
+    "t_kn_nll" -> (T +
+      """, x AS (SELECT doc_id, t[CAST(r.i AS INT)] AS a,
+        |    t[CAST(r.i AS INT) + 1] AS b
+        |  FROM toks, unnest(range(1, len(t))) AS r(i) WHERE len(t) >= 2),
+        |tf AS (SELECT doc_id, a, b, count(*) AS tf FROM x GROUP BY 1, 2, 3),
+        |cab AS (SELECT a, b, sum(tf) AS cnt_ab FROM tf GROUP BY 1, 2),
+        |ca AS (SELECT a, sum(cnt_ab) AS cnt_a, count(*) AS n1f
+        |  FROM cab GROUP BY 1),
+        |nb AS (SELECT b, count(*) AS n1b FROM cab GROUP BY 1),
+        |nt AS (SELECT count(*) AS nbb FROM cab)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_big,
+        | round(sum(tf * -ln(
+        |   (cnt_ab - cast(0.75 as double)) / cnt_a +
+        |   cast(0.75 as double) * n1f / cnt_a * (n1b * cast(1 as double) / nbb)
+        | )) / sum(tf), 4) AS avg_nll
+        |FROM tf JOIN cab USING (a, b) JOIN ca USING (a) JOIN nb USING (b), nt
         |GROUP BY doc_id""".stripMargin),
     "ev_props_agg" ->
       """WITH k AS (SELECT event_type,
