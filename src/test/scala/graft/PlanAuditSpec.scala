@@ -213,6 +213,32 @@ class PlanAuditSpec extends SparkSpec {
       s"t_quality_norm window must sit above the counts aggregation:\n${p.take(1500)}")
   }
 
+  test("classifier gates: scoring never shuffles, AUC windows only the counts table") {
+    // t_classifier's output stage is a pure projection (training runs
+    // driver-side as separate aggregates; the plan the gate RETURNS
+    // must carry the weights as literals, no exchange, no window)
+    val p = plan("t_classifier")
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"t_classifier scoring must be a zero-shuffle projection:\n${p.take(1500)}")
+    // t_classifier_auc: the only window runs above the score-distribution
+    // aggregate (bounded ≤10001 rows), never over raw docs
+    val pa = plan("t_classifier_auc")
+    assert("windowspecdefinition\\([^)]*doc_id".r.findFirstIn(pa).isEmpty,
+      s"t_classifier_auc window must rank the score table, not docs:\n${pa.take(1500)}")
+    val wIdx = pa.indexOf("Window")
+    assert(wIdx > 0 && pa.indexOf("HashAggregate", wIdx) > 0,
+      s"t_classifier_auc window must sit above the counts aggregation:\n${pa.take(1500)}")
+  }
+
+  test("t_kn_nll joins only aggregated count tables; the type total broadcasts") {
+    val p = plan("t_kn_nll")
+    assert(!p.contains("CartesianProduct"),
+      s"t_kn_nll must not cartesian:\n${p.take(1500)}")
+    // the 1-row type-total cross join must be the broadcast variant
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"t_kn_nll type total must broadcast:\n${p.take(1500)}")
+  }
+
   test("m_irate prunes to the bucket tail below its single shuffle") {
     // rn <= 2 over (skey, bucket) must become a WindowGroupLimit (only
     // each bucket's last two samples survive the map side), and the
