@@ -126,6 +126,60 @@ class ProtoRecordV2Spec extends SparkSpec {
     }
   }
 
+  test("fuzz: any split size partitions any clean corpus exactly once") {
+    import graft.sources.{ProtoRecordInputPartition, ProtoRecordPartitionReader}
+    import org.apache.spark.sql.types.StructType
+    val rnd = new scala.util.Random(23)
+    // drive the partition readers directly (no Spark jobs): the
+    // exactly-once contract must hold for EVERY split size, including
+    // degenerate 1-byte splits that put a boundary at every offset
+    def readAll(file: String, len: Long, splitBytes: Long): Seq[String] =
+      (0L until len by splitBytes).flatMap { s =>
+        val part = ProtoRecordInputPartition(
+          file, s, math.min(s + splitBytes, len), len)
+        val r = new ProtoRecordPartitionReader(part, graft.model.Point.schema,
+          Array.empty)
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        try while (r.next()) {
+          val row = r.get()
+          out += s"${row.getUTF8String(0)}|${row.getLong(3)}|" +
+            s"${if (row.isNullAt(4)) "-" else row.getDouble(4)}"
+        } finally r.close()
+        out
+      }
+    (0 until 30).foreach { trial =>
+      val n = rnd.nextInt(25) + 1
+      val bytes = ProtoRecordFile.frame((0 until n).map { i =>
+        ProtoRecordFile.encodeValueStream(s"/f/$trial/$i",
+          if (rnd.nextBoolean()) Map("k" -> s"v${rnd.nextInt(4)}") else Map.empty,
+          "GAUGE",
+          (0 to rnd.nextInt(6)).map(j =>
+            (j * 1000L, Some(rnd.nextDouble()), None, None)))
+      })
+      val dir = java.nio.file.Files.createTempDirectory("graft_v2f")
+      val f = dir.resolve("r.bin")
+      java.nio.file.Files.write(f, bytes)
+      val sequential = ProtoRecordFile.records(bytes).toSeq.flatMap {
+        case (off, sz) =>
+          val d = ProtoRecordFile.decodeValueStream(bytes, off, sz)
+          d.values.map(v => s"/f/$trial/${d.name.split('/').last}|${v._1}|" +
+            s"${v._2.getOrElse("-")}")
+      }.sorted
+      Seq(1L, rnd.nextInt(40) + 2L, rnd.nextInt(400) + 50L, bytes.length + 1L)
+        .foreach { split =>
+          val got = readAll(f.toString, bytes.length.toLong, split).sorted
+          assert(got == sequential, s"trial=$trial splitBytes=$split")
+        }
+      // corrupted image: readers must never throw, whatever they salvage
+      val bad = bytes.clone()
+      (0 until rnd.nextInt(20) + 1).foreach { _ =>
+        bad(rnd.nextInt(bad.length)) = rnd.nextInt(256).toByte
+      }
+      java.nio.file.Files.write(f, bad)
+      readAll(f.toString, bad.length.toLong, rnd.nextInt(60) + 1L)
+    }
+  }
+
   test("reported statistics carry total file size for the optimizer") {
     val bytes = ProtoRecordFile.frame(corpus(8, 20))
     val dir = writeDir(Seq(bytes))
