@@ -534,15 +534,18 @@ object AnalyticsEntry {
     // shape, and both count sides aggregate before joining so AQE
     // keeps the build-side choice.
     "t_bigram_nll" -> ((s, dir) => {
+      // lambda-free pair materialization + explicit not-null on both
+      // keys: see t_kn_nll — this is what lets the prefix-count branch
+      // reuse the tf exchange instead of re-tokenizing the corpus
       val bi = Tables.documents(s, dir)
-        .withColumn("__t", TextOps.tokens(col("text")))
+        .withColumn("__t", split(trim(col("text")), "\\s+"))
         .filter(size(col("__t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(__t)-1),
-            |  i -> struct(element_at(__t, i) AS a,
-            |              element_at(__t, i+1) AS b))""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("p"))
+        .select(col("doc_id"), col("p.0").as("a"), col("p.1").as("b"))
+        .filter(col("doc_id").isNotNull &&
+          col("a").isNotNull && col("b").isNotNull)
       val tf = bi.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
       val cab = tf.groupBy("a", "b").agg(sum("tf").as("cnt_ab"))
       val ca = cab.groupBy("a").agg(sum("cnt_ab").as("cnt_a"))
@@ -565,21 +568,37 @@ object AnalyticsEntry {
     // t_bigram_nll. Same map-side bigram materialization, same
     // aggregate-before-join shape.
     "t_kn_nll" -> ((s, dir) => {
+      // Bigram pairs via trim+split and arrays_zip/slice — semantically
+      // the same tokens as TextOps.tokens for any text with >= 2 of
+      // them (trim removes the boundary empties the filter-lambda
+      // would), but LAMBDA-FREE: lambda variables defeat plan
+      // canonicalization, and with them gone the four count branches
+      // below share one tokenize scan via ReusedExchange instead of
+      // re-reading the corpus four times.
       val bi = Tables.documents(s, dir)
-        .withColumn("__t", TextOps.tokens(col("text")))
+        .withColumn("__t", split(trim(col("text")), "\\s+"))
         .filter(size(col("__t")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(__t)-1),
-            |  i -> struct(element_at(__t, i) AS a,
-            |              element_at(__t, i+1) AS b))""".stripMargin)).as("p"))
-        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(col("__t"), lit(1), size(col("__t")) - 1),
+          slice(col("__t"), lit(2), size(col("__t")) - 1))).as("p"))
+        .select(col("doc_id"), col("p.0").as("a"), col("p.1").as("b"))
+        // explicit not-null on BOTH keys (a no-op: split never yields
+        // null elements) so every join branch's INFERRED isnotnull is
+        // subsumed and the subtrees canonicalize equal — without it
+        // each count branch infers a different filter and re-scans
+        .filter(col("doc_id").isNotNull &&
+          col("a").isNotNull && col("b").isNotNull)
       val tf = bi.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("tf"))
       val cab = tf.groupBy("a", "b").agg(sum("tf").as("cnt_ab"))
+      // every continuation-count branch references cnt_ab (count(cnt_ab)
+      // == count(*), cnt_ab is never null) so all four consumers of cab
+      // prune to the same columns and the cab/tf exchanges canonicalize
+      // equal — the corpus tokenizes ONCE (ReusedExchange, asserted in
+      // PlanAuditSpec), with only type-table-sized aggregations above
       val ca = cab.groupBy("a").agg(sum("cnt_ab").as("cnt_a"),
-        count(lit(1)).as("n1f"))
-      val n1b = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
-      val nbb = cab.agg(count(lit(1)).as("nbb"))
+        count(col("cnt_ab")).as("n1f"))
+      val n1b = cab.groupBy("b").agg(count(col("cnt_ab")).as("n1b"))
+      val nbb = cab.agg(count(col("cnt_ab")).as("nbb"))
       val p = (col("cnt_ab") - lit(0.75)) / col("cnt_a") +
         lit(0.75) * col("n1f") / col("cnt_a") * (col("n1b") / col("nbb"))
       tf.join(cab, Seq("a", "b")).join(ca, Seq("a")).join(n1b, Seq("b"))

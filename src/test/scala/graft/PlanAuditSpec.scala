@@ -230,13 +230,29 @@ class PlanAuditSpec extends SparkSpec {
       s"t_classifier_auc window must sit above the counts aggregation:\n${pa.take(1500)}")
   }
 
-  test("t_kn_nll joins only aggregated count tables; the type total broadcasts") {
-    val p = plan("t_kn_nll")
-    assert(!p.contains("CartesianProduct"),
-      s"t_kn_nll must not cartesian:\n${p.take(1500)}")
-    // the 1-row type-total cross join must be the broadcast variant
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"t_kn_nll type total must broadcast:\n${p.take(1500)}")
+  test("t_kn_nll tokenizes once; all count branches reuse the tf exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("t_kn_nll")
+      assert(!p.contains("CartesianProduct"),
+        s"t_kn_nll must not cartesian:\n${p.take(1500)}")
+      // the 1-row type-total cross join must be the broadcast variant
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"t_kn_nll type total must broadcast:\n${p.take(1500)}")
+      // lambda-free bigrams + explicit isnotnull on BOTH keys keep the
+      // four count branches canonically equal: ONE corpus scan, the
+      // rest read the tf exchange back
+      val scans = "FileScan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"t_kn_nll expected 1 documents scan, got $scans")
+      assert("ReusedExchange".r.findAllIn(p).length >= 4,
+        s"t_kn_nll count branches must reuse the tf exchange:\n${p.take(2000)}")
+      // same contract for the MLE variant (prefix-count branch)
+      val pb = plan("t_bigram_nll")
+      val scansB = "FileScan parquet".r.findAllIn(pb).length
+      assert(scansB == 1, s"t_bigram_nll expected 1 documents scan, got $scansB")
+      assert(pb.contains("ReusedExchange"),
+        s"t_bigram_nll count branches must reuse the tf exchange:\n${pb.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("m_irate prunes to the bucket tail below its single shuffle") {
