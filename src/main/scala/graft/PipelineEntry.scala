@@ -237,11 +237,12 @@ object PipelineEntry {
     // a corpus that actually carries signal.)
     "t_classifier_auc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Classifier.auc(
-        Classifier.trainAndScore(docs,
-          when(col("lang") === "en", 1.0).otherwise(0.0)),
-        docs.select(col("doc_id"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y")))
+      val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+      val model = Classifier.train(docs, label)
+      // label computed inline on the ONE scoring scan — no label join
+      Classifier.auc(docs.select(
+        round(Classifier.probability(col("text"), model), 4).as("score"),
+        label.as("y")))
     }),
     // Dataset card summary — the single-row corpus profile a published
     // dataset documents (counts, language mix, quality, dup rate,

@@ -148,8 +148,11 @@ object Classifier {
     score(docs, train(docs, labelExpr, iters, lr))
 
   /**
-   * ROC-AUC of scored docs against a 0/1 `y` label frame — the
-   * filter-model evaluation half of classifier-based curation.
+   * ROC-AUC over a frame carrying (score, y) — the filter-model
+   * evaluation half of classifier-based curation. The label rides the
+   * scoring projection itself (compute `y` inline rather than joining
+   * a label frame back on doc_id: that join would shuffle two
+   * corpus-sized frames and scan the table twice for nothing).
    *
    * Mann-Whitney over the score DISTRIBUTION: counts per distinct
    * (4dp-rounded) score, exclusive prefix of negatives via a window
@@ -159,8 +162,8 @@ object Classifier {
    * integer arithmetic, so 1e11-scale counts cannot lose bits in
    * doubles. Output: one row (auc, n_pos, n_neg).
    */
-  def auc(scored: DataFrame, labels: DataFrame): DataFrame = {
-    val g = scored.join(labels, "doc_id")
+  def auc(scored: DataFrame): DataFrame = {
+    val g = scored
       .groupBy("score").agg(
         sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
