@@ -33,8 +33,10 @@ class IntegrationSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$tmp/datastore.123.bin"), recBytes)
 
-    // 2. migrate into the at-rest layout
-    val migrated = ProtoRecordFile.read(spark, tmp)
+    // 2. migrate into the at-rest layout via the splittable V2 scan
+    // (the production path — a multi-GB record log reads in parallel;
+    // tiny splitBytes here forces the boundary-resync machinery)
+    val migrated = graft.sources.ProtoRecordV2.read(spark, tmp, Some(64L))
     assert(migrated.count() == 53)
     PointSource.write(migrated, s"$tmp/store")
 
