@@ -642,6 +642,32 @@ object AnalyticsEntry {
             ok(col("a99"), col("e99"))).as("within_tol"))
     }),
 
+    // Mergeable distinct-count sketch tier: per-(type, day) HLL
+    // sketches — the shape a store materializes at rest — re-MERGED
+    // across days with hll_union_agg to answer "distinct users over
+    // any day range" without ever rescanning raw events. The 100 TB
+    // point is the re-aggregation: daily sketch rows are tiny and the
+    // union is associative, so arbitrary ranges cost O(days), not
+    // O(events). Gated on the within_tol contract (ev_quantiles_approx
+    // shape): the exact distinct count is oracle-verifiable, the
+    // merged estimate must land within 5% of it, and the raw estimate
+    // stays out of the hashed projection.
+    "ev_hll_daily" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day", to_date(timestamp_millis(col("ts"))))
+      val daily = e.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          count(lit(1)).as("n_days"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(broadcast(merged), "event_type")
+        .select(col("event_type"), col("n_exact"), col("n_days"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(col("n_exact") * lit(0.05), lit(1.0))).as("within_tol"))
+    }),
+
     // Per-event-type z-score outliers. The moment stats are O(#event
     // types) rows — a genuinely broadcast-safe build side at any corpus
     // size (contrast with the corpus-sized keep-lists this engine
@@ -984,6 +1010,13 @@ object AnalyticsEntry {
         | round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.9), 4) AS p90,
         | round(quantile_cont(value, 0.99), 4) AS p99,
+        | true AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin,
+    "ev_hll_daily" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        | CAST(count(DISTINCT epoch_ms(ts) // 86400000) AS BIGINT)
+        |   AS n_days,
         | true AS within_tol
         |FROM events GROUP BY event_type""".stripMargin,
     "t_repetition" -> (T +
