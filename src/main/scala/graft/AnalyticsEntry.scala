@@ -350,6 +350,52 @@ object AnalyticsEntry {
           sum("n").over(Window.partitionBy("prev_type")), 4))
     }),
 
+    // PageRank / stationary distribution over the event-transition
+    // graph ("which state dominates user flows" — the link-analysis
+    // quality-weighting shape). Edge extraction is the corpus-scale
+    // part (one user_id shuffle, then the transition-count aggregate);
+    // the power iteration then runs over the bounded type-alphabet
+    // frames (nodes/edges are O(|alphabet|²)) — ten lazy join+agg
+    // rounds with dangling-mass redistribution, all contribution sums
+    // through decimal(38,12) so the trajectory is partition-order-free
+    // and bit-identical to the oracle's ten unrolled CTE stages.
+    "ev_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+      val edges = ev
+        .withColumn("src", lag("event_type", 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val nodes = ev.select(col("event_type").as("node")).distinct()
+      val outdeg = edges.groupBy("src").agg(sum("n").as("wout"))
+      val edgesN = edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), (col("n") / col("wout")).as("frac"))
+      val nd = nodes.count().toDouble // bounded: the event-type alphabet
+      // materialize the O(|alphabet|) pr vector per round (the k-means
+      // centroid precedent) — a lazy chain would have TWO consumers of
+      // pr per round (dangling + contributions) and recompute 2^t paths
+      var pr = nodes.withColumn("pr", lit(1.0) / lit(nd))
+      for (_ <- 0 until 10) {
+        val dang = pr.join(outdeg, col("node") === col("src"), "left_anti")
+          .agg(coalesce(sum(col("pr").cast("decimal(38,12)")),
+            lit(0).cast("decimal(38,12)")).as("dg"))
+        val contrib = edgesN.join(pr.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum((col("pr") * col("frac")).cast("decimal(38,12)")).as("c"))
+        val next = nodes.join(contrib, Seq("node"), "left").crossJoin(dang)
+          .select(col("node"),
+            (lit(0.15) / lit(nd) + lit(0.85) *
+              (coalesce(col("c").cast("double"), lit(0.0)) +
+                col("dg").cast("double") / lit(nd))).as("pr"))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        pr = s.createDataFrame(next).toDF("node", "pr")
+      }
+      pr.select(col("node").as("event_type"), round(col("pr"), 4).as("pr"),
+        row_number().over(
+          Window.orderBy(col("pr").desc, col("node"))).as("rank"))
+    }),
+
     // Rolling 24h activity per event: RANGE-frame window (value-based
     // bounds, not row counts) on the user_id shuffle — the per-entity
     // rate-limit / burst-detection shape.
@@ -972,6 +1018,38 @@ object AnalyticsEntry {
         |SELECT event_type, count(*) AS n, count(k) AS n_k,
         | CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
         |FROM k GROUP BY event_type""".stripMargin,
+    "ev_pagerank" -> {
+      val stages = (1 to 10).map { t =>
+        val p = s"p${t - 1}"
+        s"""d$t AS (SELECT coalesce(sum(CAST(p.pr AS decimal(38,12))),
+           |    CAST(0 AS decimal(38,12))) AS dg
+           |  FROM $p p LEFT JOIN outdeg o ON p.node = o.src WHERE o.src IS NULL),
+           |c$t AS (SELECT en.dst, sum(CAST(p.pr * en.frac AS decimal(38,12))) AS c
+           |  FROM en JOIN $p p ON en.src = p.node GROUP BY 1),
+           |p$t AS (SELECT n.node,
+           |    CAST(0.15 AS double)/nn.nd + CAST(0.85 AS double) *
+           |      (coalesce(CAST(c.c AS double), CAST(0 AS double)) +
+           |       CAST(d.dg AS double)/nn.nd) AS pr
+           |  FROM nodes n LEFT JOIN c$t c ON n.node = c.dst, d$t d, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (SELECT user_id, event_type,
+         |  lag(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY epoch_ms(ts), event_id) AS prev
+         | FROM events),
+         |edges AS (SELECT prev AS src, event_type AS dst, count(*) AS n
+         |  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |nn AS (SELECT CAST(count(*) AS double) AS nd FROM nodes),
+         |outdeg AS (SELECT src, sum(n) AS wout FROM edges GROUP BY 1),
+         |en AS (SELECT e.src, e.dst,
+         |    CAST(e.n AS double) / CAST(o.wout AS double) AS frac
+         |  FROM edges e JOIN outdeg o USING (src)),
+         |p0 AS (SELECT node, CAST(1 AS double)/nn.nd AS pr FROM nodes, nn),
+         |$stages
+         |SELECT node AS event_type, round(pr, 4) AS pr,
+         |  CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rank
+         |FROM p10""".stripMargin
+    },
     "ev_transitions" ->
       """WITH o AS (SELECT user_id, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id
