@@ -350,6 +350,31 @@ object AnalyticsEntry {
           sum("n").over(Window.partitionBy("prev_type")), 4))
     }),
 
+    // Next-event prediction accuracy of the argmax Markov model: for
+    // each state, predict the most-frequent successor and score the
+    // hit rate — the evaluation twin of ev_transitions (is the flow
+    // graph predictive, or near-uniform?). One corpus shuffle for the
+    // lag, then everything runs on the bounded transition-count table;
+    // the argmax window ranks that aggregate, never raw events, with a
+    // deterministic (n desc, dst asc) tie-break on both engines.
+    "ev_markov_acc" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = Tables.events(s, dir)
+        .withColumn("src", lag("event_type", 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val top = Window.partitionBy("src")
+        .orderBy(col("n").desc, col("dst"))
+      edges
+        .withColumn("rn", row_number().over(top))
+        .withColumn("n_total", sum("n").over(Window.partitionBy("src")))
+        .filter(col("rn") === 1)
+        .select(col("src").as("prev_type"), col("dst").as("top_next"),
+          col("n_total"), col("n").as("n_hit"),
+          round(col("n") / col("n_total"), 4).as("acc"))
+    }),
+
     // PageRank / stationary distribution over the event-transition
     // graph ("which state dominates user flows" — the link-analysis
     // quality-weighting shape). Edge extraction is the corpus-scale
@@ -1018,6 +1043,21 @@ object AnalyticsEntry {
         |SELECT event_type, count(*) AS n, count(k) AS n_k,
         | CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
         |FROM k GROUP BY event_type""".stripMargin,
+    "ev_markov_acc" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts), event_id) AS prev
+        | FROM events),
+        |edges AS (SELECT prev AS src, event_type AS dst, count(*) AS n
+        |  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT src, dst, n,
+        |    row_number() OVER (PARTITION BY src ORDER BY n DESC, dst) AS rn,
+        |    sum(n) OVER (PARTITION BY src) AS n_total
+        |  FROM edges)
+        |SELECT src AS prev_type, dst AS top_next,
+        |  CAST(n_total AS BIGINT) AS n_total, CAST(n AS BIGINT) AS n_hit,
+        |  round(n * CAST(1 AS double) / n_total, 4) AS acc
+        |FROM r WHERE rn = 1""".stripMargin,
     "ev_pagerank" -> {
       val stages = (1 to 10).map { t =>
         val p = s"p${t - 1}"
