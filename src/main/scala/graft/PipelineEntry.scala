@@ -226,6 +226,22 @@ object PipelineEntry {
       Classifier.trainAndScore(
         Tables.documents(s, dir),
         when(col("lang") === "en", 1.0).otherwise(0.0))),
+    // Snapshot diff — the audit between two corpus versions of an
+    // incremental pipeline (what did this crawl add/drop/edit?). The
+    // v2 snapshot derives deterministically from the corpus (drop
+    // id%10, edit id%7, add id%13 under shifted ids) so the oracle
+    // rebuilds it; the diff itself shuffles fixed-width digests, never
+    // document bodies.
+    "d_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val v2 = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(docs, v2)
+    }),
     // Filter-model evaluation: exact Mann-Whitney AUC of the trained
     // scores. The only window runs over the bounded aggregated score
     // distribution (≤10001 rows), never the corpus; the rank sum uses
@@ -1208,6 +1224,23 @@ object PipelineEntry {
     "t_quality" -> (T + QualitySelect),
     "t_classifier" -> Classifier.oracleSql(
       "case when lang = 'en' then cast(1 as double) else cast(0 as double) end"),
+    "d_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM o WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM o WHERE doc_id % 13 = 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    md5(o.text) AS h_old, md5(n.text) AS h_new
+        |  FROM o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM j""".stripMargin,
     "t_classifier_auc" -> Classifier.aucOracleSql(
       "case when lang = 'en' then cast(1 as double) else cast(0 as double) end"),
     "p_dataset_card" -> (T + LangPredCtes +

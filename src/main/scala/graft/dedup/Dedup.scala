@@ -29,6 +29,28 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /**
+   * Snapshot diff — the audit step between two corpus versions of an
+   * incremental pipeline: per doc_id, `added` (new only), `removed`
+   * (old only), `changed` (both, content hash differs), `unchanged`.
+   * One full outer join on the id, content compared by md5 so the
+   * shuffle carries a fixed-width digest, never the document bodies.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h_old"))
+    val n = newDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Canonical text: lowercase, non-alphanumerics collapsed to single
     * spaces, trimmed — the normalization pass before [[canonical]]
     * dedup (catches case/punctuation/whitespace-edited duplicates
