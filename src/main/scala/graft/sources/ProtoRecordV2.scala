@@ -70,6 +70,13 @@ object ProtoRecordV2 {
     splitBytes.fold(r)(n => r.option("splitBytes", n.toString)).load(path)
   }
 
+  /** Convenience: distributed export of a canonical point frame as
+    * reference-compatible framed record files (one per task). */
+  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.select(Point.columns.map(org.apache.spark.sql.functions.col): _*)
+      .write.format(classOf[ProtoRecordSource].getName)
+      .mode("append").save(path)
+
   /** Peek just the variable name out of a framed ValueStream payload —
     * field 2 (StreamVariable) → field 1 (name) — skipping every value
     * submessage, so name-filtered scans never pay the value decode. */
@@ -109,14 +116,27 @@ object ProtoRecordV2 {
 }
 
 final class ProtoRecordTable(properties: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"proto-record ${properties.getOrElse("path", "")}"
   override def schema(): StructType = Point.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ProtoRecordScanBuilder(options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val path = Option(info.options.get("path")).getOrElse(
+      throw new IllegalArgumentException("proto-record sink requires a path"))
+    require(info.schema().fieldNames.sameElements(Point.columns),
+      s"proto-record sink expects the canonical point schema " +
+        s"(${Point.columns.mkString(", ")}), got " +
+        info.schema().fieldNames.mkString(", "))
+    new ProtoRecordWriteBuilder(path)
+  }
 }
 
 final class ProtoRecordScanBuilder(options: CaseInsensitiveStringMap)
@@ -195,6 +215,125 @@ final class ProtoRecordReaderFactory(required: StructType, pushed: Array[Filter]
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ProtoRecordPartitionReader(
       partition.asInstanceOf[ProtoRecordInputPartition], required, pushed)
+}
+
+// ------------------------------------------------------------------ write
+
+/**
+ * Distributed writer: each task emits ONE reference-compatible framed
+ * record file (the export / migrate-out half of the migration story).
+ * Rows buffer per series and flush as ValueStream records at
+ * `flushValues` points — bounded memory per task regardless of series
+ * count or skew — then the task's temp file renames into place on
+ * commit (write-then-rename, the atomic publish the store layouts use).
+ */
+final class ProtoRecordWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DataWriterFactory =
+        new ProtoRecordWriterFactory(path)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val p = new HPath(path)
+        val fs = p.getFileSystem(new Configuration())
+        messages.foreach {
+          case ProtoRecordCommit(tmp, fin) =>
+            if (!fs.rename(new HPath(tmp), new HPath(fin)))
+              throw new java.io.IOException(s"commit rename failed: $tmp -> $fin")
+          case _ =>
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val p = new HPath(path)
+        val fs = p.getFileSystem(new Configuration())
+        messages.foreach {
+          case ProtoRecordCommit(tmp, _) =>
+            fs.delete(new HPath(tmp), false)
+          case _ =>
+        }
+      }
+    }
+  }
+}
+
+final case class ProtoRecordCommit(tmpFile: String, finalFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class ProtoRecordWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ProtoRecordDataWriter(path, partitionId, taskId)
+}
+
+final class ProtoRecordDataWriter(dir: String, partitionId: Int, taskId: Long,
+                                  flushValues: Int = 1024)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val tmpName = f".datastore.$partitionId%05d-$taskId.rec.tmp"
+  private val finalName = f"datastore.$partitionId%05d-$taskId.rec"
+  private val fs = new HPath(dir).getFileSystem(new Configuration())
+  private val out = {
+    fs.mkdirs(new HPath(dir))
+    fs.create(new HPath(dir, tmpName), true)
+  }
+
+  private type Vals =
+    scala.collection.mutable.ArrayBuffer[(Long, Option[Double], Option[String], Option[Long])]
+  private val buf =
+    scala.collection.mutable.LinkedHashMap.empty[(String, Map[String, String], String), Vals]
+  private var buffered = 0
+
+  private def flush(key: (String, Map[String, String], String), vs: Vals): Unit = {
+    val payload = ProtoRecordFile.encodeValueStream(key._1, key._2, key._3, vs.toSeq)
+    val framed = ProtoRecordFile.frame(Seq(payload))
+    out.write(framed)
+    buffered -= vs.length
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val name = row.getUTF8String(0).toString
+    val labels =
+      if (row.isNullAt(1)) Map.empty[String, String]
+      else {
+        val m = row.getMap(1)
+        (0 until m.numElements()).map { i =>
+          m.keyArray().getUTF8String(i).toString ->
+            m.valueArray().getUTF8String(i).toString
+        }.toMap
+      }
+    val vt = if (row.isNullAt(2)) "GAUGE" else row.getUTF8String(2).toString
+    val v = (row.getLong(3),
+      if (row.isNullAt(4)) None else Some(row.getDouble(4)),
+      if (row.isNullAt(5)) None else Some(row.getUTF8String(5).toString),
+      if (row.isNullAt(6)) None else Some(row.getLong(6)))
+    val key = (name, labels, vt)
+    val vs = buf.getOrElseUpdate(key, new Vals)
+    vs += v
+    buffered += 1
+    if (vs.length >= flushValues) { flush(key, vs); buf.remove(key) }
+    else if (buffered >= 16 * flushValues) {
+      // global cap: flush the LARGEST buffer so skewed series counts
+      // cannot grow task memory without bound
+      val (k, b) = buf.maxBy(_._2.length)
+      flush(k, b); buf.remove(k)
+    }
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    buf.foreach { case (k, vs) => flush(k, vs) }
+    buf.clear()
+    out.close()
+    ProtoRecordCommit(new HPath(dir, tmpName).toString,
+      new HPath(dir, finalName).toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(new HPath(dir, tmpName), false)
+  }
+  override def close(): Unit = ()
 }
 
 /**

@@ -180,6 +180,54 @@ class ProtoRecordV2Spec extends SparkSpec {
     }
   }
 
+  test("distributed write: export -> re-read roundtrips; every frame CRC-valid") {
+    val dir = writeDir(Seq(ProtoRecordFile.frame(corpus(9, 40))))
+    val df = ProtoRecordFile.read(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_v2w").toString + "/exp"
+    ProtoRecordV2.write(df.repartition(3), out)
+    // one record file per task, all framed + CRC-valid
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".rec"))
+    assert(files.length == 3, s"expected one file per task, got ${files.length}")
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".tmp")),
+      "commit must rename away every temp file")
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      val recs = ProtoRecordFile.records(bytes).toSeq
+      assert(recs.nonEmpty)
+      recs.foreach { case (off, len) =>
+        val crc = ProtoRecordFile.crc16(bytes, off, len)
+        val stored = (bytes(off + len) & 0xFF) | ((bytes(off + len + 1) & 0xFF) << 8)
+        assert(crc == stored, s"${f.getName}: CRC mismatch at $off")
+      }
+    }
+    // both readers agree with the original points
+    assert(sortedRows(ProtoRecordV2.read(spark, out, Some(256))) == sortedRows(df))
+    assert(sortedRows(ProtoRecordFile.read(spark, out)) == sortedRows(df))
+  }
+
+  test("writer flush cap bounds memory: many series, tiny flush threshold") {
+    import graft.sources.{ProtoRecordCommit, ProtoRecordDataWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_v2w2").toString
+    val w = new ProtoRecordDataWriter(dir, 0, 7L, flushValues = 4)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(graft.model.Point.schema)
+    val toInternal = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+      .createSerializer()
+    (0 until 200).foreach { i =>
+      val r = org.apache.spark.sql.Row(s"/w/${i % 37}", Map("i" -> (i % 5).toString),
+        "GAUGE", i.toLong, i / 10.0, null, null)
+      w.write(toInternal(r).copy())
+    }
+    val msg = w.commit().asInstanceOf[ProtoRecordCommit]
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(msg.tmpFile),
+      new org.apache.hadoop.fs.Path(msg.finalFile)))
+    val back = ProtoRecordV2.read(spark, dir)
+    assert(back.count() == 200)
+    assert(back.select("name").distinct().count() == 37)
+  }
+
   test("reported statistics carry total file size for the optimizer") {
     val bytes = ProtoRecordFile.frame(corpus(8, 20))
     val dir = writeDir(Seq(bytes))
