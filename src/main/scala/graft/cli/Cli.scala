@@ -279,6 +279,19 @@ object Cli {
     graft.sources.PointSource.retentionSweep(spark, store, policy, now)
   }
 
+  /** `export <out> [<variable pattern>]` — migrate OUT: the at-rest
+    * store (optionally scoped to one variable pattern, same grammar as
+    * `get`) exports as reference-compatible framed record files via
+    * the distributed V2 sink. Returns the exported point count. */
+  def runExport(spark: SparkSession, store: String, out: String,
+                pattern: Option[String]): Long = {
+    val base = graft.sources.PointSource.read(spark, store)
+    val scoped = pattern.fold(base)(p =>
+      base.filter(graft.pattern.VariableMatcher.compile(p)))
+    graft.sources.ProtoRecordV2.write(scoped, out)
+    graft.sources.ProtoRecordV2.read(spark, out).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val (flags, rest) = args.partition(_.startsWith("--"))
     val store = flags.collectFirst { case s if s.startsWith("--store=") =>
@@ -306,6 +319,13 @@ object Cli {
       case Seq("sweep", args @ _*) =>
         val swept = runSweep(spark, store, args)
         println(s"swept ${swept.size} day partitions: ${swept.mkString(", ")}")
+      // migrate OUT: export the at-rest store (optionally one variable
+      // pattern) back to reference-compatible framed record files via
+      // the distributed V2 sink — the inverse of the record-file
+      // migration path, so data round-trips graft <-> reference
+      case Seq("export", out, rest2 @ _*) =>
+        println(s"exported ${runExport(spark, store, out, rest2.headOption)}" +
+          s" points to $out")
       case Seq("alerts", args @ _*) if args.exists(_.startsWith("follow=")) =>
         // live mode: episodes print as they close; runs until killed
         alertsFollow(spark, args)

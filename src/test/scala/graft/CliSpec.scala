@@ -216,4 +216,20 @@ class CliSpec extends SparkSpec {
       nowMs = 10000L)
     assert(listed.count() == 2)
   }
+
+  test("export verb: store -> record files round-trips, pattern-scoped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_exp").toString
+    val store = s"$dir/store"
+    Cli.runAdd(spark, store, Seq(
+      "/exp/a{host=x}:1@1000", "/exp/a{host=x}:2@2000",
+      "/exp/a{host=y}:3@1000", "/exp/b:4@1000"), nowMs = 10000L)
+    // full export: every point round-trips through the framed files
+    assert(Cli.runExport(spark, store, s"$dir/all", None) == 4)
+    val back = graft.sources.ProtoRecordV2.read(spark, s"$dir/all")
+    assert(back.count() == 4)
+    assert(back.select("name").distinct().count() == 2)
+    // pattern-scoped export uses the get grammar
+    assert(Cli.runExport(spark, store, s"$dir/ax",
+      Some("/exp/a{host=x}")) == 2)
+  }
 }
