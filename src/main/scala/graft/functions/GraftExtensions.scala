@@ -62,6 +62,13 @@ object GraftFunctions {
             "(window/divisor literal ints)")
         CdcChunks(children.head, foldableInt(children(1), "window"),
           foldableInt(children(2), "divisor"))
+      }),
+    (FunctionIdentifier("parse_variable"),
+      new ExpressionInfo(classOf[ParseVariable].getName, "parse_variable"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "parse_variable(skey) takes 1 argument")
+        ParseVariable(children.head)
       }))
 
   private def foldableInt(e: Expression, name: String): Int = {

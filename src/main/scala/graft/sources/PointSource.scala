@@ -161,15 +161,12 @@ object PointSource {
   def readGorillaPoints(spark: SparkSession, path: String,
                         minTs: Option[Long] = None,
                         maxTs: Option[Long] = None): DataFrame = {
-    val parseKey = udf { (k: String) =>
-      val v = graft.model.Variable.parse(k)
-      (v.name, v.labels)
-    }
     readGorilla(spark, path, minTs, maxTs)
-      .withColumn("__v", parseKey(col("skey")))
+      .withColumn("__v",
+        graft.functions.ParseVariable.parseVariable(col("skey")))
       .select(
-        col("__v._1").as("name"),
-        col("__v._2").as("labels"),
+        col("__v.name").as("name"),
+        col("__v.labels").as("labels"),
         lit("GAUGE").as("value_type"),
         col("ts"), col("dval"),
         lit(null).cast("string").as("sval"),

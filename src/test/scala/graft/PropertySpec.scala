@@ -326,5 +326,31 @@ class PropertySpec extends SparkSpec {
         org.apache.spark.sql.functions.lit("hello world of rolling hashes"), 4, 32))
       .head().getSeq[String](0)
     assert(sql == api && sql.mkString == "hello world of rolling hashes")
+    // parse_variable inverts seriesKey, escapes included
+    val v = spark.sql(
+      """SELECT parse_variable('/sys/cpu{a=1\\,b\\=2,host=h1}')""").head().getStruct(0)
+    assert(v.getString(0) == "/sys/cpu")
+    assert(v.getMap[String, String](1) == Map("a" -> "1,b=2", "host" -> "h1"))
+  }
+
+  test("parse_variable is the exact inverse of Point.seriesKey") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map, lit}
+    val rows = Seq(
+      ("/plain", Map.empty[String, String]),
+      ("/sys/cpu", Map("host" -> "h1", "job" -> "j")),
+      ("/tricky", Map("k" -> "a,b=c{d}e\\f", "z," -> "v")))
+    rows.foreach { case (name, labels) =>
+      val labelExpr =
+        if (labels.isEmpty) map().cast("map<string,string>")
+        else map(labels.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val back = spark.range(1)
+        .select(graft.functions.ParseVariable.parseVariable(
+          graft.model.Point.seriesKey(lit(name), labelExpr)).as("v"))
+        .select(col("v.name"), col("v.labels")).head()
+      assert(back.getString(0) == name, s"name roundtrip for $name")
+      assert(back.getMap[String, String](1) == labels, s"labels roundtrip for $labels")
+    }
   }
 }
