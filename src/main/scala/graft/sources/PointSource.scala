@@ -335,6 +335,33 @@ object PointSource {
    * after a crash between the cold write and the hot delete is
    * idempotent, never duplicating blocks.
    */
+  /**
+   * Hybrid tier read: one canonical point frame spanning the hot
+   * Parquet store and the Gorilla cold tier — queries cross the aging
+   * boundary transparently. Crash-consistent with [[ageIntoGorilla]]'s
+   * write-cold-then-delete-hot order: for any date the COLD tier holds,
+   * its numeric rows are complete there (dynamic partition overwrite),
+   * so hot numerics for those dates are EXCLUDED — a crash between the
+   * cold write and the hot delete can never double-count a point.
+   * String-valued rows always come from hot (not representable in
+   * value blocks). The cold date list is O(#days) driver rows.
+   */
+  def readTiered(spark: SparkSession, hotPath: String,
+                 coldPath: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coldPath), spark.sparkContext.hadoopConfiguration)
+    val hasCold = fs.exists(new org.apache.hadoop.fs.Path(coldPath))
+    if (!hasCold) return read(spark, hotPath)
+    val coldDates = spark.read.parquet(coldPath)
+      .select(col("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val hot = spark.read.parquet(hotPath)
+      .filter(col("dval").isNull ||
+        !col("date").cast("string").isin(coldDates: _*))
+      .select(Point.columns.map(col): _*)
+    hot.unionByName(readGorillaPoints(spark, coldPath))
+  }
+
   def ageIntoGorilla(spark: SparkSession, hotPath: String, coldPath: String,
                      olderThanMs: Long, nowMs: Long,
                      blockMs: Long = 86400000L): Seq[String] = {

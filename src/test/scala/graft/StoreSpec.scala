@@ -75,6 +75,38 @@ class StoreSpec extends SparkSpec {
     assert(collectTsVal(PointSource.readGorilla(spark, cold)) == coldPts)
   }
 
+  test("readTiered spans both tiers and never double-counts a crash window") {
+    val hot = tmpDir(); val cold = tmpDir() + "/cold"
+    val day = 86400000L
+    val base = series(Seq(0L -> 1.0, day -> 2.0, 2 * day -> 3.0))
+    val withSval = base.unionByName(
+      series(Seq(500L -> 0.0)).withColumn("dval",
+        lit(null).cast("double")).withColumn("sval", lit("p")))
+    PointSource.write(withSval, hot)
+    // no cold tier yet: tiered == hot
+    assert(PointSource.readTiered(spark, hot, cold).count() == 4)
+    // age days 0 and 1 cold; tiered must serve the SAME logical points
+    PointSource.ageIntoGorilla(spark, hot, cold, olderThanMs = 1000L,
+      nowMs = 2 * day + 1000L)
+    val tiered = PointSource.readTiered(spark, hot, cold)
+    assert(collectTsVal(tiered.filter(col("dval").isNotNull)) ==
+      Seq(0L -> 1.0, day -> 2.0, 2 * day -> 3.0))
+    assert(tiered.filter(col("sval") === "p").count() == 1)
+    // crash window: day 2's numerics copied cold but NOT yet deleted
+    // hot — the hybrid read must take day 2's numerics from cold only
+    val day2 = graft.model.Point.withSeriesKey(
+        spark.read.parquet(hot).filter(col("dval").isNotNull).drop("date"))
+      .select(col("skey"), col("ts"), col("dval"))
+    graft.codec.Gorilla.encode(day2, day)
+      .withColumn("date", to_date(timestamp_millis(col("block_ts"))))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").mode("overwrite").parquet(cold)
+    val crashed = PointSource.readTiered(spark, hot, cold)
+    assert(collectTsVal(crashed.filter(col("dval").isNotNull)) ==
+      Seq(0L -> 1.0, day -> 2.0, 2 * day -> 3.0),
+      "a date present in both tiers must not double-count")
+  }
+
   test("retentionSweep: old rows physically drop/downsample, young days untouched") {
     import spark.implicits._
     import graft.retention.Retention
