@@ -29,10 +29,13 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
                       argv: Seq[String] = Nil,
                       cppMutationSemantics: Boolean = false,
                       tier: String = "parquet",
+                      coldDir: Option[String] = None,
                       maxResponseValues: Int =
                         StoreHttpServer.DefaultMaxResponseValues) {
-  require(tier == "parquet" || tier == "gorilla",
-    s"unknown store tier '$tier' (parquet | gorilla)")
+  require(tier == "parquet" || tier == "gorilla" || tier == "tiered",
+    s"unknown store tier '$tier' (parquet | gorilla | tiered)")
+  require(tier != "tiered" || coldDir.nonEmpty,
+    "--tier=tiered requires --cold=<gorilla tier path>")
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   // Off the accept/dispatch thread: a slow Spark query must not block
@@ -45,8 +48,11 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
 
   // The cold Gorilla tier serves the same read surface (get/list);
   // /add rejects on it (see the handler) — the cold tier is read-only.
+  // --tier=tiered spans hot + cold in one frame (readTiered's
+  // crash-consistent union); /add stays open there (writes land hot).
   private def points(): DataFrame =
     if (tier == "gorilla") PointSource.readGorillaPoints(spark, storeDir)
+    else if (tier == "tiered") PointSource.readTiered(spark, storeDir, coldDir.get)
     else PointSource.read(spark, storeDir)
 
   private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
@@ -181,7 +187,7 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     // the cold tier is read-only: a per-point block rewrite would be
     // pathological write amplification — appends belong to the hot
     // Parquet store that later ages into blocks
-    require(tier == "parquet", "/add is not served by the gorilla tier")
+    require(tier != "gorilla", "/add is not served by the gorilla tier")
     val streams = Rpc.decodeAddRequest(bytes)
     val rows = streams.flatMap { s =>
       s.values.map { case (ts, dv, sv, ets) =>
@@ -310,8 +316,10 @@ object StoreHttpServer {
       // --mutation_semantics=cpp -> one stream per mutation (C++ servers)
       cppMutationSemantics =
         opts.get("mutation_semantics").contains("cpp"),
-      // --tier=gorilla serves get/list from a writeGorilla cold tier
+      // --tier=gorilla serves get/list from a writeGorilla cold tier;
+      // --tier=tiered spans hot + --cold=<path> in one read surface
       tier = opts.getOrElse("tier", "parquet"),
+      coldDir = opts.get("cold"),
       // --max_response_values bounds an unlimited /get's driver collect
       maxResponseValues = opts.get("max_response_values").map(_.toInt)
         .getOrElse(DefaultMaxResponseValues)).start()

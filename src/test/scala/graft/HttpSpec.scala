@@ -126,6 +126,42 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("tiered serving: /get spans hot parquet and cold gorilla; /add lands hot") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_tiered").toString
+    val hot = s"$base/hot"; val cold = s"$base/cold"
+    val day = 86400000L
+    // two days of points, day 0 ages cold, day 1 stays hot
+    graft.sources.PointSource.write(series(
+      Seq(1000L -> 1.0, 2000L -> 2.0, (day + 1000L) -> 3.0),
+      name = "/http/span", labels = Map("host" -> "a")), hot)
+    graft.sources.PointSource.ageIntoGorilla(spark, hot, cold,
+      olderThanMs = 1000L, nowMs = day + 2000L)
+    val srv = new StoreHttpServer(spark, hot, port = 0,
+      nowMs = () => day + 2000L, tier = "tiered", coldDir = Some(cold)).start()
+    try {
+      val getBody = Rpc.encodeGetRequest(Requests.GetRequest(
+        "/http/span{host=a}", minTimestamp = Some(0L)))
+      val (gok, gerr, streams) =
+        Rpc.decodeGetResponse(post(srv.boundPort, "/get", getBody))
+      assert(gok, gerr.toString)
+      assert(streams.head.values.map(v => (v._1, v._2.get)) ==
+        Seq((1000L, 1.0), (2000L, 2.0), (day + 1000L, 3.0)),
+        "one stream must span the aging boundary")
+      // writes stay open on the tiered surface (they land hot)
+      val addBody = Rpc.encodeAddRequest(Seq(Rpc.Stream(
+        Variable("/http/span", Map("host" -> "a"), Variable.Gauge),
+        Seq((day + 1500L, Some(4.0), None, None)))))
+      val (code, _) = postRaw(srv.boundPort, "/add", addBody)
+      assert(code == 200, s"/add on the tiered surface must accept, got $code")
+      // the added point carries the ingest hostname label (a second
+      // series of the same name); 4 points total span both tiers + add
+      val (gok2, _, streams2) =
+        Rpc.decodeGetResponse(post(srv.boundPort, "/get", getBody))
+      assert(gok2 && streams2.map(_.values.length).sum == 4)
+    } finally srv.stop()
+  }
+
   test("/get_config round-trips StoreConfig; /status serves HTML") {
     import graft.retention.Retention
     val store = java.nio.file.Files.createTempDirectory("graft_http3").toString + "/s"
