@@ -592,6 +592,24 @@ object PipelineEntry {
     "d_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir),
         n = 3, numHashes = 16, bands = 4, threshold = 0.5)),
+    // Edit-distance near-dup: the same banded LSH candidate generation
+    // (never all-pairs), verified by EXACT levenshtein — the
+    // typo/small-edit duplicate detector Jaccard-on-shingles blurs.
+    // Candidates admit at a loose jaccard (0.3); the edit bound is the
+    // real filter. Spark and DuckDB levenshtein agree (unit-cost
+    // insert/delete/substitute over code points).
+    "d_lev_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashLshPairs(docs,
+          n = 3, numHashes = 16, bands = 4, threshold = 0.3)
+        .select("id_a", "id_b")
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") <= 40)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    }),
     // Incremental-crawl near-dup lookup: every 5th doc plays the "new
     // batch" probing the rest as the held corpus — cross pairs only,
     // linear in the probe batch (the self-pairing d_minhash_lsh cost
@@ -1686,6 +1704,26 @@ object PipelineEntry {
         |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
         | FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
+    "d_lev_pairs" -> (T + ShingleHashCte +
+      s"""sig AS (SELECT doc_id, s,
+         |  [${Dedup.hashParams(16).map { case (a, b) =>
+              s"list_min([($a*(h%${Dedup.P})+$b)%${Dedup.P} for h in s])"
+            }.mkString(",\n   ")}] AS g
+         | FROM sh),
+        |banded AS (SELECT doc_id, s,
+        |  unnest([md5(b || ':' || array_to_string(g[b*4+1:b*4+4], '_')) for b in range(0, 4)]) AS band
+        | FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b,
+        |  len(list_intersect(sa.s, sb.s))*1.0
+        |    / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+        | FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |SELECT j.id_a, j.id_b,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+        |FROM j JOIN documents da ON da.doc_id = j.id_a
+        |       JOIN documents db ON db.doc_id = j.id_b
+        |WHERE jac >= 0.3 AND levenshtein(da.text, db.text) <= 40""".stripMargin),
     "d_minhash_lookup" -> (T + ShingleHashCte +
       s"""sig AS (SELECT doc_id, s,
          |  [${Dedup.hashParams(16).map { case (a, b) =>
