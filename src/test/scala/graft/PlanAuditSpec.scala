@@ -26,8 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   test("no blocked dedup/similarity path degenerates to all-pairs") {
     val blocked = Seq("d_ngram_jaccard", "d_minhash_lsh", "d_minhash_lookup",
       "d_simhash_pairs", "d_simhash_lookup", "d_cdc_pairs", "d_cdc_lookup",
-      "d_dup_spans", "e_lsh_pairs", "t_winnow_pairs", "t_winnow_lookup",
-      "p_decontam")
+      "d_dup_spans", "d_lev_pairs", "e_lsh_pairs", "t_winnow_pairs",
+      "t_winnow_lookup", "p_decontam")
     blocked.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
