@@ -368,6 +368,25 @@ object PointSource {
     val cutoffDay = java.time.Instant
       .ofEpochMilli(nowMs - olderThanMs)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    // Replay an interrupted sval-residue swap before reading anything:
+    // a crash between the hot-partition delete and the stage rename
+    // leaves that date's string-valued rows ONLY in the stage dir —
+    // rename them home (or drop a stale stage if the partition still
+    // exists, i.e. the crash happened before the delete).
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(hotPath), spark.sparkContext.hadoopConfiguration)
+    val stageRoot = new org.apache.hadoop.fs.Path(
+      s"${hotPath.stripSuffix("/")}.svalstage")
+    if (fs0.exists(stageRoot)) {
+      fs0.listStatus(stageRoot)
+        .filter(_.getPath.getName.startsWith("date=")).foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(
+            s"$hotPath/${st.getPath.getName}")
+          if (!fs0.exists(dest)) fs0.rename(st.getPath, dest)
+          else fs0.delete(st.getPath, true)
+        }
+      fs0.delete(stageRoot, true)
+    }
     val hot = spark.read.parquet(hotPath)
     // dates are drawn from the NUMERIC doomed rows: a date already
     // reduced to its sval residue has nothing left to move and must

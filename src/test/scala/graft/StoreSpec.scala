@@ -75,6 +75,32 @@ class StoreSpec extends SparkSpec {
     assert(collectTsVal(PointSource.readGorilla(spark, cold)) == coldPts)
   }
 
+  test("ageIntoGorilla replays an interrupted sval-residue swap at next start") {
+    val hot = tmpDir(); val cold = tmpDir() + "/cold"
+    val day = 86400000L
+    val withSval = series(Seq(0L -> 1.0, day -> 2.0)).unionByName(
+      series(Seq(500L -> 0.0)).withColumn("dval",
+        lit(null).cast("double")).withColumn("sval", lit("keepme")))
+    PointSource.write(withSval, hot)
+    // simulate the crash window: day 0's sval residue staged, hot
+    // partition already deleted, rename never ran
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$hot.svalstage/date=1970-01-01")
+    spark.read.parquet(hot).filter(col("dval").isNull).drop("date")
+      .write.mode("overwrite").parquet(stage.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hot/date=1970-01-01"), true)
+    assert(PointSource.read(spark, hot)
+      .filter(col("sval") === "keepme").count() == 0, "crash state: sval gone")
+    // the next run replays the swap before doing anything else
+    PointSource.ageIntoGorilla(spark, hot, cold,
+      olderThanMs = day * 10, nowMs = day + 1000L) // nothing to move
+    assert(PointSource.read(spark, hot)
+      .filter(col("sval") === "keepme").count() == 1, "replay restored the sval")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$hot.svalstage")),
+      "stage root cleaned up")
+  }
+
   test("readTiered spans both tiers and never double-counts a crash window") {
     val hot = tmpDir(); val cold = tmpDir() + "/cold"
     val day = 86400000L
