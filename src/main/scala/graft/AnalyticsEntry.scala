@@ -609,7 +609,7 @@ object AnalyticsEntry {
       // keys: see t_kn_nll — this is what lets the prefix-count branch
       // reuse the tf exchange instead of re-tokenizing the corpus
       val bi = Tables.documents(s, dir)
-        .withColumn("__t", split(trim(col("text")), "\\s+"))
+        .withColumn("__t", split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+"))
         .filter(size(col("__t")) >= 2)
         .select(col("doc_id"), explode(arrays_zip(
           slice(col("__t"), lit(1), size(col("__t")) - 1),
@@ -647,7 +647,7 @@ object AnalyticsEntry {
       // below share one tokenize scan via ReusedExchange instead of
       // re-reading the corpus four times.
       val bi = Tables.documents(s, dir)
-        .withColumn("__t", split(trim(col("text")), "\\s+"))
+        .withColumn("__t", split(regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+"))
         .filter(size(col("__t")) >= 2)
         .select(col("doc_id"), explode(arrays_zip(
           slice(col("__t"), lit(1), size(col("__t")) - 1),

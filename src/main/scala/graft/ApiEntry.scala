@@ -185,6 +185,10 @@ object ApiEntry {
         .select(col("name"), col("usr"), col("ts"), col("dval"))),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
+    // The `decoder` provenance column rides the gate hash: the oracle
+    // pins every fabricated text blob to the stub path, so a future
+    // real-codec swap (or a blob accidentally parsing) is an
+    // observable hash diff, not a silent change.
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
           Multimodal.fromDocuments(Tables.documents(s, dir)))
@@ -192,13 +196,15 @@ object ApiEntry {
           col("content_sha"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("n_frames").cast("long").as("n_frames"))),
+          col("n_frames").cast("long").as("n_frames"),
+          col("decoder"))),
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.extractFeatures(
             Multimodal.fromDocuments(Tables.documents(s, dir))),
           stride = 30)
-        .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"))),
+        .select(col("item_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("decoder"))),
     // Resize-to-fit 64x64 (aspect preserved, no upscale). Real bilinear
     // resample for parseable images; these fabricated text blobs take
     // the deterministic stub branch, so the oracle verifies dims and
@@ -765,14 +771,16 @@ object ApiEntry {
         | CASE WHEN modality IN ('image','video') THEN 16 + h % 1024 END AS width,
         | CASE WHEN modality IN ('image','video') THEN 16 + (h // 1024) % 1024 END AS height,
         | CASE modality WHEN 'video' THEN 1 + h % 300
-        |  WHEN 'audio' THEN 1 + h % 16000 ELSE 1 END AS n_frames
+        |  WHEN 'audio' THEN 1 + h % 16000 ELSE 1 END AS n_frames,
+        | 'stub' AS decoder
         |FROM m""".stripMargin,
     "mm_frames" ->
       """WITH m AS (SELECT doc_id AS item_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
         |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
         | FROM documents)
-        |SELECT item_id, unnest(range(0, 1 + h % 300, 30)) AS frame_idx
+        |SELECT item_id, unnest(range(0, 1 + h % 300, 30)) AS frame_idx,
+        | 'stub' AS decoder
         |FROM m WHERE modality = 'video'""".stripMargin,
     "mm_resize" ->
       """WITH m AS (SELECT doc_id AS item_id,

@@ -54,7 +54,7 @@ object Bench {
             None
         }
       }
-      (name, if (times.nonEmpty) times.min else -1.0, err)
+      (name, if (times.nonEmpty) times.min else -1.0, err, times)
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -62,13 +62,19 @@ object Bench {
     // 3 decimals (ms precision) keeps the 100+-entry line compact; more
     // digits are noise at these magnitudes anyway
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
+    // BOTH timed passes per query: regression vs noise is decidable
+    // from the artifact alone — a real regression moves the min, a
+    // noisy neighbor widens the [min,max] spread of one pass
+    val passes = results.map { case (k, _, _, ts) =>
+      s"\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = r3(results.filter(_._3.isEmpty).map(_._2).sum)
     val nErrors = results.count(_._3.isDefined)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // The harness stdout capture keeps only the output TAIL, which eats
     // the leading ~75 per-query entries of the 180+-query line — so

@@ -647,6 +647,15 @@ object PipelineEntry {
     "d_dup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))),
+    // Same labeling through the DISTRIBUTED min-label propagation loop
+    // (driverLimit = 0 disables the union-find fast path) — the 100 TB
+    // branch, hash-gated against the identical oracle so the scale
+    // path can never silently diverge from the exact driver path.
+    "d_dup_groups_dist" -> ((s, dir) =>
+      Dedup.duplicateGroups(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3,
+          threshold = 0.5),
+        driverLimit = 0L)),
     // Duplicate-cluster size histogram: the dedup dashboard's second
     // read after d_dup_rate — "are we removing pairs or whole template
     // families?". Two map-side-combinable aggregations over the CC
@@ -1747,6 +1756,10 @@ object PipelineEntry {
       |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups
       |FROM gs GROUP BY group_size""".stripMargin),
     "d_dup_groups" -> (DupGroupCtes +
+      "\nSELECT doc_id, group_id FROM grp"),
+    // same oracle as d_dup_groups: the distributed min-label
+    // propagation must produce the identical labeling
+    "d_dup_groups_dist" -> (DupGroupCtes +
       "\nSELECT doc_id, group_id FROM grp"),
     // keep-best: near-dup groups joined to the rounded quality score,
     // winner = max(quality) with ties to the lowest doc_id. (Window

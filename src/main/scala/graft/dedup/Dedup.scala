@@ -598,36 +598,67 @@ object Dedup {
       return nodes.toSeq.sorted.map(n => (n, find(n)))
         .toDF("doc_id", "group_id")
     }
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("grp", col("id")).cache()
-    // min-label propagation decreases labels monotonically, so it
-    // always converges within the component diameter; maxIters is a
-    // safety valve only — a silent cap would SPLIT components, so we
-    // fail loudly if it's ever hit
+    // Each round is rebased onto an RDD-backed leaf
+    // (`createDataFrame(rdd, schema)`): the naive `labels = f(labels)`
+    // loop embeds the previous round's LOGICAL PLAN twice per round
+    // (both join sides derive from `labels`), so the plan TREE doubles
+    // every iteration — a diameter-40 component OOMs the planner at
+    // ~2^40 nodes long before any data moves. RDD lineage dedupes by
+    // object identity (a DAG, not a tree), so flattening keeps
+    // planning O(1) per round while shuffle outputs still reuse.
+    val spark = pairs.sparkSession
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var curRdd = edges.select(col("a").as("id")).distinct()
+      .withColumn("grp", col("id")).rdd.persist(lvl)
+    var cur = spark.createDataFrame(curRdd, labelSchema)
+    // Convergence check rides the monotonicity: labels only ever
+    // DECREASE, so the exact decimal label sum is strictly smaller
+    // after any change — an unchanged sum IS convergence, with no
+    // extra next⋈previous comparison join per round.
+    val sumGrp = (df: DataFrame) =>
+      df.agg(sum(col("grp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var curSum = sumGrp(cur)
+    // maxIters is a safety valve only — a silent cap would SPLIT
+    // components, so we fail loudly if it's ever hit
     var converged = false
     var i = 0
     while (!converged) {
-      if (i >= maxIters) throw new IllegalStateException(
-        s"duplicateGroups did not converge in $maxIters iterations")
+      if (i >= maxIters) {
+        edges.unpersist(false); curRdd.unpersist(false) // no cache leak on abort
+        throw new IllegalStateException(
+          s"duplicateGroups did not converge in $maxIters iterations")
+      }
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "b")
+        .join(cur.withColumnRenamed("id", "b")
           .withColumnRenamed("grp", "ngrp"), "b")
         .groupBy(col("a").as("id"))
         .agg(min("ngrp").as("ngrp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val nextRdd = cur.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("grp"), coalesce(col("ngrp"), col("grp"))).as("grp"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.grp") =!= col("o.grp")).count() // materializes next
-      labels.unpersist(false) // previous round no longer referenced
-      labels = next
-      converged = changed == 0
+        .rdd.persist(lvl)
+      val next = spark.createDataFrame(nextRdd, labelSchema)
+      val nextSum = sumGrp(next) // materializes nextRdd
+      curRdd.unpersist(false) // previous round no longer referenced
+      cur = next; curRdd = nextRdd
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       i += 1
     }
     edges.unpersist(false)
-    labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
+    // release the loop's last persist too: the library leaves NO
+    // caches behind. A consumer replaying the lineage reuses the
+    // loop's still-materialized shuffle outputs (stage reuse), so the
+    // uncached handoff costs shuffle-file reads, not a re-run of the
+    // propagation.
+    val out = cur.select(col("id").as("doc_id"), col("grp").as("group_id"))
+    curRdd.unpersist(false)
+    out
   }
 
   /**

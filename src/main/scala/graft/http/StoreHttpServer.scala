@@ -120,11 +120,15 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
     // bound (request limits alone don't bound the total: max_values
     // is a per-series tail and max_variables caps series, so either
     // one alone still leaves the product unbounded); crossing it
-    // rejects with 413 instead of OOMing the driver. TakeOrdered
-    // keeps the probe driver-bounded: limit+1 rows, never the full
-    // match.
+    // rejects with 413 instead of OOMing the driver. A bare
+    // CollectLimit keeps the probe cheap: no global Sort — the scan
+    // short-circuits once limit+1 rows surface, so an over-cap
+    // request fails fast instead of paying a full top-K over every
+    // match. Per-stream time order (the actual wire contract,
+    // go/src/store.go:133-156 sorts within each stream) is restored
+    // driver-side below on the ≤cap in-memory rows.
     val (rows, retrieveMs) = timed {
-      val r = df.orderBy("ts").limit(maxResponseValues + 1).collect()
+      val r = df.limit(maxResponseValues + 1).collect()
       if (r.length > maxResponseValues)
         throw new StoreHttpServer.ResponseTooLarge(
           s"/get matched more than $maxResponseValues values; narrow the " +
@@ -158,10 +162,12 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
             opt[Int](r, "mut_idx").getOrElse(-1))
         }.toSeq.sortBy(_._1)
         .map { case (_, rs) =>
+          // time order within the stream (driver-side, ≤cap rows —
+          // replaces the former global orderBy("ts") in the plan)
           Rpc.Stream(variableOf(rs.head), rs.toSeq.map { r =>
             (r.getAs[Long]("ts"), opt[Double](r, "dval"),
               opt[String](r, "sval"), opt[Long](r, "end_ts"))
-          })
+          }.sortBy(_._1))
         }
     }
     // per-phase timers, the Go server's names (go/src/store.go:202-222)

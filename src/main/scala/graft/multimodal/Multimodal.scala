@@ -50,7 +50,11 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("n_frames", IntegerType, nullable = true),
-    StructField("feature", ArrayType(FloatType), nullable = true)))
+    StructField("feature", ArrayType(FloatType), nullable = true),
+    // which decoder produced the row — "stub" marks the deterministic
+    // fake (the compressed-codec seam); a real-codec swap is then an
+    // OBSERVABLE diff in the gate hash, not a silent change
+    StructField("decoder", StringType, nullable = false)))
 
   /**
    * STUB media decoder — a real implementation would wrap an image /
@@ -173,6 +177,11 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
+    /** [[decode]] plus the provenance tag (always a full JDK decode). */
+    def decodeTagged(bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Float], String)] =
+      decode(bytes).map { case (w, h, n, f) => (w, h, n, f, "imageio") }
+
     /** 64-bit average hash (aHash): bilinear resample to 8×8, mean
       * ITU-601 luminance threshold, one bit per pixel (row-major,
       * bit i = pixel i ≥ mean). The classic perceptual signature —
@@ -278,11 +287,21 @@ object Multimodal {
       * [[StubDecoder]] remains the swap point for true codec pixel
       * decode. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
-      gifDecode(bytes)
-        .orElse(AviDecoder.decode(bytes))
-        .orElse(Mp4Meta.parse(bytes).orElse(WebmMeta.parse(bytes))
-          .map { case (w, h, n) =>
-            (w, h, n, AudioDecoder.spanFeature(bytes)) })
+      decodeTagged(bytes).map { case (w, h, n, f, _) => (w, h, n, f) }
+
+    /** [[decode]] plus the provenance tag recording which container
+      * path produced the row: `"gif"`/`"mjpeg"` are full pixel
+      * decodes; `"avi-hdr"`/`"mp4-hdr"`/`"webm-hdr"` are real header
+      * walks whose FEATURES are payload span summaries (pixels still
+      * need a codec). */
+    def decodeTagged(bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Float], String)] =
+      gifDecode(bytes).map { case (w, h, n, f) => (w, h, n, f, "gif") }
+        .orElse(AviDecoder.decodeTagged(bytes))
+        .orElse(Mp4Meta.parse(bytes).map { case (w, h, n) =>
+          (w, h, n, AudioDecoder.spanFeature(bytes), "mp4-hdr") })
+        .orElse(WebmMeta.parse(bytes).map { case (w, h, n) =>
+          (w, h, n, AudioDecoder.spanFeature(bytes), "webm-hdr") })
 
     private def gifDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
       withGifReader(bytes) { r =>
@@ -595,6 +614,13 @@ object Multimodal {
       * feature = mean 2×2 grid over ≤ [[VideoDecoder.MaxSampledFrames]]
       * evenly spaced REAL-decoded frames — the GIF contract. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      decodeTagged(bytes).map { case (w, h, n, f, _) => (w, h, n, f) }
+
+    /** [[decode]] plus the provenance tag: `"mjpeg"` when frames
+      * really decoded, `"avi-hdr"` when only the container header
+      * parsed (payload codec needs a real decoder). */
+    def decodeTagged(bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Float], String)] =
       scan(bytes).flatMap { case (aw, ah, fr) =>
         if (fr.isEmpty) None
         else {
@@ -610,7 +636,7 @@ object Multimodal {
             // CompressedAudio posture — metadata real, pixels need a
             // codec)
             if (aw > 0 && ah > 0)
-              Some((aw, ah, n, AudioDecoder.spanFeature(bytes)))
+              Some((aw, ah, n, AudioDecoder.spanFeature(bytes), "avi-hdr"))
             else None
           } else {
             val acc = new Array[Float](StubDecoder.FeatureDim)
@@ -621,7 +647,7 @@ object Multimodal {
             }
             var k = 0
             while (k < acc.length) { acc(k) /= imgs.size; k += 1 }
-            Some((imgs.head.getWidth, imgs.head.getHeight, n, acc))
+            Some((imgs.head.getWidth, imgs.head.getHeight, n, acc, "mjpeg"))
           }
         }
       }
@@ -668,11 +694,20 @@ object Multimodal {
       * header walks (REAL sample counts for MP3/OGG, span feature
       * from the compressed payload), then None → stub. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
-      pcmDecode(bytes).orElse(
-        CompressedAudio.mp3Samples(bytes)
-          .orElse(CompressedAudio.oggSamples(bytes))
+      decodeTagged(bytes).map { case (w, h, n, f, _) => (w, h, n, f) }
+
+    /** [[decode]] plus the provenance tag: `"pcm"` is a full JDK
+      * sample decode; `"mp3-hdr"`/`"ogg-hdr"` carry real sample
+      * counts but span-summary features over the compressed payload. */
+    def decodeTagged(bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Float], String)] =
+      pcmDecode(bytes).map { case (w, h, n, f) => (w, h, n, f, "pcm") }
+        .orElse(CompressedAudio.mp3Samples(bytes)
           .filter(s => s > 0 && s <= Int.MaxValue)
-          .map(s => (0, 0, s.toInt, spanFeature(bytes))))
+          .map(s => (0, 0, s.toInt, spanFeature(bytes), "mp3-hdr")))
+        .orElse(CompressedAudio.oggSamples(bytes)
+          .filter(s => s > 0 && s <= Int.MaxValue)
+          .map(s => (0, 0, s.toInt, spanFeature(bytes), "ogg-hdr")))
 
     private def pcmDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
       if (bytes == null || bytes.length == 0) return None
@@ -856,18 +891,22 @@ object Multimodal {
           val h60 = java.lang.Long.parseLong(sha.substring(0, 15), 16)
           // images/audio/GIF-video: real JDK decode when the bytes
           // parse; stub fallback keeps undecodable fixtures (and true
-          // video codecs, absent from this container) deterministic
-          val (w, h, f, feat) =
+          // video codecs, absent from this container) deterministic —
+          // the `decoder` tag records which path each row rode
+          val (w, h, f, feat, dec) =
             (mod match {
-              case "image" => ImageDecoder.decode(bytes)
-              case "audio" => AudioDecoder.decode(bytes)
-              case "video" => VideoDecoder.decode(bytes)
+              case "image" => ImageDecoder.decodeTagged(bytes)
+              case "audio" => AudioDecoder.decodeTagged(bytes)
+              case "video" => VideoDecoder.decodeTagged(bytes)
               case _ => None
-            }).getOrElse(StubDecoder.decode(mod, h60))
+            }).getOrElse {
+              val (w0, h0, f0, ft) = StubDecoder.decode(mod, h60)
+              (w0, h0, f0, ft, "stub")
+            }
           Row(id, mod, bytes.length.toLong, sha,
             if (mod == "image" || mod == "video") w else null,
             if (mod == "image" || mod == "video") h else null,
-            f, feat)
+            f, feat, dec)
         }
       }(enc)
       .toDF()
@@ -1027,5 +1066,6 @@ object Multimodal {
     features.filter(col("modality") === "video")
       .select(col("item_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
-          .as("frame_idx"))
+          .as("frame_idx"),
+        col("decoder")) // provenance rides every sampled frame row
 }

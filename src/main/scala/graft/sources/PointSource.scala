@@ -333,18 +333,26 @@ object PointSource {
    * date is rewritten in place with only its sval rows. Cold append
    * uses dynamic partition overwrite on the moved dates: re-running
    * after a crash between the cold write and the hot delete is
-   * idempotent, never duplicating blocks.
+   * idempotent, never duplicating blocks — and a moved date that
+   * already holds cold blocks (crash residue OR a late write to an
+   * aged date) is re-encoded from the union of both tiers, so the
+   * overwrite never discards previously aged points.
    */
   /**
    * Hybrid tier read: one canonical point frame spanning the hot
    * Parquet store and the Gorilla cold tier — queries cross the aging
    * boundary transparently. Crash-consistent with [[ageIntoGorilla]]'s
-   * write-cold-then-delete-hot order: for any date the COLD tier holds,
-   * its numeric rows are complete there (dynamic partition overwrite),
-   * so hot numerics for those dates are EXCLUDED — a crash between the
-   * cold write and the hot delete can never double-count a point.
-   * String-valued rows always come from hot (not representable in
-   * value blocks). The cold date list is O(#days) driver rows.
+   * write-cold-then-delete-hot order, WITHOUT hiding late writes: hot
+   * numerics on a date the cold tier also holds are reconciled via an
+   * exact (skey, ts) anti-join against that date's decoded cold points
+   * — crash residue (rows the aging job already copied cold) drops,
+   * while a late `/add` to an already-aged date (a point cold does NOT
+   * have) stays visible. A hot revision at an (skey, ts) the cold tier
+   * holds is suppressed — cold wins, matching [[ageIntoGorilla]]'s
+   * merge preference. String-valued rows always come from hot (not
+   * representable in value blocks). The cold/overlap date lists are
+   * O(#days) driver rows, and the anti-join decodes ONLY the
+   * overlapping dates' blocks (normally zero).
    */
   def readTiered(spark: SparkSession, hotPath: String,
                  coldPath: String): DataFrame = {
@@ -352,14 +360,38 @@ object PointSource {
       new java.net.URI(coldPath), spark.sparkContext.hadoopConfiguration)
     val hasCold = fs.exists(new org.apache.hadoop.fs.Path(coldPath))
     if (!hasCold) return read(spark, hotPath)
-    val coldDates = spark.read.parquet(coldPath)
+    val coldBlocks = spark.read.parquet(coldPath)
+    val coldDates = coldBlocks
       .select(col("date").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val hot = spark.read.parquet(hotPath)
+    val hot0 = spark.read.parquet(hotPath)
+    val safeHot = hot0
       .filter(col("dval").isNull ||
         !col("date").cast("string").isin(coldDates: _*))
       .select(Point.columns.map(col): _*)
-    hot.unionByName(readGorillaPoints(spark, coldPath))
+    // hot numerics landing on cold-held dates: crash residue or late
+    // writes — decide per point, not per date
+    val overlapDates = hot0
+      .filter(col("dval").isNotNull &&
+        col("date").cast("string").isin(coldDates: _*))
+      .select(col("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val hotAll =
+      if (overlapDates.isEmpty) safeHot
+      else {
+        val overlapping = Point.withSeriesKey(
+          hot0.filter(col("dval").isNotNull &&
+            col("date").cast("string").isin(overlapDates: _*)))
+        val coldPts = graft.codec.Gorilla.decode(
+          coldBlocks.filter(col("date").cast("string")
+            .isin(overlapDates: _*)))
+        safeHot.unionByName(
+          overlapping
+            .join(coldPts.select("skey", "ts"), Seq("skey", "ts"),
+              "left_anti")
+            .select(Point.columns.map(col): _*))
+      }
+    hotAll.unionByName(readGorillaPoints(spark, coldPath))
   }
 
   def ageIntoGorilla(spark: SparkSession, hotPath: String, coldPath: String,
@@ -396,8 +428,38 @@ object PointSource {
     val dates = numericDoomed.select(col("date").cast("string")).distinct()
       .collect().map(_.getString(0)).sorted.toSeq // O(#days) driver rows
     if (dates.isEmpty) return Nil
-    val numeric = graft.model.Point.withSeriesKey(numericDoomed)
+    val numericHot = graft.model.Point.withSeriesKey(numericDoomed)
       .select(col("skey"), col("ts"), col("dval"))
+    // A selected date may ALREADY hold cold blocks — either crash
+    // residue (the previous run copied cold but died before the hot
+    // delete) or a late `/add` that landed hot on an aged date. The
+    // dynamic partition overwrite below rewrites those dates wholesale,
+    // so the re-encode must carry the existing cold points too: union
+    // the overlap dates' decoded cold points with the hot rows,
+    // deduping on (skey, ts) with cold preferred (matches
+    // [[readTiered]]'s anti-join). Crash replay is a no-op merge (hot
+    // rows ⊆ cold); a late write adds its fresh points to the block.
+    val fsCold = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(coldPath), spark.sparkContext.hadoopConfiguration)
+    val overlapDates =
+      if (!fsCold.exists(new org.apache.hadoop.fs.Path(coldPath))) Nil
+      else {
+        val coldDates = spark.read.parquet(coldPath)
+          .select(col("date").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+        dates.filter(coldDates)
+      }
+    val numeric =
+      if (overlapDates.isEmpty) numericHot
+      else {
+        val coldPts = graft.codec.Gorilla.decode(
+          spark.read.parquet(coldPath)
+            .filter(col("date").cast("string").isin(overlapDates: _*)))
+        numericHot
+          .join(coldPts.select("skey", "ts"), Seq("skey", "ts"),
+            "left_anti")
+          .unionByName(coldPts)
+      }
     // per-date idempotent append: overwrite ONLY the moved dates
     graft.codec.Gorilla.encode(numeric, blockMs)
       .withColumn("date", to_date(timestamp_millis(col("block_ts"))))

@@ -115,6 +115,25 @@ object ProtoRecordV2 {
   }
 }
 
+/**
+ * Java-serializable Hadoop Configuration carrier: the session conf
+ * (including `spark.hadoop.*` overrides — object-store credentials,
+ * endpoints) must reach executor-side readers/writers; a bare
+ * `new Configuration()` on the executor silently drops all of it.
+ */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 final class ProtoRecordTable(properties: Map[String, String])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -171,6 +190,12 @@ final class ProtoRecordScanBuilder(options: CaseInsensitiveStringMap)
     val splitBytes = Option(options.get("splitBytes")).map(_.toLong)
       .getOrElse(spark.sessionState.conf.filesMaxPartitionBytes)
     require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
+    // the reader buffers one split as a byte array — a split must
+    // stay JVM-array addressable (2 GB), with headroom for the one
+    // straddling record the buffer may grow by
+    require(splitBytes <= Int.MaxValue - (64 << 20),
+      s"splitBytes must stay below ${Int.MaxValue - (64 << 20)} " +
+        s"(splits buffer in one array), got $splitBytes")
     new ProtoRecordScan(ProtoRecordV2.listFiles(spark, path), splitBytes,
       required, pushed)
   }
@@ -207,14 +232,19 @@ final class ProtoRecordScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoRecordReaderFactory(required, pushed)
+    new ProtoRecordReaderFactory(required, pushed,
+      new SerializableHadoopConf( // driver-side capture of session conf
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
-final class ProtoRecordReaderFactory(required: StructType, pushed: Array[Filter])
+final class ProtoRecordReaderFactory(required: StructType,
+                                     pushed: Array[Filter],
+                                     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new ProtoRecordPartitionReader(
-      partition.asInstanceOf[ProtoRecordInputPartition], required, pushed)
+      partition.asInstanceOf[ProtoRecordInputPartition], required, pushed,
+      conf.value)
 }
 
 // ------------------------------------------------------------------ write
@@ -231,13 +261,17 @@ final class ProtoRecordWriteBuilder(path: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write._
   override def build(): Write = new Write {
+    // driver-side capture at plan time; commit/abort also run on the
+    // driver and reuse it, tasks get the serialized copy
+    private val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory =
-        new ProtoRecordWriterFactory(path)
+        new ProtoRecordWriterFactory(path, conf)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val p = new HPath(path)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(conf.value)
         messages.foreach {
           case ProtoRecordCommit(tmp, fin) =>
             if (!fs.rename(new HPath(tmp), new HPath(fin)))
@@ -247,7 +281,7 @@ final class ProtoRecordWriteBuilder(path: String)
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = {
         val p = new HPath(path)
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(conf.value)
         messages.foreach {
           case ProtoRecordCommit(tmp, _) =>
             fs.delete(new HPath(tmp), false)
@@ -261,20 +295,22 @@ final class ProtoRecordWriteBuilder(path: String)
 final case class ProtoRecordCommit(tmpFile: String, finalFile: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-final class ProtoRecordWriterFactory(path: String)
+final class ProtoRecordWriterFactory(path: String, conf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ProtoRecordDataWriter(path, partitionId, taskId)
+    new ProtoRecordDataWriter(path, partitionId, taskId,
+      hadoopConf = conf.value)
 }
 
 final class ProtoRecordDataWriter(dir: String, partitionId: Int, taskId: Long,
-                                  flushValues: Int = 1024)
+                                  flushValues: Int = 1024,
+                                  hadoopConf: Configuration = new Configuration())
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val tmpName = f".datastore.$partitionId%05d-$taskId.rec.tmp"
   private val finalName = f"datastore.$partitionId%05d-$taskId.rec"
-  private val fs = new HPath(dir).getFileSystem(new Configuration())
+  private val fs = new HPath(dir).getFileSystem(hadoopConf)
   private val out = {
     fs.mkdirs(new HPath(dir))
     fs.create(new HPath(dir, tmpName), true)
@@ -342,16 +378,18 @@ final class ProtoRecordDataWriter(dir: String, partitionId: Int, taskId: Long,
  * read window past `end` only for the one straddling record.
  */
 final class ProtoRecordPartitionReader(
-    part: ProtoRecordInputPartition, required: StructType, pushed: Array[Filter])
+    part: ProtoRecordInputPartition, required: StructType,
+    pushed: Array[Filter], hadoopConf: Configuration)
     extends PartitionReader[InternalRow] {
 
   import ProtoRecordFile.{Magic, crc16}
 
-  // Executor-side file access: default Hadoop conf resolves file:// and
-  // cluster-default HDFS; the source carries no driver-only state.
+  // Executor-side file access through the SESSION Hadoop conf shipped
+  // by the factory — spark.hadoop.* settings (object-store creds,
+  // endpoints) apply on executors exactly as on the driver.
   private val in: FSDataInputStream = {
     val p = new HPath(part.file)
-    p.getFileSystem(new Configuration()).open(p)
+    p.getFileSystem(hadoopConf).open(p)
   }
 
   // Window of file bytes held in memory: [bufStart, bufStart+buf.length).

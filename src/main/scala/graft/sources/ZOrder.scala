@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
  * stats on the RAW columns tight (a hash would scatter value ranges):
  *  - numeric dimensions: `width_bucket` over the global [min, max]
  *    (one aggregate pass);
- *  - string dimensions: rank against collected sorted distinct values
- *    (bounded-cardinality dims like variable names / event types; a
- *    sampled-boundaries variant is the path for unbounded string dims).
+ *  - string dimensions: rank against sorted boundary values — exact
+ *    distinct for bounded-cardinality dims (variable names / event
+ *    types), a deterministic hash-thinned sample above 64k distinct
+ *    (entity ids), so driver state stays bounded at any cardinality.
  *
  * Scale shape: one stats pass, one range shuffle on the z-value
  * (`repartitionByRange` gives contiguous z-ranges per file), in-file
@@ -36,24 +37,46 @@ object ZOrder {
 
   private val Bits = 8 // 256 buckets per dimension
 
+  /** Max distinct string values materialized on the driver for
+    * boundary derivation; above this the hash-thinned sample kicks
+    * in. ~64k strings ≈ a few MB of driver heap, cardinality-proof. */
+  private val SampleTarget = 65536L
+
   /** Order-preserving bucket id in [0, 255] for one dimension. */
   private def bucketCol(df: DataFrame, dim: String): Column = {
     val dt = df.schema(dim).dataType
     dt match {
       case _: org.apache.spark.sql.types.StringType =>
-        val distinct = df.select(dim).na.drop().distinct()
-        val nDistinct = distinct.count()
-        require(nDistinct <= 100000,
-          s"string z-order dim '$dim' has $nDistinct distinct values; " +
-            "use a sampled-boundary variant for unbounded dims")
-        val sorted = distinct.orderBy(dim).collect().map(_.getString(0))
+        // Boundary derivation is cardinality-bounded on the DRIVER
+        // whatever the dim's cardinality is: below SampleTarget
+        // distinct values the exact sorted-distinct path runs (tight
+        // boundaries); above it, a DETERMINISTIC hash-thinned sample
+        // of distinct values (keep where xxhash64 % rate == 0 — no
+        // RNG, stable across runs/retries) collects ~SampleTarget
+        // values and the 255 boundaries come from that sorted sample.
+        // An entity-id dim with 10^9 distinct values therefore costs
+        // one distinct pass + a ~64k-row collect, never a full-distinct
+        // driver materialization.
+        val vals = df.select(dim).na.drop()
+        val nApprox = vals.agg(approx_count_distinct(dim).as("n"))
+          .head().getLong(0)
+        val sorted: Array[String] =
+          if (nApprox <= SampleTarget)
+            vals.distinct().orderBy(dim).collect().map(_.getString(0))
+          else {
+            val rate = math.max(2L, nApprox / SampleTarget)
+            vals.filter(pmod(xxhash64(col(dim)), lit(rate)) === 0)
+              .distinct().orderBy(dim).collect().map(_.getString(0))
+          }
         val step = math.max(1, math.ceil(sorted.length / 256.0).toInt)
         val boundaries = sorted.grouped(step).map(_.head).drop(1).toSeq
         // rank = number of boundaries <= value (O(B) fold over an
         // array literal; order-preserving by construction), scaled
         // across the full 0..255 range — a rank packed into the low
         // bits would never reach the high interleave positions and the
-        // dimension would stop steering the z-curve.
+        // dimension would stop steering the z-curve. Null values fold
+        // to rank 0 (the when() otherwise-arm), mirroring the numeric
+        // branch's null bucket.
         if (boundaries.isEmpty) lit(0)
         else {
           val rank = aggregate(
@@ -65,11 +88,15 @@ object ZOrder {
       case _ =>
         val r = df.agg(min(col(dim).cast("double")).as("lo"),
           max(col(dim).cast("double")).as("hi")).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"z-order dim '$dim' has no non-null values to derive " +
+            "bucket boundaries from")
         val (lo, hi) = (r.getDouble(0), r.getDouble(1))
         if (lo == hi) lit(0)
-        else least(lit(255), greatest(lit(0),
-          floor((col(dim).cast("double") - lit(lo)) / lit(hi - lo) * 256)
-            .cast("int")))
+        else when(col(dim).isNull, lit(0)) // null buckets to 0, like strings
+          .otherwise(least(lit(255), greatest(lit(0),
+            floor((col(dim).cast("double") - lit(lo)) / lit(hi - lo) * 256)
+              .cast("int"))))
     }
   }
 

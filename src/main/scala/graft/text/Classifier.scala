@@ -148,6 +148,36 @@ object Classifier {
     score(docs, train(docs, labelExpr, iters, lr))
 
   /**
+   * Live curation scoring — the `follow=` analog for the classifier
+   * stage, closing the batch/stream symmetry the alert engine has
+   * ([[graft.streaming.StreamIngest.alertRulesFollow]]): watches
+   * `sourceDir` for document-parquet drops (`doc_id`, `text`) and
+   * scores each arriving document with the FROZEN model. Because
+   * [[score]] embeds the weights as plan literals, the streaming plan
+   * is the same zero-shuffle stateless projection as batch — no
+   * watermark, no state store, exactly-once per file via the source's
+   * file log — so streamed scores are bit-identical to batch scores
+   * of the same rows. `minScore` turns the stream into the curation
+   * gate itself (`--classifier-min` semantics: keep docs scoring at
+   * or above the threshold). Model REFRESH is a stream restart with
+   * new weights against the same checkpoint: the file-source log
+   * guarantees already-scored drops are not re-emitted, so each doc
+   * is scored by exactly the model live at its arrival.
+   */
+  def scoreFollow(spark: org.apache.spark.sql.SparkSession,
+                  sourceDir: String, m: Model,
+                  minScore: Option[Double] = None): DataFrame = {
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val docs = spark.readStream.schema(docSchema).parquet(sourceDir)
+    val scored = score(docs, m)
+    minScore.fold(scored)(t => scored.filter(col("score") >= t))
+  }
+
+  /**
    * ROC-AUC over a frame carrying (score, y) — the filter-model
    * evaluation half of classifier-based curation. The label rides the
    * scoring projection itself (compute `y` inline rather than joining
@@ -167,8 +197,11 @@ object Classifier {
       .groupBy("score").agg(
         sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+    // asc_nulls_last: Spark defaults NULLS FIRST ascending, DuckDB
+    // defaults NULLS LAST — a single null score (null text) would
+    // shift every exclusive negative-prefix count between the engines
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy("score").rowsBetween(Long.MinValue, -1)
+      .orderBy(col("score").asc_nulls_last).rowsBetween(Long.MinValue, -1)
     val c = g.withColumn("cb", coalesce(sum("nn").over(w), lit(0L)))
     c.agg(
         sum(col("np").cast("decimal(18,0)") *
@@ -195,7 +228,7 @@ object Classifier {
        |),
        |c as (
        |  select score, np, nn,
-       |         coalesce(sum(nn) over (order by score
+       |         coalesce(sum(nn) over (order by score asc nulls last
        |           rows between unbounded preceding and 1 preceding), 0) as cb
        |  from g
        |),

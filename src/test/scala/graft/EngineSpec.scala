@@ -209,6 +209,7 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getInt(4) == 40 && row.getInt(5) == 25) // REAL dimensions
     assert(row.getInt(6) == 1)
     assert(row.getSeq[Float](7).length == Multimodal.StubDecoder.FeatureDim)
+    assert(row.getString(8) == "imageio") // provenance: real decode
     // undecodable image bytes still fall back to the deterministic stub
     val fake = Seq((8L, "image", "not a png".getBytes("UTF-8"), "image/png"))
       .toDF("item_id", "modality", "content", "mime")
@@ -216,6 +217,7 @@ class MultimodalSpec extends SparkSpec {
         map().cast("map<string,string>").as("meta"))
     val frow = Multimodal.extractFeatures(fake).head()
     assert(!frow.isNullAt(4) && frow.getInt(4) >= 16) // stub-derived
+    assert(frow.getString(8) == "stub") // provenance: fake decode
   }
 
   test("extractFeatures: real javax.sound decode for WAV audio bytes") {
@@ -244,6 +246,7 @@ class MultimodalSpec extends SparkSpec {
     val feat = row.getSeq[Float](7)
     assert(feat.length == Multimodal.StubDecoder.FeatureDim)
     assert(feat.forall(f => f >= -1f && f <= 1f) && feat.exists(_ != 0f))
+    assert(row.getString(8) == "pcm") // provenance: real sample decode
     // undecodable audio bytes still fall back to the deterministic stub
     val fake = Seq((10L, "audio", "not a wav".getBytes("UTF-8"), "audio/wav"))
       .toDF("item_id", "modality", "content", "mime")
@@ -251,6 +254,7 @@ class MultimodalSpec extends SparkSpec {
         map().cast("map<string,string>").as("meta"))
     val frow = Multimodal.extractFeatures(fake).head()
     assert(frow.getInt(6) >= 1) // stub-derived frame count
+    assert(frow.getString(8) == "stub") // provenance: fake decode
   }
 
   test("sampleFrames strides over video frames only") {

@@ -293,6 +293,34 @@ class HttpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("/get probe plans without a global Sort; streams still time-ordered") {
+    val store = java.nio.file.Files.createTempDirectory("graft_http8").toString + "/s"
+    val srv = new StoreHttpServer(spark, store, nowMs = () => 100000L).start()
+    try {
+      // points added OUT of time order — the wire response must sort
+      // them per stream even though the server no longer orderBy("ts")s
+      post(srv.boundPort, "/add", Rpc.encodeAddRequest(Seq(Rpc.Stream(
+        Variable("/http/ord", Map("host" -> "a"), Variable.Gauge),
+        Seq((3000L, Some(3.0), None, None), (1000L, Some(1.0), None, None),
+          (2000L, Some(2.0), None, None))))))
+      // the server's probe shape: Engine.get(...).limit(cap+1) — must
+      // plan as CollectLimit with no Sort anywhere (an over-cap
+      // request then fails fast instead of paying a global top-K)
+      val df = graft.api.Engine.get(
+        graft.sources.PointSource.read(spark, store),
+        Requests.GetRequest("/http/ord"))
+      val plan = df.limit(11).queryExecution.executedPlan.toString
+      assert(plan.contains("CollectLimit"), plan.take(1500))
+      assert(!plan.contains("Sort"),
+        s"over-cap probe must not plan a Sort:\n${plan.take(1500)}")
+      val (gok, gerr, gs) = Rpc.decodeGetResponse(post(srv.boundPort, "/get",
+        Rpc.encodeGetRequest(Requests.GetRequest("/http/ord"))))
+      assert(gok, gerr.toString)
+      assert(gs.head.values.map(_._1) == Seq(1000L, 2000L, 3000L),
+        "per-stream values must be time-ordered on the wire")
+    } finally srv.stop()
+  }
+
   test("malformed request returns a decodable error response, not a hang") {
     val store = java.nio.file.Files.createTempDirectory("graft_http2").toString + "/s"
     val srv = new StoreHttpServer(spark, store).start()

@@ -1136,6 +1136,40 @@ class PipelineSpec extends SparkSpec {
     assert(dist == expected)
   }
 
+  test("duplicateGroups distributed path: long chain + cycle converge and " +
+       "match the driver union-find bit-for-bit") {
+    import spark.implicits._
+    // a 40-node chain (diameter 39 — the min label must propagate
+    // through MANY rounds, exercising the convergence loop, not just
+    // one hop), a 6-node cycle (each node has two paths to the min —
+    // the propagation must not livelock or split it), and a far-id
+    // pair; ids deliberately descending so min-label flows against
+    // edge direction too
+    val chain = (0 until 39).map(i => (100L + i, 101L + i, 0.9))
+    val cycle = (0 until 6).map(i => (500L + i, 500L + (i + 1) % 6, 0.9))
+    val extra = Seq((9000L, 8000L, 0.9))
+    val pairs = (chain ++ cycle ++ extra).toDF("id_a", "id_b", "jaccard")
+    val viaDriver = Dedup.duplicateGroups(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaDist = Dedup.duplicateGroups(pairs, driverLimit = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaDist == viaDriver,
+      "distributed min-label propagation must equal driver union-find")
+    // spot-check semantics, not just agreement
+    val m = viaDist.toMap
+    assert((100L to 139L).forall(m(_) == 100L), "chain collapses to min id")
+    assert((500L to 505L).forall(m(_) == 500L), "cycle collapses to min id")
+    assert(m(8000L) == 8000L && m(9000L) == 8000L)
+    // convergence safety valve still trips loudly when too low
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateGroups(pairs, maxIters = 2, driverLimit = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the loop must leave no cached frames behind (unpersist hygiene)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.size}")
+  }
+
   test("ivf knn: high recall vs brute force on clustered data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

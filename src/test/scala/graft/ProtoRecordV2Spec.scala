@@ -138,7 +138,7 @@ class ProtoRecordV2Spec extends SparkSpec {
         val part = ProtoRecordInputPartition(
           file, s, math.min(s + splitBytes, len), len)
         val r = new ProtoRecordPartitionReader(part, graft.model.Point.schema,
-          Array.empty)
+          Array.empty, spark.sessionState.newHadoopConf())
         val out = scala.collection.mutable.ArrayBuffer[String]()
         try while (r.next()) {
           val row = r.get()

@@ -930,4 +930,63 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("scoreFollow: live curation stream, 3 micro-batches, mid-stream " +
+       "model freeze via checkpoint restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_follow").toString
+    val src = s"$base/drops"; val out = s"$base/scored"; val ckpt = s"$base/ckpt"
+    val en = Seq(
+      0L -> "the house is on the hill with a quiet mouse",
+      2L -> "another sentence with the usual things in it",
+      4L -> "where the water meets the shore there it is")
+    val xx = Seq(
+      1L -> "zzgrk bbfff qqqpx",
+      3L -> "kkjjhh zzxxcc vvbbnn mmllpp",
+      5L -> "tt rr ss qq pp oo")
+    def drop(ids: Seq[(Long, String)]): Unit =
+      ids.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def docsDf(ids: Seq[(Long, String)]) = ids.toDF("doc_id", "text")
+    // model A: trained on the first two drops' worth of docs, frozen
+    val trainDocs = docsDf(en.take(2) ++ xx.take(2))
+    val modelA = graft.text.Classifier.train(trainDocs,
+      when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0))
+    val gate = 0.5
+    def start(m: graft.text.Classifier.Model) =
+      graft.text.Classifier.scoreFollow(spark, src, m,
+          minScore = Some(gate))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    // micro-batch 1 and 2 under the frozen model A
+    drop(Seq(en(0), xx(0)))
+    val q1 = start(modelA)
+    q1.processAllAvailable()
+    drop(Seq(en(1), xx(1)))
+    q1.processAllAvailable()
+    q1.stop()
+    // mid-stream freeze of a refreshed model (trained on everything
+    // seen so far), restart against the SAME checkpoint: the file-log
+    // guarantees drops 1-2 are not re-scored
+    val modelB = graft.text.Classifier.train(
+      docsDf(en.take(2) ++ xx.take(2)),
+      when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0), iters = 12)
+    val q2 = start(modelB)
+    drop(Seq(en(2), xx(2)))
+    q2.processAllAvailable()
+    q2.stop()
+    // parity: each doc carries the score of the model live at arrival
+    val expectA = graft.text.Classifier
+      .score(docsDf(en.take(2) ++ xx.take(2)), modelA)
+      .filter(col("score") >= gate).collect().map(_.toString).sorted.toSeq
+    val expectB = graft.text.Classifier
+      .score(docsDf(Seq(en(2), xx(2))), modelB)
+      .filter(col("score") >= gate).collect().map(_.toString).sorted.toSeq
+    val got = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(got == (expectA ++ expectB).sorted,
+      s"streamed curation gate must equal piecewise batch scores:\n" +
+        s"got $got\nexp ${(expectA ++ expectB).sorted}")
+    // and the gate actually gated: some doc fell below the threshold
+    assert(got.size < 6, "the classifier-min gate should drop low scores")
+  }
 }

@@ -133,6 +133,41 @@ class StoreSpec extends SparkSpec {
       "a date present in both tiers must not double-count")
   }
 
+  test("late write to an aged date: visible via readTiered, merged (not " +
+       "clobbered) by the next ageIntoGorilla run") {
+    val hot = tmpDir(); val cold = tmpDir() + "/cold"
+    val day = 86400000L
+    PointSource.write(
+      series(Seq(0L -> 1.0, 1000L -> 2.0, day -> 3.0, 2 * day -> 4.0)), hot)
+    val now = 2 * day + 1000L
+    // age days 0 and 1 cold
+    assert(PointSource.ageIntoGorilla(spark, hot, cold,
+      olderThanMs = 1000L, nowMs = now) == Seq("1970-01-01", "1970-01-02"))
+    // a late write lands HOT on already-aged day 0 (the /add path:
+    // appended file in the date partition)
+    series(Seq(5000L -> 9.0))
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .write.partitionBy("date").mode("append").parquet(hot)
+    // the hybrid read must surface it immediately (not silently hide it
+    // behind the cold tier's date ownership)
+    assert(collectTsVal(PointSource.readTiered(spark, hot, cold)
+        .filter(col("dval").isNotNull)) ==
+      Seq(0L -> 1.0, 1000L -> 2.0, 5000L -> 9.0, day -> 3.0, 2 * day -> 4.0),
+      "late hot write on a cold date must be visible in readTiered")
+    // the next aging run re-selects day 0 (it has hot numerics again);
+    // the dynamic partition overwrite must MERGE the existing cold
+    // blocks, not replace them with the single late point
+    assert(PointSource.ageIntoGorilla(spark, hot, cold,
+      olderThanMs = 1000L, nowMs = now) == Seq("1970-01-01"))
+    assert(collectTsVal(PointSource.readGorilla(spark, cold)) ==
+      Seq(0L -> 1.0, 1000L -> 2.0, 5000L -> 9.0, day -> 3.0),
+      "re-aging a late-write date must keep previously aged points")
+    // hot no longer holds day 0; the tiered view is unchanged
+    assert(collectTsVal(PointSource.readTiered(spark, hot, cold)
+        .filter(col("dval").isNotNull)) ==
+      Seq(0L -> 1.0, 1000L -> 2.0, 5000L -> 9.0, day -> 3.0, 2 * day -> 4.0))
+  }
+
   test("retentionSweep: old rows physically drop/downsample, young days untouched") {
     import spark.implicits._
     import graft.retention.Retention
