@@ -43,6 +43,14 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/data/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 STRIDE = 100_000_000  # far above any sf0.1 key
+# Bounded row groups keep the files SPLITTABLE: pyarrow's default 1M-row
+# groups make most of these tables one row group = one Spark input split,
+# which serializes every scan-side stage onto one task — nothing like the
+# many-file layout a real cluster reads. Scale the group size with the
+# table so even the small-row-count, heavy-per-row tables (documents,
+# embeddings) split across tasks: nrows/32 clamped to [4k, 128k] rows.
+def row_group_for(nrows: int) -> int:
+    return max(4096, min(131072, nrows // 32))
 
 KEY_COLS = {
     "customer": ["c_custkey"],
@@ -78,7 +86,8 @@ def scale_table(name: str) -> None:
     t = pq.read_table(src)
     t = t.replace_schema_metadata(None)
     if name in ("region", "nation"):
-        pq.write_table(t, f"{DST}/{name}.parquet")
+        pq.write_table(t, f"{DST}/{name}.parquet",
+                       row_group_size=row_group_for(t.num_rows))
         print(f"{name}: copied {t.num_rows} rows")
         return
     chunks = []
@@ -109,7 +118,8 @@ def scale_table(name: str) -> None:
                 chunk.schema.get_field_index("n_chars"), "n_chars", nc)
         chunks.append(chunk)
     out = pa.concat_tables(chunks)
-    pq.write_table(out, f"{DST}/{name}.parquet")
+    pq.write_table(out, f"{DST}/{name}.parquet",
+                   row_group_size=row_group_for(out.num_rows))
     print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
 
 

@@ -773,10 +773,12 @@ object PipelineEntry {
       Dedup.cutContaminatedSpans(Tables.documents(s, dir),
         col("source") === "src1", l = 8)),
     // Embedding near-dup cluster collapse: connected components over
-    // the LSH-blocked cosine pairs (never all-pairs), min-id labels.
+    // the LSH-blocked cosine pairs (never all-pairs, planes sized from
+    // the corpus so bucket load — and with it candidate volume per row
+    // — stays constant at any scale), min-id labels.
     "e_dup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
-          Ann.lshPairs(Tables.embeddings(s, dir), threshold = 0.4)
+          Ann.lshPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)
             .select(col("id_a"), col("id_b")))
         .select(col("doc_id").as("vec_id"), col("group_id"))),
     // Deterministic content-hash split: md5(text) bucket -> train/val/
@@ -944,15 +946,20 @@ object PipelineEntry {
     // verification-scale only; the 100 TB dedup path is e_lsh_pairs).
     "e_cos_pairs" -> ((s, dir) =>
       Ann.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4)),
-    // LSH-blocked near-dup pairs: the planes are seed-deterministic, so
-    // the oracle embeds the same coefficients → fully hash-checkable.
+    // LSH-blocked near-dup pairs: planes sized from count(*) (the
+    // sf0.1→sf1 audit measured pinned planes going 39× for 10× data —
+    // bucket load grows linearly, per-bucket self-join quadratically);
+    // coefficients slice a fixed master draw and the sizing rule is an
+    // integer threshold scan, so the oracle inlines the superset and
+    // masks by the same count-derived plane count → hash-checkable at
+    // EVERY scale factor, adaptivity included.
     "e_lsh_pairs" -> ((s, dir) =>
-      Ann.lshPairs(Tables.embeddings(s, dir), threshold = 0.4)),
-    // LSH top-k: same seed-deterministic planes as e_lsh_pairs → the
-    // oracle rebuilds the identical buckets; fully hash-checkable.
+      Ann.lshPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)),
+    // LSH top-k: same adaptive seed-deterministic planes as
+    // e_lsh_pairs → the oracle rebuilds the identical buckets.
     "e_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      Ann.lshTopKAuto(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     // Lloyd-TRAINED IVF, gated float-free on its RECALL: per query,
     // the count of ids shared with exact brute-force top-k must reach
@@ -1965,21 +1972,30 @@ object PipelineEntry {
     * oracles — one source of truth for the table count. */
   private val LshTables = 8
 
-  /** Shared CTE prefix: vectors + per-table LSH signatures with the same
-    * fixed-seed plane coefficients interpolated into the SQL. */
+  /** Shared CTE prefix: vectors + per-table LSH signatures with the
+    * fixed-seed MASTER plane coefficients (12 per table) interpolated
+    * into the SQL and masked down to the corpus-adaptive plane count —
+    * `pl.np` replays [[Ann.lshAutoPlanes]]'s integer threshold scan
+    * (smallest p in [6,12] with 64·2^p ≥ count(*)), so the oracle
+    * rebuilds the identical buckets at every scale factor. */
   private def lshSigCte: String = {
-    val hp = Ann.hyperplanes(tables = LshTables, planes = 6, dim = 64, seed = 42L)
+    val hp = Ann.hyperplanes(tables = LshTables, planes = 12, dim = 64,
+      seed = 42L)
     val sigCols = hp.zipWithIndex.map { case (tp, t) =>
       val terms = tp.zipWithIndex.map { case (p, i) =>
         val arr = p.mkString("[", ",", "]")
-        s"(CASE WHEN list_inner_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+        s"(CASE WHEN $i < pl.np AND list_inner_product(v, $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       s"$terms AS s_$t"
     }.mkString(",\n ")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pl AS (SELECT min(p) AS np
+       |  FROM (VALUES (6),(7),(8),(9),(10),(11),(12)) t(p),
+       |       (SELECT count(*) AS n FROM e) c
+       |  WHERE 64 * (1 << p) >= c.n OR p = 12),
        |sig AS (SELECT vec_id, v,
        | $sigCols
-       | FROM e)""".stripMargin
+       | FROM e, pl)""".stripMargin
   }
 
   private def lshAnyMatch(a: String, b: String): String =

@@ -239,8 +239,29 @@ object Ann {
               tables: Int = 8, planes: Int = 6, dim: Int = 64,
               seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              maxBucket: Int = 100000): DataFrame = {
-    val hp = hyperplanes(tables, planes, dim, seed)
+              maxBucket: Int = 100000): DataFrame =
+    lshTopKWithPlanes(hyperplanes(tables, planes, dim, seed),
+      corpus, queries, k, idCol, vecCol, maxBucket)
+
+  /** [[lshTopK]] with the corpus-adaptive plane count of
+    * [[lshPairsAuto]] (same sliced master draw, same integer sizing):
+    * per-query candidate volume is ~targetLoad·tables at ANY corpus
+    * size instead of growing linearly with it. */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  tables: Int = 8, dim: Int = 64, seed: Long = 42L,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  targetLoad: Long = 64L, minPlanes: Int = 6,
+                  maxPlanes: Int = 12,
+                  maxBucket: Int = 100000): DataFrame = {
+    val planes = lshAutoPlanes(corpus.count(), targetLoad, minPlanes, maxPlanes)
+    lshTopKWithPlanes(hyperplanesSliced(tables, planes, dim, seed, maxPlanes),
+      corpus, queries, k, idCol, vecCol, maxBucket)
+  }
+
+  private def lshTopKWithPlanes(hp: Array[Array[Array[Double]]],
+                                corpus: DataFrame, queries: DataFrame,
+                                k: Int, idCol: String, vecCol: String,
+                                maxBucket: Int): DataFrame = {
     // id-only band join + dedup, THEN re-attach vectors per distinct
     // (qid, nid) — candidate shuffle volume is O(candidates), not
     // O(candidates × dim). The corpus signature pass materializes once
@@ -1411,8 +1432,56 @@ object Ann {
                tables: Int = 8, planes: Int = 6, dim: Int = 64,
                seed: Long = 42L,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxBucket: Int = 100000): DataFrame = {
-    val hp = hyperplanes(tables, planes, dim, seed)
+               maxBucket: Int = 100000): DataFrame =
+    lshPairsWith(hyperplanes(tables, planes, dim, seed), corpus, threshold,
+      idCol, vecCol, maxBucket)
+
+  /**
+   * [[lshPairs]] with the plane count sized from the corpus instead of
+   * pinned: fixed planes make the expected bucket load n/2^planes grow
+   * LINEARLY with the corpus, which turns the per-bucket self-join
+   * quadratic — a 10× corpus costs ~100× candidate pairs (measured:
+   * sf0.1→sf1 ratio 39× under pinned planes=6). Sizing planes so
+   * `targetLoad · 2^planes ≥ n` pins the expected bucket load at
+   * `targetLoad`, making candidate volume ~n·targetLoad·tables — linear
+   * in the corpus again, which is the posture that survives 100 TB.
+   * The plane count comes from an INTEGER threshold scan (no log2
+   * floats: a last-ulp wobble at an exact power of two would let two
+   * engines disagree on the plane count and diverge every bucket), and
+   * planes slice a fixed `maxPlanes` master draw so an external oracle
+   * can inline the superset coefficients once and mask by the same
+   * count(*)-derived plane count.
+   */
+  def lshPairsAuto(corpus: DataFrame, threshold: Double,
+                   tables: Int = 8, dim: Int = 64, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   targetLoad: Long = 64L, minPlanes: Int = 6,
+                   maxPlanes: Int = 12,
+                   maxBucket: Int = 100000): DataFrame = {
+    val planes = lshAutoPlanes(corpus.count(), targetLoad, minPlanes, maxPlanes)
+    lshPairsWith(hyperplanesSliced(tables, planes, dim, seed, maxPlanes),
+      corpus, threshold, idCol, vecCol, maxBucket)
+  }
+
+  /** Smallest p in [minPlanes, maxPlanes] with targetLoad·2^p ≥ n
+    * (maxPlanes when none) — integer-exact on both engines. */
+  def lshAutoPlanes(n: Long, targetLoad: Long = 64L,
+                    minPlanes: Int = 6, maxPlanes: Int = 12): Int =
+    (minPlanes to maxPlanes).find(p => targetLoad * (1L << p) >= n)
+      .getOrElse(maxPlanes)
+
+  /** First `planes` planes of each table from the fixed `maxPlanes`
+    * master draw: the adaptive plane count never changes WHICH
+    * coefficients exist, only how many are active, so an oracle can
+    * inline the superset once. */
+  private[graft] def hyperplanesSliced(tables: Int, planes: Int, dim: Int,
+      seed: Long, maxPlanes: Int = 12): Array[Array[Array[Double]]] =
+    hyperplanes(tables, maxPlanes, dim, seed).map(_.take(planes))
+
+  private def lshPairsWith(hp: Array[Array[Array[Double]]],
+                           corpus: DataFrame, threshold: Double,
+                           idCol: String, vecCol: String,
+                           maxBucket: Int): DataFrame = {
     // Band self-join carries ONLY (id, bucket); pairs are deduped on
     // bare ids and (vector, norm) re-attached per DISTINCT pair for the
     // exact-cosine verify — the minhashLshPairs pattern. Shuffle volume

@@ -628,6 +628,38 @@ class PipelineSpec extends SparkSpec {
     assert(again == lsh.keySet)
   }
 
+  test("lshAutoPlanes sizing is integer-exact; auto pairs stay a subset " +
+       "of exact cosinePairs with the planted pairs recovered") {
+    import spark.implicits._
+    // sizing: smallest p in [6,12] with 64·2^p >= n — boundary cases
+    // exercised exactly (a log2 float formula would wobble here)
+    assert(Ann.lshAutoPlanes(200) == 6)
+    assert(Ann.lshAutoPlanes(64L << 6) == 6)       // 4096: boundary holds at 6
+    assert(Ann.lshAutoPlanes((64L << 6) + 1) == 7) // 4097: first over
+    assert(Ann.lshAutoPlanes(20000) == 9)          // the sf1 embeddings count
+    assert(Ann.lshAutoPlanes(Long.MaxValue / 4) == 12) // cap
+    val rnd = new scala.util.Random(17)
+    val emb = (0L until 40L).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextGaussian())
+      Seq((2 * i, base.map(_.toFloat)),
+        (2 * i + 1, base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.cosinePairs(emb, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 80 vectors → planes stays at the 6 floor, but the ACTIVE
+    // coefficients are the sliced master draw the oracle inlines
+    val auto = Ann.lshPairsAuto(emb, threshold = 0.8, tables = 6, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    auto.foreach { case (k, v) => assert(exact.contains(k) && exact(k) == v) }
+    val planted = (0L until 40L).map(i => (2 * i, 2 * i + 1)).filter(exact.contains)
+    val hit = planted.count(auto.contains)
+    assert(hit.toDouble / planted.size >= 0.85, s"recall $hit/${planted.size}")
+    // seed-deterministic across runs
+    val again = Ann.lshPairsAuto(emb, threshold = 0.8, tables = 6, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == auto.keySet)
+  }
+
   test("lshPairs bucket cap drops a degenerate all-identical bucket") {
     import spark.implicits._
     // 50 identical vectors: every pair is a perfect near-dup and all
