@@ -1,6 +1,15 @@
-import duckdb, json, glob, sys
+import duckdb, json, glob, sys, os, threading, time
 import pyarrow.parquet as pq
 import pandas as pd, numpy as np, hashlib
+
+# Usage: check_oracle.py [sf_dir] [verify_out_dir]
+# Env:
+#   SPARK_GRAFT_ONLY=q1,q2   - the Verify run was sampled to these queries;
+#                              other queries are SKIPPED (reported, not failed).
+#                              A *selected* query with no dump is an ERROR.
+#   ORACLE_TIMEOUT_SEC=N     - per-query DuckDB timeout (0/unset = none).
+#                              A timed-out query is reported TIMEOUT and failed.
+#   ORACLE_JSON_OUT=path     - also write a machine-readable summary JSON.
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
@@ -8,6 +17,10 @@ con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+
+only_env = os.environ.get('SPARK_GRAFT_ONLY', '').strip()
+only = set(x.strip() for x in only_env.split(',') if x.strip()) if only_env else None
+timeout_sec = float(os.environ.get('ORACLE_TIMEOUT_SEC', '0') or '0')
 
 def canon(df):
     df = df[sorted(df.columns)]
@@ -18,15 +31,51 @@ def h(df):
     s = df.to_csv(index=False, float_format='%.6g')
     return hashlib.md5(s.encode()).hexdigest()
 
-fails = []
+class OracleTimeout(Exception):
+    pass
+
+def run_oracle(sql):
+    """Execute oracle SQL, optionally bounded by ORACLE_TIMEOUT_SEC via con.interrupt()."""
+    if timeout_sec <= 0:
+        return con.execute(sql).fetchdf()
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(timeout_sec):
+            con.interrupt()
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    t0 = time.time()
+    try:
+        return con.execute(sql).fetchdf()
+    except Exception as e:
+        if time.time() - t0 >= timeout_sec - 0.5:
+            raise OracleTimeout(f'oracle exceeded {timeout_sec}s') from e
+        raise
+    finally:
+        done.set()
+
+fails, skipped, results = [], [], {}
 for name, sql in sorted(oracle.items()):
     if name.endswith('.parquet'):
         continue  # doubled driver-lookup key; same SQL as the bare name
     try:
         dumps = glob.glob(f'{out}/{name}.parquet/*.parquet')
         if not dumps:
-            continue  # sampled Verify run (SPARK_GRAFT_ONLY): no dump, not a failure
-        odf = con.execute(sql).fetchdf()
+            # Only a sampled run (SPARK_GRAFT_ONLY set, query not selected) may
+            # legitimately lack a dump. Anything else is a real failure: the
+            # query crashed or never wrote output.
+            if only is not None and name not in only:
+                skipped.append(name)
+                print(f'{name}: SKIPPED (not in SPARK_GRAFT_ONLY)')
+                results[name] = 'skipped'
+                continue
+            fails.append(name)
+            print(f'{name}: ERROR no dump at {out}/{name}.parquet (query selected for this run)')
+            results[name] = 'missing_dump'
+            continue
+        t0 = time.time()
+        odf = run_oracle(sql)
+        oracle_s = time.time() - t0
         sdf = pd.concat([pd.read_parquet(p) for p in dumps], ignore_index=True)
         o, s = canon(odf), canon(sdf)
         schema_ok = list(o.columns) == list(s.columns)
@@ -44,6 +93,7 @@ for name, sql in sorted(oracle.items()):
         status = 'OK' if hash_ok else 'FAIL'
         if not hash_ok:
             fails.append(name)
+            results[name] = 'fail'
             print(f'{name}: {status} schema={schema_ok} rows={len(o)}vs{len(s)}')
             if schema_ok and rows_ok:
                 for c in o.columns:
@@ -52,8 +102,24 @@ for name, sql in sorted(oracle.items()):
                         i = np.argmax(m)
                         print(f'  col {c}: first mismatch at row {i}: oracle={o[c].iloc[i]} spark={s[c].iloc[i]}')
         else:
-            print(f'{name}: OK rows={len(o)}')
+            results[name] = 'ok'
+            print(f'{name}: OK rows={len(o)} oracle_s={oracle_s:.1f}')
+    except OracleTimeout as e:
+        fails.append(name)
+        results[name] = 'timeout'
+        print(f'{name}: TIMEOUT {e}')
     except Exception as e:
         fails.append(name)
+        results[name] = 'error'
         print(f'{name}: ERROR {e}')
+n_ok = sum(1 for v in results.values() if v == 'ok')
+print(f'SUMMARY: ok={n_ok} skipped={len(skipped)} fails={len(fails)}')
 print('FAILS:', fails)
+json_out = os.environ.get('ORACLE_JSON_OUT')
+if json_out:
+    with open(json_out, 'w') as f:
+        json.dump({'sf': sf, 'out': out, 'timeout_sec': timeout_sec,
+                   'n_ok': n_ok, 'n_skipped': len(skipped), 'fails': fails,
+                   'results': results}, f, indent=1)
+if fails:
+    sys.exit(1)

@@ -26,6 +26,23 @@ object Bench {
     // the driver → all queries)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Bench self-defense: a measurement taken while the box is busy is an
+    // artifact poisoner (r11: two stray sf1 oracle processes burned 28/32
+    // cores during the driver's window and inflated the total 204.7s vs
+    // 143.5s clean). Read the 1-min load BEFORE the first timed pass; if
+    // it exceeds nproc/4, wait (bounded) for the box to drain, and carry a
+    // machine-visible "contaminated" verdict in the emitted JSON either way.
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val nprocs = Runtime.getRuntime.availableProcessors
+    val loadCap = nprocs / 4.0
+    var preLoad = loadAvg()
+    val waitDeadline = System.nanoTime() + 300L * 1000000000L // ≤5 min
+    while (preLoad > loadCap && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] load $preLoad%.1f > cap $loadCap%.1f — waiting for the box to drain")
+      Thread.sleep(15000)
+      preLoad = loadAvg()
+    }
     // deterministic order: stable attribution of warm-cache effects
     // across rounds
     val results = SparkEntry.queries.toSeq
@@ -98,10 +115,21 @@ object Bench {
     // average + core count make driver-contended runs self-diagnosing:
     // timings taken while the box was busy (load ≫ cores in use) should
     // be discounted rather than read as regressions.
-    val load = r3(java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage)
-    val nproc = Runtime.getRuntime.availableProcessors
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"load":$load,"nproc":$nproc,"sf":"$sfDir"}""")
+    val postLoad = r3(loadAvg())
+    // contaminated = the load was above cap either entering the timed
+    // window (after the bounded drain wait) or leaving it. The bench
+    // itself drives load ≈ its own parallelism *while running*, but the
+    // 1-min average at entry/exit reflects OTHER work sharing the box:
+    // at entry we haven't run anything yet; by exit our own contribution
+    // decays within the final queries' seconds-long tail. A clean run on
+    // an idle box measures ≪ cap at both edges (r11 clean: 0.1 / 9.8 on
+    // nproc=32 → postLoad alone can carry bench-self signal, hence the
+    // cap comparison uses entry load primarily and flags exit load only
+    // when it exceeds nproc/2, i.e. clearly more than the bench's own
+    // winddown).
+    val contaminated = preLoad > loadCap || postLoad > nprocs / 2.0
+    val nproc = nprocs
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"load_pre":${r3(preLoad)},"load":$postLoad,"nproc":$nproc,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

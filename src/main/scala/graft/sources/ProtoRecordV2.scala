@@ -196,8 +196,13 @@ final class ProtoRecordScanBuilder(options: CaseInsensitiveStringMap)
     require(splitBytes <= Int.MaxValue - (64 << 20),
       s"splitBytes must stay below ${Int.MaxValue - (64 << 20)} " +
         s"(splits buffer in one array), got $splitBytes")
+    // capture the hadoop conf HERE, where the originating session is
+    // provably active (mirrors ProtoRecordWriteBuilder) — deferring to
+    // createReaderFactory risks picking up a different session's conf
+    // when the plan materializes on another thread in a multi-session JVM
     new ProtoRecordScan(ProtoRecordV2.listFiles(spark, path), splitBytes,
-      required, pushed)
+      required, pushed,
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
   }
 }
 
@@ -206,7 +211,8 @@ final case class ProtoRecordInputPartition(
 
 final class ProtoRecordScan(
     files: Seq[(String, Long)], splitBytes: Long,
-    required: StructType, pushed: Array[Filter])
+    required: StructType, pushed: Array[Filter],
+    conf: SerializableHadoopConf)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -232,9 +238,7 @@ final class ProtoRecordScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ProtoRecordReaderFactory(required, pushed,
-      new SerializableHadoopConf( // driver-side capture of session conf
-        SparkSession.active.sessionState.newHadoopConf()))
+    new ProtoRecordReaderFactory(required, pushed, conf)
 }
 
 final class ProtoRecordReaderFactory(required: StructType,

@@ -64,9 +64,21 @@ object ZOrder {
           if (nApprox <= SampleTarget)
             vals.distinct().orderBy(dim).collect().map(_.getString(0))
           else {
-            val rate = math.max(2L, nApprox / SampleTarget)
-            vals.filter(pmod(xxhash64(col(dim)), lit(rate)) === 0)
-              .distinct().orderBy(dim).collect().map(_.getString(0))
+            // approx_count_distinct can overestimate on a skewed dim; a
+            // too-aggressive thinning rate would then collect almost
+            // nothing and the dimension would silently fold to lit(0)
+            // (stop steering the z-curve). Escalate: halve the rate
+            // until the sample is boundary-worthy (≥256 values), and
+            // fall back to the exact-distinct path at rate 1.
+            var rate = math.max(2L, nApprox / SampleTarget)
+            var got: Array[String] = Array.empty
+            while (got.length < 256 && rate >= 2) {
+              got = vals.filter(pmod(xxhash64(col(dim)), lit(rate)) === 0)
+                .distinct().orderBy(dim).collect().map(_.getString(0))
+              if (got.length < 256) rate = rate / 4
+            }
+            if (got.length >= 256) got
+            else vals.distinct().orderBy(dim).collect().map(_.getString(0))
           }
         val step = math.max(1, math.ceil(sorted.length / 256.0).toInt)
         val boundaries = sorted.grouped(step).map(_.head).drop(1).toSeq
@@ -115,12 +127,75 @@ object ZOrder {
   /**
    * Writes `df` as `nFiles` parquet files, each a contiguous z-range:
    * footer min/max on every z-ordered dimension stays tight per file.
+   *
+   * Partitioning is DETERMINISTIC: `repartitionByRange` would re-sample
+   * boundaries on every run (seeded by RDD id — file splits shifted
+   * between suite orderings and flaked pruning-count assertions), so
+   * instead the cut points are derived exactly from a bounded coarse-z
+   * histogram (≤64k cells collected to the driver, any dim count), and
+   * each z-range is routed to its own shuffle partition via a
+   * precomputed salt whose murmur3 hash lands on that partition id —
+   * same files, same stats, every run.
    */
   def write(df: DataFrame, dims: Seq[String], path: String,
-            nFiles: Int = 64): Unit =
-    df.withColumn("__z", zValue(df, dims))
-      .repartitionByRange(nFiles, col("__z"))
+            nFiles: Int = 64): Unit = {
+    val z = zValue(df, dims)
+    val totalBits = Bits * dims.length
+    // coarse z keeps the histogram driver-bounded at 2^16 cells however
+    // many dims interleave; cut points on coarse cells are within one
+    // cell of exact — irrelevant at nFiles ≪ 65536
+    val shift = math.max(0, totalBits - 16)
+    val withZ = df.withColumn("__z", z)
+      .withColumn("__zc", shiftright(col("__z"), shift))
+    val hist = withZ.groupBy("__zc").count().orderBy("__zc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    val per = math.max(1L, math.ceil(total.toDouble / nFiles).toLong)
+    // boundary b_i = first coarse cell whose cumulative count crosses
+    // i*per; pid = number of boundaries <= zc (rows of one cell never
+    // split across files, exactly like RangePartitioner ties)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cum = 0L
+    var nextCut = per
+    for ((cell, cnt) <- hist) {
+      if (cum >= nextCut && bounds.length < nFiles - 1) {
+        bounds += cell
+        nextCut = (bounds.length + 1L) * per
+      }
+      cum += cnt
+    }
+    val nParts = bounds.length + 1
+    val pid: Column =
+      if (bounds.isEmpty) lit(0)
+      else aggregate(typedLit(bounds.toSeq), lit(0),
+        (acc, b) => acc + when(col("__zc") >= b, 1).otherwise(0))
+    // salt s_i with pmod(hash(s_i), nParts) == i for every pid: routes
+    // each contiguous z-range to its own partition through the ordinary
+    // hash exchange, no sampling anywhere. Found by scanning ints with
+    // Spark's own hash() so the mapping matches the shuffle's murmur3
+    // exactly (coupon-collector: 64·nParts candidates ≈ always enough;
+    // widen deterministically if a residue is missing).
+    val spark = df.sparkSession
+    val salts = new Array[Int](nParts)
+    val found = new Array[Boolean](nParts)
+    var nFound = 0
+    var lo = 0L
+    while (nFound < nParts) {
+      val cand = spark.range(lo, lo + 64L * nParts)
+        .select(col("id").cast("int").as("s"),
+          pmod(hash(col("id").cast("int")), lit(nParts)).as("p"))
+        .collect()
+      for (r <- cand.sortBy(_.getInt(0)); p = r.getInt(1)
+           if !found(p)) {
+        found(p) = true; salts(p) = r.getInt(0); nFound += 1
+      }
+      lo += 64L * nParts
+    }
+    withZ
+      .withColumn("__salt", element_at(typedLit(salts.toSeq), pid + 1))
+      .repartition(nParts, col("__salt"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop("__z", "__zc", "__salt")
       .write.mode("overwrite").parquet(path)
+  }
 }
