@@ -393,32 +393,47 @@ object AnalyticsEntry {
         .groupBy(col("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("n"))
       val nodes = ev.select(col("event_type").as("node")).distinct()
-      val outdeg = edges.groupBy("src").agg(sum("n").as("wout"))
-      val edgesN = edges.join(outdeg, "src")
-        .select(col("src"), col("dst"), (col("n") / col("wout")).as("frac"))
-      val nd = nodes.count().toDouble // bounded: the event-type alphabet
-      // materialize the O(|alphabet|) pr vector per round (the k-means
-      // centroid precedent) — a lazy chain would have TWO consumers of
-      // pr per round (dangling + contributions) and recompute 2^t paths
-      var pr = nodes.withColumn("pr", lit(1.0) / lit(nd))
+      // The graph is bounded by the event-type alphabet (nodes O(A),
+      // edges O(A²)) — only edge EXTRACTION is corpus-scale. So the two
+      // distributed actions are the alphabet²-sized edge collect and
+      // the node collect; all ten power-iteration rounds then run on
+      // the driver over that tiny graph (the k-means centroid precedent
+      // taken to its endpoint: the old shape re-scanned events ~3× per
+      // round through the nodes/edges/outdeg subtrees — 10 corpus-
+      // touching jobs for an O(A²) computation). The arithmetic
+      // replicates the previous Catalyst plan EXACTLY — IEEE double
+      // products, decimal(38,12) HALF_UP casts (valueOf + setScale is
+      // bit-for-bit Spark's Cast(Double→Decimal(38,12)) path), exact
+      // decimal sums — so the trajectory, and the hash vs the oracle's
+      // ten unrolled CTE stages, is unchanged.
+      val edgeArr = edges.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nodeArr = nodes.collect().map(_.getString(0)).sorted
+      val nd = nodeArr.length.toDouble
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def dec12(x: Double): JBD =
+        JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+      val wout = edgeArr.groupBy(_._1).map { case (src, es) =>
+        src -> es.map(_._3).sum }
+      val fracs = edgeArr.map { case (src, dst, n) =>
+        (src, dst, n.toDouble / wout(src).toDouble) }
+      var prV: Map[String, Double] = nodeArr.map(_ -> 1.0 / nd).toMap
       for (_ <- 0 until 10) {
-        val dang = pr.join(outdeg, col("node") === col("src"), "left_anti")
-          .agg(coalesce(sum(col("pr").cast("decimal(38,12)")),
-            lit(0).cast("decimal(38,12)")).as("dg"))
-        val contrib = edgesN.join(pr.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum((col("pr") * col("frac")).cast("decimal(38,12)")).as("c"))
-        val next = nodes.join(contrib, Seq("node"), "left").crossJoin(dang)
-          .select(col("node"),
-            (lit(0.15) / lit(nd) + lit(0.85) *
-              (coalesce(col("c").cast("double"), lit(0.0)) +
-                col("dg").cast("double") / lit(nd))).as("pr"))
-          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-        pr = s.createDataFrame(next).toDF("node", "pr")
+        val dg = nodeArr.filterNot(wout.contains)
+          .foldLeft(JBD.ZERO.setScale(12)) { (a, n) => a.add(dec12(prV(n))) }
+          .doubleValue()
+        val contrib = fracs.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.foldLeft(JBD.ZERO.setScale(12)) { (a, e) =>
+            a.add(dec12(prV(e._1) * e._3)) }.doubleValue()
+        }
+        prV = nodeArr.map { n =>
+          n -> (0.15 / nd + 0.85 * (contrib.getOrElse(n, 0.0) + dg / nd))
+        }.toMap
       }
-      pr.select(col("node").as("event_type"), round(col("pr"), 4).as("pr"),
-        row_number().over(
-          Window.orderBy(col("pr").desc, col("node"))).as("rank"))
+      s.createDataFrame(nodeArr.toSeq.map(n => (n, prV(n)))).toDF("node", "pr")
+        .select(col("node").as("event_type"), round(col("pr"), 4).as("pr"),
+          row_number().over(
+            Window.orderBy(col("pr").desc, col("node"))).as("rank"))
     }),
 
     // Rolling 24h activity per event: RANGE-frame window (value-based

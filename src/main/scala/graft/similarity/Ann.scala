@@ -404,29 +404,74 @@ object Ann {
     val seed = e.orderBy("id").limit(1).as[(Long, Array[Double])].collect()
     require(seed.nonEmpty, "kmeansParallelCentroids needs a non-empty corpus")
     val centers = scala.collection.mutable.ArrayBuffer(seed(0)._2)
+    // One corpus pass per round (after the first): φ_r and the round's
+    // pick candidates ride the SAME aggregate. The pick threshold needs
+    // φ_r, which the pass itself computes — circular — but φ is monotone
+    // non-increasing (adding centers can only shrink each row's min-d²),
+    // so a pre-filter keyed on K·l/φ_{r-1} collects a guaranteed
+    // SUPERSET of the true picks whenever φ_r ≥ φ_{r-1}/K; the exact
+    // condition (identical arithmetic to the old Catalyst filter: IEEE
+    // double (l·d2)/φ and min with 1) then re-filters that few-hundred-
+    // row set on the driver. If φ ever collapses by more than K× in one
+    // round, the validity check fails and the round falls back to the
+    // old second pass — exactness is never at stake, only pass count.
+    var phiPrev: Option[Double] = None
+    val SupersetMargin = 8.0
     (0 until rounds).foreach { r =>
       val d2 = e.select(col("id"), col("v"),
         minSqDistToCentroids(centers.toSeq, col("v")).as("d2"))
+      val u = conv(substring(md5(concat(lit(s"km#$r#"),
+          col("id").cast("string"))), 1, 12), 16, 10)
+        .cast("double") / 281474976710656.0
       // φ via an EXACT decimal sum: a double sum is partition-order
       // dependent, and a φ that wobbles in its last ulp flips
       // near-threshold picks — different runs would train different
       // centroids and the measured recall contract would not be
       // reproducible. Decimal aggregation is order-independent.
-      val phi = d2
-        .agg(sum(col("d2").cast("decimal(38,12)")).cast("double"))
-        .as[Double].collect()(0)
-      if (phi > 0) {
-        val u = conv(substring(md5(concat(lit(s"km#$r#"),
-            col("id").cast("string"))), 1, 12), 16, 10)
-          .cast("double") / 281474976710656.0
-        val picked = d2
-          .filter(u < least(lit(1.0),
-            lit(oversample.toDouble) * col("d2") / lit(phi)))
-          .orderBy("id")
-          .select(col("id"), col("v")).as[(Long, Array[Double])]
-          .collect()
-        centers ++= picked.map(_._2)
-      }
+      val phiAgg = sum(col("d2").cast("decimal(38,12)")).cast("double")
+      val exactPick = (phi: Double) => (id: Long, v: Array[Double],
+                                        dd: Double, uu: Double) =>
+        uu < math.min(1.0, oversample.toDouble * dd / phi)
+      val (phi, picked): (Double, Array[(Long, Array[Double])]) =
+        phiPrev match {
+          case Some(p0) if p0 > 0 =>
+            val pre = u < least(lit(1.0),
+              lit(SupersetMargin * oversample) * col("d2") / lit(p0))
+            val row = d2.agg(phiAgg.as("phi"),
+              collect_list(when(pre,
+                struct(col("id"), col("v"), col("d2"), u.as("u"))))
+                .as("cand")).head()
+            val phiR = row.getDouble(0)
+            val cands = row.getSeq[org.apache.spark.sql.Row](1).map(c =>
+              (c.getLong(0), c.getSeq[Double](1).toArray,
+                c.getDouble(2), c.getDouble(3)))
+            // accept at K/2, pre-filter at K: the 2× headroom makes ulp
+            // rounding at the superset boundary structurally irrelevant
+            if (phiR > 0 && p0 <= SupersetMargin * phiR / 2) {
+              val f = exactPick(phiR)
+              (phiR, cands.filter(c => f(c._1, c._2, c._3, c._4))
+                .sortBy(_._1).map(c => (c._1, c._2)).toArray)
+            } else if (phiR > 0) {
+              // φ collapsed >K× — superset guarantee void; old 2nd pass
+              (phiR, d2.filter(u < least(lit(1.0),
+                  lit(oversample.toDouble) * col("d2") / lit(phiR)))
+                .orderBy("id")
+                .select(col("id"), col("v")).as[(Long, Array[Double])]
+                .collect())
+            } else (phiR, Array.empty[(Long, Array[Double])])
+          case _ =>
+            // first round (no φ bound yet): φ pass, then pick pass
+            val phiR = d2.agg(phiAgg).as[Double].collect()(0)
+            if (phiR > 0)
+              (phiR, d2.filter(u < least(lit(1.0),
+                  lit(oversample.toDouble) * col("d2") / lit(phiR)))
+                .orderBy("id")
+                .select(col("id"), col("v")).as[(Long, Array[Double])]
+                .collect())
+            else (phiR, Array.empty[(Long, Array[Double])])
+        }
+      phiPrev = Some(phi)
+      centers ++= picked.map(_._2)
     }
     if (centers.size <= nlist) {
       // degenerate corpus (tiny, or near-zero spread: φ ≈ 0 stops the
