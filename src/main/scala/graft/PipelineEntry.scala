@@ -275,7 +275,7 @@ object PipelineEntry {
           md5(col("text")).as("h"),
           contentBucket
             .as("bucket"))
-      d.agg(
+      val card = d.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"),
         sum("n_tok").as("n_tokens"),
@@ -290,6 +290,20 @@ object PipelineEntry {
         sum(when(col("bucket") >= 90 && col("bucket") < 95, 1L)
           .otherwise(0L)).as("n_val"),
         sum(when(col("bucket") >= 95, 1L).otherwise(0L)).as("n_test"))
+      // codec-coverage metric: the `decoder` provenance column tags
+      // every media row with the path that produced it ("stub"/"*-hdr"
+      // = the deterministic codec seam, anything else = a real decode)
+      // — the published card states how much of the corpus's media
+      // metadata came from real decoders vs the stub. One extra
+      // single-row aggregate, cross-joined (both sides are 1 row).
+      val media = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .agg(
+          count(lit(1)).as("n_media"),
+          round(avg(when(col("decoder") === "stub" ||
+            col("decoder").endsWith("-hdr"), 1.0).otherwise(0.0)), 4)
+            .as("pct_stub_decode"))
+      card.crossJoin(media)
     }),
     // Exact-k weighted sampling per source (Efraimidis–Spirakis A-ES):
     // rank by ln(u)/w with deterministic md5 uniforms and w = quality
@@ -1298,7 +1312,11 @@ object PipelineEntry {
          | CAST(sum(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END)
          |   AS BIGINT) AS n_val,
          | CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT)
-         |   AS n_test
+         |   AS n_test,
+         | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_media,
+         | (SELECT round(avg(CASE WHEN dec = 'stub' OR dec LIKE '%-hdr'
+         |    THEN 1.0 ELSE 0.0 END), 4)
+         |  FROM (SELECT 'stub' AS dec FROM documents)) AS pct_stub_decode
          |FROM c JOIN lang USING (doc_id) JOIN q USING (doc_id)""".stripMargin),
     "p_wsample_k" -> (T + s""", q AS ($QualitySelect),
       |d AS (SELECT d.doc_id, d.source, q.quality,

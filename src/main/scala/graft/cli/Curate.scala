@@ -137,6 +137,71 @@ object Curate {
     rep
   }
 
+  /**
+   * Continuous curation — the streaming twin of [[runIncremental]]'s
+   * front half, closing the batch/stream asymmetry in the curation
+   * story: a watched directory of document drops (`doc_id`, `text`,
+   * `ts` ms) flows through
+   *
+   *   1. exact dedup WITHIN the stream — content-digest
+   *      `dropDuplicatesWithinWatermark` (state bounded by the
+   *      watermark; the streaming half of [[Dedup.exact]])
+   *   2. the frozen-classifier gate — [[graft.text.Classifier.score]]'s
+   *      zero-shuffle literal projection, docs below `minScore` drop
+   *      ([[graft.text.Classifier.scoreFollow]] semantics)
+   *   3. near-dup gate against the at-rest corpus —
+   *      [[Dedup.minhashFlagStream]] over `indexPath`; docs that
+   *      verify at ≥ `nearDupThreshold` Jaccard against an indexed
+   *      document drop
+   *
+   * and lands on the returned frame `(doc_id, text, score)` — attach a
+   * parquet sink for the curated-directory deployment. The gates run
+   * cheapest-first (digest dedup and the literal projection prune
+   * before any shingling), every join is stream-static, and the only
+   * state is the watermark-bounded digest store plus one in-flight
+   * window group per document — nothing grows with corpus size, which
+   * is what lets the same query run against a 100 TB at-rest index.
+   *
+   * Emission contract (append mode): a document emits once the
+   * watermark passes its event-time window — drive test flushes with a
+   * later-timestamped drop. Model or index refresh = restart against
+   * the same checkpoint; the file-source log guarantees no drop is
+   * re-curated. Token-less documents are dropped (the batch
+   * eligibility rule). Spec'd batch-parity across ≥3 micro-batches in
+   * CurateSpec.
+   */
+  def curateFollow(spark: SparkSession, sourceDir: String, indexPath: String,
+                   model: graft.text.Classifier.Model,
+                   minScore: Double = 0.0,
+                   nearDupThreshold: Double = 0.5,
+                   watermark: String = "0 seconds",
+                   windowDur: String = "1 second",
+                   n: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("ts", LongType, nullable = false)))
+    val docs = spark.readStream.schema(schema).parquet(sourceDir)
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermark)
+    val uniq = docs
+      .withColumn("__digest", md5(col("text")))
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+    val gated = uniq
+      .withColumn("score",
+        round(graft.text.Classifier.probability(col("text"), model), 4))
+      .filter(col("score") >= minScore)
+    Dedup.minhashFlagStream(spark, indexPath, gated,
+        n = n, numHashes = numHashes, bands = bands,
+        threshold = nearDupThreshold, windowDur = windowDur,
+        carry = Seq("text", "score"))
+      .filter(!col("near_dup"))
+      .drop("near_dup")
+  }
+
   private def curateFrame(spark: SparkSession, docs: DataFrame, out: String,
                           benchSource: String, qualityMin: Double,
                           lang: String, ngram: Int, segWidth: Int,

@@ -477,6 +477,69 @@ object Dedup {
   }
 
   /**
+   * Per-document near-dup FLAG over a watermarked stream against an
+   * at-rest [[minhashIndex]] — the decision form of
+   * [[minhashLookupStream]] (which emits the matching PAIRS): each
+   * arriving document resolves to one row `(idCol, carry…, near_dup)`
+   * where `near_dup` = "some indexed document verifies at ≥
+   * `threshold` Jaccard". This is the shape a continuous CURATION
+   * pipeline needs — novel docs flow on, near-dups are gated — so the
+   * carry columns (score, text, …) ride through to the sink.
+   *
+   * Plan shape: shingles + carries ride the probe band rows (the
+   * [[minhashLookupStream]] trick — every join is stream-STATIC), the
+   * band join is LEFT OUTER so candidate-less documents survive with
+   * `near_dup = false`, and the per-document verdict is a watermarked
+   * event-time-window aggregation (`max(jaccard ≥ threshold)` over the
+   * ≤ bands× candidate rows). State is one group per in-flight
+   * document window, expired by the watermark; emission happens when
+   * the watermark passes the document's window — the standard
+   * append-mode contract. Documents with no tokens (empty text) have
+   * no shingle rows and are dropped, matching the batch pipeline's
+   * eligibility rule (`size(sh) > 0`).
+   *
+   * `docStream` must already carry a watermarked `event_time`
+   * timestamp column (the caller owns watermarking so an upstream
+   * stateful stage — e.g. exact dedup — shares the same watermark).
+   */
+  def minhashFlagStream(spark: org.apache.spark.sql.SparkSession,
+                        path: String, docStream: DataFrame, n: Int = 3,
+                        numHashes: Int = 16, bands: Int = 4,
+                        threshold: Double = 0.5,
+                        windowDur: String = "1 minute",
+                        idCol: String = "doc_id", textCol: String = "text",
+                        carry: Seq[String] = Nil): DataFrame = {
+    val keep = carry.distinct
+    val psets = shingleSets(docStream, idCol, textCol, n,
+      carry = "event_time" +: keep)
+    val pb = bandRows(psets, numHashes, bands,
+      carry = "sh" +: "event_time" +: keep)
+    val cb = spark.read.parquet(s"$path/bands")
+    val cs = spark.read.parquet(s"$path/sets")
+    // left joins: a document whose bands hit nothing (or whose id
+    // collides with nothing in the sets half) must still emit a row
+    val cand = pb.as("p")
+      .join(cb.as("c"),
+        col("p.band") === col("c.band") && col("p.id") =!= col("c.id"),
+        "left")
+      .select(col("p.id").as("id") +: col("p.sh").as("sha") +:
+        col("p.event_time").as("event_time") +: col("c.id").as("corpus_id") +:
+        keep.map(k => col("p." + k).as(k)): _*)
+    val verified = cand
+      .join(cs.select(col("id").as("corpus_id"), col("sh").as("shb")),
+        Seq("corpus_id"), "left")
+      .withColumn("__j", when(col("shb").isNotNull,
+        size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb"))).cast("double"))
+        .otherwise(lit(0.0)))
+    verified
+      .groupBy(window(col("event_time"), windowDur).as("__w") +:
+        col("id").as(idCol) +: keep.map(col): _*)
+      .agg(max(col("__j") >= lit(threshold)).as("near_dup"))
+      .drop("__w")
+  }
+
+  /**
    * The shared lookup tail. Batch shape (`probeCarriesSets = false`):
    * probe bands × corpus bands candidate join carrying ids only (the
    * [[minhashLshPairs]] volume argument), distinct, then exact-Jaccard

@@ -349,7 +349,16 @@ object PointSource {
    * while a late `/add` to an already-aged date (a point cold does NOT
    * have) stays visible. A hot revision at an (skey, ts) the cold tier
    * holds is suppressed — cold wins, matching [[ageIntoGorilla]]'s
-   * merge preference. String-valued rows always come from hot (not
+   * merge preference. Checked against the reference's semantics
+   * (server/disk_datastore.cc:91-111 RecordNoLog): its store is
+   * append-only and never reconciles duplicate timestamps — a second
+   * write to an existing ts just appends and BOTH values survive the
+   * read-side timestamp merge, so "update an aged point" is not a
+   * defined operation there. One-value-per-(skey,ts) is our
+   * strengthening; cold-wins = first-durable-write-wins, the closest
+   * analog of a store that never revises what it already persisted
+   * (and the only direction that keeps replayed crash residue
+   * idempotent). String-valued rows always come from hot (not
    * representable in value blocks). The cold/overlap date lists are
    * O(#days) driver rows, and the anti-join decodes ONLY the
    * overlapping dates' blocks (normally zero).

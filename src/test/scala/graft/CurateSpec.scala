@@ -161,6 +161,86 @@ class CurateSpec extends SparkSpec {
       s"negative ids must fail loudly, got: ${e.getMessage}")
   }
 
+  test("curateFollow streams dedup + classifier + near-dup gates with batch parity") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curate-follow").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/in"))
+
+    // at-rest corpus index: one already-accepted document
+    val corpusText = "the quick brown fox jumps over the lazy dog " +
+      "again and again in the bright morning sun today"
+    Seq((1000L, corpusText)).toDF("doc_id", "text")
+      .write.parquet(s"$base/corpus")
+    graft.dedup.Dedup.minhashIndex(
+      spark.read.parquet(s"$base/corpus"), s"$base/idx")
+
+    // frozen model: strong negative weight on the non-ASCII fraction
+    // (feature 4) — plain-ASCII docs score ~0.83, accented docs ≪ 0.5
+    val model = graft.text.Classifier.Model(
+      mu = Seq(0.0, 0.0, 0.0, 0.0, 0.0),
+      sigma = Seq(1.0, 1.0, 1.0, 1.0, 1.0),
+      w = Seq(2.0, 0.0, 0.0, 0.0, 0.0, -50.0))
+
+    val novel1 = "completely fresh reporting about satellites and " +
+      "oceans with no overlap at all whatsoever here"
+    // an exact re-crawl of the indexed doc (new id): identical minhash
+    // signature → all bands collide deterministically (a merely-similar
+    // text may miss every band at 16/4 — the probabilistic contract);
+    // jaccard 1.0 ≥ threshold gates it
+    val nearDup = corpusText
+    val novel2 = "another unrelated essay concerning gardens music " +
+      "and architecture written from scratch entirely"
+    val gatedOut = "curación de datos con acentos y más señales aquí " +
+      "ñandú über straße çöl" // non-ASCII → classifier drops
+    val flushTs = 100L * 24 * 3600 * 1000 // far future: advances watermark
+
+    val q = Curate.curateFollow(spark, s"$base/in", s"$base/idx", model,
+        minScore = 0.5, nearDupThreshold = 0.5,
+        watermark = "1 hour", windowDur = "1 second")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    def drop(name: String, rows: (Long, String, Long)*): Unit = {
+      rows.toSeq.toDF("doc_id", "text", "ts")
+        .coalesce(1).write.parquet(s"$base/stage/$name")
+      val src = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$base/stage/$name"))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(src,
+        java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+      q.processAllAvailable()
+    }
+    try {
+      drop("b1", (1L, novel1, 1000L), (2L, nearDup, 1000L))
+      drop("b2", (3L, novel1, 2000L)) // exact dup text of doc 1, new id
+      drop("b3", (4L, novel2, 3000L), (5L, gatedOut, 3000L))
+      // two gated-out flush drops: first advances the watermark past all
+      // windows, second gives the no-data emission batch a trigger
+      drop("f1", (6L, gatedOut, flushTs))
+      drop("f2", (7L, gatedOut, flushTs + 1))
+      assert(q.recentProgress.length >= 3, "expected ≥3 micro-batches")
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id", "text", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // batch parity: the accepted set and scores match the batch operators
+    val batchScores = graft.text.Classifier.score(
+        Seq((1L, novel1), (4L, novel2)).toDF("doc_id", "text"), model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.map(_._1) == Set(1L, 4L),
+      s"curated set diverged: ${out.map(_._1)}")
+    assert(out == Set((1L, novel1, batchScores(1L)),
+      (4L, novel2, batchScores(4L))),
+      "streamed scores/text diverged from the batch operators")
+    // and the batch near-dup probe agrees doc 2 was the one to drop
+    val batchDups = graft.dedup.Dedup.minhashLookup(spark, s"$base/idx",
+        Seq((2L, nearDup)).toDF("doc_id", "text"))
+      .select("probe_id").as[Long].collect().toSet
+    assert(batchDups == Set(2L), "batch probe disagrees with stream gate")
+  }
+
   test("packing offsets are contiguous per (split, shard) in doc_id order") {
     import spark.implicits._
     val rows = result.select("split", "shard", "doc_id", "n_tok", "start_off")
