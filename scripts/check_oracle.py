@@ -54,6 +54,46 @@ def run_oracle(sql):
     finally:
         done.set()
 
+# Above this many rows the pandas path (materialize -> sort -> astype(str)
+# -> md5) dominates wall-clock by ORDERS of magnitude over the oracle SQL
+# itself (measured at 10x bench scale: m_interpolate's 45.9M-row oracle
+# computes in 1 s; fetchdf + pandas canon ran past a 600 s timeout). Big
+# results compare inside DuckDB instead: count(*) plus a commutative
+# multiset hash (sum of per-row hash(struct(cols))) over BOTH the oracle
+# subquery and the spark parquet dump, with oracle columns cast to the
+# dump's physical types. Order-independent, zero materialization.
+BIG_ROWS = int(os.environ.get('ORACLE_BIG_ROWS', '2000000'))
+
+
+def multiset_compare(name, sql, dumps):
+    files = ', '.join(f"'{p}'" for p in dumps)
+    dump_rel = f"read_parquet([{files}])"
+    desc = con.execute(f"DESCRIBE SELECT * FROM {dump_rel}").fetchall()
+    types = {r[0]: r[1] for r in desc}
+    cols = sorted(types)
+    pack = ', '.join(f'"{c}" := "{c}"' for c in cols)
+    agg = f"count(*) AS n, sum(hash(struct_pack({pack}))) AS h"
+    cast_sel = ', '.join(f'CAST("{c}" AS {types[c]}) AS "{c}"' for c in cols)
+    t0 = time.time()
+    on_, oh = run_oracle(
+        f"SELECT {agg} FROM (SELECT {cast_sel} FROM ({sql}))").values[0]
+    oracle_s = time.time() - t0
+    sn, sh = run_oracle(f"SELECT {agg} FROM {dump_rel}").values[0]
+    if int(on_) == int(sn) and oh == sh:
+        print(f'{name}: OK rows={int(on_)} oracle_s={oracle_s:.1f} '
+              f'(multiset-hash)')
+        return True
+    print(f'{name}: FAIL rows={int(on_)}vs{int(sn)} multiset-hash '
+          f'{"match" if oh == sh else "differs"}')
+    sel = ', '.join(f'"{c}"' for c in cols)
+    diff = run_oracle(
+        f"SELECT {cast_sel} FROM ({sql}) "
+        f"EXCEPT ALL SELECT {sel} FROM {dump_rel} LIMIT 3").values
+    for row in diff:
+        print(f'  oracle-only row: {row}')
+    return False
+
+
 fails, skipped, results = [], [], {}
 for name, sql in sorted(oracle.items()):
     if name.endswith('.parquet'):
@@ -72,6 +112,14 @@ for name, sql in sorted(oracle.items()):
             fails.append(name)
             print(f'{name}: ERROR no dump at {out}/{name}.parquet (query selected for this run)')
             results[name] = 'missing_dump'
+            continue
+        n_dump = sum(pq.ParquetFile(p).metadata.num_rows for p in dumps)
+        if n_dump > BIG_ROWS:
+            if multiset_compare(name, sql, dumps):
+                results[name] = 'ok'
+            else:
+                fails.append(name)
+                results[name] = 'fail'
             continue
         t0 = time.time()
         odf = run_oracle(sql)

@@ -25,15 +25,29 @@ operators:
   near-dups appear between copies (which would otherwise inflate
   every LSH bucket 10x and quadratically distort the verify legs).
   n_chars is recomputed from the transformed text.
-- embeddings: copy i rotates vector dimensions cyclically by i.
-  Rotation is orthogonal and copy-uniform: within-copy pairwise
-  geometry is EXACT (planted clusters, knn structure preserved);
-  cross-copy vectors decorrelate, so ANN/semdedup don't see 10
-  exact duplicates of every vector.
+- embeddings: copy i rotates vector dimensions cyclically by i AND
+  flips the sign of dimension d when md5(f"{i}:{d}") is odd. Both
+  transforms are orthogonal and copy-uniform: within-copy pairwise
+  geometry is EXACT (planted clusters, knn structure preserved).
+  Rotation alone is NOT enough cross-copy: smooth/near-constant
+  vectors are nearly rotation-invariant (measured: e_lsh_pairs rows
+  went 22 -> 13091 at sf1 under rotation-only — cross-copy
+  self-near-dups that inflate every pair family superlinearly and
+  distort the scaling ladder), and above `dim` copies the rotation
+  wraps entirely (copy 64 of a 64-dim vector would be byte-identical
+  to copy 0 under a new id). The per-copy sign diagonal decorrelates
+  every cross-copy pair (~half the dims flip between any two copies)
+  while the exact bytes stay a pure function of (copy index, dim).
 
 Zero randomness: same input -> same bytes, any run, any machine.
+
+Usage: scale_testdata.py [src] [dst] [copies] [table1,table2,...]
+The optional 4th arg restricts generation to a table subset (e.g.
+"documents,embeddings" for the sf10 pair-family ladder, where the
+TPC-H tables would cost GBs nothing reads).
 """
 import sys
+import hashlib
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
@@ -42,6 +56,7 @@ import pathlib
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/data/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 STRIDE = 100_000_000  # far above any sf0.1 key
 # Bounded row groups keep the files SPLITTABLE: pyarrow's default 1M-row
 # groups make most of these tables one row group = one Spark input split,
@@ -106,8 +121,14 @@ def scale_table(name: str) -> None:
                     type=pa.string())])
             elif name == "embeddings" and field.name == "embedding" and i > 0:
                 vecs = col.to_pylist()
-                rot = [(v[i % len(v):] + v[:i % len(v)]) if v else v
-                       for v in vecs]
+                dim = next((len(v) for v in vecs if v), 0)
+                # per-copy sign-flip diagonal (identity at i=0)
+                flips = [(-1.0 if
+                          hashlib.md5(f"{i}:{d}".encode()).digest()[-1] & 1
+                          else 1.0) for d in range(dim)]
+                rot = [[f * x for f, x in
+                        zip(flips, v[i % len(v):] + v[:i % len(v)])]
+                       if v else v for v in vecs]
                 col = pa.chunked_array([pa.array(rot, type=field.type)])
             cols.append(col)
         chunk = pa.table(cols, schema=t.schema)
@@ -127,5 +148,6 @@ if __name__ == "__main__":
     pathlib.Path(DST).mkdir(parents=True, exist_ok=True)
     for n in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
-        scale_table(n)
+        if ONLY is None or n in ONLY:
+            scale_table(n)
     print(f"done: {DST}")

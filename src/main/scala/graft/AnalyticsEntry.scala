@@ -1087,16 +1087,23 @@ object AnalyticsEntry {
            |       CAST(d.dg AS double)/nn.nd) AS pr
            |  FROM nodes n LEFT JOIN c$t c ON n.node = c.dst, d$t d, nn)""".stripMargin
       }.mkString(",\n")
-      s"""WITH o AS (SELECT user_id, event_type,
+      // AS MATERIALIZED on every corpus-derived base CTE: DuckDB 1.0
+      // INLINES multiply-referenced CTEs, so the 10 unrolled power
+      // iterations each re-expand the 1M-row lag window through en/
+      // outdeg — the query tree grows ~3^10 copies of the corpus scan
+      // and the sf1 oracle ran 600 s before interrupting. Materialized
+      // (a pure optimization hint — byte-identical output), the chain
+      // iterates over the 5-node alphabet only: < 1 s at sf1.
+      s"""WITH o AS MATERIALIZED (SELECT user_id, event_type,
          |  lag(event_type) OVER (PARTITION BY user_id
          |    ORDER BY epoch_ms(ts), event_id) AS prev
          | FROM events),
-         |edges AS (SELECT prev AS src, event_type AS dst, count(*) AS n
+         |edges AS MATERIALIZED (SELECT prev AS src, event_type AS dst, count(*) AS n
          |  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
-         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
-         |nn AS (SELECT CAST(count(*) AS double) AS nd FROM nodes),
-         |outdeg AS (SELECT src, sum(n) AS wout FROM edges GROUP BY 1),
-         |en AS (SELECT e.src, e.dst,
+         |nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS double) AS nd FROM nodes),
+         |outdeg AS MATERIALIZED (SELECT src, sum(n) AS wout FROM edges GROUP BY 1),
+         |en AS MATERIALIZED (SELECT e.src, e.dst,
          |    CAST(e.n AS double) / CAST(o.wout AS double) AS frac
          |  FROM edges e JOIN outdeg o USING (src)),
          |p0 AS (SELECT node, CAST(1 AS double)/nn.nd AS pr FROM nodes, nn),

@@ -31,6 +31,14 @@ object ApiEntry {
   private val P = "WITH pts AS (SELECT '/events/' || event_type AS name, " +
     "CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, value AS dval FROM events) "
 
+  /** Cross-engine-deterministic 4dp rounding for MEAN outputs — see
+    * SparkEntry.r4: Spark's round(d,4) half-ups the double's shortest
+    * decimal repr, DuckDB's rounds numerically; on a true .00005 mean
+    * tie they split. floor(x·10⁴+0.5)/10⁴ is IEEE-op-only. */
+  private def r4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    SparkEntry.r4(c)
+  private def r4Sql(x: String): String = SparkEntry.r4Sql(x)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full /get pipeline: pattern -> RATE -> MEAN(1h) -> AVERAGE by name.
     "api_get" -> ((s, dir) =>
@@ -39,7 +47,7 @@ object ApiEntry {
           mutations = Seq(Requests.Rate(), Requests.Mean(H)),
           aggregations = Seq(Requests.AggregationSpec(
             Aggregations.Average, Nil, H))))
-        .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
+        .select(col("name"), col("ts"), r4(col("dval")).as("dval"))),
     // Repeated aggregations (repeated StreamAggregation,
     // lib/openinstrument.proto:105): each one appends its own output
     // streams in request order (server/store.cc:164-252 loops over
@@ -52,7 +60,7 @@ object ApiEntry {
             Requests.AggregationSpec(Aggregations.Average, Seq("user"), H))))
         .select(col("name"),
           element_at(col("labels"), "user").as("usr"),
-          col("ts"), round(col("dval"), 4).as("dval"))),
+          col("ts"), r4(col("dval")).as("dval"))),
     // value_type-aware auto-rate (GetRequest.autoRate): the producer
     // tagged /events/click as a RATE counter (lib/variable.h:110-124),
     // so the engine rates exactly that partition; GAUGE series pass raw.
@@ -245,7 +253,7 @@ object ApiEntry {
     "agg_greedy_avg" -> ((s, dir) =>
       Aggregations.greedyExact(Point.withSeriesKey(pts(s, dir)),
           Aggregations.DefaultIntervalMs, "avg")
-        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))),
+        .select(col("gkey"), col("ts"), r4(col("dval")).as("dval"))),
     // Greedy bucketing grouped per (name, user): ONE stream per group,
     // which reduces the anchor cascade to a greedy interval cover —
     // still sequential, but expressible as a DuckDB recursive CTE, so
@@ -281,7 +289,7 @@ object ApiEntry {
           Point.withSeriesKey(pts(s, dir))
             .filter(element_at(col("labels"), "user").isNotNull),
           86400000L, aggName, Some("user"))
-        .select(col("gkey"), col("ts"), round(col("dval"), 4).as("dval"))
+        .select(col("gkey"), col("ts"), r4(col("dval")).as("dval"))
 
   /** Recursive greedy-interval-cover oracle per (name, user) group,
     * parameterized by the per-bucket aggregate expression. */
@@ -299,7 +307,7 @@ object ApiEntry {
        | GROUP BY a.gkey),
        |b AS (SELECT gkey, ats,
        |  lead(ats) OVER (PARTITION BY gkey ORDER BY ats) AS nxt FROM anch)
-       |SELECT b.gkey, b.ats AS ts, round($aggSql, 4) AS dval
+       |SELECT b.gkey, b.ats AS ts, ${r4Sql(aggSql)} AS dval
        |FROM b JOIN pts0 p
        |  ON p.gkey = b.gkey AND p.ts >= b.ats AND p.ts < b.nxt
        |WHERE b.nxt IS NOT NULL
@@ -399,7 +407,10 @@ object ApiEntry {
       |  FROM rec WHERE k >= 1)
       |SELECT a.gkey AS gkey,
       |       struct_extract(f.anchors[struct_extract(a.u, 'pos')], 'ats') AS ts,
-      |       round(avg(struct_extract(a.u, 'dv')), 4) AS dval
+      |       floor((CASE WHEN count(struct_extract(a.u, 'dv')) > 0 THEN
+      |         CAST(sum(CAST(struct_extract(a.u, 'dv') AS DECIMAL(38,12)))
+      |              AS DOUBLE) / count(struct_extract(a.u, 'dv')) END)
+      |         * 10000 + cast(0.5 as double)) / 10000 AS dval
       |FROM asn a JOIN fin f USING (gkey)
       |WHERE struct_extract(a.u, 'pos') < len(f.anchors)
       |GROUP BY a.gkey, struct_extract(a.u, 'pos'),
@@ -432,14 +443,21 @@ object ApiEntry {
         |  WHERE dval IS NOT NULL AND dval >= 0),
         |m AS (SELECT name, usr, max(ts) AS ts, avg(dval) AS dval
         |  FROM r GROUP BY name, usr, ts - ts % 3600000)
-        |SELECT name, ts - ts % 3600000 AS ts, round(avg(dval), 4) AS dval
+        |SELECT name, ts - ts % 3600000 AS ts,
+        | floor((CASE WHEN count(dval) > 0 THEN
+        |   CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE) / count(dval)
+        |  END) * 10000 + cast(0.5 as double)) / 10000 AS dval
         |FROM m GROUP BY name, ts - ts % 3600000""".stripMargin),
     "api_get_multi" -> (P +
-      """SELECT name, CAST(NULL AS VARCHAR) AS usr,
-        | ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
+      """SELECT name, CAST(NULL AS VARCHAR) AS usr, ts - ts % 3600000 AS ts,
+        | floor(CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE)
+        |   * 10000 + cast(0.5 as double)) / 10000 AS dval
         |FROM pts GROUP BY name, ts - ts % 3600000
         |UNION ALL
-        |SELECT name, usr, ts - ts % 3600000 AS ts, round(avg(dval),4) AS dval
+        |SELECT name, usr, ts - ts % 3600000 AS ts,
+        | floor((CASE WHEN count(dval) > 0 THEN
+        |   CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE) / count(dval)
+        |  END) * 10000 + cast(0.5 as double)) / 10000 AS dval
         |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
     "api_get_autorate" -> (P +
       """, r AS (SELECT name, usr, ts, dval FROM (
@@ -476,12 +494,18 @@ object ApiEntry {
     // Full multi-stream anchor cascade, simulated in DuckDB (see
     // GreedyAvgOracleSql scaladoc).
     "agg_greedy_avg" -> GreedyAvgOracleSql,
-    "agg_greedy_user" -> greedyUserOracle("avg(p.dval)"),
+    // avg/sum buckets replay greedyExact's exact decimal accumulation
+    // (AvgAgg/SumAgg): 12dp-rounded addends, exact sum, one final
+    // double division — feed-order independent on both engines.
+    "agg_greedy_user" -> greedyUserOracle(
+      "CASE WHEN count(p.dval) > 0 THEN " +
+        "CAST(sum(CAST(p.dval AS DECIMAL(38,12))) AS DOUBLE) / count(p.dval) END"),
     "agg_greedy_max_user" -> greedyUserOracle("max(p.dval)"),
     // upper median bucket[n/2] (lib/protobuf.cc:135-142)
     "agg_greedy_median_user" -> greedyUserOracle(
       "list_sort(list(p.dval))[CAST(floor(count(*)/2) AS INT) + 1]"),
-    "agg_greedy_sum_user" -> greedyUserOracle("sum(p.dval)"),
+    "agg_greedy_sum_user" -> greedyUserOracle(
+      "CAST(sum(CAST(p.dval AS DECIMAL(38,12))) AS DOUBLE)"),
     "agg_greedy_min_user" -> greedyUserOracle("min(p.dval)"),
     // InterpolateOp consumes a point iff its floor(ts/H) bucket is later
     // than the last consumed point's bucket (skipped points never update
@@ -752,8 +776,8 @@ object ApiEntry {
     "gor_roundtrip" ->
       (P + "SELECT name, usr, ts, dval FROM pts"),
     "agg_preserve" -> (P +
-      """SELECT name, usr, substr(name, 9) AS site,
-        | ts - ts % 3600000 AS ts, round(sum(dval), 4) AS dval
+      """SELECT name, usr, substr(name, 9) AS site, ts - ts % 3600000 AS ts,
+        | round(CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE), 4) AS dval
         |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
     "q_sval_latest" ->
       ("WITH pts AS (SELECT '/events/' || event_type AS name, " +

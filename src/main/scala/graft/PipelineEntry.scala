@@ -131,16 +131,23 @@ object PipelineEntry {
 
   /** Shared oracle CTE chain ending in `grp(doc_id, group_id)`: n-gram
     * Jaccard near-dup edges → connected components by min-label
-    * reachability (recursive). Used by d_dup_groups and p_split_safe. */
+    * reachability (recursive). Used by d_dup_groups and p_split_safe.
+    * The pair-generation chain (toks→sh→ex→shared→j→e) is
+    * AS MATERIALIZED: DuckDB re-executes CTEs referenced from a
+    * recursive term on every iteration, so without the hint each
+    * reachability round re-runs the full shingle self-join — ~10 s per
+    * round at sf1, a timeout across the recursion. Materialization is
+    * a pure optimization hint; output is byte-identical. */
   private val DupGroupCtes =
-    (T.replaceFirst("WITH ", "WITH RECURSIVE ") + ShingleHashCte +
-      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+    (T.replace("WITH toks AS (", "WITH RECURSIVE toks AS MATERIALIZED (") +
+      ShingleHashCte.replace(", sh AS (", ", sh AS MATERIALIZED (") +
+      """ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+        |shared AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |j AS (SELECT id_a, id_b,
+        |j AS MATERIALIZED (SELECT id_a, id_b,
         |  inter*1.0/(len(sa.s)+len(sb.s)-inter) AS jac
         | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-        |e AS (SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
+        |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM j WHERE jac >= 0.5
         |  UNION SELECT id_b, id_a FROM j WHERE jac >= 0.5),
         |reach AS (SELECT DISTINCT a AS n, a AS m FROM e
         |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
@@ -1582,24 +1589,36 @@ object PipelineEntry {
         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE d.source <> 'src1'""".stripMargin),
+    // The farthest-point distances are computed INSIDE each recursive
+    // step against the ≤8 already-selected ids (|sel|×N rows/step)
+    // rather than via an N×N all-pairs CTE: at sf1 that CTE is 400M
+    // rows re-derived per step (oracle timeout). The selected side is
+    // an UNNEST of sel.ids joined back to e — a correlated
+    // `list_contains(sel.ids, a.vec_id)` filter is NOT pushed below
+    // the a×b cross by DuckDB (it re-ran the full N×N product per
+    // step, timing out again at 10× scale); the unnest-join pins the
+    // a side to |sel| rows before the cross. Same d2 expression, same
+    // min/argmax/tie-break → identical selection.
     "e_kcenter" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, list_inner_product(v, v) AS nn FROM e),
-        |pd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
-        |  na.nn + nb.nn - 2*list_inner_product(a.v, b.v) AS d2
-        | FROM e a JOIN e b ON a.vec_id <> b.vec_id
-        | JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id),
+      """WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id,
+        |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, list_inner_product(v, v) AS nn
+        |  FROM e),
         |seed AS (SELECT min(vec_id) AS s FROM e),
         |sel(step, ids) AS (
         |  SELECT CAST(1 AS BIGINT), [s] FROM seed
         |  UNION ALL
         |  SELECT step + 1, list_append(ids, (
-        |    SELECT p.ib FROM pd p
-        |    WHERE list_contains(sel.ids, p.ia)
-        |      AND NOT list_contains(sel.ids, p.ib)
-        |    GROUP BY p.ib
-        |    ORDER BY min(p.d2) DESC, p.ib
+        |    SELECT x.ib FROM (
+        |      SELECT b.vec_id AS ib,
+        |        min(na.nn + nb.nn - 2*list_inner_product(a.v, b.v)) AS md
+        |      FROM (SELECT unnest(sel.ids) AS sid) s0
+        |      JOIN e a ON a.vec_id = s0.sid
+        |      JOIN n na ON na.vec_id = a.vec_id,
+        |           e b JOIN n nb ON nb.vec_id = b.vec_id
+        |      WHERE NOT list_contains(sel.ids, b.vec_id)
+        |      GROUP BY b.vec_id) x
+        |    ORDER BY x.md DESC, x.ib
         |    LIMIT 1))
         |  FROM sel WHERE step < 8)
         |SELECT CAST(t.o AS BIGINT) AS sel_rank,
@@ -1843,7 +1862,7 @@ object PipelineEntry {
         |allp AS (SELECT id_a, id_b FROM mpairs
         |  UNION SELECT id_a, id_b FROM spairs
         |  UNION SELECT id_a, id_b FROM cpairs),
-        |e AS (SELECT id_a AS a, id_b AS b FROM allp
+        |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM allp
         |  UNION SELECT id_b, id_a FROM allp),
         |reach AS (SELECT DISTINCT a AS n, a AS m FROM e
         |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
@@ -2039,7 +2058,7 @@ object PipelineEntry {
        |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
        | FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND (${lshAnyMatch("a", "b")})),
        |pr AS (SELECT id_a, id_b FROM p WHERE sim >= 0.4),
-       |ed AS (SELECT id_a AS a, id_b AS b FROM pr
+       |ed AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pr
        |  UNION SELECT id_b, id_a FROM pr),
        |reach AS (SELECT DISTINCT a AS n, a AS m FROM ed
        |  UNION SELECT r.n, ed.b FROM reach r JOIN ed ON r.m = ed.a)

@@ -50,6 +50,22 @@ object SparkEntry {
 
   private def seriesW = Window.partitionBy("skey").orderBy("ts")
 
+  /** Cross-engine-deterministic 4dp rounding for MEAN gates:
+    * `floor(x·10⁴ + 0.5)/10⁴` — only IEEE ops (*, +, floor, /), each
+    * correctly rounded, so identical doubles in ⇒ identical doubles
+    * out on any engine. Spark's `round(d, 4)` half-ups the SHORTEST
+    * DECIMAL REPR of the double while DuckDB's rounds numerically;
+    * they disagree exactly when a mean of finite-decimal inputs lands
+    * on a true .00005 tie (observed: 2/3600 rows at 10× bench scale,
+    * e.g. 37.06625 → Spark .0663, DuckDB .0662). Exact-decimal SUMS
+    * can't tie at 4dp (2dp inputs), so plain round stays fine there. */
+  private[graft] def r4(c: Column): Column =
+    floor(c * 10000 + 0.5).cast("double") / 10000
+
+  /** SQL twin of [[r4]]. */
+  private[graft] def r4Sql(x: String): String =
+    s"floor(($x) * 10000 + cast(0.5 as double)) / 10000"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: rate →
     * 1h mean → cross-stream average by name (reference CLI shape
     * `get /events/&#42; rate mean=1h aggregate=name`). */
@@ -170,13 +186,14 @@ object SparkEntry {
         .select(col("name"), col("usr"), col("ts"), round(col("dval"), 4).as("dval"))),
 
     // --------------------------------- cross-stream aggregations (§2.2)
-    // NOTE on round(.,4): float sums are non-associative, so Spark's
-    // partial-agg order vs DuckDB's can differ by ~1e-13; rounding
-    // absorbs that unless a value sits exactly on a .00005 boundary
-    // (observed: 3/3385 rows at sf0.1; zero at the sf0.01 gate).
+    // NOTE on round(.,4): Average/Sum ride exact decimal(38,12) sums
+    // (see Aggregations.AggType) so partial-agg order cannot move the
+    // 4th decimal; the matching oracles use the same decimal form.
+    // Plain double sums here would flip ~1-per-million rows at a
+    // .00005 half-way boundary (observed at 10× bench scale).
     "agg_avg_byname" -> ((s, dir) =>
       Aggregations.byName(pts(s, dir), Aggregations.Average, HourMs)
-        .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
+        .select(col("name"), col("ts"), r4(col("dval")).as("dval"))),
     "agg_sum_byname" -> ((s, dir) =>
       Aggregations.byName(pts(s, dir), Aggregations.Sum, HourMs)
         .select(col("name"), col("ts"), round(col("dval"), 4).as("dval"))),
@@ -213,11 +230,18 @@ object SparkEntry {
     // dashboard draws under "today" and an anomaly detector subtracts
     // before thresholding. One map-side-combinable groupBy to
     // O(#names × 24) rows.
+    // the seasonal-profile mean rides the same decimal-exact sum + r4
+    // rounding as Aggregations.Average: hour-of-day groups are huge
+    // (corpus/120), so a double avg WILL eventually land on a .00005
+    // tie (observed at 10× bench scale) and split the engines.
     "m_seasonal" -> ((s, dir) =>
       unkey(pts(s, dir))
         .groupBy(col("name"),
           (pmod(col("ts"), lit(24L * HourMs)) / HourMs).cast("long").as("hod"))
-        .agg(count(lit(1)).as("n"), round(avg("dval"), 4).as("avg_val"),
+        .agg(count(lit(1)).as("n"),
+          r4(when(count(col("dval")) > 0,
+            sum(col("dval").cast("decimal(38,12)")).cast("double") /
+              count(col("dval")))).as("avg_val"),
           round(stddev_pop("dval"), 4).as("sd_val"))),
 
     // Robust spread: median absolute deviation per series-hour — the
@@ -710,11 +734,17 @@ object SparkEntry {
         """SELECT name, usr, max(ts) AS ts,
           | round(coalesce(stddev_pop(dval), 0), 4) AS dval
           |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
+      // decimal(38,12) sums mirror Aggregations.Average/Sum exactly:
+      // both engines sum the same 12dp decimals (exact, any order) and
+      // perform one identical IEEE division/cast — bit-equal at any SF.
       "agg_avg_byname" -> (P +
-        """SELECT name, ts - ts % 3600000 AS ts, round(avg(dval),4) AS dval
+        s"""SELECT name, ts - ts % 3600000 AS ts,
+          | ${r4Sql("CASE WHEN count(dval) > 0 THEN " +
+             "CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE) / count(dval) END")} AS dval
           |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
       "agg_sum_byname" -> (P +
-        """SELECT name, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
+        """SELECT name, ts - ts % 3600000 AS ts,
+          | round(CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE),4) AS dval
           |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
       "agg_max_byname" -> (P +
         """SELECT name, ts - ts % 3600000 AS ts, max(dval) AS dval
@@ -727,7 +757,8 @@ object SparkEntry {
           | list_sort(list(dval))[CAST(floor(count(*)/2) AS INT) + 1] AS dval
           |FROM pts GROUP BY name, ts - ts % 3600000""".stripMargin),
       "agg_sum_bylabel" -> (P +
-        """SELECT name, usr, ts - ts % 3600000 AS ts, round(sum(dval),4) AS dval
+        """SELECT name, usr, ts - ts % 3600000 AS ts,
+          | round(CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE),4) AS dval
           |FROM pts GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
       "m_locf_grid" -> (P +
         """, b AS (SELECT name, usr, ts - ts % 3600000 AS bts,
@@ -744,7 +775,10 @@ object SparkEntry {
           |   ORDER BY bts ROWS UNBOUNDED PRECEDING), 4) AS dval
           |FROM j""".stripMargin),
       "m_alert" -> (P +
-        """, g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
+        """, g AS (SELECT name, ts - ts % 3600000 AS ts,
+          |   CASE WHEN count(dval) > 0 THEN
+          |    CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE) / count(dval)
+          |   END AS v
           |  FROM pts GROUP BY 1, 2),
           |f AS (SELECT * FROM g WHERE v > 62),
           |n AS (SELECT name, ts, v, CASE WHEN lag(ts) OVER w IS NULL
@@ -783,7 +817,10 @@ object SparkEntry {
           | CAST(floor(dval/100)*100 AS BIGINT) AS vbin, count(*) AS n
           |FROM pts GROUP BY 1, 2, 3""".stripMargin),
       "agg_corr" -> (P +
-        s""", g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
+        s""", g AS (SELECT name, ts - ts % 3600000 AS ts,
+          |   CASE WHEN count(dval) > 0 THEN
+          |    CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE) / count(dval)
+          |   END AS v
           |  FROM pts
           |  WHERE name IN (${CorrNames.map(n => s"'/events/$n'").mkString(", ")})
           |  GROUP BY 1, 2)
@@ -792,7 +829,10 @@ object SparkEntry {
           |FROM g a JOIN g b USING (ts) WHERE a.name < b.name
           |GROUP BY 1, 2""".stripMargin),
       "agg_xcorr" -> (P +
-        s""", g AS (SELECT name, ts - ts % 3600000 AS ts, avg(dval) AS v
+        s""", g AS (SELECT name, ts - ts % 3600000 AS ts,
+          |   CASE WHEN count(dval) > 0 THEN
+          |    CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE) / count(dval)
+          |   END AS v
           |  FROM pts
           |  WHERE name IN (${CorrNames.map(n => s"'/events/$n'").mkString(", ")})
           |  GROUP BY 1, 2),
@@ -871,8 +911,10 @@ object SparkEntry {
           |FROM dd WHERE d IS NOT NULL
           |GROUP BY name, usr, ts - ts % 3600000""".stripMargin),
       "m_seasonal" -> (P +
-        """SELECT name, (ts % 86400000) // 3600000 AS hod, count(*) AS n,
-          | round(avg(dval), 4) AS avg_val,
+        s"""SELECT name, (ts % 86400000) // 3600000 AS hod, count(*) AS n,
+          | ${r4Sql("CASE WHEN count(dval) > 0 THEN " +
+             "CAST(sum(CAST(dval AS DECIMAL(38,12))) AS DOUBLE)" +
+             " / count(dval) END")} AS avg_val,
           | round(stddev_pop(dval), 4) AS sd_val
           |FROM pts GROUP BY 1, 2""".stripMargin),
       "m_mad_grid" -> (P +

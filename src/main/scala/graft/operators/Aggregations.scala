@@ -24,8 +24,22 @@ object Aggregations {
   val DefaultIntervalMs = 30000L
 
   sealed trait AggType { def fn: Column => Column }
-  case object Average extends AggType { def fn = avg }
-  case object Sum extends AggType { def fn = sum }
+  /** Mean and sum ride an exact `decimal(38,12)` sum, divided/cast back
+    * to double only at the end. A plain double `sum`/`avg` is
+    * partial-aggregation-order dependent: with finite-decimal inputs
+    * (metric values are typically 1-2dp decimals) the true mean often
+    * sits within one ulp of a `round(.,4)` half-way boundary, and the
+    * shuffle order then decides the 4th decimal (observed: 1/3600 rows
+    * flipped at 10× the bench scale). The decimal sum is exact (every
+    * double is a finite decimal), map-side combinable, and
+    * order-independent — the same answer on 1 core or 1000 executors. */
+  case object Average extends AggType {
+    def fn = c => when(count(c) > 0,
+      sum(c.cast("decimal(38,12)")).cast("double") / count(c))
+  }
+  case object Sum extends AggType {
+    def fn = c => sum(c.cast("decimal(38,12)")).cast("double")
+  }
   case object Min extends AggType { def fn = min }
   case object Max extends AggType { def fn = max }
   /** Upper median `bucket[n/2]` (lib/protobuf.cc:135-142), exact.
@@ -149,15 +163,22 @@ object Aggregations {
   private sealed trait BucketAgg extends Serializable {
     def add(v: Double): Unit; def result: Double
   }
+  /** Exact decimal accumulation mirroring [[Average]]/[[Sum]]: each
+    * addend is rounded to 12dp (the `decimal(38,12)` cast), summed
+    * exactly, and converted back to double once — so a bucket's value
+    * is independent of feed order and bit-matches a SQL
+    * `cast(sum(cast(v as decimal(38,12))) as double)` replay. */
+  private def dec12(v: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(v).setScale(12, java.math.RoundingMode.HALF_UP)
   private final class AvgAgg extends BucketAgg {
-    private var s = 0.0; private var n = 0L
-    def add(v: Double): Unit = { s += v; n += 1 }
-    def result: Double = s / n
+    private var s = java.math.BigDecimal.ZERO; private var n = 0L
+    def add(v: Double): Unit = { s = s.add(dec12(v)); n += 1 }
+    def result: Double = s.doubleValue() / n
   }
   private final class SumAgg extends BucketAgg {
-    private var s = 0.0
-    def add(v: Double): Unit = s += v
-    def result: Double = s
+    private var s = java.math.BigDecimal.ZERO
+    def add(v: Double): Unit = s = s.add(dec12(v))
+    def result: Double = s.doubleValue()
   }
   private final class ExtAgg(isMin: Boolean) extends BucketAgg {
     private var e = 0.0; private var first = true

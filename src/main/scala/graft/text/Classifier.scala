@@ -280,16 +280,22 @@ object Classifier {
       val upd = (0 to k).map(j =>
         s"$prev.w$j - cast($lr as double) * (cast(g$t.s$j as double) / n.c) as w$j")
         .mkString(", ")
-      s"g$t as (select $sums from f, $prev),\n" +
-        s"w$t as (select $upd from g$t, $prev, n)"
+      s"g$t as materialized (select $sums from f, $prev),\n" +
+        s"w$t as materialized (select $upd from g$t, $prev, n)"
     }.mkString(",\n")
-    s"""with r as (
+    // every stage is AS MATERIALIZED: DuckDB inlines multiply-referenced
+    // CTEs, and each w_t is referenced by BOTH g_{t+1} and w_{t+1} — the
+    // inlined tree doubles per iteration (2^8 re-expansions of the
+    // 5-regexp corpus scan; the sf1 oracle timed out). Materialized, the
+    // corpus is scanned once per gradient aggregate, exactly like the
+    // Spark side. A pure plan hint — identical arithmetic and output.
+    s"""with r as materialized (
        |  select doc_id, $labelSql as y, $feat from documents
        |),
-       |n as (select cast(count(*) as double) as c from r),
-       |st as (select $statSums from r),
-       |f as (select r.doc_id, r.y, $stdCols from r, st, n),
-       |w0 as (select $w0),
+       |n as materialized (select cast(count(*) as double) as c from r),
+       |st as materialized (select $statSums from r),
+       |f as materialized (select r.doc_id, r.y, $stdCols from r, st, n),
+       |w0 as materialized (select $w0),
        |$stages
        |select f.doc_id, round(${pSql(s"w$iters")}, 4) as score,
        |       ${pSql(s"w$iters")} >= cast(0.5 as double) as pred

@@ -55,7 +55,8 @@ class ClassifierSpec extends SparkSpec {
 
   test("oracle SQL unrolls one aggregate stage per iteration") {
     val sql = Classifier.oracleSql("case when lang = 'en' then 1 else 0 end")
-    (1 to 8).foreach(t => assert(sql.contains(s"g$t as (select")))
+    (1 to 8).foreach(t =>
+      assert(sql.contains(s"g$t as materialized (select")))
     assert(!sql.contains("g9 as"))
     assert(sql.contains("decimal(38,12)") && sql.contains("sqrt"))
   }
