@@ -141,7 +141,9 @@ object PipelineEntry {
   private val DupGroupCtes =
     (T.replace("WITH toks AS (", "WITH RECURSIVE toks AS MATERIALIZED (") +
       ShingleHashCte.replace(", sh AS (", ", sh AS MATERIALIZED (") +
-      """ex AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+      """ex0 AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ex AS MATERIALIZED (SELECT ex0.* FROM ex0 JOIN (SELECT g FROM ex0
+        |  GROUP BY g HAVING count(*) <= 300) k USING (g)),
         |shared AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |j AS MATERIALIZED (SELECT id_a, id_b,
@@ -1710,8 +1712,13 @@ object PipelineEntry {
         |cand AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> 'src1')
         |SELECT doc_id, count(*) AS n_hits FROM cand
         |WHERE g IN (SELECT g FROM bench) GROUP BY doc_id""".stripMargin,
+    // the df <= 300 blocking cap mirrors Dedup.DefaultShingleMaxDf: a
+    // no-op at every tested SF (max df at 10x bench scale is 168) but
+    // the contract the engine actually runs at any scale
     "d_ngram_jaccard" -> (T + ShingleHashCte +
-      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      """ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ex AS (SELECT ex0.* FROM ex0 JOIN (SELECT g FROM ex0
+        |  GROUP BY g HAVING count(*) <= 300) k USING (g)),
         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |j AS (SELECT id_a, id_b,
@@ -1719,7 +1726,9 @@ object PipelineEntry {
         | FROM shared JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin),
     "d_containment" -> (T + ShingleHashCte +
-      """ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      """ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ex AS (SELECT ex0.* FROM ex0 JOIN (SELECT g FROM ex0
+        |  GROUP BY g HAVING count(*) <= 300) k USING (g)),
         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
         | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |c AS (SELECT id_a, id_b,

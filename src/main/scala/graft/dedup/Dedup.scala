@@ -116,9 +116,23 @@ object Dedup {
    *              quadratically). Pairs sharing ONLY ultra-common
    *              shingles are missed, the standard trade-off.
    */
+  /** Default hot-shingle document-frequency cap for the blocked-join
+    * n-gram pair families. The blocking self-join costs Σ_shingle df²,
+    * which grows QUADRATICALLY with corpus size for boilerplate
+    * shingles (measured on the bench corpus: 10× the docs → 76× the
+    * join pairs, 34.9M → 2.67B, uncapped). A fixed absolute cap bounds
+    * the join at cap × #shingle-rows — linear at any corpus size
+    * (same 10× step capped: 184M pairs, ~5×). Cost of the cap: a
+    * shingle in more documents than this carries no near-dup signal
+    * (it's template/stopword text), but pairs overlapping ONLY in such
+    * shingles are missed and `inter` undercounts hot-shingle overlap —
+    * the standard sublinear dedup trade. Pass Long.MaxValue for the
+    * exact quadratic (verification-scale only). */
+  val DefaultShingleMaxDf = 300L
+
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxDf: Long = Long.MaxValue): DataFrame =
+                        maxDf: Long = DefaultShingleMaxDf): DataFrame =
     shingleBlockedCounts(df, n, idCol, textCol, maxDf)
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
@@ -143,7 +157,7 @@ object Dedup {
   def ngramContainmentPairs(df: DataFrame, n: Int = 3,
                             threshold: Double = 0.8,
                             idCol: String = "doc_id", textCol: String = "text",
-                            maxDf: Long = Long.MaxValue): DataFrame =
+                            maxDf: Long = DefaultShingleMaxDf): DataFrame =
     shingleBlockedCounts(df, n, idCol, textCol, maxDf)
       .withColumn("cont_a", col("inter") / col("sza").cast("double"))
       .withColumn("cont_b", col("inter") / col("szb").cast("double"))
