@@ -1202,11 +1202,13 @@ object PipelineEntry {
     }),
     // SemDeDup semantic dedup: pinned-quantizer clusters, drop any
     // vector with a lower-id same-cluster neighbor at cosine >= 0.35
-    // — pairwise comparison never crosses a cluster boundary, so the
-    // quadratic is bounded per list (nlist is the scale knob).
+    // — pairwise comparison never crosses a cluster boundary, and the
+    // cluster COUNT scales with the corpus (Ann.adaptiveNlist) so the
+    // per-cluster quadratic stays a bounded constant per row.
     "e_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.semDedup(Ann.pinnedCentroids(emb, nlist = 16), emb, tau = 0.35)
+      val nlist = Ann.adaptiveNlist(emb.count())
+      Ann.semDedup(Ann.pinnedCentroids(emb, nlist), emb, tau = 0.35)
     }),
     // Winnowing-fingerprint candidate pairs: docs sharing >= 3 selected
     // fingerprints (Schleimer winnowing guarantees shared substrings of
@@ -2194,7 +2196,23 @@ object PipelineEntry {
     * per row — removed iff a lower-id same-cluster neighbor sits at
     * cosine >= 0.35, cosine spelled with the identical
     * dot/(sqrt·sqrt) float shape the Spark side evaluates. */
-  private def semDedupOracle: String = IvfRankedCte +
+  /** SemDeDup oracle with the ADAPTIVE cluster count — mirrors
+    * Ann.adaptiveNlist(count(*)): nlist = greatest(16, ceil(N/1250)),
+    * centroids = the first nlist vectors by id (pinnedCentroids). At
+    * every driver-gate scale (≤ 20k vectors) this reduces to the
+    * fixed 16 of IvfRankedCte. */
+  private def semDedupOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nl AS (SELECT greatest(16, CAST(ceil(count(*) / 1250.0) AS BIGINT)) AS n
+      | FROM e),
+      |cent AS (SELECT cid, cv FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+      |   v AS cv FROM e ORDER BY vec_id), nl WHERE cid < nl.n),
+      |scored AS (SELECT e.vec_id, e.v, cent.cid,
+      |  2.0 * list_inner_product(e.v, cent.cv) - list_inner_product(cent.cv, cent.cv) AS score
+      | FROM e CROSS JOIN cent),
+      |ranked AS (SELECT vec_id, v, cid,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS cr
+      | FROM scored)""".stripMargin +
     """,
       |asg AS (SELECT vec_id, v, cid AS list_id FROM ranked WHERE cr = 1),
       |rem AS (SELECT DISTINCT b.vec_id

@@ -942,23 +942,32 @@ object Multimodal {
   /**
    * Image near-dup pairs by banded perceptual hash: the
    * [[graft.dedup.Dedup.simhashPairs]] pigeonhole applied to
-   * [[imageAHash]] signatures — 4 disjoint 16-bit bands, so any pair
-   * within Hamming distance ≤ 3 shares at least one band verbatim
-   * (guarantee holds for maxDist < 4; larger maxDist trades recall).
-   * Candidates join on (band index, band value) only — never all
-   * pairs — then the exact popcount filter runs on the candidate set.
-   * The decode pass sits under the join's band exchange, which both
-   * self-join sides share (byte-identical subtrees → one exchange),
-   * so every image decodes once.
+   * [[imageAHash]] signatures — 3-of-6-block compound keys (Manku et
+   * al., WWW'07 §3; the same scheme as the text simhash path): the
+   * 64-bit aHash splits into six blocks (11,11,11,11,10,10 bits) and
+   * each row emits the C(6,3) = 20 three-block concatenations. Any
+   * pair within Hamming distance ≤ 3 corrupts ≤ 3 blocks, so an
+   * untouched combo matches (guarantee holds for maxDist < 4; larger
+   * maxDist trades recall). ~32-bit keys keep random bucket
+   * collisions birthday-bounded at any corpus size — single 16-bit
+   * bands go quadratic past ~10⁵ items. Candidates join on the band
+   * key only — never all pairs — then the exact popcount filter runs
+   * on the candidate set. The decode pass sits under the join's band
+   * exchange, which both self-join sides share (byte-identical
+   * subtrees → one exchange), so every image decodes once.
    */
   def imageNearDupPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
     val sigs = imageAHash(media)
+    val offsets = Seq(0, 11, 22, 33, 44, 54)
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    def block(b: Int) =
+      shiftrightunsigned(col("ahash"), offsets(b))
+        .bitwiseAND(lit((1L << widths(b)) - 1)).cast("string")
+    val combos = for { i <- 0 to 5; j <- (i + 1) to 5; k <- (j + 1) to 5 }
+      yield concat(lit(s"$i$j$k:"), block(i), lit(":"), block(j),
+        lit(":"), block(k))
     val banded = sigs.select(col("item_id"), col("ahash"),
-      explode(array((0 until 4).map(b =>
-        concat(lit(s"$b:"),
-          shiftrightunsigned(col("ahash"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).cast("string"))): _*))
-        .as("band"))
+      explode(array(combos: _*)).as("band"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.item_id") < col("b.item_id"))

@@ -615,6 +615,20 @@ object Ann {
    * partition-dependent), this is a pure function of the data — an
    * external oracle can rebuild the identical index.
    */
+  /** Corpus-adaptive cluster count for the cluster-local pairwise
+    * operators (SemDeDup): hold the EXPECTED CLUSTER SIZE at
+    * ~`targetPerList` instead of pinning nlist, because per-cluster
+    * pairwise work is Σ size² — with nlist fixed that is N²/nlist,
+    * fully quadratic (measured: 58× runtime for 10× vectors at
+    * nlist = 16). With nlist = ⌈N/target⌉ the pairwise volume is
+    * N·target — linear at any corpus size (the SemDeDup paper's own
+    * posture: cluster count grows with the corpus). The formula is a
+    * pure function of count(*), so an external oracle replays it; the
+    * floor of 16 keeps every ≤20k-vector corpus (all driver-gate
+    * scales) on the exact nlist the fixed gates always used. */
+  def adaptiveNlist(n: Long, targetPerList: Long = 1250L): Int =
+    math.max(16L, (n + targetPerList - 1) / targetPerList).toInt
+
   def pinnedCentroids(corpus: DataFrame, nlist: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Array[Array[Double]] =
