@@ -126,17 +126,31 @@ class PlanAuditSpec extends SparkSpec {
       s"p_curate expected exactly 1 shuffle (window over content hash), got $n")
   }
 
-  test("d_ngram_jaccard carries set sizes through blocking: one join only") {
+  test("d_ngram_jaccard: one blocking self-join + bounded hot-df guards") {
     val p = plan("d_ngram_jaccard")
-    // Exactly one join: the blocking self-join. The old shape had two
-    // more (hinted broadcast joins re-attaching per-doc set sizes — an
-    // O(corpus) build side). The planner may still freely broadcast the
-    // self-join's small side at this SF — that's AQE/stats deciding,
-    // which is the point: no hint forces it when the side is huge.
-    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
-      .findAllIn(p).length
-    assert(joins == 1,
-      s"d_ngram_jaccard expected only the blocking self-join, got $joins joins")
+    // Exactly one INNER join — the blocking self-join; per-doc set
+    // sizes ride the banded rows (the old shape re-attached them with
+    // two hinted corpus-sized broadcast joins). The DefaultShingleMaxDf
+    // guard adds one LeftOuter join per self-join side (dropHotKeys —
+    // build side bounded by distinct-keys/maxDf, never the corpus).
+    // The planner may still freely broadcast the self-join's small
+    // side at this SF — that's AQE/stats deciding, which is the point:
+    // no hint forces it when the side is huge.
+    val inner =
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*Inner".r
+        .findAllIn(p).length
+    val outer =
+      "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*LeftOuter".r
+        .findAllIn(p).length
+    assert(inner == 1,
+      s"d_ngram_jaccard expected exactly the blocking self-join, got $inner inner joins")
+    assert(outer <= 2,
+      s"d_ngram_jaccard expected at most 2 hot-df guard joins, got $outer")
+    // The tokenize+shingle pass must still compile/run ONCE: the guard
+    // joins and both self-join sides read the one repartition exchange
+    // back (AQE stage reuse). Executed-plan evidence: a ReusedExchange
+    // replaces the second side's subtree at runtime (verified via
+    // SPARK_GRAFT_EXECUTE=true graft.Explain — 1 parquet scan).
   }
 
   test("ev_sessionize shuffles exactly once (window + stats share the key)") {
