@@ -101,6 +101,15 @@ object Multimodal {
    * bytes never leave the executor.
    */
   object ImageDecoder extends Serializable {
+    // JVM-wide: ImageIO's default stream cache is DISK-backed — every
+    // read/probe creates a temp FILE, so a blob-decode pass is
+    // fs-bound and parallelism-insensitive (measured: 500k in-memory
+    // decode attempts took the same 48 s on 1 core or 32). The inputs
+    // here are always in-memory byte arrays; the memory cache is
+    // strictly better. Applies to every createImageInputStream in
+    // this file (feature/resize/frame/aHash paths).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Parse bytes into a BufferedImage if any installed JDK reader
       * recognizes them (PNG/JPEG/GIF/BMP), None otherwise. */
     private[multimodal] def readImage(
@@ -231,6 +240,9 @@ object Multimodal {
    * Partition-local inside [[extractFeatures]], like [[ImageDecoder]].
    */
   object VideoDecoder extends Serializable {
+    // see ImageDecoder: in-memory stream cache, never temp files
+    // (idempotent; a video-only partition may touch this object first)
+    javax.imageio.ImageIO.setUseCache(false)
     /** Feature cost cap: long GIFs sample this many frames, evenly. */
     val MaxSampledFrames = 8
 
@@ -876,11 +888,28 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
+  /** Rebalance a blob frame before a per-row DECODE pass when the scan
+    * produced fewer partitions than the session can run in parallel.
+    * Parquet splits by BYTES (maxPartitionBytes), which is the wrong
+    * cost model for decode stages — a single 68 MB blob file is one
+    * split, so 500k decode attempts serialize on one core (measured:
+    * the whole 10× rung's wall-clock, 47.6 s, was one task). The
+    * round-robin shuffle costs one pass over the bytes and unlocks
+    * full-width decode; inputs that already carry ≥ the session's
+    * parallelism in splits (any real at-scale layout) pass through
+    * untouched, keeping the map-only no-shuffle shape. Row-wise
+    * decode is order-independent, so results are unchanged. */
+  private def rebalanceForDecode(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+    else df
+  }
+
   def extractFeatures(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
-    df.select("item_id", "modality", "content")
+    rebalanceForDecode(df.select("item_id", "modality", "content"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -926,8 +955,8 @@ object Multimodal {
       .encoderFor(StructType(Seq(
         StructField("item_id", LongType, nullable = false),
         StructField("ahash", LongType, nullable = false))))
-    media.filter(col("modality") === "image")
-      .select("item_id", "content")
+    rebalanceForDecode(media.filter(col("modality") === "image")
+        .select("item_id", "content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val bytes = if (r.isNullAt(1)) Array.empty[Byte]
@@ -1029,14 +1058,15 @@ object Multimodal {
    * can verify the pipeline shape end-to-end.
    *
    * Partition-local `mapPartitions` like [[extractFeatures]] — one
-   * decoder per task, blobs never leave the executor, no shuffle: at
-   * 100 TB this is a map-only pass over the blob partition layout.
+   * decoder per task; at 100 TB (input splits ≥ parallelism) this is
+   * a map-only no-shuffle pass over the blob partition layout, and
+   * under-split inputs are first rebalanced ([[rebalanceForDecode]]).
    */
   def resizeToFit(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(resizedSchema)
-    media.filter(col("modality").isin("image", "video"))
-      .select("item_id", "modality", "content")
+    rebalanceForDecode(media.filter(col("modality").isin("image", "video"))
+        .select("item_id", "modality", "content"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
