@@ -721,8 +721,25 @@ object Multimodal {
           .filter(s => s > 0 && s <= Int.MaxValue)
           .map(s => (0, 0, s.toInt, spanFeature(bytes), "ogg-hdr")))
 
+    /** The JDK ships readers for exactly WAV (RIFF/WAVE), AIFF/AIFC
+      * (FORM) and AU (.snd). Dispatching on those magic bytes before
+      * touching AudioSystem is result-identical (anything else throws
+      * UnsupportedAudioFileException inside the probe) and keeps the
+      * provider registry — whose probing serializes under a JVM-global
+      * lock — off the per-row path for non-audio payloads. */
+    private def looksLikePcmContainer(b: Array[Byte]): Boolean =
+      b.length >= 12 && (
+        (b(0) == 'R'.toByte && b(1) == 'I'.toByte && b(2) == 'F'.toByte &&
+          b(3) == 'F'.toByte && b(8) == 'W'.toByte && b(9) == 'A'.toByte &&
+          b(10) == 'V'.toByte && b(11) == 'E'.toByte) ||
+        (b(0) == 'F'.toByte && b(1) == 'O'.toByte && b(2) == 'R'.toByte &&
+          b(3) == 'M'.toByte) ||
+        (b(0) == '.'.toByte && b(1) == 's'.toByte && b(2) == 'n'.toByte &&
+          b(3) == 'd'.toByte))
+
     private def pcmDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
       if (bytes == null || bytes.length == 0) return None
+      if (!looksLikePcmContainer(bytes)) return None
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
