@@ -121,14 +121,22 @@ def scale_table(name: str) -> None:
                     type=pa.string())])
             elif name == "embeddings" and field.name == "embedding" and i > 0:
                 vecs = col.to_pylist()
-                dim = next((len(v) for v in vecs if v), 0)
-                # per-copy sign-flip diagonal (identity at i=0)
+                # per-copy sign-flip diagonal (identity at i=0), sized to
+                # the LONGEST vector: flips[d] is a pure function of
+                # (copy, dim position), so a ragged table still gets the
+                # full diagonal per vector — sizing from the first vector
+                # would silently truncate longer ones (zip stops at the
+                # shorter side) and break the orthogonal/copy-uniform
+                # guarantee without an error.
+                dim = max((len(v) for v in vecs if v), default=0)
                 flips = [(-1.0 if
                           hashlib.md5(f"{i}:{d}".encode()).digest()[-1] & 1
                           else 1.0) for d in range(dim)]
                 rot = [[f * x for f, x in
                         zip(flips, v[i % len(v):] + v[:i % len(v)])]
                        if v else v for v in vecs]
+                assert all(len(r or []) == len(v or []) for r, v in
+                           zip(rot, vecs)), "sign diagonal truncated a vector"
                 col = pa.chunked_array([pa.array(rot, type=field.type)])
             cols.append(col)
         chunk = pa.table(cols, schema=t.schema)

@@ -57,6 +57,12 @@ object Bench {
       // lets the optimizer prune all projection work for select-only
       // queries, which would under-measure them)
       var err: Option[String] = None
+      // ambient 1-min load sampled as this query's passes START: during
+      // a run the average carries the bench's own steady-state (~its
+      // parallelism), so the signal is RELATIVE — a spike far above the
+      // neighbors' samples attributes partial contamination to exactly
+      // the queries it touched (persisted per-query in bench_detail)
+      val qLoad = loadAvg()
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -71,7 +77,7 @@ object Bench {
             None
         }
       }
-      (name, if (times.nonEmpty) times.min else -1.0, err, times)
+      (name, if (times.nonEmpty) times.min else -1.0, err, times, qLoad)
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -79,42 +85,20 @@ object Bench {
     // 3 decimals (ms precision) keeps the 100+-entry line compact; more
     // digits are noise at these magnitudes anyway
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _) => s"\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _, _) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     // BOTH timed passes per query: regression vs noise is decidable
     // from the artifact alone — a real regression moves the min, a
     // noisy neighbor widens the [min,max] spread of one pass
-    val passes = results.map { case (k, _, _, ts) =>
+    val passes = results.map { case (k, _, _, ts, _) =>
       s"\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = r3(results.filter(_._3.isEmpty).map(_._2).sum)
     val nErrors = results.count(_._3.isDefined)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
-    // The harness stdout capture keeps only the output TAIL, which eats
-    // the leading ~75 per-query entries of the 180+-query line — so
-    // regressions in the families that sort first (agg_*/api_*/d_*/e_*)
-    // were invisible round-over-round. Persist the complete map (same
-    // JSON line, stable alphabetical key order) to a standalone file
-    // that gets committed and diffed per round.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "bench_detail.json")
-    try {
-      val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(line) finally w.close()
-    } catch {
-      case t: Throwable =>
-        System.err.println(s"[bench] detail artifact write failed: $t")
-    }
-    // The harness capturing stdout keeps only the tail of the output; the
-    // full line above is ~3 KB and can lose its leading fields to
-    // truncation. Repeat the headline numbers on a second, short line so
-    // the total is always parseable from the tail. The 1-minute load
-    // average + core count make driver-contended runs self-diagnosing:
-    // timings taken while the box was busy (load ≫ cores in use) should
-    // be discounted rather than read as regressions.
     val postLoad = r3(loadAvg())
     // contaminated = the load was above cap either entering the timed
     // window (after the bounded drain wait) or leaving it. The bench
@@ -128,8 +112,37 @@ object Bench {
     // when it exceeds nproc/2, i.e. clearly more than the bench's own
     // winddown).
     val contaminated = preLoad > loadCap || postLoad > nprocs / 2.0
-    val nproc = nprocs
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"load_pre":${r3(preLoad)},"load":$postLoad,"nproc":$nproc,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    // The harness stdout capture keeps only the output TAIL, which eats
+    // the leading ~75 per-query entries of the 180+-query line — so
+    // regressions in the families that sort first (agg_*/api_*/d_*/e_*)
+    // were invisible round-over-round. Persist the complete map (same
+    // JSON line, stable alphabetical key order) to a standalone file
+    // that gets committed and diffed per round — EXTENDED with the
+    // contamination evidence (run-level load_pre/load_post/contaminated
+    // plus the per-query ambient-load samples), so a partially-poisoned
+    // window is attributable to the specific queries it touched.
+    val loads = results.map { case (k, _, _, _, ld) =>
+      s"\"" + k + "\":" + r3(ld)
+    }.mkString("{", ",", "}")
+    val detailLine = line.dropRight(1) +
+      s""","loads":$loads,"load_pre":${r3(preLoad)},"load_post":$postLoad,"nproc":$nprocs,"contaminated":$contaminated}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detailLine) finally w.close()
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] detail artifact write failed: $t")
+    }
+    // The harness capturing stdout keeps only the tail of the output; the
+    // full line above is ~3 KB and can lose its leading fields to
+    // truncation. Repeat the headline numbers on a second, short line so
+    // the total is always parseable from the tail. The 1-minute load
+    // average + core count make driver-contended runs self-diagnosing:
+    // timings taken while the box was busy (load ≫ cores in use) should
+    // be discounted rather than read as regressions.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"load_pre":${r3(preLoad)},"load":$postLoad,"nproc":$nprocs,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1302,6 +1302,20 @@ object PipelineEntry {
         |FROM j""".stripMargin,
     "t_classifier_auc" -> Classifier.aucOracleSql(
       "case when lang = 'en' then cast(1 as double) else cast(0 as double) end"),
+    // pct_stub_decode's oracle REPLICATES the engine's magic-byte
+    // decode dispatch in SQL (the media bytes are exactly
+    // encode(text, 'UTF-8') per Multimodal.fromDocuments, so the
+    // dispatch is decidable on the text prefix): a full — non-stub,
+    // non-'-hdr' — decode requires the modality's container magic
+    // (image: GIF8/BM; the PNG/JPEG magics can't appear in UTF-8 text;
+    // audio: RIFF..WAVE / FORM / .snd — ID3/OggS only reach '-hdr'
+    // walks, which the metric counts as stub-ish; video: GIF8 /
+    // RIFF..AVI). The check is the engine's PRE-dispatch: it assumes a
+    // magic-prefixed payload also parses, which every real media
+    // fixture satisfies and the all-text fixtures satisfy vacuously
+    // (verified: zero magic-prefixed texts at every shipped SF). Unlike
+    // the previous constant-1.0 form this tracks the data — if a future
+    // fixture carries decodable bytes, both sides move together.
     "p_dataset_card" -> (T + LangPredCtes +
       s""",
          |q AS ($QualitySelect),
@@ -1325,9 +1339,16 @@ object PipelineEntry {
          | CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT)
          |   AS n_test,
          | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_media,
-         | (SELECT round(avg(CASE WHEN dec = 'stub' OR dec LIKE '%-hdr'
-         |    THEN 1.0 ELSE 0.0 END), 4)
-         |  FROM (SELECT 'stub' AS dec FROM documents)) AS pct_stub_decode
+         | (SELECT round(avg(CASE WHEN
+         |    CASE doc_id % 3
+         |      WHEN 0 THEN (text LIKE 'GIF8%' OR text LIKE 'BM%')
+         |      WHEN 1 THEN ((substr(text, 1, 4) = 'RIFF'
+         |                    AND substr(text, 9, 4) = 'WAVE')
+         |                   OR text LIKE 'FORM%' OR text LIKE '.snd%')
+         |      ELSE (text LIKE 'GIF8%' OR (substr(text, 1, 4) = 'RIFF'
+         |                    AND substr(text, 9, 4) = 'AVI '))
+         |    END THEN 0.0 ELSE 1.0 END), 4)
+         |  FROM documents) AS pct_stub_decode
          |FROM c JOIN lang USING (doc_id) JOIN q USING (doc_id)""".stripMargin),
     "p_wsample_k" -> (T + s""", q AS ($QualitySelect),
       |d AS (SELECT d.doc_id, d.source, q.quality,

@@ -115,6 +115,10 @@ object Dedup {
    *              at scale a hot shingle would otherwise shuffle-join
    *              quadratically). Pairs sharing ONLY ultra-common
    *              shingles are missed, the standard trade-off.
+   *              NOTE: default changed in r12 from exact
+   *              (`Long.MaxValue`) to [[DefaultShingleMaxDf]] — see the
+   *              BEHAVIOR CHANGE section there; pass `Long.MaxValue`
+   *              explicitly for pre-r12 exact semantics.
    */
   /** Default hot-shingle document-frequency cap for the blocked-join
     * n-gram pair families. The blocking self-join costs Σ_shingle df²,
@@ -127,7 +131,19 @@ object Dedup {
     * (it's template/stopword text), but pairs overlapping ONLY in such
     * shingles are missed and `inter` undercounts hot-shingle overlap —
     * the standard sublinear dedup trade. Pass Long.MaxValue for the
-    * exact quadratic (verification-scale only). */
+    * exact quadratic (verification-scale only).
+    *
+    * ==BEHAVIOR CHANGE (r12)==
+    * Before r12 the default was `Long.MaxValue` (exact). The default is
+    * now CAPPED: a 100 TB engine must be scale-safe by default, and the
+    * uncapped blocking join is structurally quadratic in corpus size —
+    * a caller who forgets the parameter should get the linear plan, not
+    * the one that falls over at the first real corpus. Callers that
+    * need exact hot-shingle semantics (pairs overlapping only in
+    * shingles shared by > 300 docs; `inter` counting every shared
+    * shingle however common) MUST now opt in with
+    * `maxDf = Long.MaxValue`. The cap is a measured no-op on every
+    * shipped fixture (max shingle df at sf1 = 168 < 300). */
   val DefaultShingleMaxDf = 300L
 
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
@@ -808,12 +824,77 @@ object Dedup {
       simhashBandRows(simhashSignatures(corpus, idCol, textCol)),
       simhashSignatures(probes, idCol, textCol), maxDist)
 
+  /** Persisted band-layout version of [[simhashIndex]], written as the
+    * single-line marker file `path/_band_format`. The band-key scheme
+    * is part of the ON-DISK contract: probing an index whose bands
+    * were exploded under a different scheme silently returns ZERO
+    * matches (the keys never collide), and appending mixed-scheme band
+    * rows corrupts recall for both generations — so every reader and
+    * appender verifies the marker and fails loudly instead.
+    * History: v1 = 4 exploded 15-bit single bands (pre-r13);
+    * v2 = 20 compound 3-of-6 10-bit-block keys ([[SimhashBlockCombos]]). */
+  val SimhashBandFormat = "simhash-bands v2 3of6-blocks"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeBandFormatMarker(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_band_format")
+    val out = hadoopFs(spark, path).create(p, true)
+    try out.write((SimhashBandFormat + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Fail-loud guard on every simhash-index read/append path: the
+    * marker must exist and match [[SimhashBandFormat]] exactly. A
+    * missing marker means the index predates the marker (v1 bands) —
+    * treated as a mismatch, not trusted. */
+  private def requireBandFormat(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_band_format")
+    val actual =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    if (!actual.contains(SimhashBandFormat)) throw new IllegalStateException(
+      s"simhash index at $path has band layout ${actual.getOrElse("<no marker — pre-v2 index>")} " +
+      s"but this build probes/writes '$SimhashBandFormat'; old-format bands never " +
+      s"collide with new-format probe keys (lookups silently return 0 matches) " +
+      s"and mixed appends corrupt recall. Run Dedup.simhashRebuildBands(spark, path) " +
+      s"to regenerate path/bands from path/sigs (signatures are format-independent).")
+  }
+
+  /** Migrate / repair an at-rest simhash index: regenerate `path/bands`
+    * from the stored (format-independent) `path/sigs` under the current
+    * [[SimhashBandFormat]] and stamp the marker. One linear pass. */
+  def simhashRebuildBands(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val staged = s"$path/staging-bands"
+    simhashBandRows(spark.read.parquet(s"$path/sigs"))
+      .write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    hadoopFs(spark, path)
+      .delete(new org.apache.hadoop.fs.Path(staged), true)
+    writeBandFormatMarker(spark, path)
+  }
+
   /**
    * Materialize the at-rest SimHash near-dup index under `path`:
    * `path/sigs` = (id, sig), `path/bands` = (id, sig, band) — 8 bytes
-   * of signature per doc plus 4 exploded band rows; at any corpus
-   * scale this is the cheapest near-dup index that exists. Bands
-   * derive from the WRITTEN sigs so the halves cannot disagree.
+   * of signature per doc plus 20 compound band rows (the 3-of-6-block
+   * scheme of [[simhashBandRows]]); at any corpus scale this is the
+   * cheapest near-dup index that exists. Bands derive from the WRITTEN
+   * sigs so the halves cannot disagree, and the band layout is stamped
+   * in `path/_band_format` ([[SimhashBandFormat]]) so a future scheme
+   * change cannot silently probe stale bands.
    */
   def simhashIndex(df: DataFrame, path: String, idCol: String = "doc_id",
                    textCol: String = "text"): Unit = {
@@ -821,6 +902,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/sigs")
     simhashBandRows(df.sparkSession.read.parquet(s"$path/sigs"))
       .write.mode("overwrite").parquet(s"$path/bands")
+    writeBandFormatMarker(df.sparkSession, path)
   }
 
   /** Append new documents to a materialized [[simhashIndex]] — same
@@ -830,6 +912,7 @@ object Dedup {
                     idCol: String = "doc_id",
                     textCol: String = "text"): Unit = {
     val spark = df.sparkSession
+    requireBandFormat(spark, path) // appending v2 bands into v1 bands mixes schemes
     val staged = s"$path/staging-sigs"
     simhashSignatures(df, idCol, textCol)
       .write.mode("overwrite").parquet(staged)
@@ -846,10 +929,12 @@ object Dedup {
     * (probe_id, corpus_id, dist) per near-dup already held. */
   def simhashLookup(spark: org.apache.spark.sql.SparkSession, path: String,
                     probes: DataFrame, maxDist: Int = 3,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    requireBandFormat(spark, path)
     simhashLookupFromSigs(
       spark.read.parquet(s"$path/bands"),
       simhashSignatures(probes, idCol, textCol), maxDist)
+  }
 
   /**
    * Streaming probe of a [[simhashIndex]]: live SimHash near-dup
@@ -864,6 +949,7 @@ object Dedup {
                           watermark: String = "1 hour",
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    requireBandFormat(spark, path)
     // shares simhashSignatures with the index build — bit-identical
     // signatures or lookups silently stop matching
     val sigs = simhashSignatures(

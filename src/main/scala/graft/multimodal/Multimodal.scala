@@ -915,7 +915,22 @@ object Multimodal {
     * full-width decode; inputs that already carry ≥ the session's
     * parallelism in splits (any real at-scale layout) pass through
     * untouched, keeping the map-only no-shuffle shape. Row-wise
-    * decode is order-independent, so results are unchanged. */
+    * decode is order-independent, so results are unchanged.
+    *
+    * Two deliberate limits of this heuristic, for anyone copying it:
+    * (1) `df.rdd.getNumPartitions` forces a physical-plan conversion of
+    * the frame — harmless HERE because the input is a map-only
+    * projection over a scan, but upstream of a reused exchange it would
+    * plan (and potentially execute) that subtree twice; don't lift the
+    * idiom out of this file. (2) the check is partition-COUNT-driven,
+    * not cost-driven: a 100 TB blob table with many ~1 GB files passes
+    * `>= defaultParallelism` trivially yet can still skew — per-SPLIT
+    * decode cost varies with blob count per split, not bytes. That's
+    * accepted: at fleet scale AQE + many-files layouts already give
+    * decode-width parallelism, and a cost model would need per-column
+    * row statistics the scan doesn't expose; the guard only exists to
+    * rescue the few-giant-files layout where byte-based splitting
+    * serializes the decode entirely. */
   private def rebalanceForDecode(df: DataFrame): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)

@@ -24,6 +24,43 @@ object Aggregations {
   val DefaultIntervalMs = 30000L
 
   sealed trait AggType { def fn: Column => Column }
+
+  /** Non-finite propagation for the decimal-exact Average/Sum paths.
+    * `cast(double AS decimal)` maps NaN/±Inf to NULL, so a bare decimal
+    * sum would silently DROP non-finite inputs (while `count` still
+    * counts them) — the opposite of IEEE double aggregation, which
+    * poisons the result. These flags restore IEEE semantics
+    * deliberately: any NaN (or +Inf together with −Inf) ⇒ NaN; +Inf
+    * alone ⇒ +Inf; −Inf alone ⇒ −Inf; otherwise the exact decimal
+    * result. All three are map-side-combinable `max` aggregates, so the
+    * order-independence guarantee is unchanged. The same cascade is
+    * mirrored in the greedy-exact [[BucketAgg]]s below so the SQL and
+    * single-pass paths agree bit-for-bit on every input. */
+  private def hasNan(c: Column) = max(when(isnan(c), true).otherwise(false))
+  private def hasPosInf(c: Column) =
+    max(when(c === Double.PositiveInfinity, true).otherwise(false))
+  private def hasNegInf(c: Column) =
+    max(when(c === Double.NegativeInfinity, true).otherwise(false))
+  private def finiteDec(c: Column) =
+    when(!isnan(c) && abs(c) =!= Double.PositiveInfinity, c)
+      .cast("decimal(38,12)")
+  /** decimal(38,12) leaves 26 integer digits of headroom; a genuine
+    * overflow returns NULL silently in non-ANSI mode, which would read
+    * as "bucket of NULLs". Fail loudly instead — at metric magnitudes
+    * this never fires, and if it ever does the answer must not be a
+    * quiet NULL. */
+  private def sumOrFail(c: Column): Column = {
+    val s = sum(finiteDec(c))
+    when(s.isNull && count(c) > 0,
+      raise_error(lit("graft.Aggregations: decimal(38,12) sum overflow — " +
+        "bucket magnitude exceeded 1e26"))).otherwise(s.cast("double"))
+  }
+  private def withNonFinite(c: Column, finite: Column): Column =
+    when(hasNan(c) || (hasPosInf(c) && hasNegInf(c)), Double.NaN)
+      .when(hasPosInf(c), Double.PositiveInfinity)
+      .when(hasNegInf(c), Double.NegativeInfinity)
+      .otherwise(finite)
+
   /** Mean and sum ride an exact `decimal(38,12)` sum, divided/cast back
     * to double only at the end. A plain double `sum`/`avg` is
     * partial-aggregation-order dependent: with finite-decimal inputs
@@ -32,13 +69,14 @@ object Aggregations {
     * shuffle order then decides the 4th decimal (observed: 1/3600 rows
     * flipped at 10× the bench scale). The decimal sum is exact (every
     * double is a finite decimal), map-side combinable, and
-    * order-independent — the same answer on 1 core or 1000 executors. */
+    * order-independent — the same answer on 1 core or 1000 executors.
+    * Non-finite inputs propagate IEEE-style (see [[withNonFinite]]). */
   case object Average extends AggType {
     def fn = c => when(count(c) > 0,
-      sum(c.cast("decimal(38,12)")).cast("double") / count(c))
+      withNonFinite(c, sumOrFail(c) / count(c)))
   }
   case object Sum extends AggType {
-    def fn = c => sum(c.cast("decimal(38,12)")).cast("double")
+    def fn = c => when(count(c) > 0, withNonFinite(c, sumOrFail(c)))
   }
   case object Min extends AggType { def fn = min }
   case object Max extends AggType { def fn = max }
@@ -170,15 +208,33 @@ object Aggregations {
     * `cast(sum(cast(v as decimal(38,12))) as double)` replay. */
   private def dec12(v: Double): java.math.BigDecimal =
     new java.math.BigDecimal(v).setScale(12, java.math.RoundingMode.HALF_UP)
-  private final class AvgAgg extends BucketAgg {
-    private var s = java.math.BigDecimal.ZERO; private var n = 0L
-    def add(v: Double): Unit = { s = s.add(dec12(v)); n += 1 }
-    def result: Double = s.doubleValue() / n
+  /** Non-finite tracking mirroring [[withNonFinite]] exactly, so the
+    * greedy single-pass path and the SQL path agree on every input:
+    * `new BigDecimal(NaN)` would otherwise throw NumberFormatException
+    * mid-job — a crash on the same data the SQL path handles. */
+  private sealed trait DecSumAgg extends BucketAgg {
+    protected var s = java.math.BigDecimal.ZERO
+    protected var n = 0L
+    private var nan, posInf, negInf = false
+    final def add(v: Double): Unit = {
+      n += 1
+      if (v.isNaN) nan = true
+      else if (v == Double.PositiveInfinity) posInf = true
+      else if (v == Double.NegativeInfinity) negInf = true
+      else s = s.add(dec12(v))
+    }
+    protected def finiteResult: Double
+    final def result: Double =
+      if (nan || (posInf && negInf)) Double.NaN
+      else if (posInf) Double.PositiveInfinity
+      else if (negInf) Double.NegativeInfinity
+      else finiteResult
   }
-  private final class SumAgg extends BucketAgg {
-    private var s = java.math.BigDecimal.ZERO
-    def add(v: Double): Unit = s = s.add(dec12(v))
-    def result: Double = s.doubleValue()
+  private final class AvgAgg extends DecSumAgg {
+    protected def finiteResult: Double = s.doubleValue() / n
+  }
+  private final class SumAgg extends DecSumAgg {
+    protected def finiteResult: Double = s.doubleValue()
   }
   private final class ExtAgg(isMin: Boolean) extends BucketAgg {
     private var e = 0.0; private var first = true

@@ -1460,14 +1460,34 @@ object Ann {
         .join(broadcast(q), "qid"), k)
   }
 
+  /** Hard ceiling for [[cosinePairs]] — the ONE deliberately-quadratic
+    * plan in the library (it is the recall-verification baseline for
+    * the LSH/IVF pair families, never a production path). The fence is
+    * structural, not advisory: above this many corpus rows the cross
+    * join is refused with an actionable error instead of launching a
+    * ~rows²/2 comparison job that can never finish at corpus scale.
+    * 100k rows ≈ 5e9 scored pairs — already generous for a recall
+    * audit sample; [[lshPairsAuto]] is the at-scale path. */
+  val CosinePairsMaxRows = 100000L
+
   /**
    * All-pairs near-duplicate detection by embedding cosine ≥
    * `threshold`. Exact variant blocks nothing (quadratic — only for
    * modest corpora / verification); the scale path is [[lshTopK]] with
-   * a threshold filter.
+   * a threshold filter. Refuses corpora above `maxRows`
+   * ([[CosinePairsMaxRows]]) — raise it EXPLICITLY (and only) for a
+   * bounded verification sample; the count costs one metadata-cheap
+   * pass, nothing against the two full passes the cross join takes.
    */
   def cosinePairs(corpus: DataFrame, threshold: Double,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  maxRows: Long = CosinePairsMaxRows): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"cosinePairs is the exact-quadratic verification baseline: corpus has " +
+      s"$n rows > maxRows=$maxRows (~${n * n / 2} comparisons). Use " +
+      s"lshPairsAuto/lshPairs for production-scale cosine dedup, or pass " +
+      s"maxRows explicitly for a bounded verification sample.")
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       norm(col(vecCol)).as("na"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vb"),

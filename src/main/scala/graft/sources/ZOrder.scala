@@ -171,25 +171,23 @@ object ZOrder {
         (acc, b) => acc + when(col("__zc") >= b, 1).otherwise(0))
     // salt s_i with pmod(hash(s_i), nParts) == i for every pid: routes
     // each contiguous z-range to its own partition through the ordinary
-    // hash exchange, no sampling anywhere. Found by scanning ints with
-    // Spark's own hash() so the mapping matches the shuffle's murmur3
-    // exactly (coupon-collector: 64·nParts candidates ≈ always enough;
-    // widen deterministically if a residue is missing).
-    val spark = df.sparkSession
+    // hash exchange, no sampling anywhere. The scan runs ON THE DRIVER
+    // against Catalyst's own Murmur3HashFunction (IntegerType, seed 42
+    // — exactly what HashPartitioning's partitionIdExpression computes
+    // for the int __salt column), so the mapping matches the shuffle's
+    // murmur3 bit-for-bit with ZERO extra Spark jobs per write
+    // (coupon-collector: expected nParts·H(nParts) probes, microseconds
+    // at any file count).
     val salts = new Array[Int](nParts)
     val found = new Array[Boolean](nParts)
     var nFound = 0
-    var lo = 0L
+    var s = 0
     while (nFound < nParts) {
-      val cand = spark.range(lo, lo + 64L * nParts)
-        .select(col("id").cast("int").as("s"),
-          pmod(hash(col("id").cast("int")), lit(nParts)).as("p"))
-        .collect()
-      for (r <- cand.sortBy(_.getInt(0)); p = r.getInt(1)
-           if !found(p)) {
-        found(p) = true; salts(p) = r.getInt(0); nFound += 1
-      }
-      lo += 64L * nParts
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(s, org.apache.spark.sql.types.IntegerType, 42L).toInt
+      val p = ((h % nParts) + nParts) % nParts
+      if (!found(p)) { found(p) = true; salts(p) = s; nFound += 1 }
+      s += 1
     }
     withZ
       .withColumn("__salt", element_at(typedLit(salts.toSeq), pid + 1))

@@ -111,6 +111,44 @@ class AggregationsSpec extends SparkSpec {
     assert(got == Seq((10L, 3.0), (100L, 1.0), (200L, 2.0)))
   }
 
+  test("decimal-exact Average/Sum propagate non-finite values IEEE-style on both paths") {
+    import spark.implicits._
+    // cast(double AS decimal) nulls out NaN/±Inf, so an unguarded
+    // decimal sum would silently DROP them (r12 behavior); the greedy
+    // path's BigDecimal ctor would instead CRASH. Both must now follow
+    // the IEEE cascade: NaN (or +Inf with −Inf) ⇒ NaN, +Inf ⇒ +Inf,
+    // −Inf ⇒ −Inf, else the exact decimal result.
+    val I = Aggregations.DefaultIntervalMs
+    val rows = Seq(
+      ("/m", 0L, 1.0), ("/m", 1L, 2.0),
+      ("/m", I, Double.NaN), ("/m", I + 1, 5.0),
+      ("/m", 2 * I, Double.PositiveInfinity), ("/m", 2 * I + 1, 1.0),
+      ("/m", 3 * I, Double.NegativeInfinity),
+      ("/m", 4 * I, Double.PositiveInfinity),
+      ("/m", 4 * I + 1, Double.NegativeInfinity))
+    for (agg <- Seq[Aggregations.AggType](Aggregations.Average, Aggregations.Sum)) {
+      val got = Aggregations.byName(rows.toDF("name", "ts", "dval"), agg)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      assert(got(0L) == (if (agg == Aggregations.Average) 1.5 else 3.0))
+      assert(got(I).isNaN, s"$agg NaN bucket: ${got(I)}")
+      assert(got(2 * I).isPosInfinity, s"$agg +Inf bucket: ${got(2 * I)}")
+      assert(got(3 * I).isNegInfinity, s"$agg -Inf bucket: ${got(3 * I)}")
+      assert(got(4 * I).isNaN, s"$agg +Inf&-Inf bucket: ${got(4 * I)}")
+    }
+    // single-pass greedy path: the same cascade, same inputs no crash
+    val grows = Seq(
+      ("/g", "s1", 0L, Double.NaN), ("/g", "s1", 10L, 3.0),
+      ("/g", "s1", 1000L, Double.PositiveInfinity),
+      ("/g", "s1", 2000L, 1.0), ("/g", "s1", 2010L, 2.0),
+      ("/g", "s1", 9000L, 0.0)) // trailing bucket dropped
+    val got = Aggregations
+      .greedyExact(grows.toDF("name", "skey", "ts", "dval"), 100L, "avg")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0L, 1000L, 2000L))
+    assert(got(0)._2.isNaN && got(1)._2.isPosInfinity && got(2)._2 == 1.5,
+      s"greedy non-finite cascade: ${got.toSeq}")
+  }
+
   test("greedyExact by label keys on the label value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -404,6 +404,51 @@ class PipelineSpec extends SparkSpec {
       s"a batch emitted another batch's probes: $perBatch")
   }
 
+  test("simhash index band-format marker: stale or missing layout fails loudly, rebuild migrates") {
+    import spark.implicits._
+    val corpus = docs((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val probes = docs((2L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val path = java.nio.file.Files.createTempDirectory("graft_sh_fmt").toString + "/idx"
+    Dedup.simhashIndex(corpus, path)
+    assert(Dedup.simhashLookup(spark, path, probes).count() == 1)
+    // stamp a v1-era marker (through hadoop FS so the checksum shadow
+    // file stays consistent) -> every reader/appender must refuse:
+    // old-format bands never collide with new-format probe keys, so
+    // proceeding would silently return zero matches
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_band_format")
+    def stamp(s: String): Unit = {
+      val out = fs.create(marker, true)
+      out.write(s.getBytes("UTF-8")); out.close()
+    }
+    stamp("simhash-bands v1 4x15-bit\n")
+    val e = intercept[IllegalStateException] {
+      Dedup.simhashLookup(spark, path, probes)
+    }
+    assert(e.getMessage.contains("band layout"), e.getMessage)
+    intercept[IllegalStateException] {
+      Dedup.simhashAppend(docs((9L, "more words here entirely")), path)
+    }
+    intercept[IllegalStateException] {
+      Dedup.simhashLookupStream(spark, path,
+        probes.withColumn("ts", org.apache.spark.sql.functions.lit(1000L)))
+    }
+    // a pre-marker index (marker absent) is treated as v1, not trusted
+    fs.delete(marker, false)
+    intercept[IllegalStateException] {
+      Dedup.simhashLookup(spark, path, probes)
+    }
+    // migration path: bands regenerated from the format-independent
+    // sigs, marker restamped, lookups identical to a fresh build
+    Dedup.simhashRebuildBands(spark, path)
+    val got = Dedup.simhashLookup(spark, path, probes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((2L, 1L, 0)), s"got $got")
+    Dedup.simhashAppend(docs((9L, "more words here entirely")), path)
+    assert(Dedup.simhashLookup(spark, path, probes).count() == 1)
+  }
+
   test("at-rest simhash index: lookup and stream probe match the in-memory cross pairs") {
     import spark.implicits._
     val corpus = docs(
@@ -562,6 +607,24 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(cos) > 0.97, s"recovered direction off: |cos|=$cos")
     // deterministic sign convention: largest-|component| is positive
     assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0)
+  }
+
+  test("cosinePairs refuses corpora above the verification fence") {
+    import spark.implicits._
+    // the one deliberately-quadratic plan in the library must be
+    // structurally un-invokable on a production-sized corpus: above
+    // maxRows it throws with the scale-path pointer instead of
+    // launching a rows²/2 job
+    val big = (0L until 2000L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.cosinePairs(big, threshold = 0.9, maxRows = 1000)
+    }
+    assert(e.getMessage.contains("lshPairsAuto"), e.getMessage)
+    // under the fence the baseline is unchanged: 3 identical unit
+    // vectors -> all 3 pairs at sim 1.0
+    val out = Ann.cosinePairs(big.limit(3), threshold = 0.9).collect()
+    assert(out.length == 3 && out.forall(_.getDouble(2) == 1.0))
   }
 
   test("refineTopK over PQ candidates reports exact cosines") {

@@ -137,4 +137,52 @@ class ZOrderSpec extends SparkSpec {
       "two ZOrder.write runs over the same data must produce identical " +
         "file rectangles")
   }
+
+  test("write launches no salt-discovery jobs: histogram + write only") {
+    // The salt-per-partition mapping is computed ON THE DRIVER against
+    // Catalyst's Murmur3HashFunction (r12 scanned spark.range for it —
+    // 1+ pure-overhead distributed jobs per write). Assert the whole
+    // write is exactly: the coarse-z histogram job + the write job(s).
+    // the driver-side salt scan is only correct if Catalyst's
+    // Murmur3HashFunction on an int literal IS the shuffle's hash —
+    // pin that equivalence directly against the SQL hash()
+    val sqlHash = fixture.sparkSession.range(0, 256)
+      .select(col("id").cast("int").as("s"), hash(col("id").cast("int")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    for (s <- 0 until 256) {
+      val driver = org.apache.spark.sql.catalyst.expressions
+        .Murmur3HashFunction
+        .hash(s, org.apache.spark.sql.types.IntegerType, 42L).toInt
+      assert(driver == sqlHash(s), s"murmur3 driver/SQL divergence at $s")
+    }
+    // job-count audit with AQE off (AQE materializes every query stage
+    // as its own job, which makes totals layout-noise): histogram
+    // collect = 1 job, parquet write = 1-2 jobs. The r12 salt scan
+    // would add 1+ more.
+    val sc = spark.sparkContext
+    val group = s"zorder-salt-audit-${System.nanoTime()}"
+    val p = tmp("jobs")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "ZOrderSpec job-count audit")
+    try ZOrder.write(fixture, Seq("user_id", "ts"), p, NFiles)
+    finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // the status store is fed asynchronously — poll until the count is
+    // stable across two reads (the write's actions already returned, so
+    // only bus drain latency remains)
+    def groupJobs = sc.statusTracker.getJobIdsForGroup(group).length
+    var last = -1; var cur = groupJobs; var spins = 0
+    while (cur != last && spins < 50) {
+      Thread.sleep(100); last = cur; cur = groupJobs; spins += 1
+    }
+    // composition (AQE off): 1 min/max stats job per numeric dim (2
+    // here), the coarse-z histogram collect (1), the parquet write
+    // (1-2 with the commit protocol). The r12 salt scan added 1+ on
+    // top of this — the bound catches it coming back.
+    assert(cur >= 1 && cur <= 5, s"ZOrder.write launched $cur jobs")
+    // and the layout still lands: salts routed every z-range to a file
+    assert(spark.read.parquet(p).count() == fixture.count())
+  }
 }
