@@ -5,11 +5,11 @@ with SPARK_GRAFT_ONLY=q1,q2 so /tmp/verify_out/<name>.parquet exists).
 Same canonicalization as check_oracle.py / the driver: sort columns by
 name, sort rows, numeric-tolerant compare.
 """
-import duckdb, json, glob, sys
+import duckdb, json, glob, sys, os
 import pandas as pd, numpy as np
 
-sf = '/root/testdata/sf0.01'
-out = '/tmp/verify_out'
+sf = os.environ.get('CHECK_SF', '/root/testdata/sf0.01')
+out = os.environ.get('CHECK_OUT', '/tmp/verify_out')
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:

@@ -81,6 +81,14 @@ REPLAY = {
                                'greedy_replay.py'),
         'input_rows_sql': 'SELECT count(*) FROM events WHERE value IS NOT NULL',
         'above_rows': int(os.environ.get('ORACLE_REPLAY_ABOVE_ROWS', '500000')),
+        # Scales at which SQL oracle and replay both ran green on the SAME
+        # dump — the evidence that certifies the replay to stand in above
+        # them. Recorded in the JSON artifact so a replay-verified gate is
+        # self-describing about what its verifier was itself verified
+        # against; update when the spot-check (r13 ADVICE) re-runs at a
+        # larger scale with an extended ORACLE_TIMEOUT_SEC. The replay's
+        # failure path is negative-tested by scripts/test_replay_negative.py.
+        'certified_at': 'sf0.01,sf0.1 (sql+replay agree on same dump, bit-exact)',
     },
 }
 
@@ -225,9 +233,13 @@ print(f'SUMMARY: ok={n_ok} skipped={len(skipped)} fails={len(fails)}')
 print('FAILS:', fails)
 json_out = os.environ.get('ORACLE_JSON_OUT')
 if json_out:
+    replay_cert = {n: REPLAY[n]['certified_at']
+                   for n, v in verifiers.items()
+                   if v == 'replay' and n in REPLAY}
     with open(json_out, 'w') as f:
         json.dump({'sf': sf, 'out': out, 'timeout_sec': timeout_sec,
                    'n_ok': n_ok, 'n_skipped': len(skipped), 'fails': fails,
-                   'results': results, 'verifiers': verifiers}, f, indent=1)
+                   'results': results, 'verifiers': verifiers,
+                   'replay_certified_at': replay_cert}, f, indent=1)
 if fails:
     sys.exit(1)

@@ -120,6 +120,23 @@ object ApiEntry {
       unkey(Mutations.interpolate(Point.withSeriesKey(pts(s, dir)), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
+    // RLE output contract for the dense-grid emitters: same math as
+    // m_interpolate / m_uniform, but flat segments emit ONE run row
+    // (ts, end_ts) instead of one row per grid point — at 100 TB the
+    // dense emitters' cost is pure output volume (grid points ×
+    // series), and a run row costs the same however many grid points
+    // it covers. Rle.expand of this output equals the dense output
+    // (PropertySpec invariant); the oracle replays the dense math
+    // unrounded, collapses runs in SQL, and rounds at the end exactly
+    // as the engine does.
+    "m_interpolate_rle" -> ((s, dir) =>
+      unkey(Mutations.interpolateRle(Point.withSeriesKey(pts(s, dir)), H))
+        .select(col("name"), col("usr"), col("ts"), col("end_ts"),
+          round(col("dval"), 4).as("dval"))),
+    "m_uniform_rle" -> ((s, dir) =>
+      unkey(Mutations.resampleUniformRle(Point.withSeriesKey(pts(s, dir)), H))
+        .select(col("name"), col("usr"), col("ts"), col("end_ts"),
+          round(col("dval"), 4).as("dval"))),
     // max_gap_interpolate (lib/openinstrument.proto:45-51): brackets
     // wider than 4 h re-anchor instead of filling. The consumed-point
     // set is gap-invariant (first per bucket), so only the per-bracket
@@ -419,7 +436,10 @@ object ApiEntry {
   /** DuckDB mirror of the C++ UniformTimeSeries resample — also the
     * oracle for `rle_roundtrip` (expand∘encode is the identity on the
     * complete uniform grid). */
-  private val UniformOracleSql = P +
+  /** UNROUNDED dense replay of UniformOp as a `dense` CTE — shared by
+    * the dense gate (round appended) and the RLE gate (collapse on the
+    * exact values, round at the end, mirroring the engine layers). */
+  private val UniformDenseCte = P +
     """, b AS (SELECT name, usr, min(ts) - (min(ts) % 3600000) AS base
       |  FROM pts GROUP BY name, usr),
       |pr AS (SELECT name, usr, ts, dval,
@@ -428,11 +448,59 @@ object ApiEntry {
       |g AS (SELECT pr.name, pr.usr, ts AS ts0, dval, lts, lv,
       |  base + 3600000 * unnest(range((lts - base)//3600000 + 1,
       |                                (ts - base)//3600000 + 1)) AS gts
-      |  FROM pr JOIN b USING (name, usr) WHERE lts IS NOT NULL)
-      |SELECT name, usr, gts AS ts,
-      | round(CASE WHEN gts = ts0 THEN dval
-      |   ELSE (dval - lv) / (ts0 - lts) * (gts - lts) + lv END, 4) AS dval
-      |FROM g""".stripMargin
+      |  FROM pr JOIN b USING (name, usr) WHERE lts IS NOT NULL),
+      |dense AS (SELECT name, usr, gts AS ts,
+      |  CASE WHEN gts = ts0 THEN dval
+      |   ELSE (dval - lv) / (ts0 - lts) * (gts - lts) + lv END AS dval
+      |  FROM g)""".stripMargin
+
+  private val UniformOracleSql = UniformDenseCte +
+    "\nSELECT name, usr, ts, round(dval, 4) AS dval FROM dense"
+
+  /** SQL replay of Mutations.RunCollapser over a `dense` CTE
+    * (name, usr, ts, UNROUNDED dval): gaps-and-islands — a run breaks
+    * on a value change OR a grid hole; `end_ts` = the run's last grid
+    * ts, null for single-point runs; the run value rounds once at the
+    * end, exactly as the engine's query layer does. */
+  private val RleTailSql =
+    """
+      |, mk AS (SELECT name, usr, ts, dval,
+      |  CASE WHEN lag(ts) OVER w = ts - 3600000
+      |        AND lag(dval) OVER w = dval THEN 0 ELSE 1 END AS chg
+      |  FROM dense WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
+      |r AS (SELECT name, usr, ts, dval,
+      |  sum(chg) OVER (PARTITION BY name, usr ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS run FROM mk)
+      |SELECT name, usr, min(ts) AS ts,
+      | CASE WHEN max(ts) > min(ts) THEN max(ts) END AS end_ts,
+      | round(min(dval), 4) AS dval
+      |FROM r GROUP BY name, usr, run""".stripMargin
+
+  /** UNROUNDED dense replay of InterpolateOp as a `dense` CTE (see
+    * the m_interpolate entry's derivation comment). */
+  private val InterpolateDenseCte = P +
+    """, cons AS (SELECT name, usr, ts, dval,
+      |  row_number() OVER (PARTITION BY name, usr, ts // 3600000
+      |                     ORDER BY ts) AS rn
+      |  FROM pts),
+      |pr AS (SELECT name, usr, ts, dval,
+      |  lag(ts) OVER w AS lts0, lag(dval) OVER w AS lv,
+      |  row_number() OVER w AS rn2
+      |  FROM cons WHERE rn = 1
+      |  WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
+      |br AS (SELECT name, usr, ts AS ts0, dval, lv, lts0,
+      |  CASE WHEN rn2 = 2 THEN lts0 - lts0 % 3600000 ELSE lts0 END AS lts
+      |  FROM pr WHERE lts0 IS NOT NULL),
+      |g AS (SELECT name, usr, ts0, dval, lv, lts,
+      |  3600000 * unnest(range(lts0 // 3600000 + 1, ts0 // 3600000 + 1)) AS gts
+      |  FROM br),
+      |dense AS (
+      | SELECT name, usr, gts AS ts,
+      |  lv + (dval - lv) * ((gts - lts) / (ts0 - lts)) AS dval
+      | FROM g
+      | UNION ALL
+      | SELECT name, usr, ts, dval
+      | FROM pr WHERE rn2 = 1 AND ts % 3600000 = 0)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "api_get" -> (P +
@@ -513,28 +581,11 @@ object ApiEntry {
     // run between consecutive consumed points; the FIRST bracket's left
     // endpoint uses the floor-aligned anchor timestamp (mutations.go:97-104)
     // while grid emission always starts at floor(prev_ts/H)*H + H.
-    "m_interpolate" -> (P +
-      """, cons AS (SELECT name, usr, ts, dval,
-        |  row_number() OVER (PARTITION BY name, usr, ts // 3600000
-        |                     ORDER BY ts) AS rn
-        |  FROM pts),
-        |pr AS (SELECT name, usr, ts, dval,
-        |  lag(ts) OVER w AS lts0, lag(dval) OVER w AS lv,
-        |  row_number() OVER w AS rn2
-        |  FROM cons WHERE rn = 1
-        |  WINDOW w AS (PARTITION BY name, usr ORDER BY ts)),
-        |br AS (SELECT name, usr, ts AS ts0, dval, lv, lts0,
-        |  CASE WHEN rn2 = 2 THEN lts0 - lts0 % 3600000 ELSE lts0 END AS lts
-        |  FROM pr WHERE lts0 IS NOT NULL),
-        |g AS (SELECT name, usr, ts0, dval, lv, lts,
-        |  3600000 * unnest(range(lts0 // 3600000 + 1, ts0 // 3600000 + 1)) AS gts
-        |  FROM br)
-        |SELECT name, usr, gts AS ts,
-        | round(lv + (dval - lv) * ((gts - lts) / (ts0 - lts)), 4) AS dval
-        |FROM g
-        |UNION ALL
-        |SELECT name, usr, ts, round(dval, 4) AS dval
-        |FROM pr WHERE rn2 = 1 AND ts % 3600000 = 0""".stripMargin),
+    "m_interpolate" -> (InterpolateDenseCte +
+      "\nSELECT name, usr, ts, round(dval, 4) AS dval FROM dense"),
+    // run-collapsed twins: dense replay unrounded → SQL RunCollapser
+    "m_interpolate_rle" -> (InterpolateDenseCte + RleTailSql),
+    "m_uniform_rle" -> (UniformDenseCte + RleTailSql),
     // Recursive replay of EwmaOp: one smoothed value per consumed
     // point, chained by rn. Same float-op order as the state machine.
     "m_ewma" ->

@@ -1306,16 +1306,24 @@ object PipelineEntry {
     // decode dispatch in SQL (the media bytes are exactly
     // encode(text, 'UTF-8') per Multimodal.fromDocuments, so the
     // dispatch is decidable on the text prefix): a full — non-stub,
-    // non-'-hdr' — decode requires the modality's container magic
-    // (image: GIF8/BM; the PNG/JPEG magics can't appear in UTF-8 text;
-    // audio: RIFF..WAVE / FORM / .snd — ID3/OggS only reach '-hdr'
-    // walks, which the metric counts as stub-ish; video: GIF8 /
-    // RIFF..AVI). The check is the engine's PRE-dispatch: it assumes a
-    // magic-prefixed payload also parses, which every real media
-    // fixture satisfies and the all-text fixtures satisfy vacuously
-    // (verified: zero magic-prefixed texts at every shipped SF). Unlike
-    // the previous constant-1.0 form this tracks the data — if a future
-    // fixture carries decodable bytes, both sides move together.
+    // non-'-hdr' — decode requires the modality's EXACT container
+    // magic (r14, was loose 2-4-byte prefixes): image = GIF87a/GIF89a,
+    // or BM with the BMP reserved bytes 7-10 all NUL (bare 'BM%' would
+    // count any "BMW…" text as decodable; NULs cannot occur in real
+    // text); PNG/JPEG magics can't appear in UTF-8 text at all;
+    // audio = RIFF..WAVE, FORM..AIFF/AIFC (bare FORM is an IFF
+    // container, not necessarily audio), or .snd — ID3/OggS only reach
+    // '-hdr' walks, which the metric counts as stub-ish; video =
+    // GIF87a/GIF89a only. RIFF..AVI is deliberately NOT counted as a
+    // full decode: the engine tags non-MJPEG AVI payloads 'avi-hdr'
+    // (stub-ish in the metric), and a UTF-8 text cannot carry a real
+    // MJPEG stream, so AVI-from-text lands stub on both sides. The
+    // check is the engine's PRE-dispatch: it assumes a magic-prefixed
+    // payload also parses, which every real media fixture satisfies
+    // and the all-text fixtures satisfy vacuously (verified: zero
+    // magic-prefixed texts at every shipped SF). Unlike the pre-r13
+    // constant-1.0 form this tracks the data — if a future fixture
+    // carries decodable bytes, both sides move together.
     "p_dataset_card" -> (T + LangPredCtes +
       s""",
          |q AS ($QualitySelect),
@@ -1341,12 +1349,15 @@ object PipelineEntry {
          | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_media,
          | (SELECT round(avg(CASE WHEN
          |    CASE doc_id % 3
-         |      WHEN 0 THEN (text LIKE 'GIF8%' OR text LIKE 'BM%')
+         |      WHEN 0 THEN (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%'
+         |                   OR (text LIKE 'BM%' AND substr(text, 7, 4) =
+         |                       chr(0) || chr(0) || chr(0) || chr(0)))
          |      WHEN 1 THEN ((substr(text, 1, 4) = 'RIFF'
          |                    AND substr(text, 9, 4) = 'WAVE')
-         |                   OR text LIKE 'FORM%' OR text LIKE '.snd%')
-         |      ELSE (text LIKE 'GIF8%' OR (substr(text, 1, 4) = 'RIFF'
-         |                    AND substr(text, 9, 4) = 'AVI '))
+         |                   OR (substr(text, 1, 4) = 'FORM'
+         |                       AND substr(text, 9, 4) IN ('AIFF', 'AIFC'))
+         |                   OR text LIKE '.snd%')
+         |      ELSE (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%')
          |    END THEN 0.0 ELSE 1.0 END), 4)
          |  FROM documents) AS pct_stub_decode
          |FROM c JOIN lang USING (doc_id) JOIN q USING (doc_id)""".stripMargin),

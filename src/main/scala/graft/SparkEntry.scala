@@ -289,6 +289,17 @@ object SparkEntry {
           round(col("v"), 4).as("dval"))
     }),
 
+    // RLE output contract for the LOCF render: maximal equal-valued
+    // grid stretches emit ONE run row (ts, end_ts) — LOCF fill repeats
+    // the last observed value, so consecutive observed buckets with an
+    // equal value merge even across filled gaps. Rle.expand of this
+    // equals m_locf_grid (PropertySpec); output volume = value CHANGES,
+    // fully decoupled from grid density at 100 TB.
+    "m_locf_rle" -> ((s, dir) =>
+      unkey(graft.operators.Mutations.locfGridRle(pts(s, dir), HourMs))
+        .select(col("name"), col("usr"), col("ts"), col("end_ts"),
+          round(col("dval"), 4).as("dval"))),
+
     // Alert-rule evaluation ("mean > 62 sustained ≥ 3 consecutive
     // hours") — the reference leaves alerting to clients; here the
     // rule text (config.txt syntax, [[AlertConfigText]]) is PARSED and
@@ -774,6 +785,26 @@ object SparkEntry {
           | round(last_value(v IGNORE NULLS) OVER (PARTITION BY name, usr
           |   ORDER BY bts ROWS UNBOUNDED PRECEDING), 4) AS dval
           |FROM j""".stripMargin),
+      // SQL replay of locfGridRle: observed buckets → islands on value
+      // change (equal values merge across grid gaps — the filled hours
+      // between them carry the same value) → run end = next run start
+      // − 1h, or the series' last observed bucket for the final run.
+      "m_locf_rle" -> (P +
+        """, b AS (SELECT name, usr, ts - ts % 3600000 AS bts,
+          |  arg_max(dval, ts) AS v FROM pts GROUP BY 1, 2, 3),
+          |mk AS (SELECT name, usr, bts, v,
+          |  CASE WHEN lag(v) OVER w = v THEN 0 ELSE 1 END AS chg,
+          |  max(bts) OVER (PARTITION BY name, usr) AS t1
+          |  FROM b WINDOW w AS (PARTITION BY name, usr ORDER BY bts)),
+          |f AS (SELECT name, usr, bts, v, t1 FROM mk WHERE chg = 1),
+          |fin AS (SELECT name, usr, bts, v,
+          |  coalesce(lead(bts) OVER (PARTITION BY name, usr ORDER BY bts)
+          |    - 3600000, t1) AS re
+          |  FROM f)
+          |SELECT name, usr, bts AS ts,
+          | CASE WHEN re > bts THEN re END AS end_ts,
+          | round(v, 4) AS dval
+          |FROM fin""".stripMargin),
       "m_alert" -> (P +
         """, g AS (SELECT name, ts - ts % 3600000 AS ts,
           |   CASE WHEN count(dval) > 0 THEN

@@ -148,8 +148,9 @@ object Dedup {
 
   def ngramJaccardPairs(df: DataFrame, n: Int = 3, threshold: Double = 0.5,
                         idCol: String = "doc_id", textCol: String = "text",
-                        maxDf: Long = DefaultShingleMaxDf): DataFrame =
-    shingleBlockedCounts(df, n, idCol, textCol, maxDf)
+                        maxDf: Long = DefaultShingleMaxDf,
+                        maxRows: Long = UncappedShingleMaxRows): DataFrame =
+    shingleBlockedCounts(df, n, idCol, textCol, maxDf, maxRows)
       .withColumn("jaccard",
         col("inter") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -173,8 +174,9 @@ object Dedup {
   def ngramContainmentPairs(df: DataFrame, n: Int = 3,
                             threshold: Double = 0.8,
                             idCol: String = "doc_id", textCol: String = "text",
-                            maxDf: Long = DefaultShingleMaxDf): DataFrame =
-    shingleBlockedCounts(df, n, idCol, textCol, maxDf)
+                            maxDf: Long = DefaultShingleMaxDf,
+                            maxRows: Long = UncappedShingleMaxRows): DataFrame =
+    shingleBlockedCounts(df, n, idCol, textCol, maxDf, maxRows)
       .withColumn("cont_a", col("inter") / col("sza").cast("double"))
       .withColumn("cont_b", col("inter") / col("szb").cast("double"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
@@ -244,8 +246,29 @@ object Dedup {
     * cannot specialize any branch's copy of the subtree below the
     * exchange — byte-identical children are what reuse keys on.)
     */
+  /** Structural fence for the OPT-IN uncapped blocking join
+    * (`maxDf = Long.MaxValue`): Σ df² grows quadratically with corpus
+    * size on boilerplate shingles (measured: 10× docs → 76× join
+    * pairs), so the exact variant refuses corpora above this many
+    * documents instead of launching a job that can never finish at
+    * scale — the [[graft.similarity.Ann.CosinePairsMaxRows]] idiom
+    * (including the overridable `maxRows` for bounded verification
+    * samples). The df-capped DEFAULT path pays no count job and no
+    * cap. */
+  val UncappedShingleMaxRows = 100000L
+
   private def shingleBlockedCounts(df: DataFrame, n: Int, idCol: String,
-                                   textCol: String, maxDf: Long): DataFrame = {
+                                   textCol: String, maxDf: Long,
+                                   maxRows: Long = UncappedShingleMaxRows): DataFrame = {
+    if (maxDf == Long.MaxValue) {
+      val nDocs = df.count()
+      require(nDocs <= maxRows,
+        s"maxDf=Long.MaxValue is the exact-quadratic verification baseline: " +
+        s"corpus has $nDocs docs > maxRows=$maxRows (hot-shingle join " +
+        s"volume grows ~quadratically). Use the default " +
+        s"maxDf=DefaultShingleMaxDf linear plan for production corpora, or " +
+        s"pass maxRows explicitly for a bounded verification sample.")
+    }
     val rows = shingleSets(df, idCol, textCol, n)
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
       // explicit not-null guards BELOW the exchange: the self-join
@@ -401,6 +424,23 @@ object Dedup {
    * [[minhashLookupStream]] probe it; refreshing after ingest is a
    * rewrite (or a partition append at fleet scale).
    */
+  /** On-disk layout contract of a [[minhashIndex]]: the shingle size
+    * baked into `sets` plus the hash-family/banding scheme baked into
+    * `bands`. Probing with different parameters silently returns zero
+    * matches (band keys never collide), so every reader/appender
+    * verifies the `path/_format` marker (IndexFormat pattern, proven by
+    * the simhash `_band_format` marker). */
+  def minhashFormat(n: Int, numHashes: Int, bands: Int): String =
+    s"minhash-lsh v1 n=$n numHashes=$numHashes bands=$bands"
+  private def minhashCheck(spark: org.apache.spark.sql.SparkSession,
+                           path: String, n: Int, numHashes: Int,
+                           bands: Int): Unit =
+    graft.model.IndexFormat.check(spark, path,
+      minhashFormat(n, numHashes, bands),
+      "Rebuild with Dedup.minhashIndex, or — for a banding-only change " +
+      "(same n) — Dedup.minhashRebuildBands regenerates path/bands from " +
+      "the stored sets without re-tokenizing.")
+
   def minhashIndex(df: DataFrame, path: String, n: Int = 3,
                    numHashes: Int = 16, bands: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -410,6 +450,30 @@ object Dedup {
     val stored = df.sparkSession.read.parquet(s"$path/sets")
     bandRows(stored, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/bands")
+    graft.model.IndexFormat.write(df.sparkSession, path,
+      minhashFormat(n, numHashes, bands))
+  }
+
+  /** Migrate a [[minhashIndex]] to a new banding scheme: regenerate
+    * `path/bands` from the stored (banding-independent) `path/sets`
+    * and restamp the marker. `n` must state the shingle size the sets
+    * were built with — it is not recoverable from the hashed shingles,
+    * and it still gates probe compatibility. One linear pass, no
+    * re-tokenize. */
+  def minhashRebuildBands(spark: org.apache.spark.sql.SparkSession,
+                          path: String, n: Int = 3, numHashes: Int = 16,
+                          bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val staged = s"$path/staging-bands"
+    bandRows(spark.read.parquet(s"$path/sets"), numHashes, bands)
+      .write.mode("overwrite").parquet(staged)
+    spark.read.parquet(staged)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(staged), true)
+    graft.model.IndexFormat.write(spark, path,
+      minhashFormat(n, numHashes, bands))
   }
 
   /**
@@ -433,6 +497,7 @@ object Dedup {
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
+    minhashCheck(spark, path, n, numHashes, bands) // mixed schemes corrupt recall
     val staged = s"$path/staging-sets"
     shingleSets(df, idCol, textCol, n)
       .write.mode("overwrite").parquet(staged)
@@ -455,12 +520,14 @@ object Dedup {
   def minhashLookup(spark: org.apache.spark.sql.SparkSession, path: String,
                     probes: DataFrame, n: Int = 3, numHashes: Int = 16,
                     bands: Int = 4, threshold: Double = 0.5,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    minhashCheck(spark, path, n, numHashes, bands)
     lookupFromSets(
       spark.read.parquet(s"$path/sets"),
       shingleSets(probes, idCol, textCol, n).repartition(col("id")),
       numHashes, bands, threshold,
       corpusBands = Some(spark.read.parquet(s"$path/bands")))
+  }
 
   /**
    * Streaming probe of a [[minhashIndex]]: a document stream (idCol,
@@ -480,6 +547,7 @@ object Dedup {
                           watermark: String = "1 hour",
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    minhashCheck(spark, path, n, numHashes, bands)
     // The probe side shares [[shingleSets]] with the index build —
     // the two MUST produce bit-identical sets or lookups silently
     // stop matching.
@@ -539,6 +607,7 @@ object Dedup {
                         windowDur: String = "1 minute",
                         idCol: String = "doc_id", textCol: String = "text",
                         carry: Seq[String] = Nil): DataFrame = {
+    minhashCheck(spark, path, n, numHashes, bands)
     val keep = carry.distinct
     val psets = shingleSets(docStream, idCol, textCol, n,
       carry = "event_time" +: keep)
@@ -1094,7 +1163,20 @@ object Dedup {
     val dfc = ex.groupBy("c").agg(count(lit(1)).as("df"))
     ex.join(dfc, "c").select("id", "c", "df")
       .write.mode("overwrite").parquet(s"$path/chunks")
+    graft.model.IndexFormat.write(df.sparkSession, path,
+      cdcFormat(window, divisor))
   }
+
+  /** On-disk chunking contract of a [[cdcIndex]]: the Rabin window and
+    * cut-point divisor baked into the stored chunk hashes. Probing with
+    * different parameters produces chunk hashes that never collide with
+    * the stored ones — silent zero matches — so [[cdcLookup]] verifies
+    * the marker. (Build-time `maxDf` is a data prune, not a layout
+    * parameter: it is recorded in the stored `df` column and probes may
+    * tighten it freely.) A chunking change has no format-independent
+    * stored half — rebuild = re-run [[cdcIndex]] over the corpus. */
+  def cdcFormat(window: Int, divisor: Int): String =
+    s"cdc-chunks v1 window=$window divisor=$divisor"
 
   /**
    * Probe a [[cdcIndex]] with a batch of new documents: (probe_id,
@@ -1110,10 +1192,13 @@ object Dedup {
   def cdcLookup(spark: org.apache.spark.sql.SparkSession, path: String,
                 probes: DataFrame, window: Int = 4, divisor: Int = 32,
                 minShared: Int = 2, maxDf: Long = Long.MaxValue,
-                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.model.IndexFormat.check(spark, path, cdcFormat(window, divisor),
+      "Rebuild with Dedup.cdcIndex under the chunking parameters you probe with.")
     sharedChunkTail(
       spark.read.parquet(s"$path/chunks").filter(col("df") <= maxDf),
       chunkRows(probes, idCol, textCol, window, divisor), minShared)
+  }
 
   /** Probe chunks × corpus chunks on the hash, per-pair shared count. */
   private def sharedChunkTail(corpusChunks: DataFrame, probeChunks: DataFrame,
@@ -1179,7 +1264,13 @@ object Dedup {
     val dfc = ex.groupBy("c").agg(count(lit(1)).as("df"))
     ex.join(dfc, "c").select("id", "c", "df")
       .write.mode("overwrite").parquet(s"$path/fps")
+    graft.model.IndexFormat.write(df.sparkSession, path, winnowFormat(k, w))
   }
+
+  /** On-disk fingerprint contract of a [[winnowIndex]]: shingle size
+    * and winnowing window baked into the stored fingerprints — the cdc
+    * marker rationale verbatim (maxDf likewise a probe-time prune). */
+  def winnowFormat(k: Int, w: Int): String = s"winnow-fps v1 k=$k w=$w"
 
   /**
    * Probe a [[winnowIndex]] with a batch of new documents:
@@ -1191,10 +1282,13 @@ object Dedup {
   def winnowLookup(spark: org.apache.spark.sql.SparkSession, path: String,
                    probes: DataFrame, k: Int = 3, w: Int = 4,
                    minShared: Int = 2, maxDf: Long = Long.MaxValue,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.model.IndexFormat.check(spark, path, winnowFormat(k, w),
+      "Rebuild with Dedup.winnowIndex under the fingerprint parameters you probe with.")
     sharedChunkTail(
       spark.read.parquet(s"$path/fps").filter(col("df") <= maxDf),
       fpRows(probes, idCol, textCol, k, w), minShared)
+  }
 
   /**
    * Exact duplicate-substring spans: maximal runs of ≥ `l` consecutive

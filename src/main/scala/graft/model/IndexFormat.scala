@@ -1,0 +1,81 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * At-rest index layout markers — the generalization of the SimHash
+ * band-format marker ([[graft.dedup.Dedup.SimhashBandFormat]]) to every
+ * materialized index family.
+ *
+ * Rationale: each index's on-disk layout bakes in parameters (LSH band
+ * scheme, CDC chunking window/divisor, IVF quantizer, PQ codebooks)
+ * that its probes must reproduce EXACTLY. A mismatch doesn't error —
+ * band keys stop colliding (silent zero matches) or ADC distances
+ * decode against the wrong codebook (silently wrong neighbors). So the
+ * build stamps a one-line `path/_format` marker (Spark's parquet
+ * readers ignore `_`-prefixed files, like `_SUCCESS`) and every
+ * reader/appender verifies it and fails loudly on mismatch — including
+ * the marker-absent case, which means a pre-marker index that cannot
+ * be trusted.
+ */
+object IndexFormat {
+
+  val MarkerFile = "_format"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def write(spark: SparkSession, path: String, marker: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
+    val out = fs(spark, path).create(p, true)
+    try out.write((marker + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  def read(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Fail-loud guard for every reader/appender of a marked index. */
+  def check(spark: SparkSession, path: String, expected: String,
+            rebuildHint: String): Unit = {
+    val actual = read(spark, path)
+    if (!actual.contains(expected)) throw new IllegalStateException(
+      s"index at $path has layout " +
+      s"'${actual.getOrElse("<no marker — pre-marker index>")}' but this " +
+      s"call expects '$expected'. A layout/parameter mismatch does not " +
+      s"error at query time — lookups silently return zero matches or " +
+      s"wrong distances — so it is refused here instead. $rebuildHint")
+  }
+
+  /**
+   * Stable content fingerprint of quantizer matrices (IVF centroids,
+   * PQ codebooks): 16 hex chars of MD5 over the IEEE-754 bit patterns
+   * with row separators. Same doubles ⇒ same fingerprint on any JVM,
+   * so "the SAME quantizer the index was built with" becomes a
+   * checkable contract rather than a doc comment.
+   */
+  def fingerprint(matrices: Array[Array[Double]]*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    for (mat <- matrices) {
+      for (row <- mat) {
+        for (v <- row) {
+          buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(v))
+          md.update(buf.array(), 0, 8)
+        }
+        md.update(0x7c.toByte) // row separator
+      }
+      md.update(0x7d.toByte) // matrix separator
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+}

@@ -41,14 +41,25 @@ object Aggregations {
     max(when(c === Double.PositiveInfinity, true).otherwise(false))
   private def hasNegInf(c: Column) =
     max(when(c === Double.NegativeInfinity, true).otherwise(false))
-  private def finiteDec(c: Column) =
-    when(!isnan(c) && abs(c) =!= Double.PositiveInfinity, c)
-      .cast("decimal(38,12)")
-  /** decimal(38,12) leaves 26 integer digits of headroom; a genuine
-    * overflow returns NULL silently in non-ANSI mode, which would read
-    * as "bucket of NULLs". Fail loudly instead — at metric magnitudes
-    * this never fires, and if it ever does the answer must not be a
-    * quiet NULL. */
+  /** decimal(38,12) holds 26 integer digits: a FINITE value with
+    * |v| ≥ 1e26 casts to NULL in non-ANSI mode and would be silently
+    * dropped from the sum whenever other values keep it non-NULL (the
+    * whole-sum-NULL guard in [[sumOrFail]] can't see a per-value drop).
+    * Refuse such values per-row instead — the greedy path throws the
+    * same message in [[DecSumAgg.add]], keeping the two paths in
+    * bit-for-bit agreement on every input. */
+  private[operators] val OverflowMsg =
+    "graft.Aggregations: |value| >= 1e26 exceeds decimal(38,12) range — " +
+      "exact-sum aggregation refuses rather than silently dropping the value"
+  private def finiteDec(c: Column) = {
+    val finite = !isnan(c) && abs(c) =!= Double.PositiveInfinity
+    when(finite && abs(c) >= 1e26,
+        raise_error(lit(OverflowMsg)).cast("decimal(38,12)"))
+      .when(finite, c.cast("decimal(38,12)"))
+  }
+  /** Backstop for the aggregate itself overflowing 38 digits (many
+    * values each < 1e26 summing past it): NULL-with-rows ⇒ fail loudly
+    * rather than read as "bucket of NULLs". */
   private def sumOrFail(c: Column): Column = {
     val s = sum(finiteDec(c))
     when(s.isNull && count(c) > 0,
@@ -221,6 +232,8 @@ object Aggregations {
       if (v.isNaN) nan = true
       else if (v == Double.PositiveInfinity) posInf = true
       else if (v == Double.NegativeInfinity) negInf = true
+      else if (math.abs(v) >= 1e26)
+        throw new IllegalArgumentException(OverflowMsg) // mirrors finiteDec
       else s = s.add(dec12(v))
     }
     protected def finiteResult: Double

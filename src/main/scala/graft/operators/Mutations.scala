@@ -150,6 +150,18 @@ object Mutations {
     def flush(): Seq[(Long, Double)]
   }
 
+  /** Shared secondary-sort input shape for the exact streaming ops:
+    * one shuffle on `skey`, sort within partitions. String-valued
+    * points (null dval) are skipped, as in the reference
+    * (mutations.go:56-57). */
+  private def sortedPoints(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col("skey"), col("ts"), col("dval"))
+      .filter(col("dval").isNotNull)
+      .repartition(parts, col("skey"))
+      .sortWithinPartitions(col("skey"), col("ts"))
+  }
+
   /**
    * Runs a [[StreamOp]] over every series of `df` (columns `skey`, `ts`,
    * `dval`). Secondary-sort pattern: one shuffle on `skey`, sort within
@@ -162,13 +174,7 @@ object Mutations {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
     val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = df.select(col("skey"), col("ts"), col("dval"))
-      // string-valued points (null dval) are skipped by mutations, as
-      // in the reference (mutations.go:56-57)
-      .filter(col("dval").isNotNull)
-      .repartition(parts, col("skey"))
-      .sortWithinPartitions(col("skey"), col("ts"))
+    val sorted = sortedPoints(df)
     val outSchema = StructType(Seq(
       StructField("skey", StringType, nullable = false),
       StructField("ts", LongType, nullable = false),
@@ -221,6 +227,108 @@ object Mutations {
             row(ts, v)
           }
         }
+      }
+    }
+    GraftBridge.internalCreateDataFrame(spark, rdd, outSchema)
+  }
+
+  /** Streaming run-collapse over a grid emitter's output: consecutive
+    * grid emissions (spaced exactly `gridMs`) carrying an equal value
+    * merge into one run. Value equality follows SQL semantics on
+    * non-null doubles (NaN = NaN, −0.0 = 0.0) so the engine and a SQL
+    * replay collapse identically. */
+  private final class RunCollapser(gridMs: Long) {
+    private var active = false
+    private var start = 0L; private var last = 0L; private var v = 0.0
+    private def sameVal(a: Double, b: Double) =
+      a == b || (a.isNaN && b.isNaN)
+    /** Returns the COMPLETED run `(startTs, lastTs, value)` this
+      * emission closed, if any. */
+    def feed(ts: Long, x: Double): Option[(Long, Long, Double)] =
+      if (active && ts == last + gridMs && sameVal(x, v)) {
+        last = ts; None
+      } else {
+        val out = if (active) Some((start, last, v)) else None
+        start = ts; last = ts; v = x; active = true
+        out
+      }
+    def flush(): Option[(Long, Long, Double)] = {
+      val out = if (active) Some((start, last, v)) else None
+      active = false
+      out
+    }
+  }
+
+  /**
+   * [[perSeries]] with a run-length-encoded OUTPUT CONTRACT: the dense
+   * grid rows never materialize. Each run of consecutive equal-valued
+   * grid emissions becomes one row `(skey, ts, end_ts, dval)` with
+   * `end_ts` = the run's last grid timestamp (null for single-point
+   * runs — [[Rle.encode]]'s unset-`end_timestamp` convention,
+   * go/.../openinstrument.go:83-105, lib/openinstrument.proto:77-80).
+   *
+   * Invariant (PropertySpec): `Rle.expand(perSeriesRuns(df, g)(mk), g)`
+   * row-equals the dense `perSeries(df)(mk)`. Runs never span grid
+   * holes (a `max_gap_interpolate` re-anchor breaks the run even if the
+   * value repeats), so the invariant holds for gapped grids too —
+   * where [[Rle.encode]] over the dense output would merge across the
+   * hole and expand would then invent rows inside it.
+   *
+   * This is the 100 TB output path for the dense-grid emitters: their
+   * cost at scale is output volume (grid points × series — SCALING_r13's
+   * top ratios), and a run row costs the same regardless of how many
+   * grid points it covers, so flat segments decouple the operator from
+   * grid density entirely.
+   */
+  def perSeriesRuns(df: DataFrame, gridMs: Long)(mk: () => StreamOp): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = sortedPoints(df)
+    val outSchema = StructType(Seq(
+      StructField("skey", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("end_ts", LongType, nullable = true),
+      StructField("dval", DoubleType, nullable = false)))
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private var curKey: org.apache.spark.unsafe.types.UTF8String = null
+        private var op: StreamOp = null
+        private var coll: RunCollapser = null
+        private val outBuf = scala.collection.mutable.Queue.empty[InternalRow]
+        private def runRow(key: org.apache.spark.unsafe.types.UTF8String,
+                           r: (Long, Long, Double)): InternalRow =
+          new GenericInternalRow(Array[Any](key, r._1,
+            if (r._2 > r._1) java.lang.Long.valueOf(r._2) else null, r._3))
+        private def endSeries(): Unit = if (op != null) {
+          val key = curKey
+          op.flush().foreach { case (ts, v) =>
+            coll.feed(ts, v).foreach(r => outBuf += runRow(key, r)) }
+          coll.flush().foreach(r => outBuf += runRow(key, r))
+          op = null; coll = null
+        }
+        private def advance(): Unit = {
+          while (outBuf.isEmpty && (it.hasNext || op != null)) {
+            if (it.hasNext) {
+              val r = it.next() // unsafe row buffer is reused: copy key
+              val k = r.getUTF8String(0)
+              val ts = r.getLong(1)
+              val v = r.getDouble(2)
+              if (curKey == null || !k.equals(curKey)) {
+                endSeries()
+                op = mk(); coll = new RunCollapser(gridMs)
+                curKey = k.clone()
+              }
+              val key = curKey
+              op.feed(ts, v).foreach { case (t2, v2) =>
+                coll.feed(t2, v2).foreach(rr => outBuf += runRow(key, rr)) }
+            } else endSeries() // input exhausted: flush the last series
+          }
+        }
+        override def hasNext: Boolean = { advance(); outBuf.nonEmpty }
+        override def next(): InternalRow = { advance(); outBuf.dequeue() }
       }
     }
     GraftBridge.internalCreateDataFrame(spark, rdd, outSchema)
@@ -477,6 +585,49 @@ object Mutations {
 
   def resampleUniform(df: DataFrame, intervalMs: Long): DataFrame =
     perSeries(df)(() => new UniformOp(intervalMs))
+
+  /** [[interpolate]] with the RLE output contract (see
+    * [[perSeriesRuns]]): flat segments emit one run row, not one row
+    * per grid point. `Rle.expand(..., durationMs)` reconstructs the
+    * dense output exactly. */
+  def interpolateRle(df: DataFrame, durationMs: Long, maxGapMs: Long = 0L): DataFrame =
+    perSeriesRuns(df, durationMs)(() => new InterpolateOp(durationMs, maxGapMs))
+
+  /** [[resampleUniform]] with the RLE output contract. */
+  def resampleUniformRle(df: DataFrame, intervalMs: Long): DataFrame =
+    perSeriesRuns(df, intervalMs)(() => new UniformOp(intervalMs))
+
+  /**
+   * LOCF gap fill with the RLE output contract — the run-emitting twin
+   * of the dense hour-grid LOCF render (SparkEntry `m_locf_grid`): each
+   * maximal stretch of the grid carrying one value becomes a single
+   * `(skey, ts, end_ts, dval)` run. Because LOCF fill repeats the last
+   * observed bucket value, consecutive observed buckets with an EQUAL
+   * value merge even when grid hours separate them (the filled hours in
+   * between carry the same value) — so this output equals
+   * `Rle.encode(dense LOCF)` and `Rle.expand(..., durationMs)` of it
+   * equals the dense render.
+   *
+   * One shuffle on `skey`; both windows sort-only on the already-
+   * partitioned rows; shuffled volume is OBSERVED buckets, never the
+   * filled grid.
+   */
+  def locfGridRle(df: DataFrame, durationMs: Long): DataFrame = {
+    val w = Window.partitionBy("skey").orderBy("bts")
+    df.groupBy(col("skey"),
+        (col("ts") - pmod(col("ts"), lit(durationMs))).as("bts"))
+      .agg(max_by(col("dval"), col("ts")).as("v"))
+      // non-null-safe === matches the SQL-replay collapse (a null
+      // bucket value never extends a run)
+      .withColumn("chg", when(lag("v", 1).over(w) === col("v"), 0).otherwise(1))
+      .withColumn("t1", max("bts").over(Window.partitionBy("skey")))
+      .filter(col("chg") === 1)
+      .withColumn("run_end",
+        coalesce(lead("bts", 1).over(w) - durationMs, col("t1")))
+      .select(col("skey"), col("bts").as("ts"),
+        when(col("run_end") > col("bts"), col("run_end")).as("end_ts"),
+        col("v").as("dval"))
+  }
 
   def ewma(df: DataFrame, tauMs: Double): DataFrame =
     perSeries(df)(() => new EwmaOp(tauMs))

@@ -51,8 +51,24 @@ object Ann {
    * corpus rows (self-match excluded). Output: (qid, nid, sim, rank).
    * Ties break by ascending neighbor id for determinism.
    */
+  /** Structural fence for the exact brute-force baseline: its cost is
+    * |corpus| × |queries| comparisons, so it is linear ONLY under the
+    * small-query contract (queries broadcastable). Above this many
+    * query rows the scan is refused with the scale-path pointer — the
+    * [[CosinePairsMaxRows]] idiom; raise `maxQueries` explicitly (and
+    * only) for a bounded recall audit. */
+  val BruteTopKMaxQueries = 10000L
+
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxQueries: Long = BruteTopKMaxQueries): DataFrame = {
+    val nq = queries.count()
+    require(nq <= maxQueries,
+      s"bruteTopK is the exact full-scan baseline: $nq query rows > " +
+      s"maxQueries=$maxQueries means ~$nq full corpus scans' worth of " +
+      s"comparisons. Use ivfTopK/ivfPqTopK/lshTopK for production-scale " +
+      s"ANN, refineTopK to exact-re-rank their candidates, or pass " +
+      s"maxQueries explicitly for a bounded recall audit.")
     // Norms precomputed per row (not per pair); sim = dot/(n_a·n_b) is
     // arithmetically identical to dot/(√dot(a,a)·√dot(b,b)).
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
@@ -821,6 +837,39 @@ object Ann {
    * lists reads nprobe/nlist of the data from disk, before any task
    * is scheduled.
    */
+  /** On-disk quantizer contracts of the materialized vector indexes.
+    * The stored layouts bake in the EXACT quantizer arrays used at
+    * build time: list assignments derive from the centroids, ADC
+    * distances decode against the codebooks — searching or appending
+    * with different arrays doesn't error, it silently splits lists or
+    * returns wrong neighbors. Each build stamps a `path/_format`
+    * marker carrying the layout parameters plus a content FINGERPRINT
+    * of the quantizer ([[graft.model.IndexFormat.fingerprint]]: MD5
+    * over the IEEE bit patterns), and every search/append verifies it
+    * — "pass the SAME centroids" is a checked contract, not a doc
+    * comment. */
+  def ivfFormat(centroids: Array[Array[Double]]): String =
+    s"ivf v1 nlist=${centroids.length} dim=${centroids.head.length} " +
+      s"quantizer=${graft.model.IndexFormat.fingerprint(centroids)}"
+  def ivfPqFormat(centroids: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]]): String =
+    s"ivf-pq v1 nlist=${centroids.length} m=${codebooks.length} " +
+      s"ksub=${codebooks.head.length} " +
+      s"quantizer=${graft.model.IndexFormat.fingerprint(centroids)} " +
+      s"codebooks=${graft.model.IndexFormat.fingerprint(codebooks: _*)}"
+  def ivfSq8Format(centroids: Array[Array[Double]]): String =
+    s"ivf-sq8 v1 nlist=${centroids.length} dim=${centroids.head.length} " +
+      s"quantizer=${graft.model.IndexFormat.fingerprint(centroids)}"
+  def pqFormat(codebooks: Array[Array[Array[Double]]]): String =
+    s"pq v1 m=${codebooks.length} ksub=${codebooks.head.length} " +
+      s"codebooks=${graft.model.IndexFormat.fingerprint(codebooks: _*)}"
+  private def checkFormat(spark: org.apache.spark.sql.SparkSession,
+                          path: String, expected: String, builder: String): Unit =
+    graft.model.IndexFormat.check(spark, path, expected,
+      s"Re-materialize with Ann.$builder under the quantizer you search " +
+        "with, or load the quantizer this index was built with (persist " +
+        "centroids/codebooks alongside the index).")
+
   def ivfMaterialize(centroids: Array[Array[Double]], corpus: DataFrame,
                      path: String,
                      idCol: String = "vec_id",
@@ -830,6 +879,8 @@ object Ann {
         topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(path)
+    graft.model.IndexFormat.write(corpus.sparkSession, path,
+      ivfFormat(centroids))
   }
 
   /**
@@ -854,6 +905,8 @@ object Ann {
                 idCol: String = "vec_id",
                 vecCol: String = "embedding"): Unit = {
     import graft.functions.VectorOps.topCentroids
+    checkFormat(newVectors.sparkSession, path, ivfFormat(centroids),
+      "ivfMaterialize") // mixing quantizers silently splits lists
     newVectors.select(col(idCol), col(vecCol),
         topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
       .repartition(col("list_id"))
@@ -875,6 +928,7 @@ object Ann {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorOps.topCentroids
+    checkFormat(spark, path, ivfFormat(centroids), "ivfMaterialize")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         norm(col(vecCol)).as("qn"),
         explode(topCentroids(col(vecCol), centroids, nprobe)).as("list_id"))
@@ -904,10 +958,13 @@ object Ann {
                        codebooks: Array[Array[Array[Double]]],
                        corpus: DataFrame, path: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit =
+                       vecCol: String = "embedding"): Unit = {
     ivfPqEncode(centroids, codebooks, corpus, idCol, vecCol)
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(path)
+    graft.model.IndexFormat.write(corpus.sparkSession, path,
+      ivfPqFormat(centroids, codebooks))
+  }
 
   /** The IVF-PQ index rows — (nid, m codes, list_id) — shared by the
     * in-memory search and the materialized layout so both score the
@@ -1108,6 +1165,8 @@ object Ann {
                          queries: DataFrame, k: Int, nprobe: Int = 4,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
+    checkFormat(spark, path, ivfPqFormat(centroids, codebooks),
+      "ivfPqMaterialize")
     val probeLists = probeListsOf(centroids, queries, nprobe, idCol, vecCol)
     // list discovery collects the slim pre-join probe projection (the
     // ivfSearchIndexed idiom) — no ADC tables involved yet
@@ -1183,6 +1242,8 @@ object Ann {
         topCentroids(col(vecCol), centroids, 1).getItem(0).as("list_id"))
       .repartition(col("list_id"))
       .write.partitionBy("list_id").mode("overwrite").parquet(path)
+    graft.model.IndexFormat.write(corpus.sparkSession, path,
+      ivfSq8Format(centroids))
   }
 
   /**
@@ -1199,6 +1260,7 @@ object Ann {
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorOps.topCentroids
+    checkFormat(spark, path, ivfSq8Format(centroids), "ivfSq8Materialize")
     def codesD(c: Column) = transform(c, x => x.cast("double"))
     val q = queries.select(col(idCol).as("qid"),
         codesD(sq8CodeExpr(col(vecCol))).as("qvec"),
@@ -1400,9 +1462,12 @@ object Ann {
   def pqMaterialize(codebooks: Array[Array[Array[Double]]],
                     corpus: DataFrame, path: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit =
+                    vecCol: String = "embedding"): Unit = {
     pqEncode(codebooks, corpus, idCol, vecCol)
       .write.mode("overwrite").parquet(path)
+    graft.model.IndexFormat.write(corpus.sparkSession, path,
+      pqFormat(codebooks))
+  }
 
   /**
    * ADC search over a materialized PQ index ([[pqMaterialize]] layout):
@@ -1414,9 +1479,11 @@ object Ann {
                       codebooks: Array[Array[Array[Double]]],
                       queries: DataFrame, k: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame =
+                      vecCol: String = "embedding"): DataFrame = {
+    checkFormat(spark, path, pqFormat(codebooks), "pqMaterialize")
     adcRank(spark.read.parquet(path),
       adcTables(spark, codebooks, queries, idCol, vecCol), k)
+  }
 
   /**
    * Exact re-rank over an ANN stage's candidates (the faiss

@@ -149,6 +149,39 @@ class AggregationsSpec extends SparkSpec {
       s"greedy non-finite cascade: ${got.toSeq}")
   }
 
+  test("finite |v| >= 1e26 is refused loudly on both exact-sum paths, not dropped") {
+    import spark.implicits._
+    // cast(1e26 AS decimal(38,12)) is NULL in non-ANSI mode; sum() skips
+    // NULLs, so alongside other finite values the row would vanish from
+    // the SQL-path sum while the greedy BigDecimal path kept it — a
+    // silent per-value drop AND a cross-path disagreement. Both paths
+    // must refuse with the same message instead.
+    val bad = Seq(("/m", 0L, 1.0), ("/m", 1L, 1e26))
+      .toDF("name", "ts", "dval")
+    for (agg <- Seq[Aggregations.AggType](Aggregations.Average, Aggregations.Sum)) {
+      val e = intercept[Exception] {
+        Aggregations.byName(bad, agg).collect()
+      }
+      assert(e.getMessage.contains("1e26"), s"$agg: ${e.getMessage}")
+    }
+    val gbad = Seq(("/g", "s1", 0L, 1.0), ("/g", "s1", 10L, -1e26),
+      ("/g", "s1", 9000L, 0.0)).toDF("name", "skey", "ts", "dval")
+    val ge = intercept[Exception] {
+      Aggregations.greedyExact(gbad, 100L, "sum").collect()
+    }
+    assert(ge.getMessage.contains("1e26") ||
+      Option(ge.getCause).exists(_.getMessage.contains("1e26")), ge.toString)
+    // just under the bound: both paths accept and agree exactly
+    val ok = Seq(("/m", 0L, 9e25), ("/m", 1L, 1.0)).toDF("name", "ts", "dval")
+    val sq = Aggregations.byName(ok, Aggregations.Sum)
+      .collect().head.getDouble(2)
+    val gok = Seq(("/g", "s1", 0L, 9e25), ("/g", "s1", 10L, 1.0),
+      ("/g", "s1", 9000L, 0.0)).toDF("name", "skey", "ts", "dval")
+    val gr = Aggregations.greedyExact(gok, 100L, "sum")
+      .collect().head.getDouble(2)
+    assert(sq == gr && sq == 9e25 + 1.0, s"$sq vs $gr")
+  }
+
   test("greedyExact by label keys on the label value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -449,6 +449,96 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.simhashLookup(spark, path, probes).count() == 1)
   }
 
+  test("index format markers: every at-rest family fails loudly on parameter drift") {
+    // The simhash _band_format pattern generalized (r13 verdict #5):
+    // each family's layout bakes in parameters its probes must
+    // reproduce exactly; a mismatch silently returns zero matches
+    // (LSH/CDC/winnow band keys never collide) or wrong neighbors
+    // (IVF list splits, ADC against the wrong codebook). Build stamps
+    // path/_format, every reader/appender verifies, marker-absent
+    // (pre-marker index) refuses too.
+    import spark.implicits._
+    import graft.similarity.Ann
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words here entirely my friend"))
+    val probes = docs((2L, "the quick brown fox jumps over the lazy dog tonight"))
+    def refused(body: => Any): String =
+      intercept[IllegalStateException](body).getMessage
+
+    // minhash: wrong banding refused, rebuild-from-sets migrates
+    Dedup.minhashIndex(corpus, s"$base/mh", n = 3, numHashes = 16, bands = 16)
+    assert(Dedup.minhashLookup(spark, s"$base/mh", probes,
+      n = 3, numHashes = 16, bands = 16, threshold = 0.3).count() >= 1)
+    assert(refused(Dedup.minhashLookup(spark, s"$base/mh", probes,
+      n = 3, numHashes = 16, bands = 4)).contains("minhash-lsh"))
+    assert(refused(Dedup.minhashAppend(probes, s"$base/mh",
+      n = 3, numHashes = 16, bands = 4)).contains("minhash-lsh"))
+    // marker-absent = pre-marker index: not trusted
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/mh/_format"), false)
+    refused(Dedup.minhashLookup(spark, s"$base/mh", probes,
+      n = 3, numHashes = 16, bands = 16))
+    // migration: re-band from the stored sets without re-tokenizing
+    // (bands=16 = single-hash bands, so the near-dup's collision is
+    // deterministic; the point here is restamp + re-band, not recall)
+    Dedup.minhashRebuildBands(spark, s"$base/mh", n = 3, numHashes = 16, bands = 16)
+    assert(Dedup.minhashLookup(spark, s"$base/mh", probes,
+      n = 3, numHashes = 16, bands = 16, threshold = 0.3).count() >= 1)
+
+    // cdc: chunking params are the layout; probe-side maxDf is not
+    Dedup.cdcIndex(corpus, s"$base/cdc", window = 4, divisor = 32)
+    assert(Dedup.cdcLookup(spark, s"$base/cdc", probes, 4, 32,
+      minShared = 1).count() >= 1)
+    assert(Dedup.cdcLookup(spark, s"$base/cdc", probes, 4, 32,
+      minShared = 1, maxDf = 1L).count() >= 0) // tightened prune: allowed
+    assert(refused(Dedup.cdcLookup(spark, s"$base/cdc", probes,
+      window = 8, divisor = 32)).contains("cdc-chunks"))
+
+    // winnow
+    Dedup.winnowIndex(corpus, s"$base/win", k = 3, w = 4)
+    assert(refused(Dedup.winnowLookup(spark, s"$base/win", probes,
+      k = 5, w = 4)).contains("winnow-fps"))
+
+    // vector families: the FINGERPRINT catches a different quantizer
+    // with identical shape — the silent-wrong-distance case
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 3)
+    val cents = Ann.pinnedCentroids(emb, nlist = 4)
+    val cents2 = cents.map(_.map(_ + 0.25)) // same nlist/dim, other quantizer
+    Ann.ivfMaterialize(cents, emb, s"$base/ivf")
+    assert(Ann.ivfSearchIndexed(spark, s"$base/ivf", cents, queries,
+      k = 2, nprobe = 2).count() > 0)
+    assert(refused(Ann.ivfSearchIndexed(spark, s"$base/ivf", cents2,
+      queries, k = 2, nprobe = 2)).contains("quantizer="))
+    assert(refused(Ann.ivfAppend(cents2, emb.limit(5), s"$base/ivf"))
+      .contains("quantizer="))
+
+    val books = Ann.pinnedCodebooks(emb, m = 4, ksub = 8, dim = 8)
+    val books2 = books.map(_.map(_.map(_ + 0.25)))
+    Ann.pqMaterialize(books, emb, s"$base/pq")
+    assert(Ann.pqSearchIndexed(spark, s"$base/pq", books, queries, k = 2)
+      .count() > 0)
+    assert(refused(Ann.pqSearchIndexed(spark, s"$base/pq", books2,
+      queries, k = 2)).contains("codebooks="))
+
+    Ann.ivfPqMaterialize(cents, books, emb, s"$base/ivfpq")
+    assert(Ann.ivfPqSearchIndexed(spark, s"$base/ivfpq", cents, books,
+      queries, k = 2, nprobe = 2).count() > 0)
+    refused(Ann.ivfPqSearchIndexed(spark, s"$base/ivfpq", cents, books2,
+      queries, k = 2, nprobe = 2))
+
+    Ann.ivfSq8Materialize(cents, emb, s"$base/sq8")
+    assert(Ann.ivfSq8SearchIndexed(spark, s"$base/sq8", cents, queries,
+      k = 2, nprobe = 2).count() > 0)
+    refused(Ann.ivfSq8SearchIndexed(spark, s"$base/sq8", cents2, queries,
+      k = 2, nprobe = 2))
+  }
+
   test("at-rest simhash index: lookup and stream probe match the in-memory cross pairs") {
     import spark.implicits._
     val corpus = docs(
@@ -625,6 +715,37 @@ class PipelineSpec extends SparkSpec {
     // vectors -> all 3 pairs at sim 1.0
     val out = Ann.cosinePairs(big.limit(3), threshold = 0.9).collect()
     assert(out.length == 3 && out.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("remaining opt-in quadratic baselines are fenced: bruteTopK and uncapped ngram join") {
+    import spark.implicits._
+    // bruteTopK: |corpus|×|queries| comparisons — linear only under the
+    // small-query contract; a fat query set must be refused, not scanned
+    val emb = (0L until 50L).map(i => (i, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.bruteTopK(emb, emb, k = 3, maxQueries = 10)
+    }
+    assert(e1.getMessage.contains("ivfTopK"), e1.getMessage)
+    assert(Ann.bruteTopK(emb, emb.limit(2), k = 3).count() > 0)
+    // uncapped shingle blocking (maxDf=Long.MaxValue): the exact
+    // variant refuses corpora above the fence with the linear-path
+    // pointer (maxRows overridable like cosinePairs' for bounded
+    // verification samples); the default df-capped path is unfenced
+    val docs = (0L until 30L).map(i => (i, s"some repeated words $i here"))
+      .toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.ngramJaccardPairs(docs, n = 2,
+        threshold = 0.1, maxDf = Long.MaxValue, maxRows = 10L)
+    }
+    assert(e2.getMessage.contains("DefaultShingleMaxDf"), e2.getMessage)
+    // under the fence the exact variant still runs
+    assert(graft.dedup.Dedup.ngramJaccardPairs(docs, n = 2,
+      threshold = 0.9, maxDf = Long.MaxValue).count() >= 0)
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.ngramContainmentPairs(docs, n = 2,
+        threshold = 0.5, maxDf = Long.MaxValue, maxRows = 10L)
+    }
   }
 
   test("refineTopK over PQ candidates reports exact cosines") {

@@ -102,6 +102,61 @@ class PropertySpec extends SparkSpec {
     assert(encoded.count() < 60)
   }
 
+  test("RLE output contract: expand(rleVariant) equals the dense emitter, runs compress") {
+    // Dense-grid emitters' 100 TB bottleneck is output volume; the RLE
+    // variants must be a pure re-encoding: Rle.expand of their output
+    // row-equals the dense output — including across max_gap holes,
+    // where encode-after-the-fact would merge across the hole and
+    // expand would then invent rows inside it.
+    import spark.implicits._
+    val G = 1000L
+    def denseSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("skey", "ts", "dval").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    def runSet(df: org.apache.spark.sql.DataFrame) =
+      denseSet(Rle.expand(df, G))
+    // stepwise values (flat stretches) + one wide gap per series
+    val rows = for {
+      s <- 0 until 4
+      t <- 0 until 50
+    } yield (s"/rle/v$s", Map("host" -> "h"),
+      1000L + t * 250L + (if (t > 30) 20000L else 0L) + rnd.nextInt(50),
+      (rnd.nextInt(3) / 2).toDouble) // mostly-flat: 2/3 zeros
+    val pts = graft.model.Point.withSeriesKey(
+      rows.toDF("name", "labels", "ts", "dval")
+        .select(col("name"), col("labels").cast("map<string,string>"),
+          lit("GAUGE").as("value_type"), col("ts"), col("dval"),
+          lit(null).cast("string").as("sval"),
+          lit(null).cast("long").as("end_ts")))
+    // interpolate, gapless and with max_gap re-anchoring (grid holes)
+    for (gap <- Seq(0L, 5000L)) {
+      val dense = Mutations.interpolate(pts, G, gap)
+      val rle = Mutations.interpolateRle(pts, G, gap)
+      assert(runSet(rle) == denseSet(dense), s"interpolate gap=$gap")
+      assert(rle.count() < dense.count(), s"no compression at gap=$gap")
+    }
+    // resampleUniform
+    assert(runSet(Mutations.resampleUniformRle(pts, G)) ==
+      denseSet(Mutations.resampleUniform(pts, G)))
+    // LOCF: dense render (the m_locf_grid shape) vs the run emitter;
+    // equal-valued observed buckets must merge even across filled gaps
+    val b = pts.groupBy(col("skey"),
+        (col("ts") - pmod(col("ts"), lit(G))).as("bts"))
+      .agg(max_by(col("dval"), col("ts")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("skey").orderBy("bts")
+    val denseLocf = b.withColumn("next_bts", lead("bts", 1).over(w))
+      .select(col("skey"),
+        explode(sequence(col("bts"),
+          coalesce(col("next_bts") - G, col("bts")), lit(G))).as("ts"),
+        col("v").as("dval"))
+    val locfRuns = Mutations.locfGridRle(pts, G)
+    assert(runSet(locfRuns) == denseSet(denseLocf), "locf expand-equality")
+    assert(locfRuns.count() < b.count(),
+      "locf runs must merge equal-valued observed buckets")
+  }
+
   test("sessionize matches a sequential per-key scan on random data") {
     import spark.implicits._
     val rows = (0 until 400).map { i =>
