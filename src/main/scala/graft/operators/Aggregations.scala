@@ -383,6 +383,12 @@ object Aggregations {
         override def next(): InternalRow = { advance(); out.next() }
       }
     }
-    GraftBridge.internalCreateDataFrame(spark, rdd, outSchema)
+    // groups are emitted contiguously in gkey order within each
+    // hash(gkey) partition (input secondary-sorted, one group flushed
+    // before the next opens), so declare that much — anchor rows
+    // WITHIN a group are in cascade-creation order, not ts order, so
+    // no ts ordering is claimed
+    GraftBridge.internalCreateDataFrameClustered(spark, rdd, outSchema,
+      clusterCols = Seq("gkey"), sortCols = Seq("gkey"))
   }
 }

@@ -144,6 +144,18 @@ object Mutations {
    * A single-pass per-series state machine: `feed` consumes points in
    * timestamp order, `flush` is called at end of series. Implementations
    * must be cheap to allocate (one instance per series per task).
+   *
+   * EMISSION-ORDER CONTRACT: within a series, emitted timestamps must
+   * be non-strictly ascending across the whole feed+flush sequence.
+   * Every op here satisfies it by construction (grid emitters emit
+   * monotone grid slots; per-point ops emit at the input ts; bucket
+   * ops emit a closed bucket before opening the next), and
+   * [[perSeries]] RELIES on it: the output DataFrame declares
+   * sorted-by-(skey, ts) within hash(skey) partitions, which is what
+   * lets a downstream window/groupBy on the series key run with zero
+   * extra exchange or sort. A non-monotone op would silently corrupt
+   * those downstream results (PropertySpec asserts the declared order
+   * empirically for every op).
    */
   trait StreamOp extends Serializable {
     def feed(ts: Long, v: Double): Seq[(Long, Double)]
@@ -229,7 +241,8 @@ object Mutations {
         }
       }
     }
-    GraftBridge.internalCreateDataFrame(spark, rdd, outSchema)
+    GraftBridge.internalCreateDataFrameClustered(spark, rdd, outSchema,
+      clusterCols = Seq("skey"), sortCols = Seq("skey", "ts"))
   }
 
   /** Streaming run-collapse over a grid emitter's output: consecutive
@@ -331,7 +344,8 @@ object Mutations {
         override def next(): InternalRow = { advance(); outBuf.dequeue() }
       }
     }
-    GraftBridge.internalCreateDataFrame(spark, rdd, outSchema)
+    GraftBridge.internalCreateDataFrameClustered(spark, rdd, outSchema,
+      clusterCols = Seq("skey"), sortCols = Seq("skey", "ts"))
   }
 
   // --------------------------------------------------------- exact ops

@@ -62,20 +62,33 @@ object Ann {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 maxQueries: Long = BruteTopKMaxQueries): DataFrame = {
-    val nq = queries.count()
-    require(nq <= maxQueries,
-      s"bruteTopK is the exact full-scan baseline: $nq query rows > " +
-      s"maxQueries=$maxQueries means ~$nq full corpus scans' worth of " +
-      s"comparisons. Use ivfTopK/ivfPqTopK/lshTopK for production-scale " +
-      s"ANN, refineTopK to exact-re-rank their candidates, or pass " +
-      s"maxQueries explicitly for a bounded recall audit.")
     // Norms precomputed per row (not per pair); sim = dot/(n_a·n_b) is
     // arithmetically identical to dot/(√dot(a,a)·√dot(b,b)).
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
       norm(col(vecCol)).as("nn"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qn"))
-    cosScoreTail(c.crossJoin(broadcast(q)), k)
+    // The fence rides INSIDE the broadcast side's plan (global-window
+    // count + raise_error) instead of an eager count() job: a separate
+    // count re-executed the query subtree per call and measurably taxed
+    // every recall gate built on this baseline, while a cosinePairs-
+    // style eager count is only free when the input is a bare table.
+    // The guarded branch raises while the (small-by-contract) broadcast
+    // side materializes — BEFORE any corpus task is scheduled — so the
+    // refusal still costs nothing against the full scan it prevents.
+    val w = Window.partitionBy(lit(1))
+    val qGuarded = q.withColumn("__nq", count(lit(1)).over(w))
+      .filter(when(col("__nq") > maxQueries, raise_error(concat(
+          lit("bruteTopK is the exact full-scan baseline: "),
+          col("__nq").cast("string"),
+          lit(s" query rows > maxQueries=$maxQueries means that many full " +
+            "corpus scans' worth of comparisons. Use ivfTopK/ivfPqTopK/" +
+            "lshTopK for production-scale ANN, refineTopK to exact-re-rank " +
+            "their candidates, or pass maxQueries explicitly for a bounded " +
+            "recall audit."))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__nq")
+    cosScoreTail(c.crossJoin(broadcast(qGuarded)), k)
   }
 
   /**

@@ -720,13 +720,18 @@ class PipelineSpec extends SparkSpec {
   test("remaining opt-in quadratic baselines are fenced: bruteTopK and uncapped ngram join") {
     import spark.implicits._
     // bruteTopK: |corpus|×|queries| comparisons — linear only under the
-    // small-query contract; a fat query set must be refused, not scanned
+    // small-query contract; a fat query set must be refused, not
+    // scanned. The guard rides the broadcast side's plan (zero extra
+    // jobs), so it fires at execution, while the broadcast materializes
+    // — before any corpus task
     val emb = (0L until 50L).map(i => (i, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val e1 = intercept[IllegalArgumentException] {
-      Ann.bruteTopK(emb, emb, k = 3, maxQueries = 10)
+    val e1 = intercept[Exception] {
+      Ann.bruteTopK(emb, emb, k = 3, maxQueries = 10).count()
     }
-    assert(e1.getMessage.contains("ivfTopK"), e1.getMessage)
+    def msgChain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgChain(t.getCause)
+    assert(msgChain(e1).contains("ivfTopK"), msgChain(e1))
     assert(Ann.bruteTopK(emb, emb.limit(2), k = 3).count() > 0)
     // uncapped shingle blocking (maxDf=Long.MaxValue): the exact
     // variant refuses corpora above the fence with the linear-path

@@ -385,6 +385,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("perSeries declares its layout: downstream windows add no exchange and no sort") {
+    // perSeries output IS hash(skey)-partitioned and (skey, ts)-sorted
+    // (the repartition+sortWithinPartitions that feeds it, preserved by
+    // the monotone StreamOp emission contract); declaring it via
+    // LogicalRDD(outputPartitioning, outputOrdering) lets Rle.encode's
+    // windows run directly on the emitter's output. Before r14 the
+    // encode re-shuffled and re-sorted the DENSE GRID (4.6B rows at
+    // sf100 — two external sorts past the box's scratch); now
+    // rle_roundtrip's only exchange is the input repartition inside
+    // the perSeries leaf, which the downstream plan sees as an RDD
+    // scan. So the audited plan must be Window* over Scan ExistingRDD:
+    // zero Exchange, zero Sort.
+    val p = plan("rle_roundtrip")
+    val nEx = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    val nSort = "\\bSort\\b".r.findAllIn(p).length
+    assert(nEx == 0 && nSort == 0,
+      s"rle_roundtrip expected 0 exchanges/0 sorts above the perSeries " +
+        s"leaf, got $nEx/$nSort:\n${p.take(1500)}")
+  }
+
   test("no query plan pins an InMemoryRelation (library-level .cache() leak)") {
     // A .cache() inside a queries() builder pins partitions for the
     // session's lifetime with no unpersist hook, and quietly flatters

@@ -102,6 +102,50 @@ class PropertySpec extends SparkSpec {
     assert(encoded.count() < 60)
   }
 
+  test("perSeries declared layout is true: every op's output is (skey, ts)-sorted per partition") {
+    // perSeries/perSeriesRuns declare hash(skey) partitioning +
+    // (skey, ts) intra-partition order on their output (GraftBridge
+    // .internalCreateDataFrameClustered) so downstream windows skip
+    // the exchange+sort. A false claim silently corrupts downstream
+    // results, so verify it EMPIRICALLY for every shipped StreamOp,
+    // on shuffled input: collect (partition, position, skey, ts) and
+    // assert non-decreasing (skey, ts) within each partition — and
+    // that each skey lives in exactly one partition.
+    import org.apache.spark.sql.functions.spark_partition_id
+    val pts = graft.model.Point.withSeriesKey(randomPoints(5, 40))
+      .repartition(17) // adversarial input layout
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "interpolate" -> Mutations.interpolate(pts, 1000L),
+      "interpolate_gap" -> Mutations.interpolate(pts, 1000L, maxGapMs = 3000L),
+      "resampleUniform" -> Mutations.resampleUniform(pts, 1000L),
+      "meanExact" -> Mutations.meanExact(pts, 1000L),
+      "minExact" -> Mutations.minExact(pts, 1000L),
+      "maxExact" -> Mutations.maxExact(pts, 1000L),
+      "ewma" -> Mutations.ewma(pts, 1500.0),
+      "holt" -> Mutations.holt(pts, 1500.0, 4500.0),
+      "ewmZscore" -> Mutations.ewmZscore(pts, 1500.0),
+      "lttb" -> Mutations.lttb(pts, 2000L),
+      "interpolateRle" -> Mutations.interpolateRle(pts, 1000L),
+      "uniformRle" -> Mutations.resampleUniformRle(pts, 1000L))
+    for ((name, df) <- ops) {
+      val rows = df.select(spark_partition_id(), col("skey"), col("ts"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      assert(rows.nonEmpty, s"$name emitted nothing")
+      rows.groupBy(_._1).foreach { case (pid, part) =>
+        part.sliding(2).foreach {
+          case Array((_, k1, t1), (_, k2, t2)) =>
+            assert(k1 < k2 || (k1 == k2 && t1 <= t2),
+              s"$name partition $pid order violated: ($k1,$t1) then ($k2,$t2)")
+          case _ =>
+        }
+      }
+      val keyParts = rows.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
+      keyParts.foreach { case (k, ps) =>
+        assert(ps.size == 1, s"$name skey $k spans partitions $ps")
+      }
+    }
+  }
+
   test("RLE output contract: expand(rleVariant) equals the dense emitter, runs compress") {
     // Dense-grid emitters' 100 TB bottleneck is output volume; the RLE
     // variants must be a pure re-encoding: Rle.expand of their output
