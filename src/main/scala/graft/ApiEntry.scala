@@ -137,6 +137,29 @@ object ApiEntry {
       unkey(Mutations.resampleUniformRle(Point.withSeriesKey(pts(s, dir)), H))
         .select(col("name"), col("usr"), col("ts"), col("end_ts"),
           round(col("dval"), 4).as("dval"))),
+    // Interpolate-RLE on QUANTIZED values (50-wide steps): consecutive
+    // equal quanta make the interpolated grid flat, so this gate pins
+    // the contract's WIN (runs actually collapse) where the raw-value
+    // twin above pins its floor. Cast parity per rle_encode's note.
+    "m_interp_rle_q" -> ((s, dir) =>
+      unkey(Mutations.interpolateRle(
+          Point.withSeriesKey(pts(s, dir))
+            .withColumn("dval", (floor(col("dval") / 50) * 50).cast("double")),
+          H))
+        .select(col("name"), col("usr"), col("ts"), col("end_ts"),
+          round(col("dval"), 4).as("dval"))),
+    // RLE output encoding through the request API (GetRequest.rleOutput
+    // / CLI `rle`): the /get route returning runs instead of dense grid
+    // rows. Same math as m_interpolate_rle — this gates the API ROUTE
+    // (pattern filter → run-emitting twin substitution → run schema),
+    // so it deliberately shares that oracle.
+    "api_get_rle" -> ((s, dir) =>
+      unkey(Engine.get(pts(s, dir), Requests.GetRequest(
+          variable = "/events/*",
+          mutations = Seq(Requests.Interpolate(H)),
+          rleOutput = true)))
+        .select(col("name"), col("usr"), col("ts"), col("end_ts"),
+          round(col("dval"), 4).as("dval"))),
     // max_gap_interpolate (lib/openinstrument.proto:45-51): brackets
     // wider than 4 h re-anchor instead of filling. The consumed-point
     // set is gap-invariant (first per bucket), so only the per-bracket
@@ -477,8 +500,9 @@ object ApiEntry {
       |FROM r GROUP BY name, usr, run""".stripMargin
 
   /** UNROUNDED dense replay of InterpolateOp as a `dense` CTE (see
-    * the m_interpolate entry's derivation comment). */
-  private val InterpolateDenseCte = P +
+    * the m_interpolate entry's derivation comment), parameterized by
+    * the pts prefix so the quantized-input gate reuses the body. */
+  private def interpolateDenseCte(prefix: String): String = prefix +
     """, cons AS (SELECT name, usr, ts, dval,
       |  row_number() OVER (PARTITION BY name, usr, ts // 3600000
       |                     ORDER BY ts) AS rn
@@ -501,6 +525,18 @@ object ApiEntry {
       | UNION ALL
       | SELECT name, usr, ts, dval
       | FROM pr WHERE rn2 = 1 AND ts % 3600000 = 0)""".stripMargin
+
+  private val InterpolateDenseCte = interpolateDenseCte(P)
+
+  /** pts with values quantized to 50-wide steps (cast parity note at
+    * SparkEntry's rle_encode: Spark floor() is LONG, DuckDB's DOUBLE).
+    * Quantized values make consecutive points EQUAL often, so the
+    * interpolated grid carries flat runs — the workload shape where
+    * the interpolate RLE contract actually compresses (a continuous
+    * fixture pins the contract's floor; this pins its win). */
+  private val PQuant = "WITH pts AS (SELECT '/events/' || event_type AS name, " +
+    "CAST(user_id AS VARCHAR) AS usr, epoch_ms(ts) AS ts, " +
+    "floor(value / 50) * 50 AS dval FROM events) "
 
   def oracleSql: Map[String, String] = Map(
     "api_get" -> (P +
@@ -586,6 +622,8 @@ object ApiEntry {
     // run-collapsed twins: dense replay unrounded → SQL RunCollapser
     "m_interpolate_rle" -> (InterpolateDenseCte + RleTailSql),
     "m_uniform_rle" -> (UniformDenseCte + RleTailSql),
+    "m_interp_rle_q" -> (interpolateDenseCte(PQuant) + RleTailSql),
+    "api_get_rle" -> (InterpolateDenseCte + RleTailSql),
     // Recursive replay of EwmaOp: one smoothed value per consumed
     // point, chained by rn. Same float-op order as the state machine.
     "m_ewma" ->

@@ -112,7 +112,18 @@ object Requests {
       maxVariables: Option[Int] = None,
       maxValues: Option[Int] = None,
       autoRate: Boolean = false,
-      chainMutations: Boolean = true)
+      chainMutations: Boolean = true,
+      /** Engine extension: RLE OUTPUT ENCODING — the response carries
+        * runs (`ts`, `end_ts`, value) instead of dense rows, the
+        * reference's own RLE form (lib/openinstrument.proto:77-80).
+        * When the final mutation is a dense-grid emitter
+        * (interpolate/uniform) the run-emitting twin replaces it, so
+        * the dense rows never exist ([[Mutations.perSeriesRuns]]);
+        * any other final shape is run-collapsed by [[Rle.encode]].
+        * Dense-render clients reconstruct with `Rle.expand`.
+        * Incompatible with aggregations (aggregate outputs are not
+        * per-series grids) and with C++ independent-mutation mode. */
+      rleOutput: Boolean = false)
 
   /** lib/openinstrument.proto:137-157; max_age default 24 h
     * (lib/openinstrument.proto:143-145). */
@@ -170,8 +181,29 @@ object Engine {
     // (response grouping, max_values) keep one stream PER MUTATION per
     // series, as the C++ response shape does.
     val independent = !req.chainMutations && req.mutations.size > 1
+    if (req.rleOutput) {
+      require(req.aggregations.isEmpty,
+        "rleOutput applies to per-series grids; aggregated series are " +
+          "not per-series output — drop aggregations or rleOutput")
+      require(!independent,
+        "rleOutput with independent (C++) mutation mode is ambiguous — " +
+          "one run stream per mutation; use chained mutations")
+    }
     df =
-      if (!independent)
+      if (req.rleOutput && req.mutations.nonEmpty) {
+        // the run-emitting twin replaces a final dense-grid emitter
+        // (dense rows never materialize); other final shapes collapse
+        // via Rle.encode — which, over a perSeries-built emitter,
+        // plans with zero extra exchange/sort (declared layout)
+        val init = req.mutations.init.foldLeft(df)((d, m) => m(d))
+        req.mutations.last match {
+          case Interpolate(freq, gap) => Mutations.interpolateRle(init, freq, gap)
+          case Uniform(freq) => Mutations.resampleUniformRle(init, freq)
+          case m => graft.operators.Rle.encode(m(init))
+        }
+      } else if (req.rleOutput) {
+        graft.operators.Rle.encode(df)
+      } else if (!independent)
         req.mutations.foldLeft(df)((d, m) => m(d))
       else
         req.mutations.zipWithIndex.map { case (m, i) =>

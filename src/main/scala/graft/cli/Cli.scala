@@ -68,7 +68,9 @@ object Cli {
     * argument language: repeated `aggregate=` args (each captures the
     * `agg=`/`interval=` settings seen so far), `auto_rate` (rate
     * RATE-tagged series server-side), `independent` (C++
-    * stream-per-mutation semantics instead of the Go chain). */
+    * stream-per-mutation semantics instead of the Go chain), `rle`
+    * (RLE output encoding: runs with `end_ts` instead of dense grid
+    * rows — GetRequest.rleOutput). */
   def parseGet(variable: String, args: Seq[String]): Requests.GetRequest = {
     var muts = Vector.empty[Requests.MutationSpec]
     var aggs = Vector.empty[Requests.AggregationSpec]
@@ -78,6 +80,7 @@ object Cli {
     var maxVals: Option[Int] = None
     var autoRate = false
     var chain = true
+    var rle = false
     args.foreach { a =>
       (a, kv(a)) match {
         case ("rate", _) => muts :+= Requests.Rate()
@@ -122,6 +125,7 @@ object Cli {
           aggs :+= Requests.AggregationSpec(aggType, Seq(label), interval)
         case ("auto_rate", _) => autoRate = true
         case ("independent", _) => chain = false
+        case ("rle", _) => rle = true
         case (_, Some(("max_variables", n))) => maxVars = Some(n.toInt)
         case (_, Some(("max_values", n))) => maxVals = Some(n.toInt)
         case _ => throw new IllegalArgumentException(s"unknown get arg: $a")
@@ -132,7 +136,7 @@ object Cli {
       aggs = aggs.init :+ aggs.last.copy(agg = aggType, sampleIntervalMs = interval)
     Requests.GetRequest(variable, mutations = muts, aggregations = aggs,
       maxVariables = maxVars, maxValues = maxVals,
-      autoRate = autoRate, chainMutations = chain)
+      autoRate = autoRate, chainMutations = chain, rleOutput = rle)
   }
 
   private val alertFlagKeys =

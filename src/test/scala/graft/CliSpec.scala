@@ -37,6 +37,13 @@ class CliSpec extends SparkSpec {
       Seq(graft.api.Requests.Lttb(86400000L)))
   }
 
+  test("get args: rle flag selects the RLE output encoding") {
+    val req = Cli.parseGet("/sys/cpu", Seq("interpolate=1h", "rle"))
+    assert(req.rleOutput &&
+      req.mutations == Seq(graft.api.Requests.Interpolate(3600000L)))
+    assert(!Cli.parseGet("/sys/cpu", Seq("interpolate=1h")).rleOutput)
+  }
+
   test("get args: holt and sliding mutations parse (sliding takes the current agg)") {
     val req = Cli.parseGet("/sys/cpu",
       Seq("holt=10m:30m", "agg=max", "sliding=6h:1h"))

@@ -142,6 +142,40 @@ class EngineSpec extends SparkSpec {
     assert(vals == Seq((2000L, 3.0), (3000L, 6.0)))
   }
 
+  test("get: rleOutput returns runs whose expansion equals the dense response") {
+    // interpolate onto a 1s grid with rleOutput: the run-emitting twin
+    // replaces the dense emitter; expanding the runs must reproduce the
+    // dense /get response exactly. cpu{b} is flat (2.0, 2.0) -> its
+    // grid collapses to one run; cpu{a} ramps -> per-slot runs.
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("skey", "ts", "dval").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val dense = Engine.get(twoSeries(), Requests.GetRequest("/sys/cpu*",
+      mutations = Seq(Requests.Interpolate(1000L))))
+    val runs = Engine.get(twoSeries(), Requests.GetRequest("/sys/cpu*",
+      mutations = Seq(Requests.Interpolate(1000L)), rleOutput = true))
+    assert(rows(graft.operators.Rle.expand(runs, 1000L)) == rows(dense))
+    // the flat series really collapsed
+    val bRuns = runs.filter(col("skey").contains("host=b")).collect()
+    assert(bRuns.length == 1 && bRuns.head.getAs[Long]("end_ts") == 2000L,
+      s"flat series should be one run: ${bRuns.toSeq}")
+    // no mutations: raw points run-collapse via Rle.encode
+    val raw = Engine.get(twoSeries(), Requests.GetRequest("/sys/cpu*",
+      rleOutput = true))
+    assert(raw.columns.contains("end_ts") && raw.count() == 4) // b collapses
+    // refusals: aggregations and independent mode are incompatible
+    intercept[IllegalArgumentException] {
+      Engine.get(twoSeries(), Requests.GetRequest("/sys/cpu*",
+        aggregations = Seq(Requests.AggregationSpec(Aggregations.Average)),
+        rleOutput = true))
+    }
+    intercept[IllegalArgumentException] {
+      Engine.get(twoSeries(), Requests.GetRequest("/sys/cpu*",
+        mutations = Seq(Requests.Rate(), Requests.Delta),
+        chainMutations = false, rleOutput = true))
+    }
+  }
+
   test("list: distinct series within lookback") {
     val out = Engine.list(twoSeries(), Requests.ListRequest("/sys/*"),
       nowMs = 3000L)
