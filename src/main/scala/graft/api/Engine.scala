@@ -122,7 +122,8 @@ object Requests {
         * any other final shape is run-collapsed by [[Rle.encode]].
         * Dense-render clients reconstruct with `Rle.expand`.
         * Incompatible with aggregations (aggregate outputs are not
-        * per-series grids) and with C++ independent-mutation mode. */
+        * per-series grids), with C++ independent-mutation mode, and
+        * with max_values (which counts VALUES, not run rows). */
       rleOutput: Boolean = false)
 
   /** lib/openinstrument.proto:137-157; max_age default 24 h
@@ -188,6 +189,11 @@ object Engine {
       require(!independent,
         "rleOutput with independent (C++) mutation mode is ambiguous — " +
           "one run stream per mutation; use chained mutations")
+      require(req.maxValues.isEmpty,
+        "rleOutput with max_values is ambiguous — a run row covers many " +
+          "grid values, so trimming the last n ROWS keeps far more than " +
+          "n values (go/src/store.go:151-153 counts values); drop " +
+          "max_values or request dense output")
     }
     df =
       if (req.rleOutput && req.mutations.nonEmpty) {

@@ -464,14 +464,12 @@ object Dedup {
                           path: String, n: Int = 3, numHashes: Int = 16,
                           bands: Int = 4): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val staged = s"$path/staging-bands"
+    // sets and bands are disjoint directories, so the rebuild reads
+    // one and overwrites the other directly — no staging hop (an
+    // earlier staging dir was deleted via the DEFAULT filesystem,
+    // which targets the wrong store for an s3a/hdfs-resident index)
     bandRows(spark.read.parquet(s"$path/sets"), numHashes, bands)
-      .write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged)
       .write.mode("overwrite").parquet(s"$path/bands")
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(staged), true)
     graft.model.IndexFormat.write(spark, path,
       minhashFormat(n, numHashes, bands))
   }
@@ -505,9 +503,11 @@ object Dedup {
     stored.write.mode("append").parquet(s"$path/sets")
     bandRows(stored, numHashes, bands)
       .write.mode("append").parquet(s"$path/bands")
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(staged), true)
+    // resolve the filesystem FROM the staging path — FileSystem.get
+    // returns the default FS and would miss an s3a/hdfs-resident index
+    val stagedPath = new org.apache.hadoop.fs.Path(staged)
+    stagedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stagedPath, true)
   }
 
   /**
@@ -989,9 +989,10 @@ object Dedup {
     stored.write.mode("append").parquet(s"$path/sigs")
     simhashBandRows(stored)
       .write.mode("append").parquet(s"$path/bands")
-    org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(staged), true)
+    // path-resolved FS, not the default FS (s3a/hdfs-resident indexes)
+    val stagedPath = new org.apache.hadoop.fs.Path(staged)
+    stagedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stagedPath, true)
   }
 
   /** Probe a [[simhashIndex]] with a batch of new documents:

@@ -22,6 +22,18 @@ object IndexFormat {
 
   val MarkerFile = "_format"
 
+  /** Session-lifetime memo of markers already verified (or just
+    * written) per index path. Streaming probe paths
+    * (`minhashFlagStream`, `scoreFollow`) call [[check]] per
+    * micro-batch; without the memo every batch pays a driver-side
+    * filesystem read against the index store. An index rewritten
+    * OUT-OF-BAND mid-session won't be re-read — the same
+    * trust-the-session assumption Spark's own file-index caching
+    * makes; in-session rewrites go through [[write]]/[[adopt]], which
+    * update the memo. Bounded: cleared wholesale past 1024 paths. */
+  private val verified =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -30,6 +42,37 @@ object IndexFormat {
     val p = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
     val out = fs(spark, path).create(p, true)
     try out.write((marker + "\n").getBytes("UTF-8")) finally out.close()
+    if (verified.size > 1024) verified.clear()
+    verified.put(path, marker)
+  }
+
+  /**
+   * Migration escape hatch for PRE-MARKER indexes: stamps `marker`
+   * onto an existing index directory that has no `_format` yet, on the
+   * operator's explicit assertion that the index was built with
+   * exactly these parameters. Refuses if ANY marker is already present
+   * (an already-marked index is either fine or genuinely mismatched —
+   * re-stamping it would just launder the mismatch; rebuild instead).
+   * This keeps the fail-loud default (marker-absent = refused
+   * everywhere) without making a full rebuild the only recovery path
+   * on upgrade. See COVERAGE.md "index format markers" for the
+   * migration recipe per index family.
+   */
+  /** Drop the session's verified-marker memo for `path` — required
+    * after an OUT-OF-BAND change to an index (rewritten by another
+    * session/process) so the next [[check]] re-reads the marker from
+    * storage. In-session rewrites via [[write]]/[[adopt]] update the
+    * memo themselves and don't need this. */
+  def forget(path: String): Unit = verified.remove(path)
+
+  def adopt(spark: SparkSession, path: String, marker: String): Unit = {
+    read(spark, path) match {
+      case Some(existing) => throw new IllegalStateException(
+        s"index at $path already carries marker '$existing' — adopt() is " +
+          "only for pre-marker indexes; if the existing marker mismatches " +
+          "your parameters the index must be rebuilt, not re-stamped")
+      case None => write(spark, path, marker)
+    }
   }
 
   def read(spark: SparkSession, path: String): Option[String] = {
@@ -44,16 +87,23 @@ object IndexFormat {
     }
   }
 
-  /** Fail-loud guard for every reader/appender of a marked index. */
+  /** Fail-loud guard for every reader/appender of a marked index.
+    * A (path, expected) pair that already verified this session is a
+    * pure memo hit — zero filesystem reads (repeated streaming probes
+    * pay the marker read once, not per micro-batch). */
   def check(spark: SparkSession, path: String, expected: String,
             rebuildHint: String): Unit = {
+    if (verified.get(path) == expected) return
     val actual = read(spark, path)
     if (!actual.contains(expected)) throw new IllegalStateException(
       s"index at $path has layout " +
-      s"'${actual.getOrElse("<no marker — pre-marker index>")}' but this " +
+      s"'${actual.getOrElse("<no marker — pre-marker index; see " +
+        "IndexFormat.adopt for the migration path>")}' but this " +
       s"call expects '$expected'. A layout/parameter mismatch does not " +
       s"error at query time — lookups silently return zero matches or " +
       s"wrong distances — so it is refused here instead. $rebuildHint")
+    if (verified.size > 1024) verified.clear()
+    verified.put(path, expected)
   }
 
   /**

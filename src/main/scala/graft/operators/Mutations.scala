@@ -154,8 +154,12 @@ object Mutations {
    * sorted-by-(skey, ts) within hash(skey) partitions, which is what
    * lets a downstream window/groupBy on the series key run with zero
    * extra exchange or sort. A non-monotone op would silently corrupt
-   * those downstream results (PropertySpec asserts the declared order
-   * empirically for every op).
+   * those downstream results — so the contract is ENFORCED, not just
+   * documented: [[EmissionOrderGuard]] checks every emitted row inside
+   * [[perSeries]]/[[perSeriesRuns]] and fails the task on the first
+   * out-of-order emission (PropertySpec additionally asserts the
+   * declared order empirically for every shipped op, and proves the
+   * guard trips on a deliberately-broken op).
    */
   trait StreamOp extends Serializable {
     def feed(ts: Long, v: Double): Seq[(Long, Double)]
@@ -175,10 +179,48 @@ object Mutations {
   }
 
   /**
+   * Always-on enforcement of the [[StreamOp]] EMISSION-ORDER CONTRACT:
+   * every row emitted by [[perSeries]]/[[perSeriesRuns]] passes through
+   * `check` before leaving the task, and any (skey, ts) that sorts
+   * BEFORE the previously-emitted row raises immediately. The declared
+   * output layout ([[org.apache.spark.sql.GraftBridge
+   * .internalCreateDataFrameClustered]]) is trusted by Catalyst without
+   * verification, so a contract-breaking op would otherwise silently
+   * corrupt every downstream window/groupBy — this turns that failure
+   * mode into a loud task failure naming the op and the offending rows.
+   *
+   * Cost: rows of one series all share the SAME cloned UTF8String key
+   * object, so the hot path is one reference compare + one long compare
+   * per emitted row; the byte-level `compareTo` runs only on series
+   * change (once per series). Bench-verified noise (see SCALING_r15).
+   */
+  private final class EmissionOrderGuard(opName: String) {
+    private var lastKey: org.apache.spark.unsafe.types.UTF8String = null
+    private var lastTs = 0L
+    def check(key: org.apache.spark.unsafe.types.UTF8String, ts: Long): Unit = {
+      if (key eq lastKey) {
+        if (ts < lastTs) fail(key, ts)
+      } else if (lastKey != null && {
+        val c = key.compareTo(lastKey)
+        c < 0 || (c == 0 && ts < lastTs)
+      }) fail(key, ts)
+      lastKey = key; lastTs = ts
+    }
+    private def fail(key: org.apache.spark.unsafe.types.UTF8String, ts: Long): Nothing =
+      throw new IllegalStateException(
+        s"StreamOp emission-order contract violated by $opName: emitted " +
+          s"($key, $ts) after ($lastKey, $lastTs). perSeries output declares " +
+          "(skey, ts)-sorted hash(skey) partitions (GraftBridge CONTRACT); " +
+          "a non-monotone emitter would silently corrupt downstream windows.")
+  }
+
+  /**
    * Runs a [[StreamOp]] over every series of `df` (columns `skey`, `ts`,
    * `dval`). Secondary-sort pattern: one shuffle on `skey`, sort within
    * partitions, then a streaming pass that resets the state machine on
-   * series change — never materializes a series in memory.
+   * series change — never materializes a series in memory. Emission
+   * order is enforced by [[EmissionOrderGuard]] (a violating op fails
+   * the task rather than corrupting the declared layout).
    */
   def perSeries(df: DataFrame)(mk: () => StreamOp): DataFrame = {
     import org.apache.spark.sql.GraftBridge
@@ -196,11 +238,14 @@ object Mutations {
     // the encoder conversions dominated this operator
     val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
       new Iterator[InternalRow] {
+        private val guard = new EmissionOrderGuard(mk().getClass.getSimpleName)
         private var curKey: org.apache.spark.unsafe.types.UTF8String = null
         private var op: StreamOp = null
         private var pending: Iterator[(Long, Double)] = Iterator.empty
-        private def row(ts: Long, v: Double): InternalRow =
+        private def row(ts: Long, v: Double): InternalRow = {
+          guard.check(curKey, ts)
           new GenericInternalRow(Array[Any](curKey, ts, v))
+        }
         private var flushedKey: org.apache.spark.unsafe.types.UTF8String = null
         private var flushed: Iterator[(Long, Double)] = Iterator.empty
         private def advance(): Unit = {
@@ -233,6 +278,7 @@ object Mutations {
           advance()
           if (flushed.hasNext) {
             val (ts, v) = flushed.next()
+            guard.check(flushedKey, ts)
             new GenericInternalRow(Array[Any](flushedKey, ts, v))
           } else {
             val (ts, v) = pending.next()
@@ -307,14 +353,17 @@ object Mutations {
       StructField("dval", DoubleType, nullable = false)))
     val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
       new Iterator[InternalRow] {
+        private val guard = new EmissionOrderGuard(mk().getClass.getSimpleName)
         private var curKey: org.apache.spark.unsafe.types.UTF8String = null
         private var op: StreamOp = null
         private var coll: RunCollapser = null
         private val outBuf = scala.collection.mutable.Queue.empty[InternalRow]
         private def runRow(key: org.apache.spark.unsafe.types.UTF8String,
-                           r: (Long, Long, Double)): InternalRow =
+                           r: (Long, Long, Double)): InternalRow = {
+          guard.check(key, r._1)
           new GenericInternalRow(Array[Any](key, r._1,
             if (r._2 > r._1) java.lang.Long.valueOf(r._2) else null, r._3))
+        }
         private def endSeries(): Unit = if (op != null) {
           val key = curKey
           op.flush().foreach { case (ts, v) =>
@@ -628,7 +677,11 @@ object Mutations {
    */
   def locfGridRle(df: DataFrame, durationMs: Long): DataFrame = {
     val w = Window.partitionBy("skey").orderBy("bts")
-    df.groupBy(col("skey"),
+    // string-valued points (null dval) are skipped, as in sortedPoints
+    // and the reference (mutations.go:56-57) — without this, max_by
+    // could select a null for a bucket the SQL arg_max replay skips
+    df.filter(col("dval").isNotNull)
+      .groupBy(col("skey"),
         (col("ts") - pmod(col("ts"), lit(durationMs))).as("bts"))
       .agg(max_by(col("dval"), col("ts")).as("v"))
       // non-null-safe === matches the SQL-replay collapse (a null

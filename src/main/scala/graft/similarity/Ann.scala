@@ -281,8 +281,10 @@ object Ann {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   targetLoad: Long = 64L, minPlanes: Int = 6,
                   maxPlanes: Int = 12,
-                  maxBucket: Int = 100000): DataFrame = {
-    val planes = lshAutoPlanes(corpus.count(), targetLoad, minPlanes, maxPlanes)
+                  maxBucket: Int = 100000,
+                  rowCount: Option[Long] = None): DataFrame = {
+    val planes = lshAutoPlanes(rowCount.getOrElse(corpusCount(corpus)),
+      targetLoad, minPlanes, maxPlanes)
     lshTopKWithPlanes(hyperplanesSliced(tables, planes, dim, seed, maxPlanes),
       corpus, queries, k, idCol, vecCol, maxBucket)
   }
@@ -1610,14 +1612,25 @@ object Ann {
    * planes slice a fixed `maxPlanes` master draw so an external oracle
    * can inline the superset coefficients once and mask by the same
    * count(*)-derived plane count.
+   *
+   * @param rowCount caller-supplied EXACT corpus row count — skips the
+   *                 sizing scan entirely (at 100 TB that scan is a full
+   *                 pass before any useful work). Must equal count(*):
+   *                 the plane count is part of the replayable contract,
+   *                 so an estimate here would diverge from an oracle
+   *                 sizing by the true count. When absent the count is
+   *                 computed once per (plan, files) per session
+   *                 ([[corpusCount]]).
    */
   def lshPairsAuto(corpus: DataFrame, threshold: Double,
                    tables: Int = 8, dim: Int = 64, seed: Long = 42L,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    targetLoad: Long = 64L, minPlanes: Int = 6,
                    maxPlanes: Int = 12,
-                   maxBucket: Int = 100000): DataFrame = {
-    val planes = lshAutoPlanes(corpus.count(), targetLoad, minPlanes, maxPlanes)
+                   maxBucket: Int = 100000,
+                   rowCount: Option[Long] = None): DataFrame = {
+    val planes = lshAutoPlanes(rowCount.getOrElse(corpusCount(corpus)),
+      targetLoad, minPlanes, maxPlanes)
     lshPairsWith(hyperplanesSliced(tables, planes, dim, seed, maxPlanes),
       corpus, threshold, idCol, vecCol, maxBucket)
   }
@@ -1628,6 +1641,68 @@ object Ann {
                     minPlanes: Int = 6, maxPlanes: Int = 12): Int =
     (minPlanes to maxPlanes).find(p => targetLoad * (1L << p) >= n)
       .getOrElse(maxPlanes)
+
+  /** Session-lifetime memo for the exact corpus row counts the `*Auto`
+    * sizers need (bounded; evicted wholesale if it ever grows past 256
+    * corpora). Key = canonicalized logical plan + a driver-side
+    * listing signature (per source root: file count, total bytes, max
+    * mtime), so a re-read of the SAME stored corpus is a pure memo hit
+    * with ZERO Spark jobs — not even the analysis/listing job an
+    * `.inputFiles` probe would cost — while an append (new part files)
+    * or a different filter misses and recounts. Plans not rooted
+    * entirely in file sources (views, in-memory frames) are never
+    * cached. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Source-root paths of `corpus`, extracted from the UNANALYZED plan
+    * (no analysis, no jobs); None when any leaf is not a file source. */
+  private def sourceRoots(
+      lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+      Option[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedDataSource
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val perLeaf = lp.collectLeaves().map {
+      case u: UnresolvedDataSource if !u.isStreaming => Some(u.paths)
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => Some(h.location.rootPaths.map(_.toString))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (perLeaf.nonEmpty && perLeaf.forall(_.isDefined))
+      Some(perLeaf.flatMap(_.get).toSeq)
+    else None
+  }
+
+  /** Exact row count of `corpus`, memoized per (plan, source files)
+    * for the session — at 100 TB the plane-sizing count is a full
+    * scan, so repeated `*Auto` calls over the same stored corpus (the
+    * dedup + pairs + topK gate triple, streaming lookups per
+    * micro-batch) must pay it once, not per call. */
+  private[graft] def corpusCount(corpus: DataFrame): Long = {
+    val lp = corpus.queryExecution.logical
+    sourceRoots(lp).filter(_.nonEmpty) match {
+      case Some(roots) =>
+        val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+        val sig = roots.sorted.map { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          var n = 0L; var bytes = 0L; var mtime = 0L
+          val it = hp.getFileSystem(conf).listFiles(hp, true)
+          while (it.hasNext) {
+            val st = it.next()
+            n += 1; bytes += st.getLen
+            mtime = math.max(mtime, st.getModificationTime)
+          }
+          s"$p#$n#$bytes#$mtime"
+        }.mkString("\n")
+        val key = lp.canonicalized.toString + "\n" + sig
+        if (countMemo.size > 256) countMemo.clear()
+        countMemo.computeIfAbsent(key,
+          _ => java.lang.Long.valueOf(corpus.count())).longValue()
+      case None => corpus.count()
+    }
+  }
 
   /** First `planes` planes of each table from the fixed `maxPlanes`
     * master draw: the adaptive plane count never changes WHICH

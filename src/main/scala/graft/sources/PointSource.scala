@@ -194,10 +194,10 @@ object PointSource {
       .partitionBy("date")
       .mode("overwrite")
       .parquet(staged)
-    // atomic-ish swap (single filesystem rename pair)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // atomic-ish swap (single filesystem rename pair); FS resolved
+    // from the store path, not the default FS (s3a/hdfs stores)
     val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val s = new org.apache.hadoop.fs.Path(staged)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.rename(p, old)
@@ -228,10 +228,9 @@ object PointSource {
   def retentionSweep(spark: SparkSession, path: String,
                      policy: graft.retention.Retention.Policy,
                      nowMs: Long): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val trash = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + ".rettrash")
+    val fs = trash.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: a prior run that died between trash-move and
     // rename left the day's only copy in trash — restore it first
     if (fs.exists(trash)) {
@@ -478,8 +477,8 @@ object PointSource {
       .partitionBy("date")
       .mode("overwrite")
       .parquet(coldPath)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(hotPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     dates.foreach { d =>
       val part = new org.apache.hadoop.fs.Path(s"$hotPath/date=$d")
       val svals = hot.filter(col("date") === d && col("dval").isNull)

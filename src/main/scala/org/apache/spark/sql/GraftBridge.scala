@@ -41,8 +41,9 @@ object GraftBridge {
    * rows within each partition are non-strictly ascending on
    * `sortCols`. A false claim silently corrupts downstream results —
    * callers are per-series streaming passes whose emission order is
-   * monotone in ts by construction (asserted per-op in their docs and
-   * property-tested against shuffled inputs).
+   * monotone in ts by construction AND enforced at emission time
+   * (graft.operators.Mutations.EmissionOrderGuard raises on the first
+   * out-of-order row), plus property-tested against shuffled inputs.
    */
   def internalCreateDataFrameClustered(
       spark: SparkSession,

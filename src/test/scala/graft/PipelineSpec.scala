@@ -475,10 +475,14 @@ class PipelineSpec extends SparkSpec {
       n = 3, numHashes = 16, bands = 4)).contains("minhash-lsh"))
     assert(refused(Dedup.minhashAppend(probes, s"$base/mh",
       n = 3, numHashes = 16, bands = 4)).contains("minhash-lsh"))
-    // marker-absent = pre-marker index: not trusted
+    // marker-absent = pre-marker index: not trusted. The delete is an
+    // OUT-OF-BAND change, so drop the session's verified-marker memo
+    // first (in-session rewrites go through write/adopt and don't
+    // need this).
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/mh/_format"), false)
+    graft.model.IndexFormat.forget(s"$base/mh")
     refused(Dedup.minhashLookup(spark, s"$base/mh", probes,
       n = 3, numHashes = 16, bands = 16))
     // migration: re-band from the stored sets without re-tokenizing
@@ -537,6 +541,61 @@ class PipelineSpec extends SparkSpec {
       k = 2, nprobe = 2).count() > 0)
     refused(Ann.ivfSq8SearchIndexed(spark, s"$base/sq8", cents2, queries,
       k = 2, nprobe = 2))
+  }
+
+  test("format marker: verified once per session (zero re-reads), adopt migrates pre-marker indexes") {
+    import graft.model.IndexFormat
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt_memo").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def refused(body: => Any): String =
+      intercept[IllegalStateException](body).getMessage
+
+    // memoization: streaming probes check per micro-batch — after one
+    // verified check, later checks must be pure memo hits with ZERO
+    // marker reads. Proof: delete the marker file out-of-band; the
+    // memoized check still passes (it never touched storage), and
+    // only forget() makes it re-read and refuse.
+    val p1 = s"$base/idx1"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p1))
+    IndexFormat.write(spark, p1, "fam v1 a=1")
+    IndexFormat.check(spark, p1, "fam v1 a=1", "rebuild")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p1/${IndexFormat.MarkerFile}"), false)
+    IndexFormat.check(spark, p1, "fam v1 a=1", "rebuild") // memo hit
+    IndexFormat.forget(p1)
+    assert(refused(IndexFormat.check(spark, p1, "fam v1 a=1", "rebuild"))
+      .contains("pre-marker"))
+    // a mismatched expectation is never served from the memo
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/idx2"))
+    IndexFormat.write(spark, s"$base/idx2", "fam v1 a=1")
+    IndexFormat.check(spark, s"$base/idx2", "fam v1 a=1", "rebuild")
+    assert(refused(IndexFormat.check(spark, s"$base/idx2", "fam v1 a=2",
+      "rebuild")).contains("fam v1 a=1"))
+
+    // adopt: the upgrade path for known-good pre-marker indexes —
+    // stamps on explicit operator assertion, but refuses to re-stamp
+    // an already-marked index (that would launder a real mismatch)
+    IndexFormat.adopt(spark, p1, "fam v1 a=1")
+    IndexFormat.forget(p1) // prove the pass below comes from storage
+    IndexFormat.check(spark, p1, "fam v1 a=1", "rebuild")
+    assert(refused(IndexFormat.adopt(spark, p1, "fam v2 a=9"))
+      .contains("already carries marker"))
+
+    // end-to-end on a real family: a pre-marker minhash index becomes
+    // usable after adopt without a rebuild
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words here entirely my friend"))
+    val probes = docs((2L, "the quick brown fox jumps over the lazy dog tonight"))
+    Dedup.minhashIndex(corpus, s"$base/mh", n = 3, numHashes = 16, bands = 16)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/mh/${IndexFormat.MarkerFile}"), false)
+    IndexFormat.forget(s"$base/mh") // out-of-band delete: simulate pre-marker
+    refused(Dedup.minhashLookup(spark, s"$base/mh", probes,
+      n = 3, numHashes = 16, bands = 16))
+    IndexFormat.adopt(spark, s"$base/mh",
+      Dedup.minhashFormat(n = 3, numHashes = 16, bands = 16))
+    assert(Dedup.minhashLookup(spark, s"$base/mh", probes,
+      n = 3, numHashes = 16, bands = 16, threshold = 0.3).count() >= 1)
   }
 
   test("at-rest simhash index: lookup and stream probe match the in-memory cross pairs") {

@@ -578,4 +578,51 @@ class PlanAuditSpec extends SparkSpec {
       assert(n == 1, s"$q expected exactly 1 shuffle in the lineage, got $n:\n$lineage")
     }
   }
+
+  test("lsh auto-sizing counts a stored corpus once per session, not per call") {
+    // lshPairsAuto/lshTopKAuto size their plane count from count(*).
+    // At 100 TB that count is a full scan before any useful work, so
+    // repeated *Auto calls on the same stored corpus (the
+    // e_dup_groups / e_lsh_pairs / e_knn_lsh triple, streaming lookups
+    // per micro-batch) must hit the (plan, files)-keyed session memo —
+    // job-count audited like the z-order salt audit.
+    import graft.sources.Tables
+    import graft.similarity.Ann
+    val sc = spark.sparkContext
+    def jobsDuring(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, "count-memo audit")
+      try body finally sc.clearJobGroup()
+      // status store is fed asynchronously: poll until stable
+      def n = sc.statusTracker.getJobIdsForGroup(group).length
+      var last = -1; var cur = n; var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur; cur = n; spins += 1
+      }
+      cur
+    }
+    // fresh reads of the same files: the second corpusCount must
+    // launch ZERO jobs. (The DataFrames are built OUTSIDE the measured
+    // windows — spark.read.parquet runs its own schema-inference job
+    // at creation, which is the read path, not the sizing scan.)
+    val dfA = Tables.embeddings(spark, sf)
+    val dfB = Tables.embeddings(spark, sf)
+    val first = jobsDuring(s"memo-a-${System.nanoTime()}") {
+      Ann.corpusCount(dfA)
+    }
+    val second = jobsDuring(s"memo-b-${System.nanoTime()}") {
+      Ann.corpusCount(dfB)
+    }
+    assert(second == 0,
+      s"second corpusCount on the same stored corpus launched $second jobs")
+    // a different filter over the same files must NOT share the entry
+    val filtered = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    assert(Ann.corpusCount(filtered) == 10)
+    assert(Ann.corpusCount(Tables.embeddings(spark, sf)) > 10)
+    // and the caller-supplied exact count skips the scan entirely
+    val hinted = jobsDuring(s"memo-c-${System.nanoTime()}") {
+      Ann.lshAutoPlanes(12345L)
+    }
+    assert(first >= 0 && hinted == 0)
+  }
 }

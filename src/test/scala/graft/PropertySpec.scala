@@ -146,6 +146,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("emission-order guard trips on a contract-breaking StreamOp") {
+    // The declared perSeries layout is load-bearing: Catalyst trusts it
+    // without verification, so a StreamOp that emits out of ts order
+    // must FAIL THE TASK, not silently corrupt downstream windows.
+    // Two deliberate violations — a feed that emits descending
+    // timestamps, and a flush that emits BEFORE the last fed ts — must
+    // both surface the guard's IllegalStateException.
+    val pts = graft.model.Point.withSeriesKey(randomPoints(2, 10))
+    final class DescendingFeedOp extends Mutations.StreamOp {
+      def feed(ts: Long, v: Double): Seq[(Long, Double)] =
+        Seq((ts, v), (ts - 1, v)) // second row goes backwards
+      def flush(): Seq[(Long, Double)] = Nil
+    }
+    final class BackdatedFlushOp extends Mutations.StreamOp {
+      private var firstTs = 0L; private var n = 0
+      def feed(ts: Long, v: Double): Seq[(Long, Double)] = {
+        if (n == 0) firstTs = ts
+        n += 1
+        Seq((ts, v))
+      }
+      def flush(): Seq[(Long, Double)] =
+        if (n > 1) Seq((firstTs, 0.0)) else Nil // before the last feed row
+    }
+    for (mk <- Seq(() => new DescendingFeedOp: Mutations.StreamOp,
+                   () => new BackdatedFlushOp: Mutations.StreamOp)) {
+      val ex = intercept[Exception] { Mutations.perSeries(pts)(mk).collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("emission-order contract violated")),
+        s"expected the guard's IllegalStateException, got: $ex")
+      val ex2 = intercept[Exception] {
+        Mutations.perSeriesRuns(pts, 1000L)(mk).collect()
+      }
+      assert(chain(ex2).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("emission-order contract violated")),
+        s"expected the runs guard's IllegalStateException, got: $ex2")
+    }
+  }
+
   test("RLE output contract: expand(rleVariant) equals the dense emitter, runs compress") {
     // Dense-grid emitters' 100 TB bottleneck is output volume; the RLE
     // variants must be a pure re-encoding: Rle.expand of their output
