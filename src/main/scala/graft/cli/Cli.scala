@@ -242,7 +242,18 @@ object Cli {
               .getOrElse(86400000L)),
           nowMs = nowMs)
       case other =>
-        throw new IllegalArgumentException(s"usage: get|list|add …, got: $other")
+        throw new IllegalArgumentException(
+          s"""usage (got: $other):
+             |  get <variable> [rate|rate_signed|delta] [interpolate=<dur>] [uniform=<dur>]
+             |      [mean=<dur>] [min=<dur>] [max=<dur>] [agg=<type>] [interval=<dur>]
+             |      [aggregate=<label,...>] [max_variables=N] [max_values=N]
+             |      [auto_rate] [independent] [rle]
+             |      e.g. get "/sys/cpu{host=*}" rate mean=5m aggregate=host
+             |           get "/events/*" interpolate=1h rle   # runs with end_ts, not dense rows
+             |  list <prefix> [max_variables=N] [max_age=<dur>]
+             |  add <var:value@ts> ...
+             |  alerts config=<rules.txt> | sweep config=<config.txt>
+             |  export <out> [...] ; curation: see graft.cli.Curate""".stripMargin)
     }
 
   /** `add <var:value@ts>`… appends to the store (client/cpp/add.cc:37-60). */
