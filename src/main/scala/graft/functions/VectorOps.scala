@@ -401,6 +401,101 @@ case class TopCentroids(child: Expression, centroids: Array[Double],
 }
 
 /**
+ * min over centroids of Σ_j (v_j − c_j)² — the k-means assignment
+ * distance, codegen'd with the centroid matrix as a flat `double[]`
+ * reference object (the [[TopCentroids]] posture). Replaces the
+ * higher-order-function form `aggregate(transform(array(<nlist×dim
+ * literals>), c => Σ (x−y)²), MaxValue, least)` the k-means‖ training
+ * passes used: that plan is ~nlist×dim literal nodes, re-analyzed and
+ * re-compiled EVERY ROUND as the center set grows, and Catalyst HOF
+ * lambdas evaluate interpreted, outside whole-stage codegen.
+ *
+ * FLOAT CONTRACT: bit-identical to the HOF form — the difference
+ * accumulates per dimension in ascending order as (x−y)·(x−y), and
+ * the min scans centroids in order with a strict `<` (exactly
+ * `least(acc, d)` from `Double.MaxValue`). The training picks compare
+ * `u < l·d²/φ`, so a single-ulp change here would train different
+ * centroids; PropertySpec pins expression-vs-HOF equality on random
+ * vectors at the bit level.
+ *
+ * Rows shorter than `dim` contribute only their present dimensions
+ * (the HOF's zip_with would null-poison such rows; training corpora
+ * are fixed-dim so neither path is exercised — documented, not load-
+ * bearing).
+ */
+case class MinSqDist(child: Expression, centroids: Array[Double], dim: Int)
+    extends UnaryExpression {
+
+  private def nlist: Int = centroids.length / dim
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (dim < 1 || centroids.isEmpty || centroids.length % dim != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"min_sq_dist: need dim>=1 and |centroids| a multiple of dim")
+    else child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"min_sq_dist requires array<float|double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = math.min(vec.numElements(), dim)
+    val v = new Array[Double](n)
+    var i = 0
+    val f = isFloat
+    while (i < n) { v(i) = if (f) vec.getFloat(i).toDouble else vec.getDouble(i); i += 1 }
+    var acc = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0; var j = 0
+      while (j < n) { val t = v(j) - centroids(c * dim + j); d += t * t; j += 1 }
+      if (d < acc) acc = d
+      c += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("kmCentroids", centroids, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val v = ctx.freshName("v")
+      val i = ctx.freshName("i"); val c = ctx.freshName("c")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      val t = ctx.freshName("t"); val acc = ctx.freshName("acc")
+      val nl = ctx.freshName("nl")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $v = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) $v[$i] = (double) $a.$get($i);
+         |int $nl = $cRef.length / $dim;
+         |double $acc = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $nl; $c++) {
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $t = $v[$j] - $cRef[$c * $dim + $j];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $acc) $acc = $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Sign-random-projection signature: bit i of the result is set iff
  * vec · planes[i] ≥ 0. The plane matrix (nPlanes × dim, flat) is a
  * reference object, so codegen is one fixed nested loop instead of
@@ -498,6 +593,14 @@ object VectorOps {
     val dim = centroids.head.length
     GraftBridge.toColumn(TopCentroids(GraftBridge.toExpression(vec),
       centroids.flatten, dim, nprobe))
+  }
+
+  /** min squared L2 distance to a centroid matrix, codegen'd;
+    * bit-identical to the HOF `aggregate/transform/least` form. */
+  def minSqDist(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dim = centroids.head.length
+    GraftBridge.toColumn(MinSqDist(GraftBridge.toExpression(vec),
+      centroids.flatten, dim))
   }
 
   /** Sign-random-projection bit signature against a plane matrix. */

@@ -399,7 +399,16 @@ object Ann {
     * form instead: its greedy selection is hash-gated, so its floats
     * are pinned bit-for-bit to the oracle's `nn_a + nn_b − 2·ip`). */
   private def minSqDistToCentroids(cents: Seq[Array[Double]],
-                                   vec: Column): Column = aggregate(
+                                   vec: Column): Column =
+    graft.functions.VectorOps.minSqDist(vec, cents.toArray)
+
+  /** The original higher-order-function form of
+    * [[minSqDistToCentroids]], kept ONLY as the bit-equality oracle
+    * for the codegen'd [[graft.functions.MinSqDist]] replacement
+    * (PropertySpec): the HOF plan is ~nlist×dim literal nodes,
+    * re-analyzed per training round, and evaluates interpreted. */
+  private[graft] def minSqDistToCentroidsHof(cents: Seq[Array[Double]],
+                                             vec: Column): Column = aggregate(
     transform(array(cents.map(c => array(c.toSeq.map(lit): _*)): _*),
       c => aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
         lit(0d), (a, x) => a + x)),

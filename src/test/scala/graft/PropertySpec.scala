@@ -146,6 +146,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("MinSqDist expression is bit-identical to the HOF aggregate/least form") {
+    // kmeansParallelCentroids' pick rule compares u < l·d²/φ, so a
+    // single-ulp drift in d² trains different centroids; the codegen'd
+    // MinSqDist replacement must reproduce the original HOF floats
+    // exactly (same per-dim accumulation order, same strict-< min
+    // scan). Random vectors AND adversarial cases: ties between
+    // centroids, a centroid equal to the vector, denormal-scale
+    // coordinates.
+    import spark.implicits._
+    import graft.similarity.Ann
+    val rnd2 = new scala.util.Random(97)
+    val cents: Seq[Array[Double]] =
+      Seq.fill(17)(Array.fill(8)(rnd2.nextGaussian() * (1 + rnd2.nextInt(3)))) ++
+        Seq(Array.fill(8)(0.25), Array.fill(8)(0.25)) // exact tie pair
+    val vecs = Seq.fill(200)(Array.fill(8)(rnd2.nextGaussian())) ++
+      Seq(cents(3).clone(), Array.fill(8)(1e-160), Array.fill(8)(0.25))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val both = df.select(col("id"),
+        graft.functions.VectorOps.minSqDist(col("v"), cents.toArray).as("expr"),
+        Ann.minSqDistToCentroidsHof(cents, col("v")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      val (e, h) = (r.getDouble(1), r.getDouble(2))
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits(h),
+        s"id=${r.getLong(0)}: expr=$e hof=$h differ in bits")
+    }
+  }
+
   test("emission-order guard trips on a contract-breaking StreamOp") {
     // The declared perSeries layout is load-bearing: Catalyst trusts it
     // without verification, so a StreamOp that emits out of ts order
