@@ -252,6 +252,7 @@ object Cli {
              |           get "/events/*" interpolate=1h rle   # runs with end_ts, not dense rows
              |  list <prefix> [max_variables=N] [max_age=<dur>]
              |  add <var:value@ts> ...
+             |  collect            # one system-stats scrape into the store
              |  alerts config=<rules.txt> | sweep config=<config.txt>
              |  export <out> [...] ; curation: see graft.cli.Curate""".stripMargin)
     }
@@ -273,6 +274,22 @@ object Cli {
         col("ts"), col("dval"), lit(null).cast("string").as("sval"),
         lit(null).cast("long").as("end_ts"))
     val (ok, _) = Engine.add(df, java.net.InetAddress.getLocalHost.getHostName, nowMs)
+    ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .write.partitionBy("date").mode("append").parquet(store)
+    ok.count()
+  }
+
+  /** `collect` — one system-stats scrape ingested into the store, the
+    * reference collector's `system_status.py <store>` run (the engine
+    * side of §2.4's data producers; the scrape itself is
+    * [[graft.client.SystemStats.collect]]). Returns the point count. */
+  def runCollect(spark: SparkSession, store: String,
+                 nowMs: Long = System.currentTimeMillis()): Long = {
+    import org.apache.spark.sql.functions._
+    val pts = graft.client.SystemStats.collect(nowMs = nowMs)
+    val df = graft.client.SystemStats.toDataFrame(spark, pts)
+    val (ok, _) = Engine.add(df,
+      java.net.InetAddress.getLocalHost.getHostName, nowMs)
     ok.withColumn("date", to_date(timestamp_millis(col("ts"))))
       .write.partitionBy("date").mode("append").parquet(store)
     ok.count()
@@ -331,6 +348,8 @@ object Cli {
       // manual trigger of the background retention runner: applies the
       // config's retention policy to the at-rest store (the reference
       // does this inside store_file_manager's background loop)
+      case Seq("collect") =>
+        println(s"collected ${runCollect(spark, store)} system-stats points")
       case Seq("sweep", args @ _*) =>
         val swept = runSweep(spark, store, args)
         println(s"swept ${swept.size} day partitions: ${swept.mkString(", ")}")
