@@ -84,6 +84,25 @@ NAME_COLS = {  # per-copy suffix so distinct-name counts scale too
 }
 
 
+
+# SCALE_DECORR=1: suffix EVERY word with the copy tag instead of 2/7 of
+# positions — a per-copy bijective token rename. Within-copy statistics
+# that pair operators see are preserved EXACTLY (doc length, unigram
+# Zipf shape, planted near-dup overlaps: both members rename
+# identically), while cross-copy token/shingle/fingerprint collisions
+# become structurally zero — unigram-feature sketches (SimHash) fully
+# decorrelate, which positional salting cannot do: with s% of positions
+# salted, cross-copy signatures still share (100-s)% of their bit
+# votes. Use for the pair-family scale ladder, where the measurement
+# contract is "pair density per unit of data stays constant". The
+# default (partial salt) keeps language-y stats (stopword ratio,
+# langid) realistic for full-suite runs, at the price of cross-copy
+# correlation that tracks the driver's current text statistics (2026-08
+# testdata: ~50-word docs, ~26% shared 3-shingles, correlated simhash
+# families — measured in SCALING_r15.md).
+DECORR = bool(int(__import__("os").environ.get("SCALE_DECORR", "0")))
+
+
 def doc_text(text: str, i: int) -> str:
     if i == 0 or not text:
         return text
@@ -92,7 +111,10 @@ def doc_text(text: str, i: int) -> str:
     r = (7 * i) % n if n else 0
     w = w[r:] + w[:r]
     salt = "x%d" % i
-    w = [t + salt if p % 7 < 2 else t for p, t in enumerate(w)]
+    if DECORR:
+        w = [t + salt for t in w]
+    else:
+        w = [t + salt if p % 7 < 2 else t for p, t in enumerate(w)]
     return " ".join(w)
 
 
