@@ -2053,14 +2053,17 @@ object PipelineEntry {
   private val LshTables = 8
 
   /** Shared CTE prefix: vectors + per-table LSH signatures with the
-    * fixed-seed MASTER plane coefficients (12 per table) interpolated
-    * into the SQL and masked down to the corpus-adaptive plane count —
-    * `pl.np` replays [[Ann.lshAutoPlanes]]'s integer threshold scan
-    * (smallest p in [6,12] with 64·2^p ≥ count(*)), so the oracle
+    * fixed-seed MASTER plane coefficients ([[Ann.DefaultMaxPlanes]]
+    * per table, the 12-plane historical base + the seed+1 continuation
+    * — [[Ann.masterDraw]]) interpolated into the SQL and masked down
+    * to the corpus-adaptive plane count — `pl.np` replays
+    * [[Ann.lshAutoPlanes]]'s integer threshold scan (smallest p in
+    * [6, DefaultMaxPlanes] with 64·2^p ≥ count(*)), so the oracle
     * rebuilds the identical buckets at every scale factor. */
   private def lshSigCte: String = {
-    val hp = Ann.hyperplanes(tables = LshTables, planes = 12, dim = 64,
-      seed = 42L)
+    val maxP = Ann.DefaultMaxPlanes
+    val hp = Ann.masterDraw(tables = LshTables, dim = 64, seed = 42L,
+      maxPlanes = maxP)
     val sigCols = hp.zipWithIndex.map { case (tp, t) =>
       val terms = tp.zipWithIndex.map { case (p, i) =>
         val arr = p.mkString("[", ",", "]")
@@ -2068,11 +2071,12 @@ object PipelineEntry {
       }.mkString(" + ")
       s"$terms AS s_$t"
     }.mkString(",\n ")
+    val planeVals = (6 to maxP).map(p => s"($p)").mkString(",")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |pl AS (SELECT min(p) AS np
-       |  FROM (VALUES (6),(7),(8),(9),(10),(11),(12)) t(p),
+       |  FROM (VALUES $planeVals) t(p),
        |       (SELECT count(*) AS n FROM e) c
-       |  WHERE 64 * (1 << p) >= c.n OR p = 12),
+       |  WHERE 64 * (1 << p) >= c.n OR p = $maxP),
        |sig AS (SELECT vec_id, v,
        | $sigCols
        | FROM e, pl)""".stripMargin

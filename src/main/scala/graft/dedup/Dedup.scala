@@ -727,8 +727,19 @@ object Dedup {
    */
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 1000,
                       driverLimit: Long = 1000000L): DataFrame = {
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // Symmetrize via explode, NOT union-of-two-selects: a union embeds
+    // the (possibly expensive) `pairs` subtree twice, and while AQE
+    // stage reuse dedupes the exchanges below, the work ABOVE each
+    // branch's last exchange — for LSH pairs, the whole candidate
+    // verify join — executes once per branch (measured: e_dup_groups
+    // at decorr-sf30 cost exactly 2× the e_lsh_pairs gate it wraps).
+    // One Generate over a single subtree instance emits both
+    // directions in one pass.
+    val edges = pairs.select(
+        explode(array(
+          struct(col("id_a").as("a"), col("id_b").as("b")),
+          struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
     // Hybrid: dup-pair graphs are usually tiny relative to the corpus
     // (bounded by near-dup density); below the limit a driver-side
@@ -800,9 +811,28 @@ object Dedup {
           .withColumnRenamed("grp", "ngrp"), "b")
         .groupBy(col("a").as("id"))
         .agg(min("ngrp").as("ngrp"))
-      val nextRdd = cur.join(viaNeighbors, Seq("id"), "left")
+      val stepped = cur.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("grp"), coalesce(col("ngrp"), col("grp"))).as("grp"))
+      // Pointer jump (grp ← grp(grp)): neighbor-min alone needs
+      // O(diameter) rounds, and chained near-dups make dup-graph
+      // diameters grow with the corpus (measured: the decorr-sf30
+      // e_dup_groups CC loop cost ~180 s in tail rounds). The jump
+      // composes each label with its label's label, so remaining
+      // propagation distance shrinks geometrically — O(log diameter)
+      // rounds. grp always names a node of the same component (it
+      // starts as self and only ever adopts a neighbor's or the
+      // label-target's label), so the fixpoint — labels constant per
+      // component, hence the component min — is unchanged; the
+      // convergence check (monotone label-sum) is also untouched.
+      // `stepped` appears on both sides of the self-join but is cheap
+      // (one exchange of the label table; the subtrees are identical,
+      // so the exchange compiles once).
+      val nextRdd = stepped.as("s").join(
+          stepped.select(col("id").as("gid"), col("grp").as("ggrp")).as("t"),
+          col("s.grp") === col("t.gid"), "left")
+        .select(col("s.id").as("id"),
+          least(col("s.grp"), coalesce(col("t.ggrp"), col("s.grp"))).as("grp"))
         .rdd.persist(lvl)
       val next = spark.createDataFrame(nextRdd, labelSchema)
       val nextSum = sumGrp(next) // materializes nextRdd

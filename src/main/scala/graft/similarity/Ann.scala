@@ -172,6 +172,39 @@ object Ann {
     Array.fill(tables, planes, dim)(rnd.nextGaussian())
   }
 
+  /** Plane count of the ORIGINAL master draw. Coefficients for planes
+    * 1..BasePlanes are frozen forever: [[masterDraw]] appends any
+    * planes beyond this from an independent continuation stream, so
+    * raising the adaptive ladder's ceiling never moves a coefficient
+    * that an already-verified result (or an at-rest index built before
+    * the raise) depended on. */
+  private[graft] val BasePlanes = 12
+
+  /** Default ceiling of the adaptive plane ladder. 64·2^24 ≈ 1.07B
+    * rows before the sizing saturates — past THAT, pass `maxPlanes`
+    * explicitly (each +1 doubles the ceiling; the ladder is cheap, the
+    * saturation is not: a saturated ladder lets expected bucket load
+    * grow linearly with the corpus, which turns the per-bucket
+    * self-join quadratic again — measured as an OOM at 600k rows under
+    * the old ceiling of 12, `SCALING_r15.md` §7). */
+  private[graft] val DefaultMaxPlanes = 24
+
+  /** The full `maxPlanes`-deep master draw every adaptive consumer
+    * slices: planes 1..[[BasePlanes]] are the historical `seed` draw
+    * bit-for-bit; planes beyond come from the `seed + 1` continuation
+    * stream. Extending `maxPlanes` is therefore backward-compatible by
+    * construction — a corpus small enough to activate ≤ BasePlanes
+    * planes hashes identically under any ceiling. */
+  private[graft] def masterDraw(tables: Int, dim: Int, seed: Long,
+      maxPlanes: Int): Array[Array[Array[Double]]] = {
+    val base = hyperplanes(tables, math.min(maxPlanes, BasePlanes), dim, seed)
+    if (maxPlanes <= BasePlanes) base
+    else {
+      val ext = hyperplanes(tables, maxPlanes - BasePlanes, dim, seed + 1)
+      base.zip(ext).map { case (b, e) => b ++ e }
+    }
+  }
+
   /**
    * Johnson–Lindenstrauss random projection: `k` REAL coordinates
    * `p_i = v · plane_i` against fixed-seed gaussian planes — the
@@ -280,7 +313,7 @@ object Ann {
                   tables: Int = 8, dim: Int = 64, seed: Long = 42L,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   targetLoad: Long = 64L, minPlanes: Int = 6,
-                  maxPlanes: Int = 12,
+                  maxPlanes: Int = DefaultMaxPlanes,
                   maxBucket: Int = 100000,
                   rowCount: Option[Long] = None): DataFrame = {
     val planes = lshAutoPlanes(rowCount.getOrElse(corpusCount(corpus)),
@@ -1635,7 +1668,7 @@ object Ann {
                    tables: Int = 8, dim: Int = 64, seed: Long = 42L,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    targetLoad: Long = 64L, minPlanes: Int = 6,
-                   maxPlanes: Int = 12,
+                   maxPlanes: Int = DefaultMaxPlanes,
                    maxBucket: Int = 100000,
                    rowCount: Option[Long] = None): DataFrame = {
     val planes = lshAutoPlanes(rowCount.getOrElse(corpusCount(corpus)),
@@ -1647,7 +1680,7 @@ object Ann {
   /** Smallest p in [minPlanes, maxPlanes] with targetLoad·2^p ≥ n
     * (maxPlanes when none) — integer-exact on both engines. */
   def lshAutoPlanes(n: Long, targetLoad: Long = 64L,
-                    minPlanes: Int = 6, maxPlanes: Int = 12): Int =
+                    minPlanes: Int = 6, maxPlanes: Int = DefaultMaxPlanes): Int =
     (minPlanes to maxPlanes).find(p => targetLoad * (1L << p) >= n)
       .getOrElse(maxPlanes)
 
@@ -1714,12 +1747,13 @@ object Ann {
   }
 
   /** First `planes` planes of each table from the fixed `maxPlanes`
-    * master draw: the adaptive plane count never changes WHICH
+    * [[masterDraw]]: the adaptive plane count never changes WHICH
     * coefficients exist, only how many are active, so an oracle can
     * inline the superset once. */
   private[graft] def hyperplanesSliced(tables: Int, planes: Int, dim: Int,
-      seed: Long, maxPlanes: Int = 12): Array[Array[Array[Double]]] =
-    hyperplanes(tables, maxPlanes, dim, seed).map(_.take(planes))
+      seed: Long,
+      maxPlanes: Int = DefaultMaxPlanes): Array[Array[Array[Double]]] =
+    masterDraw(tables, dim, seed, maxPlanes).map(_.take(planes))
 
   private def lshPairsWith(hp: Array[Array[Array[Double]]],
                            corpus: DataFrame, threshold: Double,

@@ -879,13 +879,26 @@ class PipelineSpec extends SparkSpec {
   test("lshAutoPlanes sizing is integer-exact; auto pairs stay a subset " +
        "of exact cosinePairs with the planted pairs recovered") {
     import spark.implicits._
-    // sizing: smallest p in [6,12] with 64·2^p >= n — boundary cases
+    // sizing: smallest p in [6,24] with 64·2^p >= n — boundary cases
     // exercised exactly (a log2 float formula would wobble here)
     assert(Ann.lshAutoPlanes(200) == 6)
     assert(Ann.lshAutoPlanes(64L << 6) == 6)       // 4096: boundary holds at 6
     assert(Ann.lshAutoPlanes((64L << 6) + 1) == 7) // 4097: first over
     assert(Ann.lshAutoPlanes(20000) == 9)          // the sf1 embeddings count
-    assert(Ann.lshAutoPlanes(Long.MaxValue / 4) == 12) // cap
+    assert(Ann.lshAutoPlanes(600000) == 14)        // the decorr-sf30 OOM scale
+    assert(Ann.lshAutoPlanes(Long.MaxValue / 4) == 24) // cap
+    // the extended ladder NEVER moves a pre-extension coefficient: the
+    // first 12 planes of every table equal the historical 12-plane
+    // master draw bit-for-bit (the frozen-base contract every verified
+    // hash and at-rest signature depends on), and the continuation
+    // planes come from an independent stream
+    val old = Ann.hyperplanes(tables = 8, planes = 12, dim = 64, seed = 42L)
+    val ext = Ann.masterDraw(tables = 8, dim = 64, seed = 42L, maxPlanes = 24)
+    assert(ext.forall(_.length == 24))
+    old.zip(ext).foreach { case (o, e) =>
+      o.zip(e.take(12)).foreach { case (po, pe) => assert(po.sameElements(pe)) }
+    }
+    assert(!ext(0)(12).sameElements(old(0)(11)))
     val rnd = new scala.util.Random(17)
     val emb = (0L until 40L).flatMap { i =>
       val base = Array.fill(8)(rnd.nextGaussian())
@@ -906,6 +919,33 @@ class PipelineSpec extends SparkSpec {
     val again = Ann.lshPairsAuto(emb, threshold = 0.8, tables = 6, dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == auto.keySet)
+  }
+
+  test("extension planes (p > 12) drive bucketing end-to-end: subset of " +
+       "exact, planted pairs recovered") {
+    import spark.implicits._
+    // targetLoad = 1 + a declared rowCount force the sizing past the
+    // frozen 12-plane base: 2^13 = 8192 >= 5000 > 2^12, so the
+    // continuation planes (seed+1 stream) actually gate every bucket
+    // here — the configuration the decorr-sf30 rung runs at 600k rows.
+    assert(Ann.lshAutoPlanes(5000, targetLoad = 1L) == 13)
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 300L).flatMap { i =>
+      val base = Array.fill(8)(rnd.nextGaussian())
+      Seq((2 * i, base.map(_.toFloat)),
+        (2 * i + 1, base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.cosinePairs(emb, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val auto = Ann.lshPairsAuto(emb, threshold = 0.8, tables = 6, dim = 8,
+        targetLoad = 1L, rowCount = Some(5000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    auto.foreach { case (k, v) => assert(exact.contains(k) && exact(k) == v) }
+    val planted = (0L until 300L).map(i => (2 * i, 2 * i + 1)).filter(exact.contains)
+    val hit = planted.count(auto.contains)
+    // 13 planes over dim-8 vectors is a much finer partition than the
+    // production dim-64 shape — recall floor set accordingly
+    assert(hit.toDouble / planted.size >= 0.6, s"recall $hit/${planted.size}")
   }
 
   test("lshPairs bucket cap drops a degenerate all-identical bucket") {
