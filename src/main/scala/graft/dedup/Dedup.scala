@@ -726,7 +726,8 @@ object Dedup {
    * over-iterate. Only documents that appear in `pairs` are returned.
    */
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 1000,
-                      driverLimit: Long = 1000000L): DataFrame = {
+                      driverLimit: Long = 1000000L,
+                      jumpThreshold: Long = 100000L): DataFrame = {
     // Symmetrize via explode, NOT union-of-two-selects: a union embeds
     // the (possibly expensive) `pairs` subtree twice, and while AQE
     // stage reuse dedupes the exchanges below, the work ABOVE each
@@ -814,26 +815,33 @@ object Dedup {
       val stepped = cur.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("grp"), coalesce(col("ngrp"), col("grp"))).as("grp"))
-      // Pointer jump (grp ← grp(grp)): neighbor-min alone needs
-      // O(diameter) rounds, and chained near-dups make dup-graph
-      // diameters grow with the corpus (measured: the decorr-sf30
-      // e_dup_groups CC loop cost ~180 s in tail rounds). The jump
-      // composes each label with its label's label, so remaining
-      // propagation distance shrinks geometrically — O(log diameter)
-      // rounds. grp always names a node of the same component (it
-      // starts as self and only ever adopts a neighbor's or the
-      // label-target's label), so the fixpoint — labels constant per
-      // component, hence the component min — is unchanged; the
+      // Pointer jump (grp ← grp(grp)) on large graphs: neighbor-min
+      // alone needs O(diameter) rounds, and chained near-dups make
+      // dup-graph diameters grow with the corpus (measured: the
+      // decorr-sf30 e_dup_groups CC loop cost ~180 s in tail rounds).
+      // The jump composes each label with its label's label, so
+      // remaining propagation distance shrinks geometrically —
+      // O(log diameter) rounds. grp always names a node of the same
+      // component (it starts as self and only ever adopts a neighbor's
+      // or the label-target's label), so the fixpoint — labels constant
+      // per component, hence the component min — is unchanged; the
       // convergence check (monotone label-sum) is also untouched.
       // `stepped` appears on both sides of the self-join but is cheap
       // (one exchange of the label table; the subtrees are identical,
-      // so the exchange compiles once).
-      val nextRdd = stepped.as("s").join(
-          stepped.select(col("id").as("gid"), col("grp").as("ggrp")).as("t"),
-          col("s.grp") === col("t.gid"), "left")
-        .select(col("s.id").as("id"),
-          least(col("s.grp"), coalesce(col("t.ggrp"), col("s.grp"))).as("grp"))
-        .rdd.persist(lvl)
+      // so the exchange compiles once). Below `jumpThreshold` edges the
+      // extra join per round costs more than the rounds it saves (toy
+      // graphs have toy diameters: +2.6 s on the sf0.1 d_dup_groups_dist
+      // gate), so small graphs keep the plain neighbor-min round —
+      // both paths converge to the identical labeling, spec-pinned.
+      val nextDf =
+        if (nEdges > jumpThreshold)
+          stepped.as("s").join(
+              stepped.select(col("id").as("gid"), col("grp").as("ggrp")).as("t"),
+              col("s.grp") === col("t.gid"), "left")
+            .select(col("s.id").as("id"),
+              least(col("s.grp"), coalesce(col("t.ggrp"), col("s.grp"))).as("grp"))
+        else stepped
+      val nextRdd = nextDf.rdd.persist(lvl)
       val next = spark.createDataFrame(nextRdd, labelSchema)
       val nextSum = sumGrp(next) // materializes nextRdd
       curRdd.unpersist(false) // previous round no longer referenced

@@ -1475,6 +1475,15 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(viaDist == viaDriver,
       "distributed min-label propagation must equal driver union-find")
+    // jumpThreshold = 0 forces the pointer-jump variant (the big-graph
+    // path: grp ← grp(grp) composed onto every neighbor-min round) —
+    // the 39-hop chain is exactly the diameter stress the jump exists
+    // for, and the labeling must be identical either way
+    val viaJump = Dedup.duplicateGroups(pairs, driverLimit = 0L,
+        jumpThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaJump == viaDriver,
+      "pointer-jump propagation must equal driver union-find")
     // spot-check semantics, not just agreement
     val m = viaDist.toMap
     assert((100L to 139L).forall(m(_) == 100L), "chain collapses to min id")
