@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   /**
    * Contamination verdict for a timed window — pure, unit-tested on
@@ -27,6 +28,15 @@ object Bench {
    *    the median at every scale factor; neighbors smaller than that
    *    are left to the per-query [min,max] pass-spread evidence.
    *
+   * A FOURTH rule lives in [[cpuTheft]]: all three rules above read
+   * 1-minute loadavg, which the r15 driver window proved blind to its
+   * own pollution class — a co-scheduled page-cache/IO tail that
+   * inflated the window 2.37× (individual gates 15–107×) while every
+   * loadavg sample sat under the margins. Loadavg cannot see IO wait,
+   * cache eviction, or a neighbor that fits under the caps; the
+   * process's OWN CPU time can, because external theft inflates wall
+   * without inflating own-CPU.
+   *
    * Returns (contaminated, names of queries tripping the relative rule).
    */
   def contamination(preLoad: Double, qLoads: Seq[(String, Double)],
@@ -40,6 +50,69 @@ object Bench {
       maxWindowLoad > nprocs + loadCap || spiky.nonEmpty
     (contaminated, spiky)
   }
+
+  /** A gate is a canonical-wall outlier when its measured min-pass
+    * wall exceeds [[WallOutlierFactor]]× its committed canonical wall
+    * AND an absolute floor (sub-half-second gates jitter legitimately).
+    * Outliers get an automatic deferred third pass at window end
+    * (pollution that hit the main window has often drained by then —
+    * the r15 driver window read `rle_encode` at 35.9 s where an idle
+    * re-run of the same binary read 0.89 s). */
+  private[graft] val WallOutlierFactor = 3.0
+  private[graft] val WallOutlierFloor = 0.5
+  private[graft] def isWallOutlier(wall: Double, canonWall: Double): Boolean =
+    wall > WallOutlierFloor && wall > WallOutlierFactor * canonWall
+
+  /**
+   * Rule 4 (r16) — wall-vs-own-CPU, the loadavg-blind class: for each
+   * gate whose FINAL min wall is a canonical outlier, compare how much
+   * the gate's own process-CPU grew against how much its wall grew.
+   * A genuine code regression does more work: CPU inflates with wall.
+   * External theft (CPU starvation, page-cache eviction, IO
+   * contention) inflates wall while own-CPU stays near canonical. A
+   * gate is flagged when its CPU ratio explains less than HALF its
+   * wall ratio — at the r15 magnitudes (wall 15–107×, CPU ~flat) this
+   * is decided by an order of magnitude, while a true 4× regression
+   * (CPU ≈ 4×, wall ≈ 4×) passes untouched.
+   *
+   * Pure; unit-tested on synthetic vectors AND the recorded r15
+   * driver-window numbers (BenchSpec). Gates without canonical wall
+   * AND cpu entries are skipped (no baseline to compare against), as
+   * are gates whose cpu sample is unavailable (< 0).
+   */
+  private[graft] def cpuTheft(gates: Seq[(String, Double, Double)],
+                              canonWall: Map[String, Double],
+                              canonCpu: Map[String, Double]): Seq[String] =
+    gates.collect {
+      case (n, wall, cpu)
+        if cpu >= 0 &&
+          canonWall.get(n).exists(cw => cw > 0 && isWallOutlier(wall, cw)) &&
+          canonCpu.get(n).exists(cc =>
+            cc > 0 && (cpu / cc) < (wall / canonWall(n)) / 2.0) => n
+    }
+
+  /** Value of the first top-level flat `"key":{"a":1.2,...}` object in
+    * a bench-detail JSON line (numbers only — exactly what this file
+    * writes for `queries`/`cpus`). Hand-rolled like the writer: the
+    * object is flat, so it ends at the first `}`. */
+  private[graft] def parseFlatDoubleMap(json: String, key: String): Map[String, Double] = {
+    val at = json.indexOf("\"" + key + "\":{")
+    if (at < 0) return Map.empty
+    val open = json.indexOf('{', at)
+    val close = json.indexOf('}', open)
+    if (close < 0) return Map.empty
+    val body = json.substring(open + 1, close).trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").iterator.flatMap { kv =>
+      val i = kv.lastIndexOf(':')
+      if (i < 0) None
+      else {
+        val k = kv.take(i).trim.stripPrefix("\"").stripSuffix("\"")
+        scala.util.Try(kv.drop(i + 1).trim.toDouble).toOption.map(k -> _)
+      }
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,8 +144,17 @@ object Bench {
     // 143.5s clean). Read the 1-min load BEFORE the first timed pass; if
     // it exceeds nproc/4, wait (bounded) for the box to drain, and carry a
     // machine-visible "contaminated" verdict in the emitted JSON either way.
-    def loadAvg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double = osBean.getSystemLoadAverage
+    // this JVM's cumulative CPU seconds (all threads): the r15 blind
+    // spot's antidote — external slowdown inflates a pass's WALL but
+    // not this process's OWN cpu ([[cpuTheft]]); -1 when the platform
+    // bean doesn't expose it (rule 4 then degrades to wall-only
+    // outlier evidence rather than mis-firing)
+    def procCpuSec(): Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
     val nprocs = Runtime.getRuntime.availableProcessors
     val loadCap = nprocs / 4.0
     var preLoad = loadAvg()
@@ -82,11 +164,41 @@ object Bench {
       Thread.sleep(15000)
       preLoad = loadAvg()
     }
+    // committed canonical per-gate walls+cpus (blessed clean run): the
+    // baseline for the deferred-rerun outlier pass and rule 4. Absent
+    // file (bootstrap) → both degrade gracefully to the three load
+    // rules.
+    val canonicalPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_CANONICAL",
+      "bench_canonical.json")
+    val (canonWall, canonCpu) = try {
+      val src = scala.io.Source.fromFile(canonicalPath, "UTF-8")
+      val txt = try src.mkString finally src.close()
+      (parseFlatDoubleMap(txt, "queries"), parseFlatDoubleMap(txt, "cpus"))
+    } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
+    // one timed pass: (wall, own-cpu-delta) or an error
+    def timedPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        Either[String, (Double, Double)] = {
+      val c0 = procCpuSec()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val c1 = procCpuSec()
+        Right((wall, if (c0 >= 0 && c1 >= 0) math.max(0.0, c1 - c0) else -1.0))
+      } catch {
+        case t: Throwable =>
+          // record the failure explicitly — an elapsed-to-crash time
+          // must never masquerade as a valid measurement
+          Left(t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").take(200))
+      }
+    }
     // deterministic order: stable attribution of warm-cache effects
     // across rounds
-    val results = SparkEntry.queries.toSeq
+    val gateList = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .sortBy(_._1).map { case (name, fn) =>
+      .sortBy(_._1)
+    val windowResults = gateList.map { case (name, fn) =>
       // Two timed passes, report the min: a single pass is hostage to
       // whatever else shares the box (GC, page cache churn, concurrent
       // jobs); the min of two is robust against one-off interference
@@ -102,21 +214,45 @@ object Bench {
       // neighbors' samples attributes partial contamination to exactly
       // the queries it touched (persisted per-query in bench_detail)
       val qLoad = loadAvg()
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case t: Throwable =>
-            // record the failure explicitly — an elapsed-to-crash time
-            // must never masquerade as a valid measurement
-            err = Some(t.getClass.getSimpleName + ": " +
-              Option(t.getMessage).getOrElse("").take(200))
-            None
+      val passes = (1 to 2).flatMap { _ =>
+        timedPass(fn) match {
+          case Right(p) => Some(p)
+          case Left(e) => err = Some(e); None
         }
       }
-      (name, if (times.nonEmpty) times.min else -1.0, err, times, qLoad)
+      (name, err, passes, qLoad)
+    }
+    // Deferred third pass (r16): any gate whose window min-wall reads
+    // >3× its committed canonical gets ONE more pass after the whole
+    // window — by then a transient co-tenant (the r15 class: the
+    // driver's oracle-compare tail overlapping the bench start) has
+    // usually drained, so the re-read either rescues the number
+    // (recorded in `deferred` as direct evidence of in-window
+    // pollution) or confirms a real regression at the same magnitude.
+    val windowMin = windowResults.map { case (n, err, ps, _) =>
+      n -> (if (ps.nonEmpty) ps.minBy(_._1) else (-1.0, -1.0))
+    }.toMap
+    val outliers = windowResults.collect {
+      case (n, None, ps, _) if ps.nonEmpty &&
+        canonWall.get(n).exists(cw => cw > 0 && isWallOutlier(ps.map(_._1).min, cw)) => n
+    }
+    val fnByName = gateList.toMap
+    val deferredRuns: Map[String, (Double, Double)] =
+      if (outliers.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] ${outliers.size} gate(s) read >" +
+          s"${WallOutlierFactor}x canonical in-window — deferred third pass: " +
+          outliers.mkString(", "))
+        outliers.flatMap { n =>
+          timedPass(fnByName(n)).toOption.map(n -> _)
+        }.toMap
+      }
+    // final per-gate numbers: min over all passes (window + deferred),
+    // with the CPU sample of whichever pass won
+    val results = windowResults.map { case (name, err, ps, qLoad) =>
+      val all = ps ++ deferredRuns.get(name).toSeq
+      val (wall, cpu) = if (all.nonEmpty) all.minBy(_._1) else (-1.0, -1.0)
+      (name, wall, cpu, err, ps, qLoad)
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -124,25 +260,33 @@ object Bench {
     // 3 decimals (ms precision) keeps the 100+-entry line compact; more
     // digits are noise at these magnitudes anyway
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _, _) => s"\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _, _) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
-    // BOTH timed passes per query: regression vs noise is decidable
+    // BOTH window passes per query: regression vs noise is decidable
     // from the artifact alone — a real regression moves the min, a
     // noisy neighbor widens the [min,max] spread of one pass
-    val passes = results.map { case (k, _, _, ts, _) =>
-      s"\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+    val passes = results.map { case (k, _, _, _, ts, _) =>
+      s"\"" + k + "\":[" + ts.map(p => r3(p._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = r3(results.filter(_._3.isEmpty).map(_._2).sum)
-    val nErrors = results.count(_._3.isDefined)
+    val total = r3(results.filter(_._4.isEmpty).map(_._2).sum)
+    val nErrors = results.count(_._4.isDefined)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     val postLoad = r3(loadAvg())
-    // three-rule verdict (entry cap, hard physical trip, relative
-    // median spike) — rationale + unit coverage at [[contamination]]
-    val (contaminated, contamQueries) = contamination(preLoad,
-      results.map { case (k, _, _, _, ld) => (k, ld) }, postLoad, nprocs)
+    // four-rule verdict: entry cap, hard physical trip, relative median
+    // spike (rationale + unit coverage at [[contamination]]) + the r16
+    // wall-vs-own-CPU rule ([[cpuTheft]]) on the FINAL per-gate numbers
+    // — a gate the deferred pass rescued no longer fires rule 4 (its
+    // final number is clean; the `deferred` map still records that the
+    // window itself was polluted)
+    val (loadContaminated, contamQueries) = contamination(preLoad,
+      results.map { case (k, _, _, _, _, ld) => (k, ld) }, postLoad, nprocs)
+    val cpuFlagged = cpuTheft(
+      results.collect { case (k, w, c, None, _, _) => (k, w, c) },
+      canonWall, canonCpu)
+    val contaminated = loadContaminated || cpuFlagged.nonEmpty
     // The harness stdout capture keeps only the output TAIL, which eats
     // the leading ~75 per-query entries of the 180+-query line — so
     // regressions in the families that sort first (agg_*/api_*/d_*/e_*)
@@ -150,14 +294,23 @@ object Bench {
     // JSON line, stable alphabetical key order) to a standalone file
     // that gets committed and diffed per round — EXTENDED with the
     // contamination evidence (run-level load_pre/load_post/contaminated
-    // plus the per-query ambient-load samples), so a partially-poisoned
-    // window is attributable to the specific queries it touched.
-    val loads = results.map { case (k, _, _, _, ld) =>
+    // plus the per-query ambient-load samples, own-CPU seconds of each
+    // gate's winning pass, and any deferred reruns), so a
+    // partially-poisoned window is attributable to the specific queries
+    // it touched.
+    val loads = results.map { case (k, _, _, _, _, ld) =>
       s"\"" + k + "\":" + r3(ld)
     }.mkString("{", ",", "}")
+    val cpusJson = results.map { case (k, _, c, _, _, _) =>
+      s"\"" + k + "\":" + r3(c)
+    }.mkString("{", ",", "}")
+    val deferredJson = deferredRuns.toSeq.sortBy(_._1).map { case (k, (w, _)) =>
+      s"\"" + k + "\":[" + r3(windowMin(k)._1) + "," + r3(w) + "]"
+    }.mkString("{", ",", "}")
     val contamQ = contamQueries.map(jstr).mkString("[", ",", "]")
+    val contamCpuQ = cpuFlagged.map(jstr).mkString("[", ",", "]")
     val detailLine = line.dropRight(1) +
-      s""","loads":$loads,"load_pre":${r3(preLoad)},"load_post":$postLoad,"nproc":$nprocs,"contaminated":$contaminated,"contam_queries":$contamQ}"""
+      s""","loads":$loads,"cpus":$cpusJson,"deferred":$deferredJson,"load_pre":${r3(preLoad)},"load_post":$postLoad,"nproc":$nprocs,"contaminated":$contaminated,"contam_queries":$contamQ,"contam_cpu":$contamCpuQ}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     try {
@@ -174,7 +327,7 @@ object Bench {
     // average + core count make driver-contended runs self-diagnosing:
     // timings taken while the box was busy (load ≫ cores in use) should
     // be discounted rather than read as regressions.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"load_pre":${r3(preLoad)},"load":$postLoad,"nproc":$nprocs,"contaminated":$contaminated,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"n_deferred":${deferredRuns.size},"load_pre":${r3(preLoad)},"load":$postLoad,"nproc":$nprocs,"contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

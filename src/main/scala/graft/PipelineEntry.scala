@@ -801,7 +801,9 @@ object PipelineEntry {
     // — stays constant at any scale), min-id labels.
     "e_dup_groups" -> ((s, dir) =>
       Dedup.duplicateGroups(
-          Ann.lshPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)
+          Ann.lshPairsAuto(Tables.embeddings(s, dir), threshold = 0.4,
+              tables = LshTables, targetLoad = LshTargetLoad,
+              minPlanes = LshMinPlanes, maxPlanes = LshMaxPlanes)
             .select(col("id_a"), col("id_b")))
         .select(col("doc_id").as("vec_id"), col("group_id"))),
     // Deterministic content-hash split: md5(text) bucket -> train/val/
@@ -977,12 +979,16 @@ object PipelineEntry {
     // masks by the same count-derived plane count → hash-checkable at
     // EVERY scale factor, adaptivity included.
     "e_lsh_pairs" -> ((s, dir) =>
-      Ann.lshPairsAuto(Tables.embeddings(s, dir), threshold = 0.4)),
+      Ann.lshPairsAuto(Tables.embeddings(s, dir), threshold = 0.4,
+        tables = LshTables, targetLoad = LshTargetLoad,
+        minPlanes = LshMinPlanes, maxPlanes = LshMaxPlanes)),
     // LSH top-k: same adaptive seed-deterministic planes as
     // e_lsh_pairs → the oracle rebuilds the identical buckets.
     "e_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Ann.lshTopKAuto(emb, emb.filter(col("vec_id") < 10), k = 5)
+      Ann.lshTopKAuto(emb, emb.filter(col("vec_id") < 10), k = 5,
+        tables = LshTables, targetLoad = LshTargetLoad,
+        minPlanes = LshMinPlanes, maxPlanes = LshMaxPlanes)
     }),
     // Lloyd-TRAINED IVF, gated float-free on its RECALL: per query,
     // the count of ids shared with exact brute-force top-k must reach
@@ -2048,9 +2054,18 @@ object PipelineEntry {
         |SELECT qid, nid, round(sim, 4) AS sim, rank FROM r2
         |WHERE rank <= 5""".stripMargin)
 
-  /** LSH config shared by the Spark queries (Ann defaults) and the SQL
-    * oracles — one source of truth for the table count. */
+  /** LSH config shared by the Spark queries and the SQL oracles — one
+    * source of truth for the table count AND the adaptive-sizing knobs.
+    * The engine-side gate calls below pass these EXPLICITLY (not via
+    * `Ann`'s parameter defaults) and [[lshSigCte]] interpolates the
+    * same values, so the two sides cannot be configured apart: changing
+    * a knob here re-sizes the engine's ladder and the oracle's replay
+    * together, and using the documented explicit-`maxPlanes` escape
+    * hatch in a gate is a one-line change that the oracle follows. */
   private val LshTables = 8
+  private val LshTargetLoad = 64L
+  private val LshMinPlanes = 6
+  private val LshMaxPlanes = Ann.DefaultMaxPlanes
 
   /** Shared CTE prefix: vectors + per-table LSH signatures with the
     * fixed-seed MASTER plane coefficients ([[Ann.DefaultMaxPlanes]]
@@ -2058,10 +2073,12 @@ object PipelineEntry {
     * — [[Ann.masterDraw]]) interpolated into the SQL and masked down
     * to the corpus-adaptive plane count — `pl.np` replays
     * [[Ann.lshAutoPlanes]]'s integer threshold scan (smallest p in
-    * [6, DefaultMaxPlanes] with 64·2^p ≥ count(*)), so the oracle
-    * rebuilds the identical buckets at every scale factor. */
+    * [LshMinPlanes, LshMaxPlanes] with LshTargetLoad·2^p ≥ count(*)),
+    * so the oracle rebuilds the identical buckets at every scale
+    * factor. All three sizing knobs interpolate from the shared
+    * constants the engine-side gates pass — see [[LshTables]]. */
   private def lshSigCte: String = {
-    val maxP = Ann.DefaultMaxPlanes
+    val maxP = LshMaxPlanes
     val hp = Ann.masterDraw(tables = LshTables, dim = 64, seed = 42L,
       maxPlanes = maxP)
     val sigCols = hp.zipWithIndex.map { case (tp, t) =>
@@ -2071,12 +2088,12 @@ object PipelineEntry {
       }.mkString(" + ")
       s"$terms AS s_$t"
     }.mkString(",\n ")
-    val planeVals = (6 to maxP).map(p => s"($p)").mkString(",")
+    val planeVals = (LshMinPlanes to maxP).map(p => s"($p)").mkString(",")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |pl AS (SELECT min(p) AS np
        |  FROM (VALUES $planeVals) t(p),
        |       (SELECT count(*) AS n FROM e) c
-       |  WHERE 64 * (1 << p) >= c.n OR p = $maxP),
+       |  WHERE $LshTargetLoad * (1 << p) >= c.n OR p = $maxP),
        |sig AS (SELECT vec_id, v,
        | $sigCols
        | FROM e, pl)""".stripMargin

@@ -812,7 +812,7 @@ object Dedup {
           .withColumnRenamed("grp", "ngrp"), "b")
         .groupBy(col("a").as("id"))
         .agg(min("ngrp").as("ngrp"))
-      val stepped = cur.join(viaNeighbors, Seq("id"), "left")
+      val steppedDf = cur.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("grp"), coalesce(col("ngrp"), col("grp"))).as("grp"))
       // Pointer jump (grp ← grp(grp)) on large graphs: neighbor-min
@@ -826,25 +826,34 @@ object Dedup {
       // or the label-target's label), so the fixpoint — labels constant
       // per component, hence the component min — is unchanged; the
       // convergence check (monotone label-sum) is also untouched.
-      // `stepped` appears on both sides of the self-join but is cheap
-      // (one exchange of the label table; the subtrees are identical,
-      // so the exchange compiles once). Below `jumpThreshold` edges the
-      // extra join per round costs more than the rounds it saves (toy
-      // graphs have toy diameters: +2.6 s on the sf0.1 d_dup_groups_dist
-      // gate), so small graphs keep the plain neighbor-min round —
-      // both paths converge to the identical labeling, spec-pinned.
-      val nextDf =
-        if (nEdges > jumpThreshold)
-          stepped.as("s").join(
+      // `stepped` feeds BOTH sides of the self-join, so it is rebased
+      // onto its own persisted RDD leaf first: leaving it as a logical
+      // subtree would make single-execution hostage to exchange/stage
+      // reuse (with AQE or reuse disabled, the neighbor-min join —
+      // the round's expensive half — would silently run twice per
+      // round). The leaf guarantees it by construction; the persist is
+      // released as soon as the round's output materializes. Below
+      // `jumpThreshold` edges the extra join per round costs more than
+      // the rounds it saves (toy graphs have toy diameters: +2.6 s on
+      // the sf0.1 d_dup_groups_dist gate), so small graphs keep the
+      // plain neighbor-min round — both paths converge to the
+      // identical labeling, spec-pinned.
+      val (nextDf, steppedRdd) =
+        if (nEdges > jumpThreshold) {
+          val srdd = steppedDf.rdd.persist(lvl)
+          val stepped = spark.createDataFrame(srdd, labelSchema)
+          (stepped.as("s").join(
               stepped.select(col("id").as("gid"), col("grp").as("ggrp")).as("t"),
               col("s.grp") === col("t.gid"), "left")
             .select(col("s.id").as("id"),
-              least(col("s.grp"), coalesce(col("t.ggrp"), col("s.grp"))).as("grp"))
-        else stepped
+              least(col("s.grp"), coalesce(col("t.ggrp"), col("s.grp"))).as("grp")),
+            Some(srdd))
+        } else (steppedDf, None)
       val nextRdd = nextDf.rdd.persist(lvl)
       val next = spark.createDataFrame(nextRdd, labelSchema)
       val nextSum = sumGrp(next) // materializes nextRdd
       curRdd.unpersist(false) // previous round no longer referenced
+      steppedRdd.foreach(_.unpersist(false)) // round-local intermediate
       cur = next; curRdd = nextRdd
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum

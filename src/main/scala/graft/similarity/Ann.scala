@@ -189,18 +189,41 @@ object Ann {
     * the old ceiling of 12, `SCALING_r15.md` §7). */
   private[graft] val DefaultMaxPlanes = 24
 
+  /** SplitMix64 finalizer: full-avalanche 64-bit mix, so the derived
+    * per-plane seeds below are decorrelated even though their inputs
+    * (seed, table, plane) differ in a handful of low bits. Public
+    * constants (Steele et al., "Fast Splittable Pseudorandom Number
+    * Generators", OOPSLA'14). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** The full `maxPlanes`-deep master draw every adaptive consumer
     * slices: planes 1..[[BasePlanes]] are the historical `seed` draw
-    * bit-for-bit; planes beyond come from the `seed + 1` continuation
-    * stream. Extending `maxPlanes` is therefore backward-compatible by
-    * construction — a corpus small enough to activate ≤ BasePlanes
-    * planes hashes identically under any ceiling. */
+    * bit-for-bit; each continuation plane beyond is drawn from its own
+    * seed derived ONLY from `(seed, table, absolute plane index)` — so
+    * a coefficient's value never depends on `maxPlanes`, and raising
+    * the ceiling (the documented >1.07B-row escape hatch) appends
+    * planes without moving any plane an already-verified result or
+    * at-rest index was built on. (The r15 continuation filled
+    * table-major from ONE sequential `seed+1` stream, so a ceiling
+    * raise silently re-dealt planes 13..old-ceiling of every table —
+    * the extension-stability the BasePlanes doc promised held only for
+    * the base. Per-plane derived seeds make it hold at every depth.) */
   private[graft] def masterDraw(tables: Int, dim: Int, seed: Long,
       maxPlanes: Int): Array[Array[Array[Double]]] = {
     val base = hyperplanes(tables, math.min(maxPlanes, BasePlanes), dim, seed)
     if (maxPlanes <= BasePlanes) base
     else {
-      val ext = hyperplanes(tables, maxPlanes - BasePlanes, dim, seed + 1)
+      val ext = Array.tabulate(tables, maxPlanes - BasePlanes) { (t, p) =>
+        val planeSeed = mix64(mix64(seed) ^ (t.toLong << 32) ^
+          (BasePlanes + p).toLong)
+        val rnd = new scala.util.Random(planeSeed)
+        Array.fill(dim)(rnd.nextGaussian())
+      }
       base.zip(ext).map { case (b, e) => b ++ e }
     }
   }

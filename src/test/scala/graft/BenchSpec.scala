@@ -76,4 +76,72 @@ class BenchSpec extends AnyFunSuite {
     val (c, _) = Bench.contamination(0.5, Nil, 0.5, N)
     assert(!c)
   }
+
+  // ---- rule 4 (r16): wall-vs-own-CPU, the loadavg-blind class ----
+
+  test("wall-outlier predicate: 3x factor over canonical plus 0.5s floor") {
+    assert(Bench.isWallOutlier(2.2, 0.7))    // 3.1x, above floor
+    assert(!Bench.isWallOutlier(2.0, 0.7))   // 2.9x — not an outlier
+    assert(!Bench.isWallOutlier(0.45, 0.1))  // 4.5x but under the floor
+    assert(Bench.isWallOutlier(35.885, 0.694)) // the r15 rle_encode read
+  }
+
+  test("cpuTheft: wall blown with flat own-CPU flags; proportional CPU " +
+       "(a genuine regression) passes") {
+    val canonWall = Map("g_theft" -> 0.7, "g_regressed" -> 0.7)
+    val canonCpu = Map("g_theft" -> 20.0, "g_regressed" -> 20.0)
+    // theft: wall 51x canonical, own CPU ~flat (1.1x) — page-cache /
+    // IO / starvation signature; loadavg may read anything
+    // regression: wall 4x AND cpu 4x — the code really does more work
+    val flagged = Bench.cpuTheft(
+      Seq(("g_theft", 35.9, 22.0), ("g_regressed", 2.8, 80.0)),
+      canonWall, canonCpu)
+    assert(flagged == Seq("g_theft"), s"wrong rule-4 verdict: $flagged")
+  }
+
+  test("cpuTheft degrades safely: no canonical entry, no CPU sample, " +
+       "zero canonicals") {
+    val flagged = Bench.cpuTheft(
+      Seq(("g_new", 35.9, 22.0),        // no canonical → skip
+          ("g_nocpu", 35.9, -1.0),      // platform bean absent → skip
+          ("g_zero", 35.9, 22.0)),      // degenerate canonical → skip
+      Map("g_nocpu" -> 0.7, "g_zero" -> 0.0),
+      Map("g_nocpu" -> 20.0, "g_zero" -> 0.0))
+    assert(flagged.isEmpty)
+  }
+
+  test("retroactive: the recorded r15 driver window trips rule 4 on " +
+       "every inflated gate; a clean gate of the same window passes") {
+    // walls: the driver's BENCH_r15 window (shipped contaminated:false
+    // under the three loadavg rules) vs the committed ca3fa2a clean
+    // canonical. The window recorded no CPU samples — own-CPU here is
+    // modeled at canonical scale, which is exactly what the idle
+    // re-runs of the same binary measured (0.86-1.9s walls bound
+    // own-CPU near canonical; external theft adds wall, not own-CPU).
+    val canonWall = Map(
+      "rle_encode" -> 0.694, "t_bpe_merges" -> 0.64, "mm_frames" -> 0.196,
+      "rle_roundtrip" -> 0.965, "ts_asof" -> 0.955, "p_curate_emb" -> 1.236,
+      "ret_policy" -> 1.131, "e_knn_ivf_kmpar" -> 2.93)
+    val canonCpu = canonWall.map { case (k, w) => k -> w * 20.0 } // ~20 eff. cores
+    val window = Seq(
+      ("rle_encode", 35.885, 0.694 * 22), ("t_bpe_merges", 33.643, 0.64 * 22),
+      ("mm_frames", 17.94, 0.196 * 22), ("rle_roundtrip", 24.548, 0.965 * 22),
+      ("ts_asof", 14.572, 0.955 * 22), ("p_curate_emb", 18.528, 1.236 * 22),
+      ("ret_policy", 5.375, 1.131 * 22),
+      ("e_knn_ivf_kmpar", 4.348, 2.93 * 22)) // 1.48x canonical: clean
+    val flagged = Bench.cpuTheft(window, canonWall, canonCpu).toSet
+    assert(flagged == Set("rle_encode", "t_bpe_merges", "mm_frames",
+      "rle_roundtrip", "ts_asof", "p_curate_emb", "ret_policy"),
+      s"retroactive r15 verdict wrong: $flagged")
+  }
+
+  test("parseFlatDoubleMap reads the writer's own format") {
+    val line = """{"metric":"total","value":135.58,"unit":"sec","queries":{"agg_avg":0.421,"rle_encode":0.694},"passes":{"agg_avg":[0.5,0.421]},"cpus":{"agg_avg":8.2,"rle_encode":14.0},"sf":"x"}"""
+    assert(Bench.parseFlatDoubleMap(line, "queries") ==
+      Map("agg_avg" -> 0.421, "rle_encode" -> 0.694))
+    assert(Bench.parseFlatDoubleMap(line, "cpus") ==
+      Map("agg_avg" -> 8.2, "rle_encode" -> 14.0))
+    assert(Bench.parseFlatDoubleMap(line, "missing").isEmpty)
+    assert(Bench.parseFlatDoubleMap("""{"queries":{}}""", "queries").isEmpty)
+  }
 }

@@ -899,6 +899,24 @@ class PipelineSpec extends SparkSpec {
       o.zip(e.take(12)).foreach { case (po, pe) => assert(po.sameElements(pe)) }
     }
     assert(!ext(0)(12).sameElements(old(0)(11)))
+    // extension-stability holds at EVERY depth, not just the base: a
+    // continuation coefficient depends only on (table, plane, seed),
+    // so raising the ceiling past 24 (the documented >1.07B-row escape
+    // hatch) appends planes without re-dealing 13..24 — masterDraw at
+    // maxPlanes=32 and at maxPlanes=13 agree with the 24-deep draw on
+    // every shared plane bit-for-bit
+    val ext32 = Ann.masterDraw(tables = 8, dim = 64, seed = 42L, maxPlanes = 32)
+    val ext13 = Ann.masterDraw(tables = 8, dim = 64, seed = 42L, maxPlanes = 13)
+    ext.zip(ext32).foreach { case (e24, e32) =>
+      e24.zip(e32.take(24)).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+    ext.zip(ext13).foreach { case (e24, e13) =>
+      assert(e13.length == 13 && e13(12).sameElements(e24(12)))
+    }
+    // and the per-plane streams are genuinely distinct across tables
+    // and planes (the derived seeds decorrelate, not repeat)
+    assert(!ext(0)(12).sameElements(ext(1)(12)))
+    assert(!ext(0)(12).sameElements(ext(0)(13)))
     val rnd = new scala.util.Random(17)
     val emb = (0L until 40L).flatMap { i =>
       val base = Array.fill(8)(rnd.nextGaussian())
