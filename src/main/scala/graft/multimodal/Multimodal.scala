@@ -709,11 +709,17 @@ object Multimodal {
       decodeTagged(bytes).map { case (w, h, n, f, _) => (w, h, n, f) }
 
     /** [[decode]] plus the provenance tag: `"pcm"` is a full JDK
-      * sample decode; `"mp3-hdr"`/`"ogg-hdr"` carry real sample
-      * counts but span-summary features over the compressed payload. */
+      * sample decode; `"flac"` (r16) is a full pure-JVM lossless
+      * decode ([[Flac]]) — exact sample count from STREAMINFO AND
+      * real-PCM features, no `-hdr` compromise; `"mp3-hdr"`/`"ogg-hdr"`
+      * carry real sample counts but span-summary features over the
+      * compressed payload (those codecs DO need a native decoder). */
     def decodeTagged(bytes: Array[Byte])
         : Option[(Int, Int, Int, Array[Float], String)] =
       pcmDecode(bytes).map { case (w, h, n, f) => (w, h, n, f, "pcm") }
+        .orElse(Flac.decodePcm(bytes, maxSamples = MaxFeatureBytes)
+          .filter(p => p.totalSamples > 0 && p.totalSamples <= Int.MaxValue)
+          .map(p => (0, 0, p.totalSamples.toInt, spanFeature(p.bytes), "flac")))
         .orElse(CompressedAudio.mp3Samples(bytes)
           .filter(s => s > 0 && s <= Int.MaxValue)
           .map(s => (0, 0, s.toInt, spanFeature(bytes), "mp3-hdr")))
