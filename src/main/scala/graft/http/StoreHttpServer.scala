@@ -249,10 +249,21 @@ class StoreHttpServer(spark: SparkSession, storeDir: String, port: Int = 0,
               s"<td>${fs.map(_.length()).sum}</td></tr>"
           }.mkString
       } catch { case _: Throwable => "" }
+    // session-cache observability (r16): the two driver-side memos
+    // whose whole point is skipping per-call filesystem/Spark work —
+    // their hit rates belong on the status page, not just in docs
+    val (ifN, ifH, ifM) = graft.model.IndexFormat.memoStats
+    val (ccN, ccH, ccM) = graft.similarity.Ann.countMemoStats
+    val caches =
+      s"<tr><td>index-format markers</td><td>$ifN</td><td>$ifH</td><td>$ifM</td></tr>" +
+      s"<tr><td>corpus counts</td><td>$ccN</td><td>$ccH</td><td>$ccM</td></tr>"
     val body = ("<html><head><title>Store Status</title></head><body>" +
       s"<h1>Store Status</h1><p>store: $storeDir</p>" +
       "<table><tr><th>partition</th><th>files</th><th>bytes</th></tr>" +
-      parts + "</table></body></html>").getBytes("UTF-8")
+      parts + "</table>" +
+      "<h2>Session caches</h2>" +
+      "<table><tr><th>memo</th><th>entries</th><th>hits</th><th>misses</th></tr>" +
+      caches + "</table></body></html>").getBytes("UTF-8")
     try {
       ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
       ex.sendResponseHeaders(200, body.length.toLong)

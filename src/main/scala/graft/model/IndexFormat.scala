@@ -33,6 +33,13 @@ object IndexFormat {
     * update the memo. Bounded: cleared wholesale past 1024 paths. */
   private val verified =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val memoHits = new java.util.concurrent.atomic.AtomicLong()
+  private val memoMisses = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (entries, hits, misses) of the verified-marker memo — surfaced on
+    * the HTTP façade's /status page so the per-micro-batch no-read
+    * claim is observable, not just documented. */
+  def memoStats: (Int, Long, Long) = (verified.size, memoHits.get, memoMisses.get)
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -93,7 +100,8 @@ object IndexFormat {
     * pay the marker read once, not per micro-batch). */
   def check(spark: SparkSession, path: String, expected: String,
             rebuildHint: String): Unit = {
-    if (verified.get(path) == expected) return
+    if (verified.get(path) == expected) { memoHits.incrementAndGet(); return }
+    memoMisses.incrementAndGet()
     val actual = read(spark, path)
     if (!actual.contains(expected)) throw new IllegalStateException(
       s"index at $path has layout " +

@@ -1763,11 +1763,25 @@ object Ann {
         }.mkString("\n")
         val key = lp.canonicalized.toString + "\n" + sig
         if (countMemo.size > 256) countMemo.clear()
+        if (countMemo.containsKey(key)) countMemoHits.incrementAndGet()
+        else countMemoMisses.incrementAndGet()
         countMemo.computeIfAbsent(key,
           _ => java.lang.Long.valueOf(corpus.count())).longValue()
-      case None => corpus.count()
+      case None =>
+        countMemoMisses.incrementAndGet()
+        corpus.count()
     }
   }
+
+  private val countMemoHits = new java.util.concurrent.atomic.AtomicLong()
+  private val countMemoMisses = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (entries, hits, misses) of the corpus-count memo — surfaced on
+    * the HTTP façade's /status page (the zero-jobs repeat-call claim,
+    * observable; un-memoizable counts — non-file-backed plans — count
+    * as misses). */
+  def countMemoStats: (Int, Long, Long) =
+    (countMemo.size, countMemoHits.get, countMemoMisses.get)
 
   /** First `planes` planes of each table from the fixed `maxPlanes`
     * [[masterDraw]]: the adaptive plane count never changes WHICH

@@ -196,6 +196,11 @@ class HttpSpec extends SparkSpec {
         HttpResponse.BodyHandlers.ofString())
       assert(resp.statusCode() == 200)
       assert(resp.body().contains("Store Status"))
+      // r16: the session-cache memo stats render too (observability
+      // for the index-format marker memo and the corpus-count memo)
+      assert(resp.body().contains("Session caches"))
+      assert(resp.body().contains("index-format markers"))
+      assert(resp.body().contains("corpus counts"))
     } finally srv.stop()
   }
 
