@@ -91,6 +91,18 @@ object Bench {
             cc > 0 && (cpu / cc) < (wall / canonWall(n)) / 2.0) => n
     }
 
+  /** Value of a top-level `"key":"..."` string field (no escapes —
+    * exactly what this file writes for `sf`). */
+  private[graft] def parseStringField(json: String, key: String): Option[String] = {
+    val at = json.indexOf("\"" + key + "\":\"")
+    if (at < 0) None
+    else {
+      val open = json.indexOf('"', at + key.length + 3)
+      val close = json.indexOf('"', open + 1)
+      if (close < 0) None else Some(json.substring(open + 1, close))
+    }
+  }
+
   /** Value of the first top-level flat `"key":{"a":1.2,...}` object in
     * a bench-detail JSON line (numbers only — exactly what this file
     * writes for `queries`/`cpus`). Hand-rolled like the writer: the
@@ -173,7 +185,15 @@ object Bench {
     val (canonWall, canonCpu) = try {
       val src = scala.io.Source.fromFile(canonicalPath, "UTF-8")
       val txt = try src.mkString finally src.close()
-      (parseFlatDoubleMap(txt, "queries"), parseFlatDoubleMap(txt, "cpus"))
+      // canonical walls only compare at the canonical's OWN scale
+      // factor: a ladder leg at sf30 reads 3-40x the sf0.1 canonical
+      // BY DESIGN, and arming the outlier rule there buys a useless
+      // deferred third pass per heavy gate (measured on the r16 text
+      // ladder before this guard)
+      if (parseStringField(txt, "sf").exists(_ != sfDir))
+        (Map.empty[String, Double], Map.empty[String, Double])
+      else
+        (parseFlatDoubleMap(txt, "queries"), parseFlatDoubleMap(txt, "cpus"))
     } catch { case _: Throwable => (Map.empty[String, Double], Map.empty[String, Double]) }
     // one timed pass: (wall, own-cpu-delta) or an error
     def timedPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):

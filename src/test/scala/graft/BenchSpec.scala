@@ -135,6 +135,12 @@ class BenchSpec extends AnyFunSuite {
       s"retroactive r15 verdict wrong: $flagged")
   }
 
+  test("parseStringField reads sf; canonical is SF-gated via it") {
+    val line = """{"metric":"total","value":1.0,"sf":"/root/testdata/sf0.1"}"""
+    assert(Bench.parseStringField(line, "sf").contains("/root/testdata/sf0.1"))
+    assert(Bench.parseStringField(line, "nope").isEmpty)
+  }
+
   test("parseFlatDoubleMap reads the writer's own format") {
     val line = """{"metric":"total","value":135.58,"unit":"sec","queries":{"agg_avg":0.421,"rle_encode":0.694},"passes":{"agg_avg":[0.5,0.421]},"cpus":{"agg_avg":8.2,"rle_encode":14.0},"sf":"x"}"""
     assert(Bench.parseFlatDoubleMap(line, "queries") ==
