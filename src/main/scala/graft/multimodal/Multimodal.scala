@@ -720,6 +720,13 @@ object Multimodal {
         .orElse(Flac.decodePcm(bytes, maxSamples = MaxFeatureBytes)
           .filter(p => p.totalSamples > 0 && p.totalSamples <= Int.MaxValue)
           .map(p => (0, 0, p.totalSamples.toInt, spanFeature(p.bytes), "flac")))
+        // IMA-ADPCM WAV (fmt 0x0011): the JDK reader recognizes the
+        // RIFF container but throws on the codec, so pcmDecode above
+        // returns None and the pure-JVM decoder takes it — real
+        // samples, tag "adpcm" (r16)
+        .orElse(AdpcmWav.decodePcm(bytes, maxSamples = MaxFeatureBytes)
+          .filter(p => p.totalSamples > 0 && p.totalSamples <= Int.MaxValue)
+          .map(p => (0, 0, p.totalSamples.toInt, spanFeature(p.bytes), "adpcm")))
         .orElse(CompressedAudio.mp3Samples(bytes)
           .filter(s => s > 0 && s <= Int.MaxValue)
           .map(s => (0, 0, s.toInt, spanFeature(bytes), "mp3-hdr")))

@@ -1,0 +1,165 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Round-trip gate for the pure-JVM IMA-ADPCM WAV decoder. ADPCM is
+ * lossy, so the honest exactness property is the classic one: the
+ * ENCODER CONTAINS THE DECODER — it quantizes each diff to a nibble
+ * and advances its own state with the identical `step`, so the
+ * decoder must reproduce the encoder's reconstruction BIT-FOR-BIT
+ * (not the original signal). The in-test encoder writes full RIFF
+ * containers (fmt 0x0011 with wSamplesPerBlock extension, fact,
+ * block-aligned data) for mono and stereo, multi-group blocks, and a
+ * fact-trimmed final block.
+ */
+class AdpcmWavSpec extends AnyFunSuite {
+
+  /** Quantize one sample against (pred, index) with the standard IMA
+    * ladder, then advance state through the DECODER's own `step` —
+    * the encoder-contains-the-decoder construction that makes the
+    * round trip exact despite the codec being lossy. */
+  private def encNibble(x: Int, pred: Int, index: Int): (Int, Int, Int) = {
+    var diff = x - pred
+    var nib = 0
+    if (diff < 0) { nib = 8; diff = -diff }
+    val s = AdpcmWavSpec.StepTable(index)
+    if (diff >= s) { nib |= 4; diff -= s }
+    if (diff >= (s >> 1)) { nib |= 2; diff -= s >> 1 }
+    if (diff >= (s >> 2)) nib |= 1
+    val (np, ni) = AdpcmWav.step(nib, pred, index)
+    (nib, np, ni)
+  }
+
+  /** Encode per-channel samples into one WAV; returns (wavBytes,
+    * reconstruction per channel) — reconstruction is what the decoder
+    * must emit exactly. */
+  private def encodeWav(chans: Array[Array[Int]], samplesPerBlock: Int,
+                        factSamples: Long = -1L): (Array[Byte], Array[Array[Int]]) = {
+    val ch = chans.length
+    val n = chans(0).length
+    require(n % samplesPerBlock == 0, "pad input to whole blocks")
+    require((samplesPerBlock - 1) % 8 == 0, "payload must fill 4-byte groups")
+    val blockAlign = 4 * ch + ((samplesPerBlock - 1) / 2) * ch
+    val nBlocks = n / samplesPerBlock
+    val recon = Array.fill(ch)(new scala.collection.mutable.ArrayBuffer[Int])
+    val data = new java.io.ByteArrayOutputStream()
+    val idx = new Array[Int](ch)
+    for (b <- 0 until nBlocks) {
+      val pred = new Array[Int](ch)
+      // block header: predictor = the block's first sample, per channel
+      for (c <- 0 until ch) {
+        pred(c) = chans(c)(b * samplesPerBlock)
+        recon(c) += pred(c)
+        data.write(pred(c) & 0xFF); data.write((pred(c) >> 8) & 0xFF)
+        data.write(idx(c)); data.write(0)
+      }
+      val nibbles = Array.fill(ch)(new scala.collection.mutable.ArrayBuffer[Int])
+      for (i <- 1 until samplesPerBlock; c <- 0 until ch) {
+        val x = chans(c)(b * samplesPerBlock + i)
+        val (nib, np, ni) = encNibble(x, pred(c), idx(c))
+        pred(c) = np; idx(c) = ni
+        recon(c) += np
+        nibbles(c) += nib
+      }
+      // payload: per channel, 4-byte groups (8 nibbles), round-robin
+      val groups = (samplesPerBlock - 1) / 8
+      for (g <- 0 until groups; c <- 0 until ch; byteI <- 0 until 4) {
+        val lo = nibbles(c)(g * 8 + byteI * 2)
+        val hi = nibbles(c)(g * 8 + byteI * 2 + 1)
+        data.write(lo | (hi << 4))
+      }
+    }
+    val dataBytes = data.toByteArray
+    assert(dataBytes.length == nBlocks * blockAlign)
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    val fact = factSamples >= 0
+    val riffLen = 4 + (8 + 20) + (if (fact) 8 + 4 else 0) + 8 + dataBytes.length
+    out.write("RIFF".getBytes("ASCII")); w32(riffLen)
+    out.write("WAVE".getBytes("ASCII"))
+    out.write("fmt ".getBytes("ASCII")); w32(20)
+    w16(0x11); w16(ch); w32(8000L); w32(4000L); w16(blockAlign); w16(4)
+    w16(2); w16(samplesPerBlock)
+    if (fact) { out.write("fact".getBytes("ASCII")); w32(4); w32(factSamples) }
+    out.write("data".getBytes("ASCII")); w32(dataBytes.length.toLong)
+    out.write(dataBytes)
+    (out.toByteArray, recon.map(_.toArray))
+  }
+
+  private def pcmOf(p: AdpcmWav.Pcm): Array[Int] =
+    p.bytes.grouped(2).map(a => ((a(0) & 0xFF) | (a(1) << 8)).toShort.toInt).toArray
+
+  private def signal(n: Int, seed: Int, amp: Int): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (amp * math.sin(i / 11.0)).toInt + rnd.nextInt(401) - 200).toArray
+  }
+
+  test("mono multi-block round-trip: decoder equals encoder reconstruction") {
+    val xs = signal(17 * 4, 3, 12000)
+    val (wav, recon) = encodeWav(Array(xs), samplesPerBlock = 17)
+    val p = AdpcmWav.decodePcm(wav).get
+    assert(p.totalSamples == 17 * 4 && p.channels == 1)
+    assert(pcmOf(p).sameElements(recon(0)))
+  }
+
+  test("stereo: channel-interleaved groups decode to both reconstructions") {
+    val l = signal(33 * 2, 5, 9000)
+    val r = signal(33 * 2, 7, 15000)
+    val (wav, recon) = encodeWav(Array(l, r), samplesPerBlock = 33)
+    val p = AdpcmWav.decodePcm(wav).get
+    assert(p.channels == 2 && p.totalSamples == 66)
+    val inter = pcmOf(p)
+    val dl = inter.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }
+    val dr = inter.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v }
+    assert(dl.sameElements(recon(0)) && dr.sameElements(recon(1)))
+  }
+
+  test("fact chunk trims the final block's padding samples") {
+    val xs = signal(17 * 2, 9, 10000)
+    val (wav, recon) = encodeWav(Array(xs), samplesPerBlock = 17,
+      factSamples = 29) // 5 padding samples in the last block
+    val p = AdpcmWav.decodePcm(wav).get
+    assert(p.totalSamples == 29)
+    assert(pcmOf(p).sameElements(recon(0).take(29)))
+  }
+
+  test("refusals: PCM fmt tag, truncation, junk") {
+    val xs = signal(17, 11, 8000)
+    val (wav, _) = encodeWav(Array(xs), samplesPerBlock = 17)
+    val pcmTag = wav.clone
+    pcmTag(20) = 1 // fmt tag 0x0001 — not ADPCM
+    assert(AdpcmWav.decodePcm(pcmTag).isEmpty)
+    assert(AdpcmWav.decodePcm(wav.take(30)).isEmpty)
+    assert(AdpcmWav.decodePcm("definitely not riff".getBytes).isEmpty)
+  }
+
+  test("AudioDecoder integration: JDK refuses the codec, the pure-JVM " +
+       "decoder tags 'adpcm' with features over real samples") {
+    val xs = signal(17 * 3, 13, 11000)
+    val (wav, recon) = encodeWav(Array(xs), samplesPerBlock = 17)
+    val (w, h, n, feat, tag) = Multimodal.AudioDecoder.decodeTagged(wav).get
+    assert(tag == "adpcm" && w == 0 && h == 0 && n == 17 * 3)
+    val pcmBytes = recon(0).flatMap(v =>
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte))
+    assert(feat.sameElements(Multimodal.AudioDecoder.spanFeature(pcmBytes)))
+  }
+}
+
+private object AdpcmWavSpec {
+  /** The public IMA step table, duplicated in the spec ON PURPOSE: the
+    * encoder quantizing against an independently-transcribed table and
+    * the decoder reconstructing bit-identically is itself evidence
+    * both transcriptions are the published one. */
+  val StepTable = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+}
