@@ -12,17 +12,20 @@ import org.apache.spark.sql.types._
  * decode, feature schema — is real and tested. Image decode AND image
  * resize are REAL (JDK `javax.imageio` + `Graphics2D` via
  * [[ImageDecoder]] — PNG/JPEG/GIF/BMP), audio header/PCM decode for
- * WAV/AIFF/AU is real (JDK `javax.sound.sampled` via [[AudioDecoder]]),
+ * WAV/AIFF/AU is real (JDK `javax.sound.sampled` via [[AudioDecoder]])
+ * PLUS pure-JVM sample decode for FLAC ([[Flac]], r16) and IMA-ADPCM
+ * WAV ([[AdpcmWav]], r16) — no native codec needed for either —
  * and the video path gets REAL multi-frame decode for animated GIFs
  * (ImageIO's per-frame GIF reader via [[VideoDecoder]]: frame count,
  * per-frame dims, frame-sampled features, first-frame thumbnail
  * resize) AND for Motion-JPEG AVI ([[AviDecoder]]: RIFF chunk walk,
  * every frame a stock-ImageIO JPEG decode). ISO-BMFF (MP4/MOV) gets
  * REAL width/height/frame-count metadata from a pure box walk
- * ([[Mp4Meta]], the [[CompressedAudio]] posture). Only compressed-
- * codec PIXEL decode (H.264/VP9/WebM — no media libraries in this
- * container) and bytes no parser recognizes fall back to
- * [[StubDecoder]], a deterministic fake keyed on the content hash.
+ * ([[Mp4Meta]], the [[CompressedAudio]] posture). Only codecs that
+ * genuinely need native libraries — H.264/VP9/AV1 pixels, MP3/OGG
+ * samples (their header walks ARE real) — and bytes no parser
+ * recognizes fall back to [[StubDecoder]], a deterministic fake keyed
+ * on the content hash.
  * Swapping in a real codec means replacing exactly that decoder
  * object.
  *
@@ -64,12 +67,13 @@ object Multimodal {
    *
    * Image blobs get a REAL decode first ([[ImageDecoder]], JDK
    * `javax.imageio` — PNG/JPEG/GIF/BMP), audio blobs too
-   * ([[AudioDecoder]], JDK `javax.sound.sampled` — WAV/AIFF/AU), and
-   * video blobs that are animated GIFs ([[VideoDecoder]]); the stub is
-   * the fallback for true video codecs and compressed audio (no media
-   * libs in this container) and for bytes the JDK readers cannot parse
-   * (e.g. the fabricated text-blob test fixtures, keeping oracles
-   * deterministic).
+   * ([[AudioDecoder]], JDK `javax.sound.sampled` — WAV/AIFF/AU — plus
+   * the pure-JVM [[Flac]] and [[AdpcmWav]] decoders), and video blobs
+   * that are animated GIFs or MJPEG-AVI ([[VideoDecoder]]); the stub
+   * is the fallback for codecs that genuinely need native libraries
+   * (H.264/VP9 pixels, MP3/OGG samples) and for bytes the parsers
+   * cannot recognize (e.g. the fabricated text-blob test fixtures,
+   * keeping oracles deterministic).
    */
   object StubDecoder extends Serializable {
     val FeatureDim = 8
