@@ -42,12 +42,17 @@ python3 - "$PREV" "$CANON" "$OUT" <<'EOF'
 import json, sys
 prev, canon, rerun = (json.load(open(p)) for p in sys.argv[1:4])
 print(f"{'gate':24} {'window':>9} {'canon':>9} {'rerun':>9}  verdict")
+# mirror graft.Bench.isWallOutlier exactly: 3x the canonical AND an
+# absolute 0.5s floor (sub-floor gates jitter legitimately and must
+# not print as regressions)
+def outlier(wall, c):
+    return wall is not None and wall > 0.5 and wall > 3 * c
 for k in sorted(rerun["queries"]):
     w, c, r = prev["queries"].get(k), canon["queries"].get(k), rerun["queries"][k]
     if c is None or c <= 0:
         v = "no-canonical"
-    elif r <= 3 * c:
-        v = "window was POLLUTED" if w and w > 3 * c else "clean"
+    elif not outlier(r, c):
+        v = "window was POLLUTED" if outlier(w, c) else "clean"
     else:
         v = "REGRESSION (rerun still >3x canonical)"
     print(f"{k:24} {w if w is not None else float('nan'):9.2f} "

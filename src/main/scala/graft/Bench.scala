@@ -189,8 +189,12 @@ object Bench {
       // factor: a ladder leg at sf30 reads 3-40x the sf0.1 canonical
       // BY DESIGN, and arming the outlier rule there buys a useless
       // deferred third pass per heavy gate (measured on the r16 text
-      // ladder before this guard)
-      if (parseStringField(txt, "sf").exists(_ != sfDir))
+      // ladder before this guard). The gate REQUIRES a recorded,
+      // matching sf (a canonical without one could be from any scale —
+      // arming on it reintroduces the failure); trailing slashes are
+      // normalized so a path spelling can't silently disarm rule 4.
+      def normSf(s: String) = s.stripSuffix("/")
+      if (!parseStringField(txt, "sf").exists(s => normSf(s) == normSf(sfDir)))
         (Map.empty[String, Double], Map.empty[String, Double])
       else
         (parseFlatDoubleMap(txt, "queries"), parseFlatDoubleMap(txt, "cpus"))

@@ -11,10 +11,10 @@ package graft.multimodal
  * step index), then 4-bit nibbles in 4-byte channel-interleaved
  * groups; each nibble steps the predictor by a table-driven delta.
  *
- * Like [[Flac]], decoding is bounded by `maxSamples` (whole blocks)
- * while the TOTAL sample count stays exact — from the `fact` chunk
- * when present (mandatory for compressed WAV per the spec), else
- * derived from the data size and block layout.
+ * Like [[Flac]], decoding is bounded by `maxBytes` of decoded PCM
+ * (whole blocks) while the TOTAL sample count stays exact — from the
+ * `fact` chunk when present (mandatory for compressed WAV per the
+ * spec), else derived from the data size and block layout.
  */
 object AdpcmWav extends Serializable {
 
@@ -61,7 +61,7 @@ object AdpcmWav extends Serializable {
   /** Decode an IMA-ADPCM WAV. None unless the container is RIFF/WAVE
     * with fmt tag 0x0011 and a structurally clean chunk walk. */
   def decodePcm(bytes: Array[Byte],
-                maxSamples: Int = 1 << 20): Option[Pcm] = {
+                maxBytes: Int = 1 << 20): Option[Pcm] = {
     if (bytes == null || bytes.length < 44) return None
     def cc(p: Int) = new String(bytes, p, 4, "ASCII")
     if (cc(0) != "RIFF" || cc(8) != "WAVE") return None
@@ -95,6 +95,12 @@ object AdpcmWav extends Serializable {
     if (fmtTag != 0x11 || channels < 1 || channels > 8 ||
         dataOff < 0 || blockAlign < 4 * channels ||
         samplesPerBlock < 1) return None
+    // the declared samples-per-block must fit the block's nibble
+    // capacity: an oversized declaration would otherwise emit stale
+    // buffer contents as "decoded" samples — refuse the inconsistent
+    // container instead
+    val nibbleCapacity = ((blockAlign - 4 * channels) / (4 * channels)) * 8 + 1
+    if (samplesPerBlock > nibbleCapacity) return None
     val nBlocks = dataLen / blockAlign
     if (nBlocks == 0) return None
     val total =
@@ -106,7 +112,7 @@ object AdpcmWav extends Serializable {
     val chanBuf = Array.ofDim[Int](channels, samplesPerBlock)
     var blk = 0
     var emitted = 0L
-    while (blk < nBlocks && emitted < maxSamples) {
+    while (blk < nBlocks && out.size < maxBytes) {
       val base = dataOff + blk * blockAlign
       var c = 0
       while (c < channels) {

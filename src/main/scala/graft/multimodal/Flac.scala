@@ -160,7 +160,11 @@ object Flac extends Serializable {
     val wasted =
       if (r.u(1) == 1) r.unary() + 1 else 0
     val eb = bps - wasted
-    if (eb <= 0 || eb > 33) throw Eof
+    // 31-bit ceiling: BitReader.u/s are Int-exact only to 31 bits, and
+    // this decoder caps container bps at 24 (+1 for side channels), so
+    // anything wider is either corrupt or out of scope — refuse, never
+    // mis-decode
+    if (eb <= 0 || eb > 31) throw Eof
     t match {
       case 0 => // constant
         val v = r.s(eb).toLong
@@ -177,7 +181,7 @@ object Flac extends Serializable {
         var i = 0
         while (i < order) { out(i) = r.s(eb).toLong; i += 1 }
         val prec = r.u(4) + 1
-        if (prec > 16) throw Eof // 0b1111 is invalid per spec
+        if (prec == 16) throw Eof // raw 0b1111 is invalid per spec
         val shift = r.s(5)
         if (shift < 0) throw Eof
         val coefs = new Array[Long](order)
@@ -275,12 +279,15 @@ object Flac extends Serializable {
   }
 
   /**
-   * Decode header + PCM prefix. `maxSamples` bounds per-channel
-   * samples decoded (whole frames; the frame that crosses the cap is
-   * still fully decoded). None on anything that is not clean FLAC.
+   * Decode header + PCM prefix. `maxBytes` bounds the DECODED PCM
+   * bytes (whole frames; the frame that crosses the cap is still
+   * fully decoded) — a byte budget, not a sample count, so the
+   * decode work matches what the caller's feature summary will
+   * actually read regardless of channel count or bit depth. None on
+   * anything that is not clean FLAC.
    */
   def decodePcm(bytes: Array[Byte],
-                maxSamples: Int = 1 << 20): Option[Pcm] =
+                maxBytes: Int = 1 << 20): Option[Pcm] =
     try {
       streamInfo(bytes).flatMap { si =>
         if (si.channels < 1 || si.channels > 8 ||
@@ -290,7 +297,7 @@ object Flac extends Serializable {
         val r = new BitReader(bytes, si.framesStart)
         var decoded = 0L
         var frames = 0
-        while (!r.atEnd && decoded < maxSamples) {
+        while (!r.atEnd && outBuf.size < maxBytes) {
           val frameStart = r.bytePos
           // frame header: 14-bit sync + mandatory zero reserved bit
           if (r.u(14) != 0x3FFE) throw Eof

@@ -721,14 +721,14 @@ object Multimodal {
     def decodeTagged(bytes: Array[Byte])
         : Option[(Int, Int, Int, Array[Float], String)] =
       pcmDecode(bytes).map { case (w, h, n, f) => (w, h, n, f, "pcm") }
-        .orElse(Flac.decodePcm(bytes, maxSamples = MaxFeatureBytes)
+        .orElse(Flac.decodePcm(bytes, maxBytes = MaxFeatureBytes)
           .filter(p => p.totalSamples > 0 && p.totalSamples <= Int.MaxValue)
           .map(p => (0, 0, p.totalSamples.toInt, spanFeature(p.bytes), "flac")))
         // IMA-ADPCM WAV (fmt 0x0011): the JDK reader recognizes the
         // RIFF container but throws on the codec, so pcmDecode above
         // returns None and the pure-JVM decoder takes it — real
         // samples, tag "adpcm" (r16)
-        .orElse(AdpcmWav.decodePcm(bytes, maxSamples = MaxFeatureBytes)
+        .orElse(AdpcmWav.decodePcm(bytes, maxBytes = MaxFeatureBytes)
           .filter(p => p.totalSamples > 0 && p.totalSamples <= Int.MaxValue)
           .map(p => (0, 0, p.totalSamples.toInt, spanFeature(p.bytes), "adpcm")))
         .orElse(CompressedAudio.mp3Samples(bytes)

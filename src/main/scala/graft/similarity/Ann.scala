@@ -1763,10 +1763,18 @@ object Ann {
         }.mkString("\n")
         val key = lp.canonicalized.toString + "\n" + sig
         if (countMemo.size > 256) countMemo.clear()
-        if (countMemo.containsKey(key)) countMemoHits.incrementAndGet()
-        else countMemoMisses.incrementAndGet()
-        countMemo.computeIfAbsent(key,
-          _ => java.lang.Long.valueOf(corpus.count())).longValue()
+        // hit/miss attribution rides the compute lambda itself (not a
+        // separate containsKey probe), so a concurrent first call or a
+        // clear racing the lookup can never record a hit for a call
+        // that actually paid the scan
+        var computed = false
+        val n = countMemo.computeIfAbsent(key, { _ =>
+          computed = true
+          java.lang.Long.valueOf(corpus.count())
+        }).longValue()
+        if (computed) countMemoMisses.incrementAndGet()
+        else countMemoHits.incrementAndGet()
+        n
       case None =>
         countMemoMisses.incrementAndGet()
         corpus.count()

@@ -134,6 +134,12 @@ class AdpcmWavSpec extends AnyFunSuite {
     assert(AdpcmWav.decodePcm(pcmTag).isEmpty)
     assert(AdpcmWav.decodePcm(wav.take(30)).isEmpty)
     assert(AdpcmWav.decodePcm("definitely not riff".getBytes).isEmpty)
+    // a wSamplesPerBlock declaration exceeding the block's nibble
+    // capacity must refuse (stale-buffer samples would otherwise emit
+    // as decoded PCM); the field sits at fmt body + 18 = offset 38
+    val oversized = wav.clone
+    oversized(38) = 0xFF.toByte; oversized(39) = 0x0F.toByte // 4095
+    assert(AdpcmWav.decodePcm(oversized).isEmpty)
   }
 
   test("AudioDecoder integration: JDK refuses the codec, the pure-JVM " +

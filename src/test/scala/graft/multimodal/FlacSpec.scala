@@ -96,6 +96,12 @@ class FlacSpec extends AnyFunSuite {
         val res = (2 until samples.length).map(i =>
           samples(i) - ((3 * samples(i - 1) - samples(i - 2)) >> 1)).toArray
         riceResidual(w, res, param = 3)
+      case 'x' => // LPC with the spec-invalid precision escape (raw 0b1111)
+        w.u(32 + 1, 6); w.u(0, 1)
+        w.s(samples(0), bps); w.s(samples(1), bps)
+        w.u(15, 4) // INVALID precision field
+        w.s(1, 5); w.s(3, 16); w.s(-1, 16)
+        riceResidual(w, new Array[Long](samples.length - 2), param = 3)
       case 'e' =>
         w.u(8, 6); w.u(0, 1) // fixed order 0 → residual IS the signal
         w.u(0, 2)  // rice 4-bit method
@@ -254,14 +260,19 @@ class FlacSpec extends AnyFunSuite {
     assert(Flac.decodePcm(good.take(good.length / 2)).isEmpty)
     assert(Flac.decodePcm("not a flac stream at all".getBytes).isEmpty)
     assert(Flac.decodePcm(Array.empty[Byte]).isEmpty)
+    // the spec-invalid LPC precision escape (raw 0b1111) must refuse,
+    // not decode with 16-bit coefficients
+    val badPrec = container(streamInfo(8000, 1, 16, 192),
+      frame(0, 192, 16, Array(Array.fill(192)(5L)), "x"))
+    assert(Flac.decodePcm(badPrec).isEmpty)
   }
 
-  test("decode is bounded by maxSamples but total stays STREAMINFO-exact") {
+  test("decode is bounded by the PCM byte budget; total stays STREAMINFO-exact") {
     val a = Array.fill(576)(7L)
     val b = Array.fill(576)(9L)
     val bytes = container(streamInfo(8000, 1, 16, 1152),
       frame(0, 576, 16, Array(a), "c") ++ frame(1, 576, 16, Array(b), "c"))
-    val p = Flac.decodePcm(bytes, maxSamples = 500).get
+    val p = Flac.decodePcm(bytes, maxBytes = 1000).get // < 1152B first frame
     assert(p.totalSamples == 1152, "total from STREAMINFO, not the prefix")
     assert(p.bytes.length == 576 * 2, "whole first frame, second not decoded")
   }
