@@ -128,9 +128,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Ladder legs at sf >= 30 can need more shuffle partitions than
+    // threads: with partitions pinned to the thread count, PER-TASK
+    // volume grows linearly with SF inside one fixed-heap JVM (the
+    // decorr-sf30 ngram-pair legs OOM'd 8g at 32 partitions; a real
+    // cluster scales partitions with input). Opt-in env knob; the
+    // driver contract (partitions = threads at sf0.1) is unchanged.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // testdata parquet may flag timestamps isAdjustedToUTC=false; read them
