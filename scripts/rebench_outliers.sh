@@ -25,8 +25,12 @@ prev = json.load(open(sys.argv[1]))
 canon = json.load(open(sys.argv[2]))
 n = int(sys.argv[3])
 pq, cq = prev["queries"], canon["queries"]
+# rank with the SAME absolute floor the verdict applies (wall > 0.5s,
+# mirroring graft.Bench.isWallOutlier): without it, sub-half-second
+# jitter gates (canon 0.05s, window 0.3s = 6x) fill the top-N and
+# displace the genuinely slow gates the rerun exists to adjudicate
 ratios = sorted(((pq[k] / cq[k], k) for k in pq
-                 if k in cq and cq[k] > 0 and pq[k] > 0), reverse=True)
+                 if k in cq and cq[k] > 0 and pq[k] > 0.5), reverse=True)
 print(",".join(k for _, k in ratios[:n]))
 EOF
 )

@@ -48,9 +48,34 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nprocs = Runtime.getRuntime.availableProcessors
-    def loadAvg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg(): Double = osBean.getSystemLoadAverage
+    // own-process CPU seconds — the batch bench's rule-4 signal
+    // (graft.Bench.cpuTheft): external theft inflates a window's wall
+    // but not this process's CPU, so recording both per timed window
+    // makes a stolen streaming artifact adjudicable from the file alone
+    def procCpuSec(): Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // ENTRY load must be sampled before ANY work — including this
+    // process's own untimed setup (the repartition+write of the source
+    // chunks pushes 1-min load past nprocs/4 on an idle box and
+    // false-positived the entry rule when sampled after it)
+    val entryLoad = loadAvg()
+    // p50/p95 micro-batch wall from a drained query's progress history
+    // (data-carrying batches only; AvailableNow runs few enough batches
+    // that the 100-entry recentProgress window holds them all)
+    def batchPercentiles(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : (Double, Double) = {
+      val ds = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble)
+        .sorted
+      if (ds.isEmpty) (-1.0, -1.0)
+      else (ds((ds.length - 1) / 2), ds(math.min(ds.length - 1,
+        math.ceil(ds.length * 0.95).toInt - 1)))
+    }
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
 
     // ---------- 1. ingest ----------
@@ -60,11 +85,14 @@ object StreamBench {
     val nIn = spark.read.parquet(src).count()
     val store = s"$tmp/store"; val ckpt = s"$tmp/ckpt"
     val ingestLoad = loadAvg()
+    val cpu0 = procCpuSec()
     val t0 = System.nanoTime()
     val q1 = graft.streaming.StreamIngest.ingest(spark, src, store, ckpt,
       hostname = "bench-host")
     q1.awaitTermination()
     val ingestWall = (System.nanoTime() - t0) / 1e9
+    val ingestCpu = procCpuSec() - cpu0
+    val (ingP50, ingP95) = batchPercentiles(q1)
     val stored = spark.read.parquet(store).count()
     val batches1 = q1.recentProgress.count(_.numInputRows > 0)
     // second drop: the SAME chunk files under new names are new data to
@@ -76,11 +104,13 @@ object StreamBench {
         new java.io.File(srcDir, "redrop_" + f.getName).toPath)
     }
     val recoveryLoad = loadAvg()
+    val cpu1 = procCpuSec()
     val t1 = System.nanoTime()
     val q2 = graft.streaming.StreamIngest.ingest(spark, src, store, ckpt,
       hostname = "bench-host")
     q2.awaitTermination()
     val recoveryWall = (System.nanoTime() - t1) / 1e9
+    val recoveryCpu = procCpuSec() - cpu1
     val storedAfter = spark.read.parquet(store).count()
     val exactlyOnce = storedAfter == 2 * stored
     if (!exactlyOnce)
@@ -106,6 +136,7 @@ object StreamBench {
     val model = graft.text.Classifier.train(docsRaw,
       (col("doc_id") % 2L) === 0L)
     val curateLoad = loadAvg()
+    val cpu2 = procCpuSec()
     val t2 = System.nanoTime()
     val curated = graft.cli.Curate.curateFollow(spark, docsSrc, idx, model)
     val q3 = curated.writeStream.format("parquet")
@@ -115,10 +146,13 @@ object StreamBench {
       .start()
     q3.awaitTermination()
     val curateWall = (System.nanoTime() - t2) / 1e9
+    val curateCpu = procCpuSec() - cpu2
+    val (curP50, curP95) = batchPercentiles(q3)
     val curatedRows = spark.read.parquet(s"$tmp/curated").count()
 
     // ---------- 3. scoreFollow ----------
     val scoreLoad = loadAvg()
+    val cpu3 = procCpuSec()
     val t3 = System.nanoTime()
     val q4 = graft.text.Classifier.scoreFollow(spark, docsSrc, model)
       .writeStream.format("parquet")
@@ -128,22 +162,24 @@ object StreamBench {
       .start()
     q4.awaitTermination()
     val scoreWall = (System.nanoTime() - t3) / 1e9
+    val scoreCpu = procCpuSec() - cpu3
+    val (scoP50, scoP95) = batchPercentiles(q4)
     val scoredRows = spark.read.parquet(s"$tmp/scored").count()
 
     val loadCap = nprocs / 4.0
-    val loads = Seq(ingestLoad, recoveryLoad, curateLoad, scoreLoad)
-    // entry cap applies to the FIRST sample only (before any timed
-    // work); later samples carry this process's own 1-min steady-state
-    // (the sf0.1 shakedown read its own curate-phase load at the score
-    // sample and false-positived), so in-run samples use the hard
-    // physical trip — the graft.Bench rule split
+    val loads = Seq(entryLoad, ingestLoad, recoveryLoad, curateLoad, scoreLoad)
+    // entry cap applies to the FIRST sample only — taken at process
+    // start, before even this bench's own setup writes (which push
+    // 1-min load past the cap on an idle box); all later samples carry
+    // this process's own steady-state and use the hard physical trip —
+    // the graft.Bench rule split
     val contaminated = loads.head > loadCap ||
       loads.exists(_ > nprocs + loadCap)
     val line =
       s"""{"metric":"stream","sf":"$sfDir","chunks":$chunks,""" +
-      s""""ingest":{"rows_in":$nIn,"rows_stored":$stored,"wall":${r3(ingestWall)},"rows_per_sec":${r3(stored / ingestWall)},"batches":$batches1,"recovery_wall":${r3(recoveryWall)},"recovery_rows_per_sec":${r3(stored / recoveryWall)},"exactly_once":$exactlyOnce},""" +
-      s""""curate":{"docs_in":$nDocs,"rows_out":$curatedRows,"wall":${r3(curateWall)},"docs_per_sec":${r3(nDocs / curateWall)}},""" +
-      s""""score":{"docs_in":$nDocs,"rows_out":$scoredRows,"wall":${r3(scoreWall)},"docs_per_sec":${r3(nDocs / scoreWall)}},""" +
+      s""""ingest":{"rows_in":$nIn,"rows_stored":$stored,"wall":${r3(ingestWall)},"cpu":${r3(ingestCpu)},"rows_per_sec":${r3(stored / ingestWall)},"batches":$batches1,"batch_ms_p50":${r3(ingP50)},"batch_ms_p95":${r3(ingP95)},"recovery_wall":${r3(recoveryWall)},"recovery_cpu":${r3(recoveryCpu)},"recovery_rows_per_sec":${r3(stored / recoveryWall)},"exactly_once":$exactlyOnce},""" +
+      s""""curate":{"docs_in":$nDocs,"rows_out":$curatedRows,"wall":${r3(curateWall)},"cpu":${r3(curateCpu)},"docs_per_sec":${r3(nDocs / curateWall)},"batch_ms_p50":${r3(curP50)},"batch_ms_p95":${r3(curP95)}},""" +
+      s""""score":{"docs_in":$nDocs,"rows_out":$scoredRows,"wall":${r3(scoreWall)},"cpu":${r3(scoreCpu)},"docs_per_sec":${r3(nDocs / scoreWall)},"batch_ms_p50":${r3(scoP50)},"batch_ms_p95":${r3(scoP95)}},""" +
       s""""loads":[${loads.map(r3).mkString(",")}],"nproc":$nprocs,"contaminated":$contaminated}"""
     println(line)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_DETAIL",

@@ -297,10 +297,25 @@ object Flac extends Serializable {
         val r = new BitReader(bytes, si.framesStart)
         var decoded = 0L
         var frames = 0
-        while (!r.atEnd && outBuf.size < maxBytes) {
+        // Trailing-junk tolerance (r17): real files carry bytes after
+        // the last frame (an appended ID3v1 tag, padding). A failure
+        // AT THE SYNC-WORD READ after >=1 CRC-verified frame — or any
+        // failure once STREAMINFO's declared samples are already fully
+        // decoded — ends the walk with the verified prefix instead of
+        // discarding it. A failure DEEPER in a frame with samples
+        // still owed keeps the refuse-corrupt posture (rethrow -> None:
+        // CRC-checked frames can't vouch for the ones that follow).
+        var atSync = true
+        var halted = false
+        def junkTail: Boolean = frames >= 1 &&
+          (atSync || (si.totalSamples > 0 && decoded >= si.totalSamples))
+        while (!halted && !r.atEnd && outBuf.size < maxBytes) {
           val frameStart = r.bytePos
+          atSync = true
+          try {
           // frame header: 14-bit sync + mandatory zero reserved bit
           if (r.u(14) != 0x3FFE) throw Eof
+          atSync = false
           if (r.u(1) != 0) throw Eof
           val varBlocking = r.u(1) == 1
           val bsBits = r.u(4)
@@ -332,6 +347,11 @@ object Flac extends Serializable {
             case 6 => 24
             case _ => throw Eof
           }
+          // a frame whose declared bit depth differs from STREAMINFO
+          // would be emitted at the wrong byte width (bytesPer derives
+          // from si.bps) — refuse the inconsistent stream instead of
+          // silently skewing the span features
+          if (bps != si.bps) throw Eof
           // CRC-8 covers everything from the sync byte to here
           val hdrCrc = r.u(8)
           if (crc8(bytes, frameStart, r.bytePos - 1) != hdrCrc) throw Eof
@@ -389,6 +409,10 @@ object Flac extends Serializable {
           // a fixed-blocking stream numbers frames; nothing to act on —
           // the walk is sequential either way
           locally(varBlocking)
+          } catch {
+            case Eof if junkTail => halted = true
+            case _: ArrayIndexOutOfBoundsException if junkTail => halted = true
+          }
         }
         if (frames == 0) None
         else Some(Pcm(if (si.totalSamples > 0) si.totalSamples else decoded,

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
  * resize are REAL (JDK `javax.imageio` + `Graphics2D` via
  * [[ImageDecoder]] — PNG/JPEG/GIF/BMP), audio header/PCM decode for
  * WAV/AIFF/AU is real (JDK `javax.sound.sampled` via [[AudioDecoder]])
- * PLUS pure-JVM sample decode for FLAC ([[Flac]], r16) and IMA-ADPCM
- * WAV ([[AdpcmWav]], r16) — no native codec needed for either —
+ * PLUS pure-JVM sample decode for FLAC ([[Flac]], r16), IMA-ADPCM
+ * WAV ([[AdpcmWav]], r16) and G.711 µ-law/A-law WAV ([[G711Wav]],
+ * r17, fmt 0x0007/0x0006 — expanded to linear PCM rather than the
+ * companded bytes the JDK reader returns) — no native codec needed
+ * for any of these —
  * and the video path gets REAL multi-frame decode for animated GIFs
  * (ImageIO's per-frame GIF reader via [[VideoDecoder]]: frame count,
  * per-frame dims, frame-sampled features, first-frame thumbnail
@@ -720,7 +723,16 @@ object Multimodal {
       * compressed payload (those codecs DO need a native decoder). */
     def decodeTagged(bytes: Array[Byte])
         : Option[(Int, Int, Int, Array[Float], String)] =
-      pcmDecode(bytes).map { case (w, h, n, f) => (w, h, n, f, "pcm") }
+      // G.711 µ-law/A-law WAV (fmt 0x0007/0x0006) must be tried BEFORE
+      // the JDK path: AudioSystem recognizes those containers but hands
+      // back the COMPANDED bytes (encoding ULAW/ALAW), which would ride
+      // the "pcm" tag with log-compressed amplitudes in the features —
+      // the pure-JVM expansion gives real linear PCM (r17)
+      G711Wav.decodePcm(bytes, maxBytes = MaxFeatureBytes)
+        .filter(p => p.totalSamples > 0 && p.totalSamples <= Int.MaxValue)
+        .map(p => (0, 0, p.totalSamples.toInt, spanFeature(p.bytes),
+          "wav-" + p.law))
+        .orElse(pcmDecode(bytes).map { case (w, h, n, f) => (w, h, n, f, "pcm") })
         .orElse(Flac.decodePcm(bytes, maxBytes = MaxFeatureBytes)
           .filter(p => p.totalSamples > 0 && p.totalSamples <= Int.MaxValue)
           .map(p => (0, 0, p.totalSamples.toInt, spanFeature(p.bytes), "flac")))

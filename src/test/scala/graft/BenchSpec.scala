@@ -135,6 +135,26 @@ class BenchSpec extends AnyFunSuite {
       s"retroactive r15 verdict wrong: $flagged")
   }
 
+  test("medianVsCanonical: flat box-epoch drift reads as the drift factor; " +
+       "a single-gate regression leaves the median near 1") {
+    val canon = Map("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "d" -> 4.0, "e" -> 1.5)
+    // r16-evening-class drift: every gate ~1.25x -> median IS the drift
+    val drifted = Seq("a" -> 1.25, "b" -> 2.5, "c" -> 0.625, "d" -> 5.0,
+      "e" -> 1.875)
+    assert(math.abs(Bench.medianVsCanonical(drifted, canon) - 1.25) < 1e-9)
+    // one real 6x regression on an otherwise-clean box: median stays ~1,
+    // so the normalized total still carries the regression
+    val regressed = Seq("a" -> 1.0, "b" -> 2.0, "c" -> 0.5, "d" -> 24.0,
+      "e" -> 1.5)
+    assert(math.abs(Bench.medianVsCanonical(regressed, canon) - 1.0) < 1e-9)
+    // degrade: no canonical overlap (bootstrap / sf-mismatch disarm) -> -1
+    assert(Bench.medianVsCanonical(Seq("x" -> 1.0), canon) == -1.0)
+    assert(Bench.medianVsCanonical(Seq.empty, canon) == -1.0)
+    // errored/unmeasured gates (wall <= 0) and zero canonicals are skipped
+    assert(math.abs(Bench.medianVsCanonical(
+      Seq("a" -> -1.0, "b" -> 2.0), canon + ("b" -> 2.0)) - 1.0) < 1e-9)
+  }
+
   test("parseStringField reads sf; canonical is SF-gated via it") {
     val line = """{"metric":"total","value":1.0,"sf":"/root/testdata/sf0.1"}"""
     assert(Bench.parseStringField(line, "sf").contains("/root/testdata/sf0.1"))

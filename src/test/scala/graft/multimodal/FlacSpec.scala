@@ -277,6 +277,98 @@ class FlacSpec extends AnyFunSuite {
     assert(p.bytes.length == 576 * 2, "whole first frame, second not decoded")
   }
 
+  // ---- trailing-junk tolerance vs refuse-corrupt (r17) ----
+
+  test("trailing junk after the last verified frame keeps the prefix") {
+    val a = Array.fill(192)(7L); val b = Array.fill(192)(9L)
+    val good = container(streamInfo(8000, 1, 16, 384),
+      frame(0, 192, 16, Array(a), "c") ++ frame(1, 192, 16, Array(b), "c"))
+    // an appended ID3v1-style tag (seen in the wild) must not discard
+    // the already-CRC-verified frames
+    val tag = "TAG" + "x" * 125
+    val p = Flac.decodePcm(good ++ tag.getBytes("ASCII")).get
+    assert(p.totalSamples == 384)
+    assert(p.bytes.sameElements(pcmLe(Array(a ++ b), 16)))
+    // sync-word failure after >=1 good frame with samples still owed:
+    // the verified prefix is returned, header count preserved
+    val short = container(streamInfo(8000, 1, 16, 600),
+      frame(0, 192, 16, Array(a), "c")) ++ Array.fill(64)(0x55.toByte)
+    val q = Flac.decodePcm(short).get
+    assert(q.totalSamples == 600 && q.bytes.length == 192 * 2)
+  }
+
+  test("mid-frame corruption with samples still owed refuses (no prefix)") {
+    val a = Array.fill(192)(7L); val b = Array.fill(192)(9L)
+    val good = container(streamInfo(8000, 1, 16, 384),
+      frame(0, 192, 16, Array(a), "c") ++ frame(1, 192, 16, Array(b), "c"))
+    // flip a byte inside the SECOND frame's body: frame 1 is verified,
+    // but the stream still owes samples and the failure is past the
+    // sync word — refuse-corrupt, not prefix-keep
+    val bad = good.clone
+    bad(bad.length - 3) = (bad(bad.length - 3) ^ 0x10).toByte
+    assert(Flac.decodePcm(bad).isEmpty)
+  }
+
+  test("a frame whose declared bit depth differs from STREAMINFO refuses") {
+    val xs = Array.fill(192)(5L)
+    // frame header says 8-bit, STREAMINFO says 16: emitting at the
+    // STREAMINFO byte width would skew every downstream feature
+    val bytes = container(streamInfo(8000, 1, 16, 192),
+      frame(0, 192, 8, Array(xs), "c"))
+    assert(Flac.decodePcm(bytes).isEmpty)
+  }
+
+  // ---- encode∘decode identity across the parameter lattice (r17) ----
+
+  test("property: encode-decode identity over (block size, bps, channels, " +
+       "subframe type, stereo mode)") {
+    import org.scalacheck.{Gen, Prop, Test => SchkTest}
+    import org.scalacheck.rng.Seed
+    def samplesFor(kind: Char, bs: Int, bps: Int, rnd: java.util.Random): Array[Long] = {
+      val m = (1L << (bps - 1)) - 1
+      kind match {
+        case 'c' => val v = rnd.nextLong() % m; Array.fill(bs)(v)
+        case 'v' | 'e' => Array.fill(bs)(rnd.nextLong() % m)
+        case 'f' => // smooth: small order-2 residuals for the rice coder
+          (0 until bs).map(i => (math.min(m / 2, 1000) *
+            math.sin(i / 17.0)).toLong + rnd.nextInt(7) - 3).toArray
+        case 'l' => // near-stable AR(2) matching the encoder's coefficients,
+          // clamped into range (the residual absorbs the clamp exactly)
+          val xs = new Array[Long](bs)
+          for (i <- xs.indices) {
+            val p = if (i == 0) rnd.nextInt(64).toLong
+              else if (i == 1) rnd.nextInt(64).toLong
+              else (3 * xs(i - 1) - xs(i - 2)) >> 1
+            xs(i) = math.max(-(m - 8), math.min(m - 8,
+              p + rnd.nextInt(9) - 4))
+          }
+          xs
+      }
+    }
+    val gen = for {
+      bs   <- Gen.oneOf(192, 200, 576)
+      bps  <- Gen.oneOf(8, 12, 16, 20, 24)
+      ch   <- Gen.oneOf(1, 2)
+      kind <- Gen.oneOf('c', 'v', 'f', 'l', 'e')
+      ms   <- Gen.oneOf(false, true)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (bs, bps, ch, kind, ms && ch == 2, seed)
+    val prop = Prop.forAll(gen) { case (bs, bps, ch, kind, ms, seed) =>
+      val rnd = new java.util.Random(seed)
+      val chans = Array.fill(ch)(samplesFor(kind, bs, bps, rnd))
+      val bytes = container(streamInfo(8000, ch, bps, bs),
+        frame(0, bs, bps, chans, kind.toString * ch, midSide = ms))
+      val p = Flac.decodePcm(bytes)
+      p.exists(d => d.totalSamples == bs && d.channels == ch &&
+        d.bps == bps && d.bytes.sameElements(pcmLe(chans, bps)))
+    }
+    // fixed initial seed: the lattice sample is reproducible round-over-round
+    val res = SchkTest.check(SchkTest.Parameters.default
+      .withMinSuccessfulTests(150)
+      .withInitialSeed(Seed(20260816L)), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   // ---- AudioDecoder integration ----
 
   test("AudioDecoder.decodeTagged: flac provenance, exact count, " +
