@@ -20,6 +20,11 @@ if os.environ.get('ORACLE_MEMORY_LIMIT'):
     con.execute(f"SET memory_limit='{os.environ['ORACLE_MEMORY_LIMIT']}'")
 if os.environ.get('ORACLE_THREADS'):
     con.execute(f"SET threads={int(os.environ['ORACLE_THREADS'])}")
+# per-process spill dir: the default '.tmp' in cwd is SHARED, so two
+# concurrent sweeps delete each other's spill blocks on connection close
+# (seen as "Cannot open file .tmp/duckdb_temp_block-...: No such file")
+import tempfile
+con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_spill_')}'")
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
     # partial dirs (the decorr ladder data ships documents+embeddings
     # only) still verify the gates whose tables exist
@@ -98,6 +103,22 @@ REPLAY = {
         # larger scale with an extended ORACLE_TIMEOUT_SEC. The replay's
         # failure path is negative-tested by scripts/test_replay_negative.py.
         'certified_at': 'sf0.01,sf0.1 (sql+replay agree on same dump, bit-exact)',
+    },
+    # e_dup_groups' SQL oracle is the pair replay (tractable — e_lsh_pairs
+    # runs the identical shape green at decorr-sf10) + a recursive `reach`
+    # closure whose working table is O(nodes x component size) and
+    # un-spillable: at 200k decorr-sf10 vectors DuckDB requests a single
+    # 32 GiB allocation and dies even alone on the box. Above `above_rows`
+    # embeddings the gate routes to scripts/dup_groups_replay.py: the SAME
+    # committed SQL cut at the edge set + an independent Python union-find
+    # for the closure, integer-exact against the dump.
+    'e_dup_groups': {
+        'script': os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'dup_groups_replay.py'),
+        'input_rows_sql': 'SELECT count(*) FROM embeddings',
+        'above_rows': int(os.environ.get('ORACLE_DUPG_ABOVE_ROWS', '100000')),
+        'certified_at': 'sf0.01,sf0.1,decorr-sf1 '
+                        '(sql+replay agree on same dump, bit-exact)',
     },
 }
 
