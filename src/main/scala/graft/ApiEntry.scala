@@ -20,8 +20,11 @@ object ApiEntry {
   /** Fixed "now" for list(): 2024-01-31T00:00Z, just past the data. */
   private val NowMs = 1706659200000L
 
+  /** Adapter-keyed events (skey pre-built by the cheap events-domain
+    * concat — bit-identical to the generic key here, see
+    * [[PointSource.eventsKeyed]]; Engine.get/list honor it). */
   private def pts(s: SparkSession, dir: String): DataFrame =
-    PointSource.events(s, dir)
+    PointSource.eventsKeyed(s, dir)
 
   private def unkey(df: DataFrame): DataFrame =
     df.withColumn("name", regexp_extract(col("skey"), "^([^{]+)", 1))
@@ -93,7 +96,7 @@ object ApiEntry {
         .select(col("name"), element_at(col("labels"), "user").as("usr"))),
     // C++ UniformTimeSeries resample (lib/counter.cc:18-64).
     "m_uniform" -> ((s, dir) =>
-      unkey(Mutations.resampleUniform(Point.withSeriesKey(pts(s, dir)), H))
+      unkey(Mutations.resampleUniform(pts(s, dir), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
     // RLE expand gated end-to-end: a uniform resample is a COMPLETE
@@ -102,7 +105,7 @@ object ApiEntry {
     // by rle_encode; this closes the loop on the expand direction.)
     "rle_roundtrip" -> ((s, dir) =>
       unkey(graft.operators.Rle.expand(graft.operators.Rle.encode(
-          Mutations.resampleUniform(Point.withSeriesKey(pts(s, dir)), H)), H))
+          Mutations.resampleUniform(pts(s, dir), H)), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
     // Gorilla XOR block codec roundtrip: decode(encode(points)) must be
@@ -111,13 +114,13 @@ object ApiEntry {
     // identity SELECT over pts. Daily blocks at gate scale.
     "gor_roundtrip" -> ((s, dir) =>
       unkey(graft.codec.Gorilla.decode(graft.codec.Gorilla.encode(
-          Point.withSeriesKey(pts(s, dir)), blockMs = 86400000L)))
+          pts(s, dir), blockMs = 86400000L)))
         .select(col("name"), col("usr"), col("ts"), col("dval"))),
     // Go Interpolate (mutations.go:87-137). The sequential skip rule
     // reduces to "consume the first point of each H-bucket", so the
     // whole op is SQL-expressible (see oracle below).
     "m_interpolate" -> ((s, dir) =>
-      unkey(Mutations.interpolate(Point.withSeriesKey(pts(s, dir)), H))
+      unkey(Mutations.interpolate(pts(s, dir), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
     // RLE output contract for the dense-grid emitters: same math as
@@ -130,11 +133,11 @@ object ApiEntry {
     // unrounded, collapses runs in SQL, and rounds at the end exactly
     // as the engine does.
     "m_interpolate_rle" -> ((s, dir) =>
-      unkey(Mutations.interpolateRle(Point.withSeriesKey(pts(s, dir)), H))
+      unkey(Mutations.interpolateRle(pts(s, dir), H))
         .select(col("name"), col("usr"), col("ts"), col("end_ts"),
           round(col("dval"), 4).as("dval"))),
     "m_uniform_rle" -> ((s, dir) =>
-      unkey(Mutations.resampleUniformRle(Point.withSeriesKey(pts(s, dir)), H))
+      unkey(Mutations.resampleUniformRle(pts(s, dir), H))
         .select(col("name"), col("usr"), col("ts"), col("end_ts"),
           round(col("dval"), 4).as("dval"))),
     // Interpolate-RLE on QUANTIZED values (50-wide steps): consecutive
@@ -143,7 +146,7 @@ object ApiEntry {
     // twin above pins its floor. Cast parity per rle_encode's note.
     "m_interp_rle_q" -> ((s, dir) =>
       unkey(Mutations.interpolateRle(
-          Point.withSeriesKey(pts(s, dir))
+          pts(s, dir)
             .withColumn("dval", (floor(col("dval") / 50) * 50).cast("double")),
           H))
         .select(col("name"), col("usr"), col("ts"), col("end_ts"),
@@ -166,7 +169,7 @@ object ApiEntry {
     // anchor chain is sequential — a linear recursion the oracle
     // replays as a recursive CTE.
     "m_interpolate_gap" -> ((s, dir) =>
-      unkey(Mutations.interpolate(Point.withSeriesKey(pts(s, dir)), H,
+      unkey(Mutations.interpolate(pts(s, dir), H,
           maxGapMs = 4 * H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
@@ -176,7 +179,7 @@ object ApiEntry {
     // Tie-robust: Δt = 0 ⇒ α = 0 ⇒ the smoothed value is unchanged
     // whichever way a timestamp collision sorts.
     "m_ewma" -> ((s, dir) =>
-      unkey(Mutations.ewma(Point.withSeriesKey(pts(s, dir)), 600000.0))
+      unkey(Mutations.ewma(pts(s, dir), 600000.0))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
     // Holt level+trend smoothing (τ_level = 10 min, τ_trend = 30 min):
@@ -184,7 +187,7 @@ object ApiEntry {
     // recurrence by rn chaining with the same float-op order
     // (Mutations.HoltOp scaladoc), like m_anomaly's (m, s2) chain.
     "m_holt" -> ((s, dir) =>
-      unkey(Mutations.holt(Point.withSeriesKey(pts(s, dir)),
+      unkey(Mutations.holt(pts(s, dir),
           600000.0, 1800000.0))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
@@ -195,7 +198,7 @@ object ApiEntry {
     // (+ 0.0 normalizes IEEE −0.0: Spark's round drops the sign,
     // DuckDB's keeps it — a z straddling zero would hash-mismatch)
     "m_anomaly" -> ((s, dir) =>
-      unkey(Mutations.ewmZscore(Point.withSeriesKey(pts(s, dir)), 600000.0))
+      unkey(Mutations.ewmZscore(pts(s, dir), 600000.0))
         .select(col("name"), col("usr"), col("ts"),
           (round(col("dval"), 4) + 0.0).as("dval"))),
     // Exact Go Mean (mutations.go:10-49): bucket anchored at its first
@@ -207,7 +210,7 @@ object ApiEntry {
     // (events has no duplicate (series, ts) rows at gate SFs, so the
     // replay order is total.)
     "m_mean_exact" -> ((s, dir) =>
-      unkey(Mutations.meanExact(Point.withSeriesKey(pts(s, dir)), H))
+      unkey(Mutations.meanExact(pts(s, dir), H))
         .select(col("name"), col("usr"), col("ts"),
           round(col("dval"), 4).as("dval"))),
     // Exact Go Min+Max (mutations.go:139-191), one gate for both: the
@@ -217,7 +220,7 @@ object ApiEntry {
     // and max share one replay chain (carrying both extrema); pure
     // comparisons — no float arithmetic — make the oracle bit-exact.
     "m_minmax_exact" -> ((s, dir) => {
-      val k = Point.withSeriesKey(pts(s, dir))
+      val k = pts(s, dir)
       unkey(Mutations.minExact(k, H)).withColumn("op", lit("min"))
         .unionByName(
           unkey(Mutations.maxExact(k, H)).withColumn("op", lit("max")))
@@ -229,7 +232,7 @@ object ApiEntry {
     // centroid, last bucket keeps the endpoint. dval passes through
     // untouched (selection only), so the gate hash is float-exact.
     "m_lttb" -> ((s, dir) =>
-      unkey(Mutations.lttb(Point.withSeriesKey(pts(s, dir)), 604800000L))
+      unkey(Mutations.lttb(pts(s, dir), 604800000L))
         .select(col("name"), col("usr"), col("ts"), col("dval"))),
     // Multimodal: binary plumbing + stub decode (feature vector is
     // checked in unit tests; metadata columns are oracle-checked).
@@ -282,7 +285,7 @@ object ApiEntry {
     // String-valued series (lib/openinstrument.proto:75-76): mutations
     // are dval-only by design; sval flows through scan/list/latest.
     "q_sval_latest" -> ((s, dir) =>
-      unkey(Point.withSeriesKey(pts(s, dir))
+      unkey(pts(s, dir)
           .groupBy(col("skey"))
           .agg(max_by(col("sval"), col("ts")).as("sval"), max("ts").as("ts")))
         .select("name", "usr", "ts", "sval")),
@@ -291,7 +294,7 @@ object ApiEntry {
     // simulation of the cascade (recursive CTE over streams in skey
     // order, list_reduce fold per stream; see GreedyAvgOracleSql).
     "agg_greedy_avg" -> ((s, dir) =>
-      Aggregations.greedyExact(Point.withSeriesKey(pts(s, dir)),
+      Aggregations.greedyExact(pts(s, dir),
           Aggregations.DefaultIntervalMs, "avg")
         .select(col("gkey"), col("ts"), r4(col("dval")).as("dval"))),
     // Greedy bucketing grouped per (name, user): ONE stream per group,
@@ -326,7 +329,7 @@ object ApiEntry {
   private def greedyUserQuery(aggName: String): (SparkSession, String) => DataFrame =
     (s, dir) =>
       Aggregations.greedyExact(
-          Point.withSeriesKey(pts(s, dir))
+          pts(s, dir)
             .filter(element_at(col("labels"), "user").isNotNull),
           86400000L, aggName, Some("user"))
         .select(col("gkey"), col("ts"), r4(col("dval")).as("dval"))

@@ -1027,11 +1027,21 @@ object PipelineEntry {
     // at 100 TB.)
     "e_knn_ivf_kmpar" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // The training phase is ~12 sequential driver actions (3 k-means||
+      // rounds, the weighting pass, 5 Lloyd refinement passes, the φ
+      // contract, the pinned baseline) and each would otherwise re-scan
+      // and re-decode the embedding parquet (guide §5: high reuse, real
+      // recompute cost). Persist for the training actions only and
+      // release before returning — the returned recall query recomputes
+      // from parquet, so nothing persisted outlives the gate. Training
+      // arithmetic is unchanged (decimal sums are order-exact).
+      emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val queries = emb.filter(col("vec_id") < 10)
       val cents = Ann.lloydRefine(emb,
         Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64), iters = 5)
       val phis = Ann.kmeansObjectives(emb,
         Seq(cents, Ann.pinnedCentroids(emb, nlist = 16)))
+      emb.unpersist(false)
       val improved = phis(0) < phis(1)
       val ivf = Ann.ivfTopKWith(cents, emb, queries, k = 5, nprobe = 6)
         .select(col("qid"), col("nid"))

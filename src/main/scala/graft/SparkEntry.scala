@@ -39,9 +39,11 @@ object SparkEntry {
       |  min_periods: 3
       |}""".stripMargin
 
-  /** events.parquet → canonical points with series key. */
+  /** events.parquet → canonical points with series key (adapter-built
+    * fast key — bit-identical to the generic one on this domain, see
+    * [[PointSource.eventsKeyed]]). */
   private def pts(s: SparkSession, dir: String): DataFrame =
-    Point.withSeriesKey(PointSource.events(s, dir))
+    PointSource.eventsKeyed(s, dir)
 
   /** skey "/events/click{user=3}" → (name, usr) output columns. */
   private def unkey(df: DataFrame): DataFrame =
@@ -379,8 +381,7 @@ object SparkEntry {
     "agg_corr" -> ((s, dir) => {
       // scope lands on the raw event_type column -> parquet pushed
       // filter (plan-audited); a name filter post-concat cannot push
-      val scoped = Point.withSeriesKey(
-        graft.sources.PointSource.events(s, dir, CorrNames))
+      val scoped = graft.sources.PointSource.eventsKeyed(s, dir, CorrNames)
       val g = Aggregations.byName(scoped, Aggregations.Average, HourMs)
       val a = g.select(col("name").as("name_a"), col("ts"), col("dval").as("va"))
       val b = g.select(col("name").as("name_b"), col("ts").as("ts_b"),
@@ -397,8 +398,7 @@ object SparkEntry {
     // explodes ×5 lags and joins — never the raw points; one grid agg
     // shuffle + one equi-join on the shifted bucket.
     "agg_xcorr" -> ((s, dir) => {
-      val scoped = Point.withSeriesKey(
-        graft.sources.PointSource.events(s, dir, CorrNames))
+      val scoped = graft.sources.PointSource.eventsKeyed(s, dir, CorrNames)
       val g = Aggregations.byName(scoped, Aggregations.Average, HourMs)
       val a = g.select(col("name").as("name_a"), col("ts"), col("dval").as("va"))
         .withColumn("lag", explode(array(XcorrLags.map(l => lit(l)): _*)))

@@ -144,7 +144,12 @@ object Engine {
    * Output: per-series points (skey,…) or aggregated series.
    */
   def get(points: DataFrame, req: GetRequest): DataFrame = {
-    var df = Point.withSeriesKey(points)
+    // A caller-supplied series key is honored (the contract is
+    // injectivity; adapters can build a domain-specific key far more
+    // cheaply than the generic escape+sort — see
+    // [[graft.sources.PointSource.eventsKeyed]]).
+    var df = (if (points.columns.contains("skey")) points
+              else Point.withSeriesKey(points))
       .filter(VariableMatcher.compile(req.variable))
     req.minTimestamp.foreach(lo => df = df.filter(col("ts") >= lo))
     req.maxTimestamp.foreach(hi => df = df.filter(col("ts") <= hi))
@@ -266,7 +271,8 @@ object Engine {
    * go/.../datastore/datastore.go:298-307).
    */
   def list(points: DataFrame, req: ListRequest, nowMs: Long): DataFrame = {
-    var out = Point.withSeriesKey(points)
+    var out = (if (points.columns.contains("skey")) points
+               else Point.withSeriesKey(points))
       .filter(VariableMatcher.compile(req.prefix))
       .filter(col("ts") >= nowMs - req.maxAgeMs)
       .select(col("name"), col("labels"), col("skey"))

@@ -44,6 +44,28 @@ object PointSource {
         lit(null).cast("long").as("end_ts"))
   }
 
+  /**
+   * [[events]] with the series key pre-built by the adapter.
+   *
+   * The adapter's label set is statically `{user → user_id}` and its
+   * names/values contain none of the characters the generic
+   * [[graft.model.Point.seriesKey]] escapes (`\,={}`): `name` is
+   * `"/events/" + event_type` where the driver's oracle CTE already
+   * relies on `'/events/' || event_type` round-tripping unescaped, and
+   * `user_id` casts from a number. On that domain the generic key —
+   * escape-regexes over name/key/value plus a map-entry sort per row —
+   * collapses to one concat, bit-identically. This matters because the
+   * events scan is a single parquet row group at bench scale factors,
+   * so everything below the first exchange runs in ONE task: the
+   * generic key costs ~0.2 s of serial wall per events gate (measured,
+   * MicroProfile) and the concat is free.
+   */
+  def eventsKeyed(spark: SparkSession, sfDir: String,
+                  eventTypes: Seq[String] = Nil): DataFrame =
+    events(spark, sfDir, eventTypes).withColumn("skey",
+      concat(col("name"), lit("{user="),
+        element_at(col("labels"), "user"), lit("}")))
+
   /** Reads a point store written by [[write]]. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(Point.columns.map(col): _*)

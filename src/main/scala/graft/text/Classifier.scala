@@ -85,42 +85,55 @@ object Classifier {
       (col("doc_id") +: labelExpr.cast("double").as("y") +:
         xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") }): _*)
     val k = xs.size
-    val n = raw.count().toDouble
+    // The featurization (5 regexp_replace passes over every document)
+    // is the expensive per-row work, and the count, the stats pass and
+    // all `iters` gradient passes aggregate over the SAME featurized
+    // rows — without a persist each of those 2+iters actions re-runs
+    // the regexps over the full corpus. The persisted frame is k+2
+    // numerics per row (orders of magnitude narrower than the text it
+    // derives from), and it is released before returning, inside the
+    // one training call — nothing outlives the query. Caching cannot
+    // move a bit of the trajectory: every aggregate over it is an
+    // exact decimal(38,12) sum, partition- and order-independent.
+    raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = raw.count().toDouble
 
-    val stats = raw.agg(
-      sum(col("x0").cast("decimal(38,12)")).as("m0"),
-      ((1 until k).map(i => sum(col(s"x$i").cast("decimal(38,12)")).as(s"m$i")) ++
-        (0 until k).map(i =>
-          sum((col(s"x$i") * col(s"x$i")).cast("decimal(38,12)")).as(s"q$i"))): _*)
-      .head()
-    val mu = (0 until k).map(i => stats.getDecimal(i).doubleValue() / n)
-    val sg = (0 until k).map { i =>
-      val msq = stats.getDecimal(k + i).doubleValue() / n
-      math.sqrt(msq - mu(i) * mu(i) + 1e-12)
-    }
-    val f = raw.select(
-      (col("doc_id") +: col("y") +:
-        (0 until k).map(i =>
-          ((col(s"x$i") - lit(mu(i))) / lit(sg(i))).as(s"x$i"))): _*)
-
-    var w = Array.fill(k + 1)(0.0) // bias, then one weight per feature
-    def z: Column =
-      (0 until k).foldLeft(lit(w(0)): Column) { (acc, i) =>
-        acc + lit(w(i + 1)) * col(s"x$i")
-      }
-
-    for (_ <- 0 until iters) {
-      val err = link(z) - col("y")
-      val sums = f.agg(
-        sum(err.cast("decimal(38,12)")).as("s0"),
-        (0 until k).map(i =>
-          sum((err * col(s"x$i")).cast("decimal(38,12)")).as(s"s${i + 1}")): _*)
+      val stats = raw.agg(
+        sum(col("x0").cast("decimal(38,12)")).as("m0"),
+        ((1 until k).map(i => sum(col(s"x$i").cast("decimal(38,12)")).as(s"m$i")) ++
+          (0 until k).map(i =>
+            sum((col(s"x$i") * col(s"x$i")).cast("decimal(38,12)")).as(s"q$i"))): _*)
         .head()
-      w = w.indices.map { j =>
-        w(j) - lr * (sums.getDecimal(j).doubleValue() / n)
-      }.toArray
-    }
-    Model(mu, sg, w.toSeq)
+      val mu = (0 until k).map(i => stats.getDecimal(i).doubleValue() / n)
+      val sg = (0 until k).map { i =>
+        val msq = stats.getDecimal(k + i).doubleValue() / n
+        math.sqrt(msq - mu(i) * mu(i) + 1e-12)
+      }
+      val f = raw.select(
+        (col("doc_id") +: col("y") +:
+          (0 until k).map(i =>
+            ((col(s"x$i") - lit(mu(i))) / lit(sg(i))).as(s"x$i"))): _*)
+
+      var w = Array.fill(k + 1)(0.0) // bias, then one weight per feature
+      def z: Column =
+        (0 until k).foldLeft(lit(w(0)): Column) { (acc, i) =>
+          acc + lit(w(i + 1)) * col(s"x$i")
+        }
+
+      for (_ <- 0 until iters) {
+        val err = link(z) - col("y")
+        val sums = f.agg(
+          sum(err.cast("decimal(38,12)")).as("s0"),
+          (0 until k).map(i =>
+            sum((err * col(s"x$i")).cast("decimal(38,12)")).as(s"s${i + 1}")): _*)
+          .head()
+        w = w.indices.map { j =>
+          w(j) - lr * (sums.getDecimal(j).doubleValue() / n)
+        }.toArray
+      }
+      Model(mu, sg, w.toSeq)
+    } finally raw.unpersist(false)
   }
 
   /** The model's probability as a plain column over a text column —
