@@ -232,8 +232,11 @@ object PipelineEntry {
     // literals. Softsign link + decimal gradient sums keep the whole
     // training trajectory bit-identical to the DuckDB oracle.
     "t_classifier" -> ((s, dir) =>
+      // fanned input parallelizes BOTH the (cached) training
+      // featurization and the final scoring projection — identity at
+      // production scan widths (Tables.fanOut)
       Classifier.trainAndScore(
-        Tables.documents(s, dir),
+        Tables.fanOut(Tables.documents(s, dir)),
         when(col("lang") === "en", 1.0).otherwise(0.0))),
     // Snapshot diff — the audit between two corpus versions of an
     // incremental pipeline (what did this crawl add/drop/edit?). The
@@ -261,7 +264,7 @@ object PipelineEntry {
     // measurement contract; ClassifierSpec proves the model separates
     // a corpus that actually carries signal.)
     "t_classifier_auc" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.fanOut(Tables.documents(s, dir))
       val label = when(col("lang") === "en", 1.0).otherwise(0.0)
       val model = Classifier.train(docs, label)
       // label computed inline on the ONE scoring scan — no label join
@@ -387,7 +390,9 @@ object PipelineEntry {
           col("q.quality").as("quality"), col("p.pr").as("pr"))
     }),
     "t_langid" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
+      // heavy pure projection (4 stopword-ratio passes per row) over a
+      // single-row-group scan: fan out so it isn't one serial task
+      Tables.fanOut(Tables.documents(s, dir)).select(
         col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))),
     "t_fingerprint" -> ((s, dir) =>
@@ -440,7 +445,9 @@ object PipelineEntry {
     // Each array stage materialized as a column: nested array exprs
     // re-evaluate their argument subtree per element (O(n²) otherwise).
     "t_winnow" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      // per-shingle md5 + window-min winnowing is the heaviest pure
+      // projection in the text family — fan the narrow scan out first
+      Tables.fanOut(Tables.documents(s, dir))
         .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("sh", TextOps.shingles(col("toks"), 3))
         .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))
@@ -1251,7 +1258,7 @@ object PipelineEntry {
       // forms. The explicit not-null guards below the exchange keep
       // every branch's subtree copy identical: the self-join would
       // otherwise infer them on its branches only, and reuse is lost.)
-      val fps = Tables.documents(s, dir)
+      val fps = Tables.fanOut(Tables.documents(s, dir))
         .withColumn("toks", TextOps.tokens(col("text")))
         .withColumn("sh", TextOps.shingles(col("toks"), 3))
         .withColumn("hs", transform(col("sh"), s => TextOps.h60(s)))

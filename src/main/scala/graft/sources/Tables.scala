@@ -22,6 +22,25 @@ object Tables {
       case TimestampNTZType => unix_millis(col(name).cast(TimestampType))
       case _                => unix_millis(col(name))
     }
+  /** Fans a too-narrow scan out to cluster parallelism before per-row
+    * work — the optimization-guide §2.5 remedy for tiny/unsplittable
+    * inputs ("one huge unsplittable file … repartition immediately
+    * after the read"). The bench corpora are single parquet row
+    * groups, so every expression below the first exchange (tokenize +
+    * per-shingle md5, winnowing, vector math, media decode) otherwise
+    * runs in ONE task however many cores the session has; a
+    * production-scale scan carries ≥ parallelism splits, where this is
+    * the identity — the condition reads the ACTUAL scan split count,
+    * not a constant, so no exchange is ever added at scale. Row-set
+    * unchanged; consumers are order-insensitive (hash gates sort
+    * outputs, aggregates ride exact decimal sums, limits are ordered,
+    * per-group first() picks are functionally determined), and
+    * round-robin repartition is deterministic under retries
+    * (sort-before-repartition is on by default). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =

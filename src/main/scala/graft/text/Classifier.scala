@@ -81,7 +81,12 @@ object Classifier {
   def train(docs: DataFrame, labelExpr: Column,
             iters: Int = 8, lr: Double = 2.0): Model = {
     val xs = features(col("text"))
-    val raw = docs.select(
+    // Narrow-scan fan-out before the featurization (guide §2.5): the
+    // bench corpus is one parquet row group, so the 5-regexp pass —
+    // and the persisted partitions every gradient aggregate reads —
+    // would otherwise live in ONE task. Identity at production scan
+    // widths (condition reads the actual split count).
+    val raw = graft.sources.Tables.fanOut(docs).select(
       (col("doc_id") +: labelExpr.cast("double").as("y") +:
         xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") }): _*)
     val k = xs.size
