@@ -164,6 +164,17 @@ object Bench {
       // testdata parquet may flag timestamps isAdjustedToUTC=false; read them
       // as plain TIMESTAMP (session tz is UTC) so unix_millis & friends resolve
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // InferFiltersFromGenerate re-adds `size(e) > 0 AND isnotnull(e)`
+      // below every explode-of-attribute; predicate pushdown then
+      // substitutes the attribute's defining expression into the scan
+      // filter, re-evaluating the expensive tokenize+md5 shingle chains
+      // once per inferred predicate per row (plan-audited on
+      // d_ngram_jaccard). Generate already emits nothing for null/empty
+      // arrays, so excluding the rule never changes results — it only
+      // removes the duplicated evaluation (a loss at ANY scale when the
+      // generator child is a computed expression).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

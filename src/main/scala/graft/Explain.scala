@@ -24,6 +24,17 @@ object Explain {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // InferFiltersFromGenerate re-adds `size(e) > 0 AND isnotnull(e)`
+      // below every explode-of-attribute; predicate pushdown then
+      // substitutes the attribute's defining expression into the scan
+      // filter, re-evaluating the expensive tokenize+md5 shingle chains
+      // once per inferred predicate per row (plan-audited on
+      // d_ngram_jaccard). Generate already emits nothing for null/empty
+      // arrays, so excluding the rule never changes results — it only
+      // removes the duplicated evaluation (a loss at ANY scale when the
+      // generator child is a computed expression).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

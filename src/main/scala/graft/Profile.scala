@@ -32,6 +32,17 @@ object MicroProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // InferFiltersFromGenerate re-adds `size(e) > 0 AND isnotnull(e)`
+      // below every explode-of-attribute; predicate pushdown then
+      // substitutes the attribute's defining expression into the scan
+      // filter, re-evaluating the expensive tokenize+md5 shingle chains
+      // once per inferred predicate per row (plan-audited on
+      // d_ngram_jaccard). Generate already emits nothing for null/empty
+      // arrays, so excluding the rule never changes results — it only
+      // removes the duplicated evaluation (a loss at ANY scale when the
+      // generator child is a computed expression).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +71,56 @@ object MicroProfile {
       .withColumn("name", substring_index(col("skey"), "{", 1))
       .withColumn("usr", substring_index(
         substring_index(col("skey"), "{user=", -1), "}", 1)))
+    // ---- shingle-pair family decomposition (d_ngram_jaccard core) ----
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def shingleRows = docs
+      .withColumn("__toks", graft.text.TextOps.tokens(col("text")))
+      .select(col("doc_id").as("id"),
+        graft.functions.VectorOps.shingleHash60(col("__toks"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .filter(col("id").isNotNull && col("s").isNotNull)
+    bench("ngram-1-shingleRows")(shingleRows)
+    val ex = shingleRows.repartition(col("id"), col("sz"), col("s"))
+    bench("ngram-2-repart")(ex)
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 300L).select(col("s"), lit(1).as("__hot"))
+    val cold = ex.join(hot, Seq("s"), "left")
+      .filter(col("__hot").isNull).drop("__hot")
+    bench("ngram-3-dropHot")(cold)
+    val joined = cold.as("a").join(cold.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    bench("ngram-4-selfjoin")(joined)
+    bench("ngram-5-pairagg")(joined
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb")))
+    // variant A: token-count pre-filter instead of size(sh) > 0 — the
+    // pushed-down filter then re-evaluates only tokens(), not the full
+    // tokenize+md5 shingle chain
+    def shingleRowsA = docs
+      .withColumn("__toks", graft.text.TextOps.tokens(col("text")))
+      .filter(size(col("__toks")) >= 3 && col("doc_id").isNotNull)
+      .select(col("doc_id").as("id"),
+        graft.functions.VectorOps.shingleHash60(col("__toks"), 3).as("sh"))
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    bench("ngramA-1-shingleRows")(shingleRowsA)
+    val exA = shingleRowsA.repartition(col("id"), col("sz"), col("s"))
+    val hotA = exA.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 300L).select(col("s"), lit(1).as("__hot"))
+    val coldA = exA.join(hotA, Seq("s"), "left")
+      .filter(col("__hot").isNull).drop("__hot")
+    val joinedA = coldA.as("a").join(coldA.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    val aggA = joinedA
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+    bench("ngramA-5-pairagg")(aggA)
+    println(aggA.queryExecution.executedPlan.toString.split("\n")
+      .filter(l => l.contains("FileScan") || l.contains("Filter") ||
+        l.contains("ReusedExchange") || l.contains("Exchange"))
+      .mkString("\n"))
     spark.stop()
   }
 }
@@ -75,6 +136,17 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // InferFiltersFromGenerate re-adds `size(e) > 0 AND isnotnull(e)`
+      // below every explode-of-attribute; predicate pushdown then
+      // substitutes the attribute's defining expression into the scan
+      // filter, re-evaluating the expensive tokenize+md5 shingle chains
+      // once per inferred predicate per row (plan-audited on
+      // d_ngram_jaccard). Generate already emits nothing for null/empty
+      // arrays, so excluding the rule never changes results — it only
+      // removes the duplicated evaluation (a loss at ANY scale when the
+      // generator child is a computed expression).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
