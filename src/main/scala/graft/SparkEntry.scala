@@ -285,7 +285,17 @@ object SparkEntry {
         .groupBy(col("skey"), (col("ts") - pmod(col("ts"), lit(HourMs))).as("bts"))
         .agg(max_by(col("dval"), col("ts")).as("v"))
       val w = Window.partitionBy("skey").orderBy("bts")
-      unkey(b.withColumn("next_bts", lead("bts", 1).over(w))
+      // The window exchange is pinned to the session's shuffle
+      // parallelism (it REPLACES the ENSURE_REQUIREMENTS exchange —
+      // same key, no extra shuffle): AQE sizes post-shuffle stages by
+      // the exchange's INPUT bytes, and the observed buckets are ~400 KB
+      // here, so it coalesced this stage to ONE task — which then
+      // emitted the ×47-exploded dense grid (462k rows + the unkey
+      // projection) serially. A generator stage's cost is its OUTPUT
+      // rows; byte-based coalescing is structurally wrong below it.
+      val parts = s.sessionState.conf.numShufflePartitions
+      unkey(b.repartition(parts, col("skey"))
+          .withColumn("next_bts", lead("bts", 1).over(w))
           .select(col("skey"), col("v"),
             explode(sequence(col("bts"),
               coalesce(col("next_bts") - HourMs, col("bts")),

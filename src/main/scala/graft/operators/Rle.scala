@@ -36,7 +36,14 @@ object Rle {
     // the filter), or the series' last ts for the final run. The second
     // window runs on already-hash(skey)-partitioned rows — sort only,
     // no second exchange (vs the previous (skey, run) window).
-    df.withColumn("prev_ts", lag("ts", 1).over(w))
+    // The exchange is pinned to the session's shuffle parallelism
+    // (replacing the window's ENSURE_REQUIREMENTS exchange — same key,
+    // no extra shuffle): AQE coalesces it by INPUT bytes, which at
+    // bench SFs funnels the whole encode — and any downstream
+    // [[expand]], a ×~50 row explosion — through one or two tasks.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(parts, col("skey"))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
       .withColumn("series_end", max("ts").over(Window.partitionBy("skey")))
       .withColumn("chg",
         when(row_number().over(w) === 1 || !sameAsPrev, 1).otherwise(0))
