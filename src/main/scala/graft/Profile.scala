@@ -114,6 +114,34 @@ object MicroProfile {
     bench("ngram-5-aggFirst")(aggFirst)
     bench("ngram-gate")(graft.dedup.Dedup.ngramJaccardPairs(docs, n = 3,
       threshold = 0.5))
+    // ---- e_knn_ivf_kmpar phase timing ----
+    {
+      import graft.similarity.Ann
+      import graft.sources.Tables
+      def tm[A](n: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[micro] kmpar/$n%-20s ${(System.nanoTime() - t0) / 1e9}%6.3f")
+        r
+      }
+      (1 to 2).foreach { rep =>
+        val emb = Tables.embeddings(spark, sfDir)
+        emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val queries = emb.filter(col("vec_id") < 10)
+        val init = tm(s"init$rep")(Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64))
+        val cents = tm(s"lloyd$rep")(Ann.lloydRefine(emb, init, iters = 5))
+        val pinned = tm(s"pinned$rep")(Ann.pinnedCentroids(emb, nlist = 16))
+        val phis = tm(s"phi$rep")(Ann.kmeansObjectives(emb, Seq(cents, pinned)))
+        emb.unpersist(false)
+        val ivf = Ann.ivfTopKWith(cents, emb, queries, k = 5, nprobe = 6)
+          .select(col("qid"), col("nid"))
+        val brute = Ann.bruteTopK(emb, queries, k = 5).select(col("qid"), col("nid"))
+        val overlap = ivf.intersect(brute).groupBy("qid").agg(count(lit(1)).as("overlap"))
+        val fin = queries.select(col("vec_id").as("qid"))
+          .join(overlap, Seq("qid"), "left")
+          .select(col("qid"), (coalesce(col("overlap"), lit(0L)) >= 2L).cast("long"))
+        tm(s"final$rep")(fin.queryExecution.toRdd.count())
+      }
+    }
     spark.stop()
   }
 }
