@@ -115,7 +115,7 @@ object MicroProfile {
     bench("ngram-gate")(graft.dedup.Dedup.ngramJaccardPairs(docs, n = 3,
       threshold = 0.5))
     // ---- e_knn_ivf_kmpar phase timing ----
-    {
+    locally {
       import graft.similarity.Ann
       import graft.sources.Tables
       def tm[A](n: String)(f: => A): A = {
