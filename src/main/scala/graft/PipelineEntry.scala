@@ -1042,6 +1042,11 @@ object PipelineEntry {
       // release before returning — the returned recall query recomputes
       // from parquet, so nothing persisted outlives the gate. Training
       // arithmetic is unchanged (decimal sums are order-exact).
+      // (Fanning the persisted frame out was measured NET-NEGATIVE here
+      // — MicroProfile action-lloyd-fanned > action-lloyd-pass: the
+      // extra exchange costs more than the 2000-row partial agg saves.
+      // The real per-pass cost was topCentroids re-evaluating through
+      // the Generate, fixed in Ann.lloydRefine itself.)
       emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val queries = emb.filter(col("vec_id") < 10)
       val cents = Ann.lloydRefine(emb,

@@ -114,6 +114,77 @@ object MicroProfile {
     bench("ngram-5-aggFirst")(aggFirst)
     bench("ngram-gate")(graft.dedup.Dedup.ngramJaccardPairs(docs, n = 3,
       threshold = 0.5))
+    // ---- fixed-cost decomposition: read/plan/action overheads ----
+    locally {
+      def tms[A](n: String, reps: Int = 5)(f: => A): Unit = {
+        val walls = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[micro] $n%-28s min=${walls.min}%6.3f walls=" +
+          walls.map(w => f"$w%.3f").mkString(","))
+      }
+      // driver-only: file listing + footer/schema read per spark.read
+      tms("read-parquet-events")(spark.read.parquet(s"$sfDir/events.parquet"))
+      tms("read-parquet-docs")(spark.read.parquet(s"$sfDir/documents.parquet"))
+      // one tiny aggregate action, identical plan each rep (codegen/plan
+      // caches warm after rep 1): the floor of ANY driver action
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      tms("action-floor-count")(docsDf.groupBy().count().queryExecution.toRdd.count())
+      // same but re-reading the table each rep (adds listing+analysis)
+      tms("action-floor-reread")(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .groupBy().count().queryExecution.toRdd.count())
+      // lloyd-pass-shaped action over a persisted 1-partition frame
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val cents0 = graft.similarity.Ann.pinnedCentroids(emb, nlist = 16)
+      def lloydPass(df: org.apache.spark.sql.DataFrame) =
+        df.select(
+            element_at(graft.functions.VectorOps.topCentroids(
+              col("embedding").cast("array<double>"), cents0, 1), 1).as("list"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+          .groupBy("list", "pos")
+          .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+      tms("action-lloyd-pass")(lloydPass(emb))
+      val embF = graft.sources.Tables.fanOut(
+        graft.sources.Tables.embeddings(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      embF.count()
+      tms("action-lloyd-fanned")(lloydPass(embF))
+      // decomposition of the 0.37 s lloyd action: which piece costs?
+      tms("lloyd-a-explodeonly")(
+        emb.select(posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+          .queryExecution.toRdd.count())
+      tms("lloyd-b-topc-explode")(
+        emb.select(
+            element_at(graft.functions.VectorOps.topCentroids(
+              col("embedding").cast("array<double>"), cents0, 1), 1).as("list"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+          .queryExecution.toRdd.count())
+      tms("lloyd-c-agg-double")(
+        emb.select(
+            element_at(graft.functions.VectorOps.topCentroids(
+              col("embedding").cast("array<double>"), cents0, 1), 1).as("list"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+          .groupBy("list", "pos")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect())
+      tms("lloyd-d-agg-decimal-norm")(
+        emb.select(
+            element_at(graft.functions.VectorOps.topCentroids(
+              col("embedding").cast("array<double>"), cents0, 1), 1).as("list"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+          .groupBy("list", "pos")
+          .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"),
+            count(lit(1)).as("n"))
+          .queryExecution.toRdd.count())
+      embF.unpersist(false)
+      emb.unpersist(false)
+    }
     // ---- e_knn_ivf_kmpar phase timing ----
     locally {
       import graft.similarity.Ann

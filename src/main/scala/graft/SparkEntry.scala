@@ -85,7 +85,7 @@ object SparkEntry {
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational basics
     "q1_agg" -> ((s, dir) => {
-      s.read.parquet(s"$dir/lineitem.parquet")
+      graft.sources.Tables.parquetCached(s, s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -96,10 +96,10 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
     "q_join_nation" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      val c = s.read.parquet(s"$dir/customer.parquet")
-      val n = s.read.parquet(s"$dir/nation.parquet")
+      val li = graft.sources.Tables.parquetCached(s, s"$dir/lineitem.parquet")
+      val o = graft.sources.Tables.parquetCached(s, s"$dir/orders.parquet")
+      val c = graft.sources.Tables.parquetCached(s, s"$dir/customer.parquet")
+      val n = graft.sources.Tables.parquetCached(s, s"$dir/nation.parquet")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
@@ -119,9 +119,9 @@ object SparkEntry {
     // float-stable; o_orderkey breaks ties deterministically.
     "q3_shipping" -> ((s, dir) => {
       val cut = lit("1998-06-01").cast("timestamp_ntz")
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = graft.sources.Tables.parquetCached(s, s"$dir/lineitem.parquet")
         .filter(col("l_shipdate") > cut)
-      val o = s.read.parquet(s"$dir/orders.parquet")
+      val o = graft.sources.Tables.parquetCached(s, s"$dir/orders.parquet")
         .filter(col("o_orderdate") < cut)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"),
@@ -142,13 +142,13 @@ object SparkEntry {
     "q5_local_supplier" -> ((s, dir) => {
       val y0 = lit("1997-01-01").cast("timestamp_ntz")
       val y1 = lit("1998-01-01").cast("timestamp_ntz")
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = graft.sources.Tables.parquetCached(s, s"$dir/lineitem.parquet")
+      val o = graft.sources.Tables.parquetCached(s, s"$dir/orders.parquet")
         .filter(col("o_orderdate") >= y0 && col("o_orderdate") < y1)
-      val c = s.read.parquet(s"$dir/customer.parquet")
-      val su = s.read.parquet(s"$dir/supplier.parquet")
-      val n = s.read.parquet(s"$dir/nation.parquet")
-      val r = s.read.parquet(s"$dir/region.parquet")
+      val c = graft.sources.Tables.parquetCached(s, s"$dir/customer.parquet")
+      val su = graft.sources.Tables.parquetCached(s, s"$dir/supplier.parquet")
+      val n = graft.sources.Tables.parquetCached(s, s"$dir/nation.parquet")
+      val r = graft.sources.Tables.parquetCached(s, s"$dir/region.parquet")
         .filter(col("r_name") === "ASIA")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))

@@ -687,10 +687,17 @@ object Ann {
     val e = corpus.select(col(vecCol).cast("array<double>").as("v"))
     var cent = init
     (0 until iters).foreach { _ =>
+      // The assignment is materialized BELOW the generate (its own
+      // projection): written inline with the posexplode, the argmax
+      // rides ABOVE the Generate and re-evaluates per EXPLODED row —
+      // dim× the matrix scans (measured 0.17 s vs 0.03 s on the bench
+      // corpus, MicroProfile lloyd-b vs lloyd-a/e) — the same
+      // nested-argument re-evaluation trap as TextOps.winnowFromHashes.
       val rows = e.select(
           element_at(graft.functions.VectorOps.topCentroids(col("v"), cent, 1), 1)
             .as("list"),
-          posexplode(col("v")).as(Seq("pos", "x")))
+          col("v"))
+        .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("list", "pos")
         .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"),
           count(lit(1)).as("n"))

@@ -27,7 +27,7 @@ object PointSource {
     * event at 100 TB.) */
   def events(spark: SparkSession, sfDir: String,
              eventTypes: Seq[String] = Nil): DataFrame = {
-    val raw0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val raw0 = Tables.parquetCached(spark, s"$sfDir/events.parquet")
     val raw = if (eventTypes.isEmpty) raw0
       else raw0.filter(col("event_type").isin(eventTypes: _*))
     // ts physical type has varied across driver testdata generations

@@ -102,17 +102,20 @@ object Classifier {
     // exact decimal(38,12) sum, partition- and order-independent.
     raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = raw.count().toDouble
-
+      // n rides the stats aggregate (guide §1.2: one corpus pass, not
+      // two — count() as a separate action re-ran a full aggregate job
+      // over the persisted frame for one long). Same sums, same n,
+      // identical trajectory.
       val stats = raw.agg(
-        sum(col("x0").cast("decimal(38,12)")).as("m0"),
-        ((1 until k).map(i => sum(col(s"x$i").cast("decimal(38,12)")).as(s"m$i")) ++
+        count(lit(1)).as("cnt"),
+        ((0 until k).map(i => sum(col(s"x$i").cast("decimal(38,12)")).as(s"m$i")) ++
           (0 until k).map(i =>
             sum((col(s"x$i") * col(s"x$i")).cast("decimal(38,12)")).as(s"q$i"))): _*)
         .head()
-      val mu = (0 until k).map(i => stats.getDecimal(i).doubleValue() / n)
+      val n = stats.getLong(0).toDouble
+      val mu = (0 until k).map(i => stats.getDecimal(1 + i).doubleValue() / n)
       val sg = (0 until k).map { i =>
-        val msq = stats.getDecimal(k + i).doubleValue() / n
+        val msq = stats.getDecimal(1 + k + i).doubleValue() / n
         math.sqrt(msq - mu(i) * mu(i) + 1e-12)
       }
       val f = raw.select(
