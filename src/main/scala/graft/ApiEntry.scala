@@ -27,8 +27,9 @@ object ApiEntry {
     PointSource.eventsKeyed(s, dir)
 
   private def unkey(df: DataFrame): DataFrame =
-    df.withColumn("name", regexp_extract(col("skey"), "^([^{]+)", 1))
-      .withColumn("usr", regexp_extract(col("skey"), "\\{user=([^}]*)\\}", 1))
+    df.withColumn("name", substring_index(col("skey"), "{", 1))
+      .withColumn("usr", substring_index(
+        substring_index(col("skey"), "{user=", -1), "}", 1))
 
   /** Shared oracle CTE (same as SparkEntry's P). */
   private val P = "WITH pts AS (SELECT '/events/' || event_type AS name, " +

@@ -743,30 +743,27 @@ object Dedup {
   def duplicateGroups(pairs: DataFrame, maxIters: Int = 1000,
                       driverLimit: Long = 1000000L,
                       jumpThreshold: Long = 100000L): DataFrame = {
-    // Symmetrize via explode, NOT union-of-two-selects: a union embeds
-    // the (possibly expensive) `pairs` subtree twice, and while AQE
-    // stage reuse dedupes the exchanges below, the work ABOVE each
-    // branch's last exchange — for LSH pairs, the whole candidate
-    // verify join — executes once per branch (measured: e_dup_groups
-    // at decorr-sf30 cost exactly 2× the e_lsh_pairs gate it wraps).
-    // One Generate over a single subtree instance emits both
-    // directions in one pass.
-    val edges = pairs.select(
-        explode(array(
-          struct(col("id_a").as("a"), col("id_b").as("b")),
-          struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct().cache()
     // Hybrid: dup-pair graphs are usually tiny relative to the corpus
     // (bounded by near-dup density); below the limit a driver-side
     // union-find is exact and avoids per-iteration job overhead. The
     // distributed loop below is the path for genuinely huge graphs.
-    val nEdges = edges.count()
-    if (nEdges <= driverLimit) {
+    //
+    // The driver path collects the RAW pair list: union-find is
+    // symmetric (union(a,b) == union(b,a)) and duplicate-tolerant, so
+    // the symmetrize-Generate and the distinct's full exchange+agg —
+    // needed only by the label-propagation joins below — are pure
+    // overhead here (guide §2.4: remove shuffles outright). One cache
+    // keeps the possibly-expensive `pairs` subtree single-execution
+    // across the count and the collect. Output identical: the root of
+    // every component is its min id regardless of edge order or
+    // multiplicity, and the node set is the same endpoints.
+    val raw = pairs.select(col("id_a").as("a"), col("id_b").as("b")).cache()
+    val nRaw = raw.count()
+    if (nRaw <= driverLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.as[(Long, Long)].collect()
-      edges.unpersist(false)
+      val es = raw.as[(Long, Long)].collect()
+      raw.unpersist(false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -783,10 +780,28 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val nodes = es.iterator.map(_._1).toSet
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
       return nodes.toSeq.sorted.map(n => (n, find(n)))
         .toDF("doc_id", "group_id")
     }
+    // Distributed path: symmetrize via explode, NOT
+    // union-of-two-selects — a union embeds the (possibly expensive)
+    // `pairs` subtree twice, and while AQE stage reuse dedupes the
+    // exchanges below, the work ABOVE each branch's last exchange —
+    // for LSH pairs, the whole candidate verify join — executes once
+    // per branch (measured: e_dup_groups at decorr-sf30 cost exactly
+    // 2× the e_lsh_pairs gate it wraps). One Generate over the CACHED
+    // raw pairs emits both directions in one pass. The jump-threshold
+    // decision reads 2·nRaw (an upper bound on the symmetrized edge
+    // count — only a path heuristic; both paths converge to the
+    // identical labeling, spec-pinned) so no extra count action runs.
+    val nEdges = 2L * nRaw
+    val edges = raw.select(
+        explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct().cache()
     // Each round is rebased onto an RDD-backed leaf
     // (`createDataFrame(rdd, schema)`): the naive `labels = f(labels)`
     // loop embeds the previous round's LOGICAL PLAN twice per round
@@ -818,7 +833,8 @@ object Dedup {
     var i = 0
     while (!converged) {
       if (i >= maxIters) {
-        edges.unpersist(false); curRdd.unpersist(false) // no cache leak on abort
+        edges.unpersist(false); raw.unpersist(false)
+        curRdd.unpersist(false) // no cache leak on abort
         throw new IllegalStateException(
           s"duplicateGroups did not converge in $maxIters iterations")
       }
@@ -875,6 +891,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist(false)
+    raw.unpersist(false)
     // release the loop's last persist too: the library leaves NO
     // caches behind. A consumer replaying the lineage reuses the
     // loop's still-materialized shuffle outputs (stage reuse), so the

@@ -1472,6 +1472,19 @@ class PipelineSpec extends SparkSpec {
     val dist = Dedup.duplicateGroups(pairs, driverLimit = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == expected)
+    // duplicate and reversed pairs (the multi-detector union case):
+    // the driver path collects RAW pairs — no distinct, no
+    // symmetrize — because union-find is duplicate-tolerant and
+    // symmetric; the output must not change
+    val noisy = Seq((1L, 2L, 0.9), (2L, 1L, 0.9), (1L, 2L, 0.7),
+        (2L, 3L, 0.8), (3L, 2L, 0.8), (7L, 9L, 0.95), (7L, 9L, 0.95))
+      .toDF("id_a", "id_b", "jaccard")
+    val viaNoisy = Dedup.duplicateGroups(noisy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNoisy == expected)
+    val viaNoisyDist = Dedup.duplicateGroups(noisy, driverLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaNoisyDist == expected)
   }
 
   test("duplicateGroups distributed path: long chain + cycle converge and " +
