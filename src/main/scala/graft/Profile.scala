@@ -185,6 +185,33 @@ object MicroProfile {
       embF.unpersist(false)
       emb.unpersist(false)
     }
+    // ---- lloyd-pass plan evidence (plans/r18): inline argmax rides
+    // the Generate's output projection (re-evaluated per exploded
+    // element) vs the two-step select that pins it below ----
+    locally {
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      val cents0 = graft.similarity.Ann.pinnedCentroids(emb, nlist = 16)
+      val e = emb.select(col("embedding").cast("array<double>").as("v"))
+      val inline = e.select(
+          element_at(graft.functions.VectorOps.topCentroids(col("v"), cents0, 1), 1)
+            .as("list"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list", "pos")
+        .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+      val twoStep = e.select(
+          element_at(graft.functions.VectorOps.topCentroids(col("v"), cents0, 1), 1)
+            .as("list"),
+          col("v"))
+        .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("list", "pos")
+        .agg(sum(col("x").cast("decimal(38,12)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+      println("[lloyd-plan-inline-BEFORE]")
+      println(inline.queryExecution.executedPlan.toString)
+      println("[lloyd-plan-twostep-AFTER]")
+      println(twoStep.queryExecution.executedPlan.toString)
+    }
     // ---- e_knn_ivf_kmpar phase timing ----
     locally {
       import graft.similarity.Ann

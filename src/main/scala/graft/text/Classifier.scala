@@ -130,11 +130,19 @@ object Classifier {
         }
 
       for (_ <- 0 until iters) {
-        val err = link(z) - col("y")
-        val sums = f.agg(
-          sum(err.cast("decimal(38,12)")).as("s0"),
-          (0 until k).map(i =>
-            sum((err * col(s"x$i")).cast("decimal(38,12)")).as(s"s${i + 1}")): _*)
+        // err is PROJECTED once below the aggregate: written inline,
+        // every one of the k+1 sums embeds its own copy of the full
+        // link(z) chain, so each pass's generated aggregate code is
+        // (k+1)× larger — and because the weights are fresh literals
+        // every pass, that source is Janino-recompiled per pass. The
+        // projection computes the identical expression (same IEEE ops,
+        // same order — err*x_i is unchanged arithmetic), once per row.
+        val sums = f.select((link(z) - col("y")).as("e") +:
+            (0 until k).map(i => col(s"x$i")): _*)
+          .agg(
+            sum(col("e").cast("decimal(38,12)")).as("s0"),
+            (0 until k).map(i =>
+              sum((col("e") * col(s"x$i")).cast("decimal(38,12)")).as(s"s${i + 1}")): _*)
           .head()
         w = w.indices.map { j =>
           w(j) - lr * (sums.getDecimal(j).doubleValue() / n)
