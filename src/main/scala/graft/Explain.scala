@@ -14,28 +14,13 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // testdata parquet may flag timestamps isAdjustedToUTC=false; read them
-      // as plain TIMESTAMP (session tz is UTC) so unix_millis & friends resolve
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // InferFiltersFromGenerate re-adds `size(e) > 0 AND isnotnull(e)`
-      // below every explode-of-attribute; predicate pushdown then
-      // substitutes the attribute's defining expression into the scan
-      // filter, re-evaluating the expensive tokenize+md5 shingle chains
-      // once per inferred predicate per row (plan-audited on
-      // d_ngram_jaccard). Generate already emits nothing for null/empty
-      // arrays, so excluding the rule never changes results — it only
-      // removes the duplicated evaluation (a loss at ANY scale when the
-      // generator child is a computed expression).
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
+    // shared engine settings live in SparkInit.common; the AQE toggle
+    // is this main's own knob (plan dumps with/without adaptive)
+    val spark = SparkInit.common(SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_AQE", "true")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val execute = sys.env.get("SPARK_GRAFT_EXECUTE").contains("true")

@@ -26,24 +26,9 @@ object MicroProfile {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // InferFiltersFromGenerate re-adds `size(e) > 0 AND isnotnull(e)`
-      // below every explode-of-attribute; predicate pushdown then
-      // substitutes the attribute's defining expression into the scan
-      // filter, re-evaluating the expensive tokenize+md5 shingle chains
-      // once per inferred predicate per row (plan-audited on
-      // d_ngram_jaccard). Generate already emits nothing for null/empty
-      // arrays, so excluding the rule never changes results — it only
-      // removes the duplicated evaluation (a loss at ANY scale when the
-      // generator child is a computed expression).
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
+    val spark = SparkInit.common(SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -248,25 +233,10 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // InferFiltersFromGenerate re-adds `size(e) > 0 AND isnotnull(e)`
-      // below every explode-of-attribute; predicate pushdown then
-      // substitutes the attribute's defining expression into the scan
-      // filter, re-evaluating the expensive tokenize+md5 shingle chains
-      // once per inferred predicate per row (plan-audited on
-      // d_ngram_jaccard). Generate already emits nothing for null/empty
-      // arrays, so excluding the rule never changes results — it only
-      // removes the duplicated evaluation (a loss at ANY scale when the
-      // generator child is a computed expression).
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
+    val spark = SparkInit.common(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try spark.range(1000000L).selectExpr("sum(id)").collect()

@@ -38,13 +38,14 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
+    // SparkInit.common aligns the streaming surfaces with the batch
+    // mains' engine config — including the InferFiltersFromGenerate
+    // exclusion the batch shingle paths rely on, which the streaming
+    // session previously lacked (curateFollow's minhash stage runs the
+    // same shingle chains per micro-batch).
+    val spark = SparkInit.common(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nprocs = Runtime.getRuntime.availableProcessors

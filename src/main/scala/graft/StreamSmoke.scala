@@ -10,15 +10,11 @@ import org.apache.spark.sql.functions._
 object StreamSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // testdata parquet may flag timestamps isAdjustedToUTC=false; read them
-      // as plain TIMESTAMP (session tz is UTC) so unix_millis & friends resolve
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
+    // shared engine settings live in SparkInit.common (same config as
+    // the batch mains and StreamBench)
+    val spark = SparkInit.common(SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_smoke").toString

@@ -148,6 +148,12 @@ object Engine {
     // injectivity; adapters can build a domain-specific key far more
     // cheaply than the generic escape+sort — see
     // [[graft.sources.PointSource.eventsKeyed]]).
+    // PRECONDITION on a pre-keyed input: `skey` must be consistent
+    // with the CURRENT name/labels columns — a caller that mutates
+    // name or labels after keying (the agg_preserve withSite pattern)
+    // must re-key (drop the column or call Point.withSeriesKey again),
+    // or series silently mis-group on the stale key. Enforced by
+    // convention; SeriesKeyContractSpec pins the one adapter key.
     var df = (if (points.columns.contains("skey")) points
               else Point.withSeriesKey(points))
       .filter(VariableMatcher.compile(req.variable))
@@ -271,6 +277,8 @@ object Engine {
    * go/.../datastore/datastore.go:298-307).
    */
   def list(points: DataFrame, req: ListRequest, nowMs: Long): DataFrame = {
+    // Same pre-keyed-input PRECONDITION as [[get]]: a caller-supplied
+    // skey must match the current name/labels columns.
     var out = (if (points.columns.contains("skey")) points
                else Point.withSeriesKey(points))
       .filter(VariableMatcher.compile(req.prefix))
