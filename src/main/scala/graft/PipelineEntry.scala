@@ -1049,10 +1049,16 @@ object PipelineEntry {
       // the Generate, fixed in Ann.lloydRefine itself.)
       emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val queries = emb.filter(col("vec_id") < 10)
+      // The pinned φ-baseline (16 smallest-id vectors, id-ordered) is
+      // collected FIRST: its element 0 IS the k-means‖ seed (the
+      // smallest-id vector), so the trainer's own seed-collect action
+      // is skipped — one fewer of the ~11 sequential training actions,
+      // identical trajectory (same seed value, decimal sums).
+      val pinned = Ann.pinnedCentroids(emb, nlist = 16)
       val cents = Ann.lloydRefine(emb,
-        Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64), iters = 5)
-      val phis = Ann.kmeansObjectives(emb,
-        Seq(cents, Ann.pinnedCentroids(emb, nlist = 16)))
+        Ann.kmeansParallelCentroids(emb, nlist = 16, dim = 64,
+          seed = Some(pinned(0))), iters = 5)
+      val phis = Ann.kmeansObjectives(emb, Seq(cents, pinned))
       emb.unpersist(false)
       val improved = phis(0) < phis(1)
       val ivf = Ann.ivfTopKWith(cents, emb, queries, k = 5, nprobe = 6)

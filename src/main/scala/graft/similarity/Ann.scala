@@ -488,18 +488,27 @@ object Ann {
    * plan literal (the [[kCenter]] posture — no shuffle, no cache, no
    * lineage growth); driver state is O(rounds·l·dim).
    */
+  /** `seed`: the smallest-`idCol` row's vector, when the caller
+    * already holds it (e.g. from [[pinnedCentroids]], whose element 0
+    * is exactly that row) — skips this function's own seed-collect
+    * action. Passing anything else changes the training trajectory;
+    * the default collects it here. */
   def kmeansParallelCentroids(corpus: DataFrame, nlist: Int, dim: Int,
                               rounds: Int = 3, oversample: Int = 32,
                               iters: Int = 5,
                               idCol: String = "vec_id",
-                              vecCol: String = "embedding"): Array[Array[Double]] = {
+                              vecCol: String = "embedding",
+                              seed: Option[Array[Double]] = None): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val seed = e.orderBy("id").limit(1).as[(Long, Array[Double])].collect()
-    require(seed.nonEmpty, "kmeansParallelCentroids needs a non-empty corpus")
-    val centers = scala.collection.mutable.ArrayBuffer(seed(0)._2)
+    val seed0 = seed.getOrElse {
+      val s = e.orderBy("id").limit(1).as[(Long, Array[Double])].collect()
+      require(s.nonEmpty, "kmeansParallelCentroids needs a non-empty corpus")
+      s(0)._2
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(seed0)
     // One corpus pass per round (after the first): φ_r and the round's
     // pick candidates ride the SAME aggregate. The pick threshold needs
     // φ_r, which the pass itself computes — circular — but φ is monotone
